@@ -1,0 +1,145 @@
+"""LakeEngine — the single entry point that collapses the reference's
+Airflow → Databricks → Spark control plane into one SparkSession.
+
+Lifecycle parity (SURVEY §3-E1):
+
+- ``sql()`` runs a SQL string or ``.sql`` file over registered tables
+  (the reference's SQL-file-driven table builds,
+  ``datalake_sub_dag_builder.py:96-117``).
+- ``load_table()`` = run query → write layer table (partitioned,
+  incremental append or dynamic-partition overwrite) → register it.
+- ``load_layer()`` replaces the subdag-per-SQL-file loop
+  (``base_sub_dag.py:58-84``): every ``.sql`` file in a directory becomes
+  one table build.
+- ``promote_to_dw()`` = staging → final-schema promotion gated on
+  quality checks (``dw_sub_dag_builder.py:49-112`` intent).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Sequence
+from datetime import date
+
+from pyspark.sql import DataFrame, SparkSession
+
+from etl_projects_spark.catalog import register_testdata
+from etl_projects_spark.config import Layer
+from etl_projects_spark.session import build_session
+from etl_projects_spark.sinks.table_writer import TableWriter
+
+
+class LakeEngine:
+    """Owns a SparkSession + a lake root; every table build is one Spark job."""
+
+    def __init__(self, spark: SparkSession | None = None, root: str = "/tmp/lake"):
+        self.spark = spark or build_session()
+        self.root = root
+        self.writer = TableWriter(root)
+
+    # ---- query entry points -------------------------------------------------
+
+    def sql(self, query_or_path: str, params: dict[str, str] | None = None) -> DataFrame:
+        """Run SQL text or a ``.sql`` file; ``{param}`` placeholders substituted.
+
+        The parameter substitution mirrors the reference's templated job
+        params (``datalake_sub_dag_builder.py:102-115`` passes ``ds`` and
+        spark params into the SQL-running job).
+        """
+        text = query_or_path
+        if query_or_path.endswith(".sql") and os.path.exists(query_or_path):
+            with open(query_or_path) as f:
+                text = f.read()
+        if params:
+            for k, v in params.items():
+                text = text.replace("{" + k + "}", str(v))
+        return self.spark.sql(text)
+
+    def register_testdata(self, sf_dir: str) -> list[str]:
+        return register_testdata(self.spark, sf_dir)
+
+    # ---- lake lifecycle -----------------------------------------------------
+
+    def load_table(
+        self,
+        query_or_path: str,
+        database: str,
+        table: str,
+        layer: Layer | str = Layer.CLEAN,
+        partitions: Sequence[str] = (),
+        ds: date | str | None = None,
+        is_incremental: bool = False,
+        params: dict[str, str] | None = None,
+    ) -> DataFrame:
+        """Build one lake table from a SQL query and register it.
+
+        ``is_incremental=True`` writes in overwrite mode with dynamic
+        partition overwrite: re-running the same ``ds`` replaces exactly
+        that batch's partitions (idempotent — the semantics the reference
+        left implicit in its missing ``load_table.py`` job).
+        """
+        all_params = dict(params or {})
+        if ds is not None:
+            all_params["ds"] = str(ds)
+        df = self.sql(query_or_path, params=all_params)
+        mode = "overwrite"  # dynamic partitionOverwriteMode makes this incremental-safe
+        if is_incremental and not partitions:
+            mode = "append"
+        path = self.writer.load_table(
+            df, database, table, layer=layer, partitions=partitions, mode=mode
+        )
+        registered = self.spark.read.parquet(path) if _is_parquet(layer) else self.spark.read.json(path)
+        registered.createOrReplaceTempView(f"{database}_{table}")
+        return registered
+
+    def load_layer(
+        self,
+        queries_dir: str,
+        database: str,
+        layer: Layer | str,
+        partitions: Sequence[str] = (),
+        ds: date | str | None = None,
+        is_incremental: bool = False,
+    ) -> dict[str, DataFrame]:
+        """Build every ``<table>.sql`` in a directory as a table (O2/O3)."""
+        out: dict[str, DataFrame] = {}
+        for fname in sorted(os.listdir(queries_dir)):
+            if not fname.endswith(".sql"):
+                continue
+            table = fname[: -len(".sql")]
+            out[table] = self.load_table(
+                os.path.join(queries_dir, fname),
+                database,
+                table,
+                layer=layer,
+                partitions=partitions,
+                ds=ds,
+                is_incremental=is_incremental,
+            )
+        return out
+
+    def promote_to_dw(
+        self,
+        staging_view: str,
+        database: str,
+        table: str,
+        checks: Sequence = (),
+    ) -> DataFrame:
+        """Staging → final DW promotion, gated on quality checks (O4/Q4).
+
+        ``checks`` are callables ``DataFrame -> (bool, str)``; any failure
+        aborts the promotion.
+        """
+        df = self.spark.table(staging_view)
+        for check in checks:
+            ok, msg = check(df)
+            if not ok:
+                raise ValueError(f"DW promotion blocked by quality check: {msg}")
+        path = self.writer.load_table(df, database, table, layer=Layer.DW)
+        final = self.spark.read.parquet(path)
+        final.createOrReplaceTempView(f"{database}_{table}")
+        return final
+
+
+def _is_parquet(layer: Layer | str) -> bool:
+    return Layer(layer) != Layer.RAW
