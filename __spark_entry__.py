@@ -15,6 +15,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+import etl_projects_spark.queries_llm  # noqa: F401  (registers into the catalog)
 from etl_projects_spark.queries import ORACLE, QUERIES
 from etl_projects_spark.queries import q1_pricing_summary
 

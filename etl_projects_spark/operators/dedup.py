@@ -1,0 +1,295 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine near-dup.
+
+Design for 100 TB:
+
+- Everything is expressed as DataFrame ops (explode → groupBy → join);
+  no Python UDFs, no driver-side collects.
+- The quadratic all-pairs comparison only ever happens *inside LSH
+  buckets / shared-shingle groups*, never globally: candidate
+  generation is a shuffle keyed on (band, signature) or shingle, which
+  scales linearly with data and stays skew-safe under AQE. A
+  document-frequency cap (``max_doc_freq``) drops degenerate
+  ubiquitous shingles, bounding the worst bucket.
+- All hashing is integer arithmetic mod a 32-bit prime on top of
+  md5-derived 60-bit keys — deterministic, engine-portable (the DuckDB
+  oracle replicates it bit-for-bit; generators below emit the twin SQL
+  from the same constants).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---- shared hashing constants (mirrored into oracle SQL) -----------------
+
+HASH_PRIME = 1_000_000_007  # fits: a*(h%p)+b < 2^61 — no 64-bit overflow
+# (a, b) pairs for k=8 minhash permutations h_i(x) = (a_i*x + b_i) mod p
+MINHASH_COEFFS: list[tuple[int, int]] = [
+    (1610612741, 11), (805306457, 101), (402653189, 1009), (201326611, 10007),
+    (100663319, 100003), (50331653, 1000003), (25165843, 2000003), (12582917, 4000037),
+]
+LSH_BANDS = 4  # 4 bands x 2 rows over the 8 minhashes
+SIMHASH_BITS = 32
+NGRAM_N = 3
+
+
+def hex60(c: Column) -> Column:
+    """First 60 bits of md5 as a bigint (portable string→int hash)."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def word_shingles(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = NGRAM_N
+) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    Built with ``transform`` over a sequence of start offsets (pure
+    array ops, codegen'd) then a single explode — one narrow pass over
+    the text, no UDFs.
+    """
+    toks = F.split(F.col(text_col), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
+    shingles = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(shingles).alias("shingle"))
+        .distinct()
+    )
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup via content-hash groupBy: one row per distinct
+    content with the keeper id (min) and duplicate count."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("fingerprint"))
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def minhash_signatures(shingles: DataFrame) -> DataFrame:
+    """k=8 MinHash signature per id from a (id, shingle) relation.
+
+    min() is order-independent integer math → exact and portable.
+    Map-side partial aggregation makes this one narrow shuffle.
+    """
+    h = F.pmod(hex60(F.col("shingle")), F.lit(HASH_PRIME))
+    aggs = [
+        F.min(F.pmod(a * h + b, F.lit(HASH_PRIME))).alias(f"mh{i}")
+        for i, (a, b) in enumerate(MINHASH_COEFFS)
+    ]
+    return shingles.groupBy("id").agg(*aggs)
+
+
+def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
+    """Candidate pairs: ids agreeing on all rows of any LSH band.
+
+    One equi-join per band (shuffle keyed on the band's signature
+    columns — bounded buckets, linear scale), unioned and de-duped.
+    """
+    rows_per_band = len(MINHASH_COEFFS) // LSH_BANDS
+    out: DataFrame | None = None
+    a, b = sigs.alias("a"), sigs.alias("b")
+    for band in range(LSH_BANDS):
+        cols = [f"mh{band * rows_per_band + r}" for r in range(rows_per_band)]
+        cond = F.col("a.id") < F.col("b.id")
+        for c in cols:
+            cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+        pairs = a.join(b, cond).select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+        )
+        out = pairs if out is None else out.unionByName(pairs)
+    return out.distinct()
+
+
+def jaccard_pairs(
+    shingles: DataFrame,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+    candidates: DataFrame | None = None,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Pairs with shingle-Jaccard ≥ threshold_num/threshold_den.
+
+    The threshold test is pure integer arithmetic
+    (``den*common >= num*(|A|+|B|-common)``) — no float boundary issues;
+    the reported ``jaccard`` is one final double division.
+
+    ``candidates`` (e.g. from LSH) restricts the join; ``max_doc_freq``
+    drops shingles shared by more than N docs (skew guard at scale).
+    """
+    if max_doc_freq is not None:
+        freq = shingles.groupBy("shingle").agg(F.count("*").alias("df_"))
+        shingles = (
+            shingles.join(freq.filter(F.col("df_") <= max_doc_freq), "shingle")
+            .select("id", "shingle")
+        )
+    sizes = shingles.groupBy("id").agg(F.count("*").alias("n_sh"))
+    a, b = shingles.alias("sa"), shingles.alias("sb")
+    common = (
+        a.join(
+            b,
+            (F.col("sa.shingle") == F.col("sb.shingle"))
+            & (F.col("sa.id") < F.col("sb.id")),
+        )
+        .groupBy(F.col("sa.id").alias("id_a"), F.col("sb.id").alias("id_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    if candidates is not None:
+        common = common.join(candidates, ["id_a", "id_b"], "left_semi")
+    na = sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a")
+    nb = sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b")
+    joined = common.join(F.broadcast(na), "id_a").join(F.broadcast(nb), "id_b")
+    union_sz = F.col("n_a") + F.col("n_b") - F.col("common")
+    return (
+        joined.filter(
+            F.lit(threshold_den) * F.col("common") >= F.lit(threshold_num) * union_sz
+        )
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("common").cast("double") / union_sz.cast("double")).alias("jaccard"),
+        )
+    )
+
+
+def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """32-bit SimHash per document over distinct word n-gram shingles.
+
+    Shingles, not tokens: on a shared-vocabulary corpus token sets are
+    nearly identical across documents and token-SimHash collapses
+    (measured: thousands of random pairs at Hamming ≤ 1); shingle sets
+    carry the real similarity signal.
+
+    Per bit b: sign of Σ_shingles (2*bit_b(h(shingle)) - 1); signature
+    is the packed bit vector. Explode → 32 conditional-sum aggregates —
+    one narrow shuffle, all integer math.
+    """
+    sh = word_shingles(df, text_col=text_col, id_col=id_col)
+    h = hex60(F.col("shingle"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    sums = sh.groupBy("id").agg(*aggs)
+    sig = None
+    for b in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"b{b}") >= 0, F.lit(2**b).cast("long")).otherwise(F.lit(0))
+        sig = bit if sig is None else sig + bit
+    return sums.select("id", sig.alias("simhash"))
+
+
+def simhash_near_pairs(sigs: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Pairs whose SimHash Hamming distance ≤ max_hamming.
+
+    Candidate generation blocks on 8-bit signature bytes (a pair within
+    distance d must agree on ≥1 of d+1 blocks — here 4 blocks covers
+    d≤3 exactly and d≤6 with high recall at bounded join fan-out);
+    exact distance then filters. At 100 TB this is the standard
+    bit-block LSH; never an all-pairs product.
+    """
+    blocks = [
+        F.shiftright(F.col("simhash"), 8 * i).bitwiseAND(F.lit(255)).alias(f"blk{i}")
+        for i in range(4)
+    ]
+    withb = sigs.select("id", "simhash", *blocks)
+    a, b = withb.alias("a"), withb.alias("b")
+    out = None
+    for i in range(4):
+        pairs = a.join(
+            b,
+            (F.col(f"a.blk{i}") == F.col(f"b.blk{i}")) & (F.col("a.id") < F.col("b.id")),
+        ).select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        out = pairs if out is None else out.unionByName(pairs)
+    dist = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        out.distinct()
+        .select("id_a", "id_b", dist.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.45,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cosine ≥ threshold).
+
+    Brute-force within a self-join here (correctness baseline); the
+    scale path buckets by hyperplane LSH first
+    (similarity.hyperplane_bucket) so the join is per-bucket.
+    Cosine is computed in double with sequential fold; the reported
+    score is rounded to 6 dp (engine-portable).
+    """
+    from etl_projects_spark.operators.similarity import cosine
+
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    score = cosine(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(score, 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+# ---- oracle-SQL generators (same constants, DuckDB dialect) ----------------
+
+
+def shingles_cte(n: int = NGRAM_N) -> str:
+    """DuckDB CTE producing distinct (id, shingle) from documents."""
+    parts = " || ' ' || ".join(f"toks[i+{j}]" for j in range(n))
+    return f"""
+    toks AS (SELECT doc_id AS id, string_split(text, ' ') AS toks FROM documents),
+    idx AS (SELECT id, toks, unnest(generate_series(1, len(toks)-{n - 1})) AS i FROM toks),
+    shingles AS (SELECT DISTINCT id, {parts} AS shingle FROM idx)
+    """
+
+
+def hex60_sql(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def minhash_select_sql() -> str:
+    """DuckDB aggregate list computing mh0..mh7 from `shingles`."""
+    h = f"({hex60_sql('shingle')} % {HASH_PRIME})"
+    cols = ", ".join(
+        f"min(({a} * {h} + {b}) % {HASH_PRIME}) AS mh{i}"
+        for i, (a, b) in enumerate(MINHASH_COEFFS)
+    )
+    return f"SELECT id, {cols} FROM shingles GROUP BY id"
+
+
+def simhash_select_sql() -> str:
+    """DuckDB query computing (id, simhash) from a `shingles` CTE
+    (pair with :func:`shingles_cte`)."""
+    h = hex60_sql("shingle")
+    sums = ", ".join(
+        f"sum(CASE WHEN ({h} >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    packed = " + ".join(
+        f"(CASE WHEN b{b} >= 0 THEN CAST({2**b} AS BIGINT) ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return (
+        f"WITH sums AS (SELECT id, {sums} FROM shingles GROUP BY id) "
+        f"SELECT id, {packed} AS simhash FROM sums"
+    )

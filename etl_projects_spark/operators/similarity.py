@@ -1,0 +1,134 @@
+"""Similarity search over embedding columns (array<float>).
+
+- :func:`cosine` — pure column expression (``zip_with`` +
+  ``aggregate``): JVM-side, codegen'd, no UDF.
+- :func:`brute_force_topk` — exact top-k vs a query vector: one narrow
+  scan + ``TakeOrderedAndProject`` (no global sort, no collect).
+- :func:`hyperplane_bucket` / :func:`lsh_topk` — random-hyperplane LSH:
+  sign-bit bucket from fixed seeded hyperplanes; candidates searched
+  within the query's bucket only. The scale path: bucketing is a cheap
+  map-side expression, search cost drops ~2^bits-fold, and the same
+  bucket column doubles as a shuffle/partition key for batch ANN joins.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+EMBED_DIM = 64
+LSH_PLANES_SEED = 42
+# 4 planes → 16 buckets: sized so a bucket still holds ~dozens of
+# candidates at test scale. At 100 TB, raise bits with corpus size
+# (bucket occupancy ~ N / 2^bits) and/or probe neighboring buckets.
+LSH_N_PLANES = 4
+
+
+def _hyperplanes(dim: int = EMBED_DIM, n: int = LSH_N_PLANES) -> np.ndarray:
+    """Fixed seeded hyperplanes — identical constants in Spark and oracle."""
+    rng = np.random.RandomState(LSH_PLANES_SEED)
+    return rng.standard_normal((n, dim)).round(6)
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ a_i*b_i in double (sequential fold — deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_id: int,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k neighbors of ``query_id`` (excluded itself).
+
+    The 1-row query side is broadcast — a broadcast nested-loop join,
+    i.e. one pass over the corpus regardless of cluster size.
+    """
+    q = df.filter(F.col(id_col) == query_id).select(F.col(vec_col).alias("qvec"))
+    return (
+        df.filter(F.col(id_col) != query_id)
+        .join(F.broadcast(q))
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), F.col("qvec")), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def hyperplane_bucket(vec: Column, planes: np.ndarray | None = None) -> Column:
+    """LSH bucket id: packed sign bits of ⟨vec, plane_i⟩."""
+    planes = _hyperplanes() if planes is None else planes
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        lits = F.array(*[F.lit(float(x)) for x in plane])
+        bit = F.when(dot(vec, lits) >= 0, F.lit(2**i).cast("long")).otherwise(F.lit(0))
+        bucket = bucket + bit
+    return bucket
+
+
+def lsh_topk(
+    df: DataFrame,
+    query_id: int,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN top-k: exact search restricted to the query's LSH bucket.
+
+    Recall < 1 by construction (that's the trade); the bucket column is
+    a deterministic expression, so results are stable and oracle-able.
+    """
+    with_bucket = df.withColumn("bucket", hyperplane_bucket(F.col(vec_col)))
+    q = with_bucket.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("qvec"), F.col("bucket").alias("qbucket")
+    )
+    return (
+        with_bucket.filter(F.col(id_col) != query_id)
+        .join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), F.col("qvec")), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(k)
+    )
+
+
+# ---- oracle-SQL generators -------------------------------------------------
+
+
+def cosine_sql(a: str, b: str) -> str:
+    """DuckDB cosine in double (list ops; rounded by callers to 6 dp)."""
+    d = f"list_sum(list_transform(list_zip({a}, {b}), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+    na = f"sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    nb = f"sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    return f"({d} / ({na} * {nb}))"
+
+
+def bucket_sql(vec: str, planes: np.ndarray | None = None) -> str:
+    """DuckDB twin of :func:`hyperplane_bucket` (same plane constants)."""
+    planes = _hyperplanes() if planes is None else planes
+    terms = []
+    for i, plane in enumerate(planes):
+        arr = "[" + ", ".join(repr(float(x)) for x in plane) + "]"
+        d = f"list_sum(list_transform(list_zip({vec}, {arr}), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+        terms.append(f"(CASE WHEN {d} >= 0 THEN CAST({2**i} AS BIGINT) ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"

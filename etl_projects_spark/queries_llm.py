@@ -1,0 +1,310 @@
+"""Query-catalog entries for the training-data-pipeline operators:
+text analysis, deduplication, similarity search, event streams.
+
+Registered into the same QUERIES/ORACLE catalog as queries.py. The
+oracle SQL for the hashing operators (MinHash-LSH, SimHash) is
+*generated from the same constants* as the Spark implementation
+(dedup.MINHASH_COEFFS etc.) — bit-exact parity by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from etl_projects_spark.operators import dedup, similarity, text
+from etl_projects_spark.queries import D, _q, dec, load
+
+
+# =========================================================================
+# Text analysis (documents table)
+# =========================================================================
+
+
+@_q(
+    "text_stats",
+    """
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(list_distinct(string_split(text, ' '))) AS n_unique,
+           length(text) AS n_chars
+    FROM documents
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, distinct types, chars — the
+    per-document stats pass (one narrow scan, codegen'd)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.token_count("text").alias("n_tokens"),
+        text.unique_token_count("text").alias("n_unique"),
+        text.char_count("text").alias("n_chars"),
+    )
+
+
+@_q(
+    "text_quality_score",
+    """
+    SELECT doc_id,
+           round((CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+                  / CAST(len(string_split(text,' ')) AS DOUBLE))
+                 * (least(CAST(len(string_split(text,' ')) AS DOUBLE), 100.0) / 100.0),
+                 6) AS quality
+    FROM documents
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: lexical diversity × length factor, exact
+    integer counts with one double division."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.round(text.quality_score("text"), 6).alias("quality"))
+
+
+@_q("text_lang_id", f"SELECT doc_id, {text.lang_id_oracle_case()} AS lang_pred FROM documents")
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: per-language stopword vote with
+    deterministic tie-break (oracle SQL generated from the same lists)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.predicted_lang("text").alias("lang_pred"))
+
+
+@_q(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS fingerprint, min(doc_id) AS keeper_id, count(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: content-hash groupBy keeping the min id per group."""
+    return dedup.exact_dedup_groups(load(spark, sf_dir, "documents"))
+
+
+@_q(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH {dedup.shingles_cte()},
+    sizes AS (SELECT id, count(*) AS n_sh FROM shingles GROUP BY id),
+    common AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
+      FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           CAST(common AS DOUBLE) / CAST(x.n_sh + y.n_sh - common AS DOUBLE) AS jaccard
+    FROM common JOIN sizes x ON id_a = x.id JOIN sizes y ON id_b = y.id
+    WHERE 2 * common >= 1 * (x.n_sh + y.n_sh - common)
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram Jaccard near-dup pairs (3-gram word shingles, j ≥ 0.5).
+
+    Integer-arithmetic threshold test — no float boundary. Candidate
+    join is keyed on shared shingles (shuffle, linear), never all-pairs.
+    """
+    sh = dedup.word_shingles(load(spark, sf_dir, "documents"))
+    return dedup.jaccard_pairs(sh, threshold_num=1, threshold_den=2)
+
+
+@_q(
+    "dedup_minhash_lsh",
+    f"""
+    WITH {dedup.shingles_cte()},
+    sigs AS ({dedup.minhash_select_sql()}),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM sigs a JOIN sigs b
+        ON a.id < b.id AND ((a.mh0 = b.mh0 AND a.mh1 = b.mh1)
+                         OR (a.mh2 = b.mh2 AND a.mh3 = b.mh3)
+                         OR (a.mh4 = b.mh4 AND a.mh5 = b.mh5)
+                         OR (a.mh6 = b.mh6 AND a.mh7 = b.mh7))),
+    sizes AS (SELECT id, count(*) AS n_sh FROM shingles GROUP BY id),
+    common AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
+      FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY 1, 2)
+    SELECT c.id_a, c.id_b,
+           CAST(common AS DOUBLE) / CAST(x.n_sh + y.n_sh - common AS DOUBLE) AS jaccard
+    FROM common c JOIN cand ON c.id_a = cand.id_a AND c.id_b = cand.id_b
+         JOIN sizes x ON c.id_a = x.id JOIN sizes y ON c.id_b = y.id
+    WHERE 2 * common >= 1 * (x.n_sh + y.n_sh - common)
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH fuzzy dedup: shingle → 8 minhashes → 4 bands →
+    banded candidate join → exact-Jaccard verification.
+
+    The scale path for fuzzy dedup at 100 TB: candidate generation is
+    4 equi-joins on band signatures (bounded buckets), the quadratic
+    verify only runs inside candidates.
+    """
+    sh = dedup.word_shingles(load(spark, sf_dir, "documents"))
+    sigs = dedup.minhash_signatures(sh)
+    cand = dedup.lsh_candidate_pairs(sigs)
+    return dedup.jaccard_pairs(sh, threshold_num=1, threshold_den=2, candidates=cand)
+
+
+@_q(
+    "dedup_simhash",
+    f"""
+    WITH {dedup.shingles_cte()},
+    sigs AS ({dedup.simhash_select_sql()}),
+    blk AS (SELECT id, simhash,
+                   (simhash >> 0) & 255 AS blk0, (simhash >> 8) & 255 AS blk1,
+                   (simhash >> 16) & 255 AS blk2, (simhash >> 24) & 255 AS blk3
+            FROM sigs),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+             a.simhash AS sh_a, b.simhash AS sh_b
+      FROM blk a JOIN blk b
+        ON a.id < b.id AND (a.blk0 = b.blk0 OR a.blk1 = b.blk1
+                         OR a.blk2 = b.blk2 OR a.blk3 = b.blk3))
+    SELECT id_a, id_b, bit_count(xor(sh_a, sh_b)) AS hamming
+    FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 6
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 32-bit signatures, byte-block candidate
+    blocking, Hamming ≤ 6 — all integer math, oracle-exact."""
+    sigs = dedup.simhash_signatures(load(spark, sf_dir, "documents"))
+    return dedup.simhash_near_pairs(sigs, max_hamming=6)
+
+
+# =========================================================================
+# Similarity search (embeddings table)
+# =========================================================================
+
+
+@_q(
+    "dedup_embedding_cosine",
+    f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({similarity.cosine_sql('a.embedding', 'b.embedding')}, 6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round({similarity.cosine_sql('a.embedding', 'b.embedding')}, 6) >= 0.45
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cosine ≥ 0.45)."""
+    return dedup.embedding_neardup_pairs(load(spark, sf_dir, "embeddings"), threshold=0.45)
+
+
+@_q(
+    "ann_cosine_topk",
+    f"""
+    WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, round({similarity.cosine_sql('embedding', 'qvec')}, 6) AS score
+    FROM embeddings, q WHERE vec_id != 0
+    ORDER BY score DESC, vec_id LIMIT 10
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-10 neighbors of vec_id=0 (the ANN
+    correctness baseline; broadcast 1-row query side)."""
+    return similarity.brute_force_topk(load(spark, sf_dir, "embeddings"), query_id=0, k=10)
+
+
+@_q(
+    "ann_lsh_topk",
+    f"""
+    WITH b AS (SELECT vec_id, embedding,
+                      {similarity.bucket_sql('embedding')} AS bucket
+               FROM embeddings),
+    q AS (SELECT embedding AS qvec, bucket AS qbucket FROM b WHERE vec_id = 0)
+    SELECT vec_id, round({similarity.cosine_sql('embedding', 'qvec')}, 6) AS score
+    FROM b, q WHERE vec_id != 0 AND bucket = qbucket
+    ORDER BY score DESC, vec_id LIMIT 10
+    """,
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN top-k: search only the query's sign-bit
+    bucket — the ~2^8-fold-cheaper scale path (recall < 1 by design)."""
+    return similarity.lsh_topk(load(spark, sf_dir, "embeddings"), query_id=0, k=10)
+
+
+# =========================================================================
+# Event-stream analytics (events table)
+# =========================================================================
+
+
+@_q(
+    "tumbling_window_events",
+    f"""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS {D})) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def tumbling_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregation — the batch twin of the
+    Structured Streaming windowed count (streaming/events.py)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").getField("start").alias("window_start"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum(dec("value")).cast("double").alias("sum_value"))
+    )
+
+
+@_q(
+    "events_sessionize",
+    """
+    WITH gaps AS (
+      SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events),
+    flags AS (
+      SELECT user_id,
+             CASE WHEN prev_ts IS NULL
+                       OR date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END AS new_s
+      FROM gaps)
+    SELECT user_id, SUM(new_s) AS n_sessions, COUNT(*) AS n_events
+    FROM flags GROUP BY user_id
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: lag-gap (30 min) session starts per user —
+    window function + integer-second diffs (exact)."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_s = F.when(F.lag("ts").over(w).isNull() | (gap_s > 1800), 1).otherwise(0)
+    return (
+        ev.withColumn("new_s", new_s)
+        .groupBy("user_id")
+        .agg(F.sum("new_s").alias("n_sessions"), F.count("*").alias("n_events"))
+    )
+
+
+# =========================================================================
+# Part-dimension analytics (q14-style conditional-aggregate ratio)
+# =========================================================================
+
+
+@_q(
+    "q14_type_revenue_share",
+    f"""
+    SELECT CAST(100.0 * CAST(SUM(CASE WHEN p_type = 'ECONOMY'
+                 THEN CAST(l_extendedprice AS {D}) * (CAST(1 AS {D}) - CAST(l_discount AS {D}))
+                 ELSE CAST(0 AS {D}) END) AS DOUBLE)
+           / CAST(SUM(CAST(l_extendedprice AS {D}) * (CAST(1 AS {D}) - CAST(l_discount AS {D}))) AS DOUBLE)
+           AS DOUBLE) AS economy_share
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    """,
+)
+def q14_type_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-style conditional-aggregate ratio: revenue share of
+    ECONOMY-type parts. Part dimension broadcast; decimal-exact sums."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    one = F.lit(1).cast("decimal(18,2)")
+    zero = F.lit(0).cast("decimal(18,2)")
+    rev = dec("l_extendedprice") * (one - dec("l_discount"))
+    cond = F.when(F.col("p_type") == "ECONOMY", rev).otherwise(zero)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            (
+                F.lit(100.0) * F.sum(cond).cast("double") / F.sum(rev).cast("double")
+            ).alias("economy_share")
+        )
+    )
