@@ -81,33 +81,45 @@ def minhash_signatures(shingles: DataFrame) -> DataFrame:
     min() is order-independent integer math → exact and portable.
     Map-side partial aggregation makes this one narrow shuffle.
     """
-    h = F.pmod(hex60(F.col("shingle")), F.lit(HASH_PRIME))
+    # Project the md5-derived hash ONCE per row; the 8 permutations are
+    # then cheap integer expressions over it (not 8 recomputed md5s).
+    hashed = shingles.select(
+        "id", F.pmod(hex60(F.col("shingle")), F.lit(HASH_PRIME)).alias("h")
+    )
     aggs = [
-        F.min(F.pmod(a * h + b, F.lit(HASH_PRIME))).alias(f"mh{i}")
+        F.min(F.pmod(a * F.col("h") + b, F.lit(HASH_PRIME))).alias(f"mh{i}")
         for i, (a, b) in enumerate(MINHASH_COEFFS)
     ]
-    return shingles.groupBy("id").agg(*aggs)
+    return hashed.groupBy("id").agg(*aggs)
 
 
 def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
     """Candidate pairs: ids agreeing on all rows of any LSH band.
 
-    One equi-join per band (shuffle keyed on the band's signature
-    columns — bounded buckets, linear scale), unioned and de-duped.
+    The signature table is melted to (id, band, k1, k2) rows — one
+    ``stack`` projection, no shuffle — and candidates come from a
+    SINGLE self-equi-join keyed on (band, k1, k2). One shuffle of
+    bands×N rows instead of one join per band; bucket sizes stay
+    bounded, so the join is linear and skew-safe under AQE.
     """
     rows_per_band = len(MINHASH_COEFFS) // LSH_BANDS
-    out: DataFrame | None = None
-    a, b = sigs.alias("a"), sigs.alias("b")
+    stack_args = []
     for band in range(LSH_BANDS):
         cols = [f"mh{band * rows_per_band + r}" for r in range(rows_per_band)]
-        cond = F.col("a.id") < F.col("b.id")
-        for c in cols:
-            cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
-        pairs = a.join(b, cond).select(
-            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
-        )
-        out = pairs if out is None else out.unionByName(pairs)
-    return out.distinct()
+        stack_args.append(f"{band}, {', '.join(cols)}")
+    keys = ", ".join(f"k{r}" for r in range(rows_per_band))
+    melted = sigs.selectExpr(
+        "id", f"stack({LSH_BANDS}, {', '.join(stack_args)}) AS (band, {keys})"
+    )
+    a, b = melted.alias("a"), melted.alias("b")
+    cond = F.col("a.id") < F.col("b.id")
+    for c in ["band"] + [f"k{r}" for r in range(rows_per_band)]:
+        cond = (F.col(f"a.{c}") == F.col(f"b.{c}")) & cond
+    return (
+        a.join(b, cond)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
 
 
 def jaccard_pairs(
@@ -133,18 +145,36 @@ def jaccard_pairs(
             .select("id", "shingle")
         )
     sizes = shingles.groupBy("id").agg(F.count("*").alias("n_sh"))
-    a, b = shingles.alias("sa"), shingles.alias("sb")
-    common = (
-        a.join(
-            b,
-            (F.col("sa.shingle") == F.col("sb.shingle"))
-            & (F.col("sa.id") < F.col("sb.id")),
-        )
-        .groupBy(F.col("sa.id").alias("id_a"), F.col("sb.id").alias("id_b"))
-        .agg(F.count("*").alias("common"))
-    )
     if candidates is not None:
-        common = common.join(candidates, ["id_a", "id_b"], "left_semi")
+        # Verify ONLY candidate pairs: restrict both shingle sides to
+        # ids that appear in a candidate (semi-joins), then count
+        # matching shingles per candidate pair. The quadratic work is
+        # bounded by the LSH candidate set, not the corpus.
+        ids_a = candidates.select(F.col("id_a").alias("id")).distinct()
+        ids_b = candidates.select(F.col("id_b").alias("id")).distinct()
+        sa = shingles.join(F.broadcast(ids_a), "id", "left_semi").alias("sa")
+        sb = shingles.join(F.broadcast(ids_b), "id", "left_semi").alias("sb")
+        common = (
+            sa.join(
+                sb,
+                (F.col("sa.shingle") == F.col("sb.shingle"))
+                & (F.col("sa.id") < F.col("sb.id")),
+            )
+            .groupBy(F.col("sa.id").alias("id_a"), F.col("sb.id").alias("id_b"))
+            .agg(F.count("*").alias("common"))
+            .join(candidates, ["id_a", "id_b"], "left_semi")
+        )
+    else:
+        a, b = shingles.alias("sa"), shingles.alias("sb")
+        common = (
+            a.join(
+                b,
+                (F.col("sa.shingle") == F.col("sb.shingle"))
+                & (F.col("sa.id") < F.col("sb.id")),
+            )
+            .groupBy(F.col("sa.id").alias("id_a"), F.col("sb.id").alias("id_b"))
+            .agg(F.count("*").alias("common"))
+        )
     na = sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a")
     nb = sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b")
     joined = common.join(F.broadcast(na), "id_a").join(F.broadcast(nb), "id_b")
@@ -229,25 +259,58 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.45,
+    index_chunk: int = 4096,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (cosine ≥ threshold).
 
-    Brute-force within a self-join here (correctness baseline); the
-    scale path buckets by hyperplane LSH first
-    (similarity.hyperplane_bucket) so the join is per-bucket.
-    Cosine is computed in double with sequential fold; the reported
-    score is rounded to 6 dp (engine-portable).
-    """
-    from etl_projects_spark.operators.similarity import cosine
+    Broadcast-index blocked matmul: the unit-normalized index matrix is
+    broadcast once (8·dim bytes/vector — the build side of a broadcast
+    join), the corpus streams through ``mapInPandas``, and each Arrow
+    batch scores against the index with one BLAS matmul per
+    ``index_chunk`` slice. Only (id_a, id_b, score) rows above the
+    threshold ever leave a task — no pairwise vector payload moves.
 
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    score = cosine(F.col("va"), F.col("vb"))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.round(score, 6).alias("cosine"))
-        .filter(F.col("cosine") >= threshold)
-    )
+    This is the distributed brute-force ANN layout: O(N·d) broadcast +
+    O(N²·d) FLOPs in native BLAS, versus a self-join's O(N²·d) bytes
+    through the shuffle. For an index too big for one broadcast, shard
+    the index and union the per-shard outputs; below ~10M vectors at
+    d=64 one broadcast (~5 GB) is fine on executor-sized memory.
+    """
+    import numpy as np
+
+    from etl_projects_spark.operators.similarity import normalized
+
+    unit = df.select(F.col(id_col).alias("id"), normalized(F.col(vec_col)).alias("vn"))
+    pdf = unit.toPandas()  # index/build side only — never the pair set
+    ids = pdf["id"].to_numpy()
+    mat = np.vstack(pdf["vn"].to_numpy())
+    bidx = df.sparkSession.sparkContext.broadcast((ids, mat))
+
+    def score(batches):
+        import pandas as pd
+
+        ids_b, m_b = bidx.value
+        for batch in batches:
+            ida = batch["id"].to_numpy()
+            a = np.vstack(batch["vn"].to_numpy())
+            out_a, out_b, out_s = [], [], []
+            for lo in range(0, len(ids_b), index_chunk):
+                hi = min(lo + index_chunk, len(ids_b))
+                s = np.round(a @ m_b[lo:hi].T, 6)
+                mask = (ida[:, None] < ids_b[None, lo:hi]) & (s >= threshold)
+                ii, jj = np.nonzero(mask)
+                out_a.append(ida[ii])
+                out_b.append(ids_b[lo:hi][jj])
+                out_s.append(s[ii, jj])
+            yield pd.DataFrame(
+                {
+                    "id_a": np.concatenate(out_a) if out_a else np.array([], dtype=np.int64),
+                    "id_b": np.concatenate(out_b) if out_b else np.array([], dtype=np.int64),
+                    "cosine": np.concatenate(out_s) if out_s else np.array([], dtype=np.float64),
+                }
+            )
+
+    return unit.mapInPandas(score, schema="id_a long, id_b long, cosine double")
 
 
 # ---- oracle-SQL generators (same constants, DuckDB dialect) ----------------

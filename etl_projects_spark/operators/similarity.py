@@ -14,8 +14,20 @@
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
+
+
+# DataType instance (not a DDL string) so import needs no active session.
+@F.pandas_udf(DoubleType())
+def pair_dot(va: pd.Series, vb: pd.Series) -> pd.Series:
+    """Arrow-vectorized row-wise dot product (the hot path for pair
+    scoring: one numpy einsum per batch instead of per-row fold)."""
+    a = np.vstack(va.to_numpy())
+    b = np.vstack(vb.to_numpy())
+    return pd.Series(np.einsum("ij,ij->i", a, b))
 
 EMBED_DIM = 64
 LSH_PLANES_SEED = 42
@@ -46,6 +58,13 @@ def norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
+
+
+def normalized(a: Column) -> Column:
+    """Unit-normalize once so downstream pair scoring is dot-only —
+    turns O(pairs·3d) float work into O(N·d) + O(pairs·d)."""
+    n = norm(a)
+    return F.transform(a, lambda x: x.cast("double") / n)
 
 
 def brute_force_topk(

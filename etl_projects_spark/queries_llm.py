@@ -102,7 +102,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Integer-arithmetic threshold test — no float boundary. Candidate
     join is keyed on shared shingles (shuffle, linear), never all-pairs.
     """
-    sh = dedup.word_shingles(load(spark, sf_dir, "documents"))
+    # The shingle relation feeds three plan branches (sizes + two join
+    # sides): persist so it's computed once. At cluster scale this is a
+    # k-ints-per-doc relation — MEMORY_AND_DISK is safe.
+    sh = dedup.word_shingles(load(spark, sf_dir, "documents")).persist()
     return dedup.jaccard_pairs(sh, threshold_num=1, threshold_den=2)
 
 
@@ -137,9 +140,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     4 equi-joins on band signatures (bounded buckets), the quadratic
     verify only runs inside candidates.
     """
-    sh = dedup.word_shingles(load(spark, sf_dir, "documents"))
-    sigs = dedup.minhash_signatures(sh)
-    cand = dedup.lsh_candidate_pairs(sigs)
+    sh = dedup.word_shingles(load(spark, sf_dir, "documents")).persist()
+    sigs = dedup.minhash_signatures(sh).persist()
+    cand = dedup.lsh_candidate_pairs(sigs).persist()
     return dedup.jaccard_pairs(sh, threshold_num=1, threshold_den=2, candidates=cand)
 
 
@@ -165,7 +168,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 32-bit signatures, byte-block candidate
     blocking, Hamming ≤ 6 — all integer math, oracle-exact."""
-    sigs = dedup.simhash_signatures(load(spark, sf_dir, "documents"))
+    sigs = dedup.simhash_signatures(load(spark, sf_dir, "documents")).persist()
     return dedup.simhash_near_pairs(sigs, max_hamming=6)
 
 
