@@ -1,0 +1,69 @@
+"""Query-catalog entries for the multimodal (binary-column) operators.
+
+The media table is derived deterministically from ``documents``
+(payload = UTF-8 bytes of text), so the JVM-side operators have exact
+DuckDB oracles; the ``mapInPandas`` decode/feature paths are
+non-SQL-expressible by design (rows-only driver check + pytest
+oracles against numpy in tests/test_multimodal.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from etl_projects_spark.operators import multimodal
+from etl_projects_spark.queries import _q, load
+
+
+@_q(
+    "media_fingerprint",
+    """
+    SELECT doc_id,
+           sha256(text) AS sha256_hex,
+           md5(text) AS md5_hex,
+           octet_length(encode(text)) AS n_bytes
+    FROM documents
+    """,
+)
+def media_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload content fingerprint (exact media dedup key).
+    JVM sha2/md5 over the payload — codegen'd, zero Python."""
+    media = multimodal.to_media(load(spark, sf_dir, "documents"))
+    return multimodal.fingerprint(media)
+
+
+@_q(
+    "media_frame_sample",
+    f"""
+    SELECT doc_id,
+           CAST((x - 1) / {multimodal.FRAME_STRIDE} AS BIGINT) AS frame_no,
+           substring(text, CAST(x AS INTEGER), {multimodal.FRAME_SIZE}) AS frame
+    FROM (
+        SELECT doc_id, text,
+               unnest(generate_series(1, CAST(strlen(text) AS BIGINT),
+                                      {multimodal.FRAME_STRIDE})) AS x
+        FROM documents
+    )
+    """,
+)
+def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over the video-like payload: sequence+explode+
+    substring, all JVM-side; moves frame_size/stride of the bytes."""
+    media = multimodal.to_media(load(spark, sf_dir, "documents"))
+    return multimodal.frame_sample(media)
+
+
+@_q("media_decode_stats")  # mapInPandas decode — non-SQL; pytest oracle
+def media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stubbed-codec decode via Arrow-batched mapInPandas: real UDF
+    signature/schema/batch shape, deterministic byte-level stats."""
+    media = multimodal.to_media(load(spark, sf_dir, "documents"))
+    return multimodal.decode_stats(media)
+
+
+@_q("media_byte_histogram")  # mapInPandas features — non-SQL; pytest oracle
+def media_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-histogram feature extraction (the embedding-extractor
+    layout): one narrow Arrow pass, array<long> features out."""
+    media = multimodal.to_media(load(spark, sf_dir, "documents"))
+    return multimodal.byte_histogram(media)

@@ -1,0 +1,78 @@
+"""Multimodal operators: numpy/pure-Python oracles for the
+non-SQL-expressible mapInPandas paths, plus plumbing checks."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from etl_projects_spark.operators import multimodal
+from etl_projects_spark.queries import load
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    return multimodal.to_media(load(spark, SF_DIR, "documents"))
+
+
+@pytest.fixture(scope="module")
+def docs_pd(spark):
+    return load(spark, SF_DIR, "documents").select("doc_id", "text").toPandas()
+
+
+def test_media_schema(media):
+    assert dict(media.dtypes)["payload"] == "binary"
+    meta = dict(media.dtypes)["meta"]
+    assert "byte_len" in meta and "n_frames" in meta
+
+
+def test_fingerprint_matches_hashlib(media, docs_pd):
+    got = {r["doc_id"]: r for r in multimodal.fingerprint(media).collect()}
+    for _, row in docs_pd.head(50).iterrows():
+        raw = row["text"].encode("utf-8")
+        r = got[row["doc_id"]]
+        assert r["sha256_hex"] == hashlib.sha256(raw).hexdigest()
+        assert r["md5_hex"] == hashlib.md5(raw).hexdigest()
+        assert r["n_bytes"] == len(raw)
+
+
+def test_decode_stats_matches_numpy(media, docs_pd):
+    got = {r["doc_id"]: r for r in multimodal.decode_stats(media).collect()}
+    assert len(got) == len(docs_pd)
+    for _, row in docs_pd.head(50).iterrows():
+        arr = np.frombuffer(row["text"].encode("utf-8"), dtype=np.uint8)
+        r = got[row["doc_id"]]
+        assert r["n_bytes"] == arr.size
+        assert r["mean_byte"] == pytest.approx(round(float(arr.mean()), 6))
+        assert 16 <= r["width"] < 32 and 9 <= r["height"] < 18
+
+
+def test_decode_image_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x00")
+
+
+def test_byte_histogram_matches_numpy(media, docs_pd):
+    got = {r["doc_id"]: r["hist"] for r in multimodal.byte_histogram(media).collect()}
+    for _, row in docs_pd.head(20).iterrows():
+        arr = np.frombuffer(row["text"].encode("utf-8"), dtype=np.uint8) // 16
+        expect = np.bincount(arr, minlength=16)[:16].tolist()
+        assert got[row["doc_id"]] == expect
+    # histogram counts sum to payload length
+    any_id = docs_pd["doc_id"].iloc[0]
+    assert sum(got[any_id]) == len(docs_pd["text"].iloc[0].encode("utf-8"))
+
+
+def test_frame_sample_slices(media, docs_pd, spark):
+    frames = multimodal.frame_sample(media).filter("doc_id = 0").collect()
+    text = docs_pd.set_index("doc_id").loc[0, "text"]
+    expect = [
+        text[off : off + multimodal.FRAME_SIZE]
+        for off in range(0, len(text), multimodal.FRAME_STRIDE)
+    ]
+    got = [r["frame"] for r in sorted(frames, key=lambda r: r["frame_no"])]
+    assert got == expect
