@@ -311,3 +311,53 @@ def q14_type_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("economy_share")
         )
     )
+
+
+# =========================================================================
+# Structured Streaming surface (SURVEY §2.6) — driver-checkable entries
+# =========================================================================
+
+
+@_q(
+    "streaming_tumbling_counts",
+    """
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL readStream path: the events parquet consumed as a file-source
+    stream, watermarked 1-hour tumbling counts, drained with
+    trigger(availableNow=True) into a memory sink (complete mode emits
+    every window, making the result batch-deterministic and
+    oracle-checkable). Exercises readStream → window agg → writeStream,
+    the exactly-once incremental-ingest shape of streaming/jobs.py."""
+    import os
+
+    from etl_projects_spark.streaming import jobs
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string"
+        )
+        # Glob, not the bare file: FileStreamSource derives basePath from
+        # the glob's directory prefix (a bare file path fails the
+        # "basePath must be a directory" check even with the option set).
+        .parquet(os.path.join(sf_dir, "events*"))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    )
+    agg = jobs.tumbling_counts(raw, window="1 hour", watermark="2 hours")
+    (
+        agg.writeStream.format("memory")
+        .queryName("streaming_tumbling_counts_sink")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.table("streaming_tumbling_counts_sink")

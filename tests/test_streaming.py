@@ -1,0 +1,131 @@
+"""Structured Streaming: availableNow file-source ingest, watermarked
+windows, session windows, custom stateful sessionize, foreachBatch.
+
+Streaming results are cross-checked against the equivalent batch
+computation on the same rows — the strongest oracle available for
+streams."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_projects_spark.streaming import jobs
+from etl_projects_spark.queries import load
+
+SF_DIR = "/root/testdata/sf0.001"
+N = 300  # events used per test — small but multi-window
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark):
+    return (
+        load(spark, SF_DIR, "events")
+        .orderBy("event_id")
+        .limit(N)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .cache()
+    )
+
+
+@pytest.fixture(scope="module")
+def events_dir(events_batch, tmp_path_factory):
+    """events rows as two JSON-lines files (two 'arrival days')."""
+    d = tmp_path_factory.mktemp("events_stream")
+    rows = [r.asDict() for r in events_batch.collect()]
+    for i, chunk in enumerate((rows[: N // 2], rows[N // 2 :])):
+        with open(d / f"batch_{i}.json", "w") as f:
+            for r in chunk:
+                r = dict(r, ts=r["ts"].isoformat(sep=" "))
+                f.write(json.dumps(r) + "\n")
+    return str(d)
+
+
+def test_incremental_ingest_exactly_once(spark, events_batch, events_dir, tmp_path):
+    # Private copy: this test appends a late-arrival file, which must
+    # not leak into the other tests' pristine source directory.
+    import shutil
+
+    private = str(tmp_path / "src")
+    shutil.copytree(events_dir, private)
+    events_dir = private
+    dest, ckpt = str(tmp_path / "dest"), str(tmp_path / "ckpt")
+    src = jobs.stream_from_directory(spark, events_dir)
+    jobs.incremental_ingest(src, dest, ckpt)
+    assert spark.read.parquet(dest).count() == N
+    # Re-run with the same checkpoint: no new files → no duplicate rows.
+    jobs.incremental_ingest(jobs.stream_from_directory(spark, events_dir), dest, ckpt)
+    assert spark.read.parquet(dest).count() == N
+    # A new arrival is picked up incrementally.
+    extra = dict(event_id=10**9, ts="2024-01-05 00:00:00", user_id=1,
+                 event_type="click", value=1.0, props="{}")
+    with open(os.path.join(events_dir, "batch_late.json"), "w") as f:
+        f.write(json.dumps(extra) + "\n")
+    jobs.incremental_ingest(jobs.stream_from_directory(spark, events_dir), dest, ckpt)
+    assert spark.read.parquet(dest).count() == N + 1
+
+
+def test_tumbling_counts_match_batch(spark, events_batch, events_dir):
+    stream = jobs.tumbling_counts(jobs.stream_from_directory(spark, events_dir))
+    jobs.run_to_memory(stream, "tumbling_test", output_mode="append")
+    got = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in spark.table("tumbling_test").collect()
+    }
+    expect = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in jobs.tumbling_counts(events_batch).collect()
+    }
+    # Append mode only emits windows the watermark has closed; every
+    # emitted window must match batch, and most windows must be closed.
+    assert got
+    for k, v in got.items():
+        assert expect[k] == v, k
+
+
+def test_session_windows_match_batch(spark, events_batch, events_dir):
+    stream = jobs.session_windows(jobs.stream_from_directory(spark, events_dir))
+    jobs.run_to_memory(stream, "sessions_test", output_mode="append")
+    got = {
+        (r["user_id"], r["session_start"]): (r["session_end"], r["n_events"])
+        for r in spark.table("sessions_test").collect()
+    }
+    expect = {
+        (r["user_id"], r["session_start"]): (r["session_end"], r["n_events"])
+        for r in jobs.session_windows(events_batch).collect()
+    }
+    assert got
+    for k, v in got.items():
+        assert expect[k] == v, k
+
+
+def test_sessionize_stateful_running_totals(spark, events_batch, events_dir):
+    stream = jobs.sessionize_stateful(jobs.stream_from_directory(spark, events_dir))
+    jobs.run_to_memory(stream, "stateful_test", output_mode="update")
+    # The last (largest-n) emission per user is the full running total;
+    # it must equal the batch aggregate over the same rows.
+    got: dict[int, tuple[int, float]] = {}
+    for r in spark.table("stateful_test").collect():
+        if r["user_id"] not in got or r["n_events"] > got[r["user_id"]][0]:
+            got[r["user_id"]] = (r["n_events"], r["total"])
+    expect = {
+        r["user_id"]: (r["n"], r["total"])
+        for r in events_batch.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert set(got) == set(expect)
+    for uid, (n, total) in got.items():
+        assert expect[uid][0] == n
+        assert expect[uid][1] == pytest.approx(total)
+
+
+def test_foreach_batch_upsert_dedups(spark, events_batch, events_dir, tmp_path):
+    dest, ckpt = str(tmp_path / "dest"), str(tmp_path / "ckpt")
+    src = jobs.stream_from_directory(spark, events_dir)
+    jobs.foreach_batch_upsert(src, dest, ckpt, dedup_keys=("event_id",))
+    out = spark.read.parquet(dest)
+    assert out.count() == out.select("event_id").distinct().count() == N
