@@ -1,0 +1,59 @@
+"""Query-catalog entries for the data-quality operators (Q1–Q3).
+
+The rule flags are deterministic expressions, so the validation pass
+has an exact DuckDB twin: the `_errors` array is built with the same
+rule order in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from etl_projects_spark.operators import quality
+from etl_projects_spark.queries import _q, load
+
+EVENT_TYPES_OK = ("click", "view", "purchase")
+
+EVENT_RULES = {
+    "event_type_known": quality.in_set("event_type", EVENT_TYPES_OK),
+    "value_non_negative": quality.non_negative("value"),
+    "user_id_required": quality.required("user_id"),
+}
+
+# Same rules, same order, DuckDB dialect. TRUE = valid.
+_ORACLE_FLAGS = """
+    list_filter([
+        CASE WHEN NOT (event_type IS NULL OR event_type IN ('click','view','purchase'))
+             THEN 'event_type_known' END,
+        CASE WHEN NOT (value IS NULL OR value >= 0)
+             THEN 'value_non_negative' END,
+        CASE WHEN NOT (user_id IS NOT NULL)
+             THEN 'user_id_required' END
+    ], x -> x IS NOT NULL)
+"""
+
+
+@_q(
+    "quality_validate_events",
+    f"SELECT event_id, {_ORACLE_FLAGS} AS _errors FROM events",
+)
+def quality_validate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 schema/rule validation: one codegen'd projection computes all
+    rule flags; `_errors` is empty for valid rows."""
+    ev = load(spark, sf_dir, "events")
+    return quality.validate(ev, EVENT_RULES).select("event_id", quality.ERRORS_COL)
+
+
+@_q(
+    "quality_violation_counts",
+    f"""
+    SELECT rule, COUNT(*) AS n_violations
+    FROM (SELECT unnest({_ORACLE_FLAGS}) AS rule FROM events)
+    GROUP BY rule
+    """,
+)
+def quality_violation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3's aggregate view: per-rule violation totals (explode +
+    map-side partial count — one narrow shuffle of rule names)."""
+    ev = load(spark, sf_dir, "events")
+    return quality.violation_counts(quality.validate(ev, EVENT_RULES))

@@ -1,0 +1,112 @@
+"""Ingestion sources: declared-schema item ingest + gzip JSONL feeds.
+
+Spark-first re-expression of the reference's scrape→validate→export
+path (SURVEY §3-E3):
+
+- the Scrapy/Selenium Yahoo-Finance spider
+  (``etl_projects/scrapers/spiders/yahoo_finance.py:26-99``) becomes a
+  driver-side fetcher producing plain rows — HTML fetching/parsing is
+  not a Spark operator; here it is STUBBED with a deterministic fake
+  (no network/Selenium in this environment);
+- the schematics item models (``scrapers/items.py:11-14``,
+  ``validators.py:5-13``) become declared ``StructType`` schemas at
+  ``createDataFrame`` — the schema contract enforced at the raw
+  boundary;
+- the string-coercion pipeline (``scrapers/pipelines.py:10-17``)
+  becomes one cast projection;
+- the gzip JSON-lines feed exporter (``scrapers/exporters.py:6-30``)
+  becomes ``df.write.option("compression","gzip").json(path)``.
+
+Scale: ingest parallelism comes from ``spark.createDataFrame`` slicing
+rows across partitions; for continuous feeds use
+``streaming.jobs.stream_from_directory`` over the landed JSONL.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterable, Mapping
+from datetime import date
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# The scraped stock-quote item: name/ticker/currency/price plus the
+# quote-summary key/values and the batch date (validators.py:5-13 — the
+# campaign model's int/float/string + regex-dated fields, generalized).
+QUOTE_SCHEMA = StructType(
+    [
+        StructField("ticker", StringType(), False),
+        StructField("company_name", StringType(), True),
+        StructField("currency", StringType(), True),
+        StructField("current_price", DoubleType(), True),
+        StructField("previous_close", DoubleType(), True),
+        StructField("market_cap", StringType(), True),
+        StructField("curr_date", StringType(), False),  # YYYY-MM-DD (regex-validated)
+    ]
+)
+
+
+def fetch_quotes_stub(tickers: Iterable[str], ds: date | str) -> list[dict]:
+    """Deterministic stand-in for the Selenium quote scraper (S4).
+
+    Real implementation renders finance pages and parses the quote
+    summary; neither a browser nor network exists here, so prices are
+    derived from a stable hash of (ticker, ds). Swap this function for
+    a real fetcher without touching any Spark code downstream.
+    """
+    out = []
+    for t in tickers:
+        seed = int.from_bytes(
+            hashlib.sha256(f"{t}|{ds}".encode()).digest()[:6], "big"
+        )
+        price = round(10 + (seed % 100_000) / 100.0, 2)
+        out.append(
+            {
+                "ticker": t,
+                "company_name": f"{t} Inc.",
+                "currency": "USD",
+                "current_price": price,
+                "previous_close": round(price * 0.99, 2),
+                "market_cap": f"{(seed % 900) + 100}B",
+                "curr_date": str(ds),
+            }
+        )
+    return out
+
+
+def ingest_items(
+    spark: SparkSession,
+    rows: Iterable[Mapping],
+    schema: StructType = QUOTE_SCHEMA,
+) -> DataFrame:
+    """Declared-schema ingest (S5): rows → DataFrame, no inference."""
+    return spark.createDataFrame(list(rows), schema=schema)
+
+
+def cast_all_to_string(df: DataFrame) -> DataFrame:
+    """The raw-boundary string-coercion pipeline (P11,
+    ``pipelines.py:10-17``): one cast projection, fully codegen'd."""
+    return df.select([F.col(c).cast("string").alias(c) for c in df.columns])
+
+
+def export_jsonl_gz(df: DataFrame, path: str) -> None:
+    """Gzip JSON-lines feed export (K4, ``exporters.py:6-30``)."""
+    df.write.mode("overwrite").option("compression", "gzip").json(path)
+
+
+def read_jsonl_gz(
+    spark: SparkSession, path: str, schema: StructType | str | None = None
+) -> DataFrame:
+    """Read a landed JSONL feed back; pass the declared schema to skip
+    the inference scan (required on a 100 TB raw layer)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)

@@ -1,0 +1,96 @@
+"""Ingestion (declared-schema ingest, gzip JSONL feed) and quality
+(validation rules, monitors, DW promotion gate)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_projects_spark.engine import LakeEngine
+from etl_projects_spark.operators import quality
+from etl_projects_spark.sources import ingest
+
+
+@pytest.fixture(scope="module")
+def quotes(spark):
+    rows = ingest.fetch_quotes_stub(["AAA", "BBB", "CCC"], "2024-01-02")
+    return ingest.ingest_items(spark, rows)
+
+
+def test_fetch_stub_deterministic():
+    a = ingest.fetch_quotes_stub(["AAA"], "2024-01-02")
+    b = ingest.fetch_quotes_stub(["AAA"], "2024-01-02")
+    c = ingest.fetch_quotes_stub(["AAA"], "2024-01-03")
+    assert a == b
+    assert a[0]["current_price"] != c[0]["current_price"]
+
+
+def test_ingest_declared_schema(quotes):
+    assert dict(quotes.dtypes)["current_price"] == "double"
+    assert quotes.count() == 3
+
+
+def test_jsonl_gz_roundtrip(spark, quotes, tmp_path):
+    path = str(tmp_path / "feed")
+    ingest.export_jsonl_gz(quotes, path)
+    import glob
+
+    assert glob.glob(path + "/*.json.gz"), "feed files must be gzip"
+    back = ingest.read_jsonl_gz(spark, path, ingest.QUOTE_SCHEMA)
+    assert sorted(r["ticker"] for r in back.collect()) == ["AAA", "BBB", "CCC"]
+    assert dict(back.dtypes) == dict(quotes.dtypes)
+
+
+def test_cast_all_to_string(quotes):
+    out = ingest.cast_all_to_string(quotes)
+    assert set(t for _, t in out.dtypes) == {"string"}
+
+
+def test_validate_flags_bad_rows(spark):
+    df = spark.createDataFrame(
+        [("ok", 1.0, "2024-01-02"), (None, -5.0, "not-a-date")],
+        "ticker string, price double, curr_date string",
+    )
+    rules = {
+        "ticker_required": quality.required("ticker"),
+        "price_non_negative": quality.non_negative("price"),
+        "date_ok": quality.date_format_ok("curr_date"),
+    }
+    v = quality.validate(df, rules).collect()
+    by_ticker = {r["ticker"]: r[quality.ERRORS_COL] for r in v}
+    assert by_ticker["ok"] == []
+    assert sorted(by_ticker[None]) == [
+        "date_ok",
+        "price_non_negative",
+        "ticker_required",
+    ]
+    assert quality.valid_rows(quality.validate(df, rules)).count() == 1
+
+
+def test_monitors(quotes):
+    ok, _ = quality.min_count_monitor(3)(quotes)
+    assert ok
+    bad, _ = quality.min_count_monitor(4)(quotes)
+    assert not bad
+    rules = {"ticker_required": quality.required("ticker")}
+    ok, _ = quality.zero_errors_monitor(rules)(quotes)
+    assert ok
+
+
+def test_promote_to_dw_gated(spark, quotes, tmp_path):
+    eng = LakeEngine(spark, root=str(tmp_path / "lake"))
+    quotes.createOrReplaceTempView("staging_quotes")
+    rules = {"price_positive": quality.non_negative("current_price")}
+    out = eng.promote_to_dw(
+        "staging_quotes",
+        "dw_market",
+        "quotes",
+        checks=[quality.min_count_monitor(1), quality.zero_errors_monitor(rules)],
+    )
+    assert out.count() == 3
+    # A failing gate must block the promotion.
+    with pytest.raises(ValueError, match="quality check"):
+        eng.promote_to_dw(
+            "staging_quotes", "dw_market", "quotes2",
+            checks=[quality.min_count_monitor(99)],
+        )
