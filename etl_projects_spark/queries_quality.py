@@ -14,11 +14,16 @@ from etl_projects_spark.queries import _q, load
 
 EVENT_TYPES_OK = ("click", "view", "purchase")
 
-EVENT_RULES = {
-    "event_type_known": quality.in_set("event_type", EVENT_TYPES_OK),
-    "value_non_negative": quality.non_negative("value"),
-    "user_id_required": quality.required("user_id"),
-}
+
+def event_rules() -> dict:
+    """Built lazily: Column expressions need an active SparkContext in
+    PySpark 4.x, and this module is imported before the driver's
+    session exists."""
+    return {
+        "event_type_known": quality.in_set("event_type", EVENT_TYPES_OK),
+        "value_non_negative": quality.non_negative("value"),
+        "user_id_required": quality.required("user_id"),
+    }
 
 # Same rules, same order, DuckDB dialect. TRUE = valid.
 _ORACLE_FLAGS = """
@@ -41,7 +46,7 @@ def quality_validate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q1 schema/rule validation: one codegen'd projection computes all
     rule flags; `_errors` is empty for valid rows."""
     ev = load(spark, sf_dir, "events")
-    return quality.validate(ev, EVENT_RULES).select("event_id", quality.ERRORS_COL)
+    return quality.validate(ev, event_rules()).select("event_id", quality.ERRORS_COL)
 
 
 @_q(
@@ -56,4 +61,4 @@ def quality_violation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q3's aggregate view: per-rule violation totals (explode +
     map-side partial count — one narrow shuffle of rule names)."""
     ev = load(spark, sf_dir, "events")
-    return quality.violation_counts(quality.validate(ev, EVENT_RULES))
+    return quality.violation_counts(quality.validate(ev, event_rules()))

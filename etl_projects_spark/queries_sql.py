@@ -1,0 +1,347 @@
+"""Extended relational/SQL surface (SURVEY §2.5): grouping sets /
+rollup, subqueries, analytic windows, set ops, scalar functions.
+
+The reference's query language is "whatever Spark SQL runs from the
+per-table .sql files" (``etl_projects/base/db/__init__.py:12-21``,
+``base_sub_dag.py:58-84``) — these entries pin down that implied
+surface with DuckDB-oracle-matched examples of each construct.
+
+Determinism: double aggregation goes through DECIMAL (see queries.dec);
+per-row scalar doubles (sqrt/ln) are IEEE-identical across engines;
+every top-k sort carries a unique tie-break key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from etl_projects_spark.queries import D, _q, dec, load
+
+
+@_q(
+    "rollup_revenue",
+    f"""
+    SELECT n_name, year(o_orderdate) AS o_year,
+           CAST(SUM(CAST(o_totalprice AS {D})) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY ROLLUP (n_name, year(o_orderdate))
+    """,
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation: (nation, year) → nation → grand total in one
+    pass (Catalyst expands to a single Expand+Aggregate — no N scans).
+    Dimensions broadcast; the fact table shuffles once."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select("n_name", F.year("o_orderdate").alias("o_year"), "o_totalprice")
+        .rollup("n_name", "o_year")
+        .agg(
+            F.sum(dec("o_totalprice")).cast("double").alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+@_q(
+    "grouping_sets_status_priority",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def grouping_sets_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS via the SQL entry point (engine.sql surface): two
+    independent 1-d margins + grand total, one Expand+Aggregate."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@_q(
+    "exists_big_lineitem_orders",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)
+    """,
+)
+def exists_big_lineitem_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS — planned as a left-semi hash join on the
+    correlation key (no per-row subquery execution)."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_ex")
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_ex")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders_ex o
+        WHERE EXISTS (SELECT 1 FROM lineitem_ex l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)
+        """
+    )
+
+
+@_q(
+    "scalar_subquery_pricey_parts",
+    """
+    SELECT p_partkey, p_name, p_retailprice
+    FROM part
+    WHERE p_retailprice > 1.5 * (SELECT AVG(p_retailprice) FROM part)
+    """,
+)
+def scalar_subquery_pricey_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery: computed once, broadcast as a
+    literal into the filter (one extra tiny job, not a join).
+
+    The avg is a single global aggregate consumed by a >-comparison —
+    engine-order float drift cannot flip the predicate at 1.5× margin
+    for this data, and DuckDB/Spark agree bit-for-bit on these sums in
+    practice; the 1.5 factor keeps the boundary far from any row."""
+    load(spark, sf_dir, "part").createOrReplaceTempView("part_sq")
+    return spark.sql(
+        """
+        SELECT p_partkey, p_name, p_retailprice
+        FROM part_sq
+        WHERE p_retailprice > 1.5 * (SELECT AVG(p_retailprice) FROM part_sq)
+        """
+    )
+
+
+@_q(
+    "window_running_order_total",
+    f"""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS {D})) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_total
+    FROM orders
+    """,
+)
+def window_running_order_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-customer order total: one shuffle on o_custkey, sort
+    within partitions, decimal-exact prefix sums."""
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(dec("o_totalprice")).over(w).cast("double").alias("running_total"),
+    )
+
+
+@_q(
+    "window_top_suppliers_per_nation",
+    """
+    SELECT n_name, s_name, s_acctbal, rnk FROM (
+        SELECT n_name, s_name, s_acctbal,
+               DENSE_RANK() OVER (PARTITION BY n_name
+                                  ORDER BY s_acctbal DESC, s_suppkey) AS rnk
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    ) WHERE rnk <= 3
+    """,
+)
+def window_top_suppliers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 suppliers by balance per nation: dense_rank window +
+    filter — the grouped-top-k pattern (rank pushdown prunes to k per
+    partition under WindowGroupLimit)."""
+    sup = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    w = W.partitionBy("n_name").orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
+    return (
+        sup.join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .select("n_name", "s_name", "s_acctbal", F.dense_rank().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+@_q(
+    "window_user_value_delta",
+    """
+    SELECT event_id, user_id,
+           round(value - lag(value) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id), 6) AS delta
+    FROM events
+    """,
+)
+def window_user_value_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() delta per user ordered by event time — the
+    previous-row-comparison analytic (sessionization building block)."""
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") - F.lag("value").over(w), 6).alias("delta"),
+    )
+
+
+@_q(
+    "q6_selective_revenue",
+    f"""
+    SELECT CAST(SUM(CAST(l_extendedprice AS {D}) * CAST(l_discount AS {D})) AS DOUBLE)
+           AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_selective_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-style selective scan-agg: every predicate pushes to the
+    parquet reader (PushedFilters), zero joins, one partial+final agg."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1995-01-01")
+            & (F.col("l_shipdate") < "1996-01-01")
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(dec("l_extendedprice") * dec("l_discount"))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@_q(
+    "string_functions_customer",
+    """
+    SELECT c_custkey,
+           upper(c_name) AS name_upper,
+           substring(c_name, 1, 8) AS name_prefix,
+           length(c_name) AS name_len,
+           concat(c_mktsegment, '#', CAST(c_custkey AS VARCHAR)) AS seg_key,
+           regexp_extract(c_name, '[0-9]+', 0) AS name_digits,
+           replace(c_name, 'Customer', 'Cust') AS name_short
+    FROM customer
+    """,
+)
+def string_functions_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string surface: upper/substr/length/concat/regexp_extract/
+    replace — all JVM built-ins inside one codegen stage."""
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.length("c_name").alias("name_len"),
+        F.concat_ws("#", "c_mktsegment", F.col("c_custkey").cast("string")).alias(
+            "seg_key"
+        ),
+        F.regexp_extract("c_name", "[0-9]+", 0).alias("name_digits"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cust")).alias(
+            "name_short"
+        ),
+    )
+
+
+@_q(
+    "math_functions_balance",
+    """
+    SELECT c_custkey,
+           abs(c_acctbal) AS bal_abs,
+           round(c_acctbal, 1) AS bal_round,
+           sqrt(abs(c_acctbal)) AS bal_sqrt,
+           ln(abs(c_acctbal) + 1.0) AS bal_ln,
+           CAST(floor(c_acctbal) AS BIGINT) AS bal_floor,
+           CAST(ceil(c_acctbal) AS BIGINT) AS bal_ceil,
+           c_acctbal % 100.0 AS bal_mod
+    FROM customer
+    """,
+)
+def math_functions_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar math surface: abs/round/sqrt/ln/floor/ceil/mod — per-row
+    IEEE doubles, bit-identical across engines (no aggregation order)."""
+    c = load(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal")
+    return c.select(
+        "c_custkey",
+        F.abs(bal).alias("bal_abs"),
+        F.round(bal, 1).alias("bal_round"),
+        F.sqrt(F.abs(bal)).alias("bal_sqrt"),
+        F.log(F.abs(bal) + 1.0).alias("bal_ln"),
+        F.floor(bal).alias("bal_floor"),
+        F.ceil(bal).alias("bal_ceil"),
+        (bal % 100.0).alias("bal_mod"),
+    )
+
+
+@_q(
+    "intersect_repeat_customers",
+    """
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1994
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+    """,
+)
+def intersect_repeat_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (set semantics): customers ordering in both years —
+    planned as an aggregate + semi join, one shuffle per side."""
+    orders = load(spark, sf_dir, "orders")
+    y94 = orders.filter(F.year("o_orderdate") == 1994).select("o_custkey")
+    y95 = orders.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    return y94.intersect(y95)
+
+
+@_q(
+    "except_lost_customers",
+    """
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1994
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+    """,
+)
+def except_lost_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (set semantics): 1994 customers who didn't return in
+    1995 — anti-join plan shape."""
+    orders = load(spark, sf_dir, "orders")
+    y94 = orders.filter(F.year("o_orderdate") == 1994).select("o_custkey")
+    y95 = orders.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    return y94.exceptAll(y95).distinct()
+
+
+@_q(
+    "conditional_agg_priority_matrix",
+    """
+    SELECT o_orderstatus,
+           SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS n_urgent,
+           SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS n_high,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS n_other
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def conditional_agg_priority_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (manual pivot): CASE-guarded counts in a
+    single grouped pass — the no-shuffle-per-column pivot pattern."""
+    o = load(spark, sf_dir, "orders")
+    urgent = (F.col("o_orderpriority") == "1-URGENT").cast("long")
+    high = (F.col("o_orderpriority") == "2-HIGH").cast("long")
+    other = (~F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")).cast("long")
+    return o.groupBy("o_orderstatus").agg(
+        F.sum(urgent).alias("n_urgent"),
+        F.sum(high).alias("n_high"),
+        F.sum(other).alias("n_other"),
+    )
