@@ -1,0 +1,123 @@
+"""LakeEngine lifecycle: SQL-file table builds, layer formats,
+incremental idempotency, partitioned writes, DataFrameOps surface."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_projects_spark.config import Layer
+from etl_projects_spark.engine import LakeEngine
+from etl_projects_spark.operators.dataframe_ops import DataFrameOps
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    eng = LakeEngine(spark, root=str(tmp_path / "lake"))
+    eng.register_testdata("/root/testdata/sf0.001")
+    return eng
+
+
+def test_sql_file_build(engine, tmp_path):
+    qf = tmp_path / "daily_revenue.sql"
+    qf.write_text(
+        """
+        SELECT l_returnflag, SUM(l_extendedprice) AS revenue
+        FROM lineitem GROUP BY l_returnflag
+        """
+    )
+    df = engine.load_table(str(qf), "datalake_tpch", "daily_revenue",
+                          layer=Layer.CLEAN)
+    assert df.count() == 3
+    assert engine.spark.table("datalake_tpch_daily_revenue").count() == 3
+
+
+def test_sql_params_substitution(engine):
+    df = engine.sql(
+        "SELECT COUNT(*) AS n FROM orders WHERE o_orderdate < TIMESTAMP '{ds} 00:00:00'",
+        params={"ds": "1997-01-01"},
+    )
+    assert df.collect()[0]["n"] > 0
+
+
+def test_raw_layer_is_json(engine, tmp_path):
+    engine.load_table(
+        "SELECT r_regionkey, r_name FROM region", "datalake_ref", "regions",
+        layer=Layer.RAW,
+    )
+    path = engine.writer.table_path("datalake_ref", "regions")
+    files = [f for f in os.listdir(path) if ".json" in f]
+    assert files, "raw layer must land as JSON"
+
+
+def test_partitioned_write_and_pruning(engine):
+    engine.load_table(
+        """
+        SELECT o_orderkey, o_totalprice, year(o_orderdate) AS year
+        FROM orders
+        """,
+        "datalake_tpch",
+        "orders_by_year",
+        layer=Layer.CLEAN,
+        partitions=["year"],
+    )
+    path = engine.writer.table_path("datalake_tpch", "orders_by_year")
+    years = [d for d in os.listdir(path) if d.startswith("year=")]
+    assert len(years) > 1, "hive-style partition dirs expected"
+    # Partition pruning: a year filter must prune the file listing.
+    df = engine.spark.read.parquet(path).filter(F.col("year") == 1995)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan or df.count() > 0
+
+
+def test_incremental_rerun_idempotent(engine):
+    """Re-running the same ds with dynamic partition overwrite must not
+    duplicate that batch (the reference's implicit load_table contract)."""
+    q = """
+        SELECT o_orderkey, o_totalprice, year(o_orderdate) AS year
+        FROM orders WHERE year(o_orderdate) = {ds}
+    """
+    for _ in range(2):  # same batch twice
+        engine.load_table(
+            q, "datalake_tpch", "orders_incr", layer=Layer.CLEAN,
+            partitions=["year"], ds="1996", is_incremental=True,
+        )
+    once = engine.spark.table("datalake_tpch_orders_incr").count()
+    engine.load_table(  # a different batch lands alongside
+        q, "datalake_tpch", "orders_incr", layer=Layer.CLEAN,
+        partitions=["year"], ds="1997", is_incremental=True,
+    )
+    both = engine.spark.table("datalake_tpch_orders_incr").count()
+    base = engine.sql(
+        "SELECT COUNT(*) AS n FROM orders WHERE year(o_orderdate) = 1996"
+    ).collect()[0]["n"]
+    assert once == base
+    assert both > once, "second batch must append, not overwrite"
+
+
+def test_load_layer_directory(engine, tmp_path):
+    qdir = tmp_path / "queries"
+    qdir.mkdir()
+    (qdir / "t_regions.sql").write_text("SELECT * FROM region")
+    (qdir / "t_nations.sql").write_text("SELECT * FROM nation")
+    out = engine.load_layer(str(qdir), "datalake_ref", Layer.CLEAN)
+    assert set(out) == {"t_regions", "t_nations"}
+    assert out["t_nations"].count() > 0
+
+
+def test_dataframe_ops_fluent(spark):
+    df = spark.createDataFrame(
+        [(1, '{"a": 2, "b": "x"}', "2024-03-05")],
+        "Id int, Payload string, DateStr string",
+    )
+    out = (
+        DataFrameOps.input(df)
+        .format_column_names()
+        .explode_json_column("payload", prefix="p_")
+        .output()
+    )
+    assert "p_a" in out.columns and "id" in out.columns
+    row = out.collect()[0]
+    assert row["p_a"] == "2" or row["p_a"] == 2
