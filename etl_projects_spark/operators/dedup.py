@@ -288,12 +288,13 @@ def embedding_neardup_pairs(
     """
     import numpy as np
 
-    from etl_projects_spark.operators.similarity import normalized
-
-    unit = df.select(F.col(id_col).alias("id"), normalized(F.col(vec_col)).alias("vn"))
-    pdf = unit.toPandas()  # index/build side only — never the pair set
+    raw = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    pdf = raw.toPandas()  # index/build side only — never the pair set
     ids = pdf["id"].to_numpy()
-    mat = np.vstack(pdf["vn"].to_numpy())
+    mat = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+    # Normalize in numpy (one vectorized pass) — Spark's higher-order
+    # transform lambda runs interpreted and costs more than the matmul.
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
     bidx = df.sparkSession.sparkContext.broadcast((ids, mat))
 
     def score(batches):
@@ -302,7 +303,8 @@ def embedding_neardup_pairs(
         ids_b, m_b = bidx.value
         for batch in batches:
             ida = batch["id"].to_numpy()
-            a = np.vstack(batch["vn"].to_numpy())
+            a = np.vstack(batch["v"].to_numpy()).astype(np.float64)
+            a /= np.linalg.norm(a, axis=1, keepdims=True)
             out_a, out_b, out_s = [], [], []
             for lo in range(0, len(ids_b), index_chunk):
                 hi = min(lo + index_chunk, len(ids_b))
@@ -320,7 +322,7 @@ def embedding_neardup_pairs(
                 }
             )
 
-    return unit.mapInPandas(score, schema="id_a long, id_b long, cosine double")
+    return raw.mapInPandas(score, schema="id_a long, id_b long, cosine double")
 
 
 # ---- oracle-SQL generators (same constants, DuckDB dialect) ----------------

@@ -29,6 +29,19 @@ def pair_dot(va: pd.Series, vb: pd.Series) -> pd.Series:
     b = np.vstack(vb.to_numpy())
     return pd.Series(np.einsum("ij,ij->i", a, b))
 
+
+@F.pandas_udf(DoubleType())
+def pair_cosine(va: pd.Series, vb: pd.Series) -> pd.Series:
+    """Arrow-vectorized row-wise cosine. The JVM column expression
+    (:func:`cosine`) folds through interpreted higher-order lambdas —
+     3 passes/row outside codegen; one numpy batch op replaces them
+    (verified hash-identical to the DuckDB oracle at 6 dp)."""
+    a = np.vstack(va.to_numpy()).astype(np.float64)
+    b = np.vstack(vb.to_numpy()).astype(np.float64)
+    num = np.einsum("ij,ij->i", a, b)
+    den = np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
+    return pd.Series(num / den)
+
 EMBED_DIM = 64
 LSH_PLANES_SEED = 42
 # 4 planes → 16 buckets: sized so a bucket still holds ~dozens of
@@ -85,7 +98,7 @@ def brute_force_topk(
         .join(F.broadcast(q))
         .select(
             F.col(id_col),
-            F.round(cosine(F.col(vec_col), F.col("qvec")), 6).alias("score"),
+            F.round(pair_cosine(F.col(vec_col), F.col("qvec")), 6).alias("score"),
         )
         .orderBy(F.desc("score"), F.col(id_col))
         .limit(k)
@@ -124,7 +137,7 @@ def lsh_topk(
         .join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
         .select(
             F.col(id_col),
-            F.round(cosine(F.col(vec_col), F.col("qvec")), 6).alias("score"),
+            F.round(pair_cosine(F.col(vec_col), F.col("qvec")), 6).alias("score"),
         )
         .orderBy(F.desc("score"), F.col(id_col))
         .limit(k)
