@@ -43,7 +43,8 @@ def hex60(c: Column) -> Column:
 def word_shingles(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = NGRAM_N
 ) -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, shingle).
+    """Distinct hashed word n-gram shingles per document: (id, shingle)
+    with ``shingle`` a 60-bit md5-derived long.
 
     Explode the start offsets FIRST, then build each shingle with
     plain ``element_at``/``concat_ws`` projections: higher-order
@@ -51,6 +52,11 @@ def word_shingles(
     measured 3× slower building the shingle array up front. The
     offset sequence is guarded to empty for docs shorter than n
     (``sequence(1, 0)`` would count backwards).
+
+    Hashing happens BEFORE the distinct: ``distinct(hash(x))`` equals
+    ``hash(distinct(x))`` as a set (collisions included — identical in
+    both engines), and the distinct/join shuffles then move 8-byte
+    longs instead of ~25-char strings.
     """
     toks = F.split(F.col(text_col), " ")
     base = df.select(F.col(id_col).alias("id"), toks.alias("toks"))
@@ -61,7 +67,7 @@ def word_shingles(
     shingle = F.concat_ws(
         " ", *[F.element_at(F.col("toks"), (F.col("i") + j).cast("int")) for j in range(n)]
     )
-    return pos.select("id", shingle.alias("shingle")).distinct()
+    return pos.select("id", hex60(shingle).alias("shingle")).distinct()
 
 
 def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -82,10 +88,10 @@ def minhash_signatures(shingles: DataFrame) -> DataFrame:
     min() is order-independent integer math → exact and portable.
     Map-side partial aggregation makes this one narrow shuffle.
     """
-    # Project the md5-derived hash ONCE per row; the 8 permutations are
-    # then cheap integer expressions over it (not 8 recomputed md5s).
+    # Shingles arrive pre-hashed (word_shingles); one pmod projection
+    # feeds all 8 permutations.
     hashed = shingles.select(
-        "id", F.pmod(hex60(F.col("shingle")), F.lit(HASH_PRIME)).alias("h")
+        "id", F.pmod(F.col("shingle"), F.lit(HASH_PRIME)).alias("h")
     )
     aggs = [
         F.min(F.pmod(a * F.col("h") + b, F.lit(HASH_PRIME))).alias(f"mh{i}")
@@ -205,10 +211,9 @@ def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
     one narrow shuffle, all integer math.
     """
     sh = word_shingles(df, text_col=text_col, id_col=id_col)
-    # Project the md5-derived hash ONCE per shingle row; the 32 bit
-    # aggregates are then shift/mask integer math over it (not 32
-    # recomputed md5s — measured 6× on the sf0.1 bench).
-    hashed = sh.select("id", hex60(F.col("shingle")).alias("h"))
+    # Shingles arrive pre-hashed; the 32 bit aggregates are shift/mask
+    # integer math over the long (no md5 recomputation anywhere).
+    hashed = sh.select("id", F.col("shingle").alias("h"))
     aggs = [
         F.sum(
             F.when(
@@ -329,12 +334,13 @@ def embedding_neardup_pairs(
 
 
 def shingles_cte(n: int = NGRAM_N) -> str:
-    """DuckDB CTE producing distinct (id, shingle) from documents."""
+    """DuckDB CTE producing distinct hashed (id, shingle) from
+    documents — the bit-exact twin of :func:`word_shingles`."""
     parts = " || ' ' || ".join(f"toks[i+{j}]" for j in range(n))
     return f"""
     toks AS (SELECT doc_id AS id, string_split(text, ' ') AS toks FROM documents),
     idx AS (SELECT id, toks, unnest(generate_series(1, len(toks)-{n - 1})) AS i FROM toks),
-    shingles AS (SELECT DISTINCT id, {parts} AS shingle FROM idx)
+    shingles AS (SELECT DISTINCT id, {hex60_sql(f"({parts})")} AS shingle FROM idx)
     """
 
 
@@ -343,8 +349,9 @@ def hex60_sql(expr: str) -> str:
 
 
 def minhash_select_sql() -> str:
-    """DuckDB aggregate list computing mh0..mh7 from `shingles`."""
-    h = f"({hex60_sql('shingle')} % {HASH_PRIME})"
+    """DuckDB aggregate list computing mh0..mh7 from `shingles`
+    (shingle already hashed by :func:`shingles_cte`)."""
+    h = f"(shingle % {HASH_PRIME})"
     cols = ", ".join(
         f"min(({a} * {h} + {b}) % {HASH_PRIME}) AS mh{i}"
         for i, (a, b) in enumerate(MINHASH_COEFFS)
@@ -354,8 +361,8 @@ def minhash_select_sql() -> str:
 
 def simhash_select_sql() -> str:
     """DuckDB query computing (id, simhash) from a `shingles` CTE
-    (pair with :func:`shingles_cte`)."""
-    h = hex60_sql("shingle")
+    (pair with :func:`shingles_cte`; shingle already hashed)."""
+    h = "shingle"
     sums = ", ".join(
         f"sum(CASE WHEN ({h} >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
         for b in range(SIMHASH_BITS)
