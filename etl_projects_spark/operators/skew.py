@@ -1,0 +1,117 @@
+"""Skew-mitigation operators: salted aggregation, salted join, bucketed
+co-located joins.
+
+The reference never handles skew (its heaviest key cardinality is a
+daily scrape batch); at 100 TB a single hot key can pin one reducer
+for hours, so these are first-class engine operators. All of them are
+pure plan rewrites — results are bit-identical to the unsalted
+equivalents, so every one has an exact DuckDB oracle.
+
+AQE's skew-join splitting (``spark.sql.adaptive.skewJoin.enabled``,
+on in session.py) handles *sort-merge join* skew at runtime; explicit
+salting is still needed for (a) skewed **aggregations** (AQE does not
+split hot groupBy keys) and (b) deterministic layout control when the
+skew is known up front.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_groupby_sum(
+    df: DataFrame,
+    keys: Sequence[str],
+    sum_cols: dict[str, Column],
+    salt: int = 16,
+    salt_on: str | None = None,
+) -> DataFrame:
+    """Two-phase skew-safe aggregation for decomposable aggregates.
+
+    Phase 1 groups on (keys + salt) — the hot key's rows spread over
+    ``salt`` reducers; phase 2 re-aggregates the (tiny) partials on the
+    true keys. ``sum_cols`` maps output name → input expression; SUM and
+    COUNT (as ``F.lit(1)``) are decomposable this way. Deterministic:
+    the salt is a hash of ``salt_on`` (or a whole-row hash), not rand().
+
+    Identical result to ``df.groupBy(keys).agg(sum(...))`` — the salt
+    only reshapes the shuffle.
+    """
+    salt_src = F.col(salt_on) if salt_on else F.concat_ws("\x00", *df.columns)
+    salted = df.withColumn("_salt", F.pmod(F.xxhash64(salt_src), F.lit(salt)))
+    partial = salted.groupBy(*keys, "_salt").agg(
+        *[F.sum(expr).alias(f"_p_{name}") for name, expr in sum_cols.items()]
+    )
+    return partial.groupBy(*keys).agg(
+        *[F.sum(f"_p_{name}").alias(name) for name in sum_cols]
+    )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: salt the big side, replicate the small side.
+
+    The big side gets a deterministic row-hash salt in [0, salt); the
+    small side is exploded ``salt``× with every salt value, so each
+    (key, salt) bucket joins locally. A hot key's rows land on ``salt``
+    reducers instead of one. Replication cost is |small|·salt rows —
+    use only when the small side is modest but too big (or too skewed)
+    to broadcast outright.
+
+    Result equals ``big.join(small, on, how)`` exactly.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left (small side unique key)")
+    salted_big = big.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.concat_ws("\x00", *big.columns)), F.lit(salt))
+    )
+    replicated = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    ).withColumn("_salt", F.col("_salt").cast("long"))
+    out = salted_big.join(replicated, [on, "_salt"], how)
+    return out.drop("_salt")
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: Sequence[str],
+    n_buckets: int = 32,
+    sort_cols: Sequence[str] = (),
+    mode: str = "overwrite",
+) -> None:
+    """Persist a bucketed (and optionally sorted) catalog table.
+
+    Two tables bucketed identically on their join key co-locate: the
+    join plans with ZERO Exchange on either side — the shuffle is paid
+    once at write time and amortized over every subsequent join/agg on
+    that key. This is the 100 TB answer to repeatedly-joined fact
+    tables (bucket both sides at ingest).
+    """
+    writer = df.write.mode(mode).format("parquet").bucketBy(
+        int(n_buckets), *bucket_cols
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
+def bucketed_join(spark, left_table: str, right_table: str, on: str, how: str = "inner") -> DataFrame:
+    """Join two co-bucketed catalog tables (shuffle-free when bucket
+    specs match; verify with ``assert_no_shuffle_join``)."""
+    return spark.table(left_table).join(spark.table(right_table), on, how)
+
+
+def assert_no_shuffle_join(df: DataFrame) -> bool:
+    """True when the executed join plan contains no shuffle Exchange
+    (bucketing did its job). Diagnostic for tests/plan audits."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return "Exchange hashpartitioning" not in plan

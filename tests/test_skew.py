@@ -1,0 +1,73 @@
+"""Skew operators: salted results must equal unsalted; bucketed joins
+must plan without a shuffle Exchange."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_projects_spark.operators import skew
+from etl_projects_spark.queries import load
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_salted_groupby_equals_plain(spark):
+    orders = load(spark, SF_DIR, "orders")
+    plain = {
+        r["o_orderstatus"]: (r["rev"], r["n"])
+        for r in orders.groupBy("o_orderstatus")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    }
+    salted = {
+        r["o_orderstatus"]: (r["rev"], r["n"])
+        for r in skew.salted_groupby_sum(
+            orders,
+            keys=["o_orderstatus"],
+            sum_cols={
+                "rev": F.col("o_totalprice").cast("decimal(18,2)"),
+                "n": F.lit(1),
+            },
+            salt=16,
+            salt_on="o_orderkey",
+        ).collect()
+    }
+    assert plain == salted
+
+
+def test_salted_join_equals_plain(spark):
+    li = load(spark, SF_DIR, "lineitem").select("l_orderkey", "l_extendedprice")
+    orders = (
+        load(spark, SF_DIR, "orders")
+        .withColumnRenamed("o_orderkey", "l_orderkey")
+        .select("l_orderkey", "o_totalprice")
+    )
+    plain = li.join(orders, "l_orderkey").count()
+    salted = skew.salted_join(li, orders, on="l_orderkey", salt=8)
+    assert salted.count() == plain
+    assert "_salt" not in salted.columns
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path):
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = load(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+        orders = load(spark, SF_DIR, "orders").select("o_orderkey", "o_totalprice")
+        skew.write_bucketed(li, "b_lineitem", ["l_orderkey"], n_buckets=8)
+        skew.write_bucketed(
+            orders.withColumnRenamed("o_orderkey", "l_orderkey"),
+            "b_orders", ["l_orderkey"], n_buckets=8,
+        )
+        joined = skew.bucketed_join(spark, "b_lineitem", "b_orders", "l_orderkey")
+        assert skew.assert_no_shuffle_join(joined), "bucketed join must not shuffle"
+        assert joined.count() == li.join(
+            orders, li.l_orderkey == orders.o_orderkey
+        ).count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
