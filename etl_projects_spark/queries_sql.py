@@ -345,3 +345,122 @@ def conditional_agg_priority_matrix(spark: SparkSession, sf_dir: str) -> DataFra
         F.sum(high).alias("n_high"),
         F.sum(other).alias("n_other"),
     )
+
+
+@_q(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-style: date-windowed orders with a correlated EXISTS
+    (late-shipped line) — semi join + single agg; both date predicates
+    push to the scans."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_q4")
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_q4")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders_q4 o
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM lineitem_q4 l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate)
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@_q(
+    "q10_returned_revenue",
+    f"""
+    SELECT c_custkey, c_name,
+           CAST(SUM(CAST(l_extendedprice AS {D}) * (CAST(1 AS {D}) - CAST(l_discount AS {D}))) AS DOUBLE) AS revenue
+    FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-style: top-20 customers by returned-item revenue.
+    Customer dim broadcast into the fact join; decimal-exact revenue;
+    unique tie-break key in the sort."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    one = F.lit(1).cast("decimal(18,2)")
+    rev = dec("l_extendedprice") * (one - dec("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@_q(
+    "percentiles_order_value",
+    """
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+           round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def percentiles_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (`F.percentile` — the
+    sort-based exact form; swap to percentile_approx's t-digest sketch
+    at 100 TB when a bounded-memory single pass matters more than
+    exactness). Rounded to 4 dp: both engines interpolate in double."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("o_totalprice", F.lit(0.99)), 4).alias("p99"),
+    )
+
+
+@_q(
+    "ntile_customer_quartiles",
+    """
+    SELECT q, COUNT(*) AS n,
+           round(MIN(c_acctbal), 2) AS min_bal,
+           round(MAX(c_acctbal), 2) AS max_bal
+    FROM (SELECT c_acctbal,
+                 ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS q
+          FROM customer)
+    GROUP BY q
+    """,
+)
+def ntile_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile(4) quartile assignment (global sort window with a unique
+    tie-break) summarized per bucket — the distribution-profiling
+    analytic."""
+    c = load(spark, sf_dir, "customer")
+    w = W.orderBy("c_acctbal", "c_custkey")
+    return (
+        c.select("c_acctbal", F.ntile(4).over(w).alias("q"))
+        .groupBy("q")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+        )
+    )
