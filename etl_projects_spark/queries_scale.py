@@ -109,3 +109,17 @@ def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "n_copies", "n_tokens")
     )
+
+
+@_q("approx_distinct_users_daily")  # sketch output — no exact oracle by design
+def approx_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct users per day (`approx_count_distinct`,
+    2% rsd): the bounded-memory sketch that replaces exact
+    count-distinct at 100 TB (exact = full shuffle of every user id;
+    HLL = 1 KB-scale sketch per group, map-side mergeable). Accuracy
+    bound pinned by tests/test_sketches.py against the exact count."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.approx_count_distinct("user_id", 0.02).alias("approx_users"))
+    )

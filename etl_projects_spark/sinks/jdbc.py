@@ -1,0 +1,63 @@
+"""JDBC warehouse sink (K5).
+
+The reference's final hop copies DW tables into Redshift via a
+Spectrum IAM-role COPY (job params at
+``etl_projects/base/orchestration/.../dw_sub_dag_builder.py:93-108``;
+the job itself is missing from the repo). The Spark-native equivalent
+is a partitioned JDBC write; an S3-unload + COPY path stays the right
+choice for Redshift specifically (documented stub below) since row
+INSERTs through JDBC don't scale to warehouse volumes.
+
+No JDBC driver jar nor database exists in this environment, so these
+are exercised by config-assembly tests only; the call surface is the
+stock ``DataFrameWriter`` so any standard driver drops in.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql.readwriter import DataFrameWriter
+
+DEFAULT_BATCH_SIZE = 10_000
+
+
+def jdbc_writer(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    num_partitions: int | None = None,
+    batch_size: int = DEFAULT_BATCH_SIZE,
+    **options: str,
+) -> DataFrameWriter:
+    """Configured JDBC writer (call ``.save()`` to execute).
+
+    ``num_partitions`` caps concurrent connections (default: the
+    DataFrame's partitioning — repartition down for fragile targets);
+    ``batchsize`` batches INSERTs per round trip.
+    """
+    out = df
+    if num_partitions is not None:
+        out = df.coalesce(num_partitions)
+    writer = (
+        out.write.format("jdbc")
+        .mode(mode)
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(batch_size))
+    )
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    return writer
+
+
+def redshift_copy_stub(*_args, **_kwargs) -> None:
+    """The reference's actual Redshift path: UNLOAD-style parquet to S3
+    (our TableWriter does this) + a warehouse-side COPY with an IAM
+    role. Needs live AWS credentials and a cluster — intentionally not
+    implemented here; use :func:`jdbc_writer` for generic warehouses.
+    """
+    raise NotImplementedError(
+        "Redshift COPY needs live AWS infra; write parquet with "
+        "TableWriter and issue COPY warehouse-side, or use jdbc_writer"
+    )
