@@ -375,3 +375,77 @@ def simhash_select_sql() -> str:
         f"WITH sums AS (SELECT id, {sums} FROM shingles GROUP BY id) "
         f"SELECT id, {packed} AS simhash FROM sums"
     )
+
+
+# ---- winnowing fingerprints (rolling-hash document fingerprinting) ---------
+
+WINNOW_WINDOW = 4
+
+
+def positional_shingle_hashes(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = NGRAM_N
+) -> DataFrame:
+    """(id, i, h): hashed word n-grams WITH their start position —
+    the ordered stream winnowing slides over (word_shingles drops
+    order and duplicates; this keeps both)."""
+    toks = F.split(F.col(text_col), " ")
+    base = df.select(F.col(id_col).alias("id"), toks.alias("toks"))
+    offsets = F.when(
+        F.size("toks") >= n, F.sequence(F.lit(1), F.size("toks") - (n - 1))
+    ).otherwise(F.expr("array()"))
+    pos = base.select("id", "toks", F.explode(offsets).alias("i"))
+    shingle = F.concat_ws(
+        " ", *[F.element_at(F.col("toks"), (F.col("i") + j).cast("int")) for j in range(n)]
+    )
+    return pos.select("id", "i", hex60(shingle).alias("h"))
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = NGRAM_N,
+    w: int = WINNOW_WINDOW,
+) -> DataFrame:
+    """Winnowing (Schleimer/Wilkerson/Aiken): the distinct set of
+    per-window minimum hashes over every full window of ``w``
+    consecutive n-gram hashes. Guarantees any shared run of
+    ``w + n - 1`` tokens yields a shared fingerprint — the
+    position-robust dedup key (plagiarism-detection standard).
+
+    One narrow shuffle on id (window sort); output is ~1/w of the
+    shingle stream, distinct-ed to (id, fp).
+    """
+    from pyspark.sql import Window as W
+
+    pos = positional_shingle_hashes(df, text_col=text_col, id_col=id_col, n=n)
+    win = W.partitionBy("id").orderBy("i").rowsBetween(0, w - 1)
+    full = W.partitionBy("id")
+    return (
+        pos.select(
+            "id",
+            "i",
+            F.min("h").over(win).alias("fp"),
+            F.count("*").over(full).alias("m"),
+        )
+        .filter(F.col("i") <= F.col("m") - w + 1)
+        .select("id", "fp")
+        .distinct()
+    )
+
+
+def winnow_sql(n: int = NGRAM_N, w: int = WINNOW_WINDOW) -> str:
+    """DuckDB twin of :func:`winnow_fingerprints` over documents."""
+    parts = " || ' ' || ".join(f"toks[i+{j}]" for j in range(n))
+    return f"""
+    WITH toks AS (SELECT doc_id AS id, string_split(text, ' ') AS toks FROM documents),
+    idx AS (SELECT id, toks, unnest(generate_series(1, len(toks)-{n - 1})) AS i FROM toks),
+    pos AS (SELECT id, i, {hex60_sql(f"({parts})")} AS h FROM idx),
+    sel AS (
+      SELECT id, i,
+             min(h) OVER (PARTITION BY id ORDER BY i
+                          ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS fp,
+             count(*) OVER (PARTITION BY id) AS m
+      FROM pos)
+    SELECT DISTINCT id, fp FROM sel WHERE i <= m - {w} + 1
+    """

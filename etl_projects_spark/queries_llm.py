@@ -361,3 +361,96 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .awaitTermination()
     )
     return spark.table("streaming_tumbling_counts_sink")
+
+
+@_q(
+    "vocab_top_terms",
+    """
+    SELECT term, COUNT(*) AS doc_freq, SUM(tf) AS total_freq
+    FROM (
+        SELECT doc_id, term, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        GROUP BY doc_id, term
+    )
+    GROUP BY term
+    ORDER BY total_freq DESC, term
+    LIMIT 50
+    """,
+)
+def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary build: explode tokens → per-doc term freq →
+    corpus doc/total frequency → top-50. Two partial-aggregated
+    shuffles on term keys; the explode never materializes the corpus
+    (streams through the scan)."""
+    docs = load(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    return (
+        tf.groupBy("term")
+        .agg(F.count("*").alias("doc_freq"), F.sum("tf").alias("total_freq"))
+        .orderBy(F.desc("total_freq"), F.asc("term"))
+        .limit(50)
+    )
+
+
+@_q(
+    "text_bpe_ish_tokens",
+    r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens,
+           len(string_split(text, ' ')) AS n_ws_tokens
+    FROM documents
+    """,
+)
+def text_bpe_ish_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting under a BPE-ish regex (runs of letters, runs of
+    digits, single punctuation) next to the whitespace count — both
+    engines agree on this character-class-only pattern."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all("text", F.lit(r"[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)
+        ).alias("n_bpe_tokens"),
+        F.size(F.split("text", " ")).alias("n_ws_tokens"),
+    )
+
+
+@_q(
+    "sliding_window_events",
+    """
+    SELECT window_start, event_type, COUNT(*) AS n_events
+    FROM (
+        -- every event falls in exactly two 2h-every-1h windows:
+        -- the hour-truncated one and the one an hour earlier
+        SELECT date_trunc('hour', ts) - s.off * INTERVAL 1 SECOND AS window_start,
+               event_type
+        FROM events
+        CROSS JOIN (SELECT unnest([0, 3600]) AS off) s
+    )
+    GROUP BY window_start, event_type
+    """,
+)
+def sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 2-hour windows every 1 hour (each event lands in 2
+    windows): Spark's window() generates the assignments natively;
+    the oracle replicates via an offset cross join."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "2 hours", "1 hour").getField("start").alias("window_start"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+@_q("winnow_fingerprints", dedup.winnow_sql())
+def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints: rolling min-hash over every
+    window of 4 consecutive 3-gram hashes — shared token runs of ≥ 6
+    yield shared fingerprints regardless of position in the document."""
+    return dedup.winnow_fingerprints(load(spark, sf_dir, "documents"))
