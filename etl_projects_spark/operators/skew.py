@@ -40,8 +40,9 @@ def salted_groupby_sum(
     Identical result to ``df.groupBy(keys).agg(sum(...))`` — the salt
     only reshapes the shuffle.
     """
-    salt_src = F.col(salt_on) if salt_on else F.concat_ws("\x00", *df.columns)
-    salted = df.withColumn("_salt", F.pmod(F.xxhash64(salt_src), F.lit(salt)))
+    salt_cols = [F.col(salt_on)] if salt_on else [F.col(c) for c in df.columns]
+    # xxhash64 hashes the typed values directly — no string concat pass.
+    salted = df.withColumn("_salt", F.pmod(F.xxhash64(*salt_cols), F.lit(salt)))
     partial = salted.groupBy(*keys, "_salt").agg(
         *[F.sum(expr).alias(f"_p_{name}") for name, expr in sum_cols.items()]
     )
@@ -71,7 +72,7 @@ def salted_join(
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports inner/left (small side unique key)")
     salted_big = big.withColumn(
-        "_salt", F.pmod(F.xxhash64(F.concat_ws("\x00", *big.columns)), F.lit(salt))
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt))
     )
     replicated = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
