@@ -35,8 +35,23 @@ def main() -> None:
     spark = build_session(app_name="etl_projects_spark_bench")
     qs = entrymod.queries()
 
-    # Warm the JVM + file-listing caches with the flagship once.
+    # Warm the JVM + file-listing caches with the flagship once, and the
+    # Python/Arrow UDF workers with a tiny pandas_udf pass — otherwise
+    # the alphabetically-first Pandas-UDF query is billed ~1.5 s of
+    # one-time worker spin-up that is not its cost.
     entrymod.entry(spark).write.format("noop").mode("overwrite").save()
+    from pyspark.sql import functions as F
+
+    from etl_projects_spark.operators.similarity import pair_dot
+
+    (
+        spark.range(64)
+        .select(F.array(F.col("id").cast("double")).alias("v"))
+        .select(pair_dot("v", "v"))
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
 
     timings: dict[str, float] = {}
     for name in sorted(qs):
