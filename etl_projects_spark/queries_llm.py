@@ -454,3 +454,12 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     window of 4 consecutive 3-gram hashes — shared token runs of ≥ 6
     yield shared fingerprints regardless of position in the document."""
     return dedup.winnow_fingerprints(load(spark, sf_dir, "documents"))
+
+
+@_q("ann_ivf_topk")  # centroid codebook is numpy-derived — pytest oracle
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-k: deterministic spherical-kmeans codebook (bounded
+    driver sample), Arrow-batch cluster assignment, search restricted
+    to the 4 probed clusters. Recall vs exact pinned in tests/test_ivf.py;
+    at scale the cluster id becomes the storage partition key."""
+    return similarity.ivf_topk(load(spark, sf_dir, "embeddings"), query_id=7, k=10)
