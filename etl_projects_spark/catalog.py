@@ -62,3 +62,25 @@ def register_testdata(spark: SparkSession, sf_dir: str) -> list[str]:
             spark.read.parquet(path).createOrReplaceTempView(name)
             registered.append(name)
     return registered
+
+
+def discover_partition_values(path: str, column: str | None = None) -> list[str]:
+    """Partition-value discovery over a Hive-layout table directory
+    (parity with ``base_spark.py:17-41``'s ``key=value`` S3 listing;
+    Spark's file index does this implicitly at scan time — this is the
+    explicit control-plane variant for callers that need the values,
+    e.g. to pick the latest ``ds`` batch).
+
+    Returns sorted distinct values for ``column`` (or the first
+    partition key found).
+    """
+    import os
+
+    values = []
+    for entry in sorted(os.listdir(path)):
+        if "=" not in entry or not os.path.isdir(os.path.join(path, entry)):
+            continue
+        key, value = entry.split("=", 1)
+        if column is None or key == column:
+            values.append(value)
+    return sorted(set(values))

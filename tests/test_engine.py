@@ -121,3 +121,15 @@ def test_dataframe_ops_fluent(spark):
     assert "p_a" in out.columns and "id" in out.columns
     row = out.collect()[0]
     assert row["p_a"] == "2" or row["p_a"] == 2
+
+
+def test_discover_partition_values(engine):
+    from etl_projects_spark.catalog import discover_partition_values
+
+    engine.load_table(
+        "SELECT o_orderkey, year(o_orderdate) AS year FROM orders",
+        "datalake_tpch", "orders_part", layer=Layer.CLEAN, partitions=["year"],
+    )
+    path = engine.writer.table_path("datalake_tpch", "orders_part")
+    years = discover_partition_values(path, "year")
+    assert len(years) >= 2 and all(y.isdigit() for y in years)
