@@ -60,6 +60,9 @@ def main() -> None:
         t0 = time.perf_counter()
         qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # Isolate queries: persisted frames from one query otherwise
+        # accumulate in storage memory and evict/churn later queries.
+        spark.catalog.clearCache()
 
     sf = None
     base = os.path.basename(SF_DIR.rstrip("/"))
