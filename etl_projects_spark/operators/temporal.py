@@ -1,0 +1,121 @@
+"""Temporal join operators Spark lacks natively: as-of join and
+banded range join.
+
+Neither exists in the reference (its time handling is date-partition
+derivation, ``spark_dataframe_service.py:163-195``) nor as a Spark SQL
+primitive — both are re-expressed as compositions of existing
+DataFrame ops per the engine's custom-operator policy:
+
+- **as-of join** (latest right row at-or-before each left row, per
+  key): union the two sides, one window sort per key, carry the last
+  non-null right value forward. ONE shuffle+sort total — the scalable
+  alternative to the naive ts-inequality join, which Spark plans as a
+  per-key cartesian.
+- **banded range join** (points in intervals, no equi key): band both
+  sides by a time bucket so the theta join becomes an equi-join on the
+  band plus a residual range filter. Each point lives in exactly one
+  band and each interval explodes to the bands it overlaps, so every
+  qualifying pair is produced exactly once and the join fan-out is
+  bounded by interval_span/band.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: Sequence[str] = (),
+    tie_break: str | None = None,
+) -> DataFrame:
+    """For each left row: the latest right row with ``right_ts <=
+    left_ts`` and the same ``on`` key (left join semantics — misses
+    yield nulls).
+
+    Implementation: tag sides, union, and per key carry the last
+    non-null right value forward over an order of (ts, side[, tie]) —
+    right rows sort before left rows at equal ts, so ties are
+    inclusive. One shuffle on the key, one sort — no inequality join.
+    ``tie_break`` (a right column, e.g. its id) makes the choice among
+    equal-ts right rows deterministic.
+    """
+    lcols = left.columns
+    l_tag = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast("long").alias("_tie"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_r_{c}") for c in right_cols],
+    )
+    r_tag = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        (F.col(tie_break).cast("long") if tie_break else F.lit(0)).alias("_tie"),
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in lcols],
+        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+    )
+    win = (
+        W.partitionBy("_k")
+        .orderBy("_ts", "_side", "_tie")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = l_tag.unionByName(r_tag).select(
+        "*",
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(win).alias(f"_c_{c}")
+            for c in right_cols
+        ],
+    )
+    return carried.filter(F.col("_side") == 1).select(
+        *[F.col(c) for c in lcols],
+        *[F.col(f"_c_{c}").alias(f"{c}_asof") for c in right_cols],
+    )
+
+
+def banded_range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str = "ts",
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    band_seconds: int = 3600,
+) -> DataFrame:
+    """Inner-join points to the intervals containing them
+    (``start <= ts < end``) WITHOUT an equi key.
+
+    Both sides get band keys (``epoch div band_seconds``); intervals
+    explode to every band they overlap. The join is then an equi-join
+    on the band plus the residual range predicate — linear fan-out,
+    shuffle keyed on bands, skew-safe under AQE. Pick ``band_seconds``
+    near the typical interval length: too small explodes intervals,
+    too large inflates residual filtering.
+    """
+    p = points.withColumn(
+        "_band", (F.unix_timestamp(point_ts) / band_seconds).cast("long")
+    )
+    iv = intervals.withColumn(
+        "_band",
+        F.explode(
+            F.sequence(
+                (F.unix_timestamp(start_col) / band_seconds).cast("long"),
+                # end is exclusive: a band starting exactly at end holds no rows
+                ((F.unix_timestamp(end_col) - 1) / band_seconds).cast("long"),
+            )
+        ),
+    )
+    return (
+        p.join(iv, "_band")
+        .filter((F.col(point_ts) >= F.col(start_col)) & (F.col(point_ts) < F.col(end_col)))
+        .drop("_band")
+    )

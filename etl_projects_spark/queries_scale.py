@@ -123,3 +123,66 @@ def approx_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.to_date("ts").alias("day"))
         .agg(F.approx_count_distinct("user_id", 0.02).alias("approx_users"))
     )
+
+
+@_q(
+    "asof_click_before_purchase",
+    """
+    SELECT p.event_id, c.event_id AS click_id_asof, c.value AS click_value_asof
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND c.ts <= p.ts
+    """,
+)
+def asof_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's latest click
+    at-or-before it — one union + window sort (single shuffle on
+    user_id), versus DuckDB's native ASOF JOIN as the oracle."""
+    from etl_projects_spark.operators import temporal
+
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    clicks = ev.filter(F.col("event_type") == "click")
+    return temporal.asof_join(
+        purchases, clicks, on="user_id",
+        right_cols=["event_id", "value"], tie_break="event_id",
+    ).select(
+        "event_id",
+        F.col("event_id_asof").alias("click_id_asof"),
+        F.col("value_asof").alias("click_value_asof"),
+    )
+
+
+@_q(
+    "range_join_daily_windows",
+    """
+    SELECT w.start_ts AS window_start, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events e
+    JOIN (SELECT DISTINCT date_trunc('day', ts) + INTERVAL 4 HOUR AS start_ts,
+                          date_trunc('day', ts) + INTERVAL 10 HOUR AS end_ts
+          FROM events) w
+      ON e.ts >= w.start_ts AND e.ts < w.end_ts
+    GROUP BY w.start_ts
+    """,
+)
+def range_join_daily_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded range join (no equi key): events inside daily 04:00-10:00
+    windows. Both sides band by the hour, so the theta join becomes an
+    equi-join on bands + residual filter — never a cartesian."""
+    from etl_projects_spark.operators import temporal
+
+    ev = load(spark, sf_dir, "events")
+    windows = (
+        ev.select(F.date_trunc("day", "ts").alias("day"))
+        .distinct()
+        .select(
+            (F.col("day") + F.expr("INTERVAL 4 HOURS")).alias("start_ts"),
+            (F.col("day") + F.expr("INTERVAL 10 HOURS")).alias("end_ts"),
+        )
+    )
+    joined = temporal.banded_range_join(ev, windows)
+    return joined.groupBy(F.col("start_ts").alias("window_start")).agg(
+        F.count("*").alias("n_events"),
+        F.sum(dec("value")).cast("double").alias("sum_value"),
+    )
