@@ -22,5 +22,9 @@ def format_column_name(column_name: str) -> str:
     name = _SEP_RE.sub("_", name.strip())
     name = _CAMEL1_RE.sub(r"\1_\2", name)
     name = _CAMEL2_RE.sub(r"\1_\2", name)
-    name = re.sub(r"_+", "_", name)
-    return name.lower()
+    name = name.lower()
+    # Re-strip after lowercasing: idempotency. lower() can emit
+    # characters the strip pass removes (e.g. 'İ' → 'i' + combining
+    # dot), so a second normalize pass would otherwise differ.
+    name = _STRIP_RE.sub("", name)
+    return re.sub(r"_+", "_", name)
