@@ -143,3 +143,33 @@ class LakeEngine:
 
 def _is_parquet(layer: Layer | str) -> bool:
     return Layer(layer) != Layer.RAW
+
+
+class PipelineRunner:
+    """Sequenced table-build runner with retry semantics (O1 parity:
+    the reference's DAG factory pins retries=3 / 2h timeout,
+    ``base_dag.py:9-14``; Airflow itself is out of engine scope).
+
+    Steps are ``(name, callable)``; a step is retried up to ``retries``
+    times before the pipeline aborts. Results (or the terminal
+    exception) are collected per step.
+    """
+
+    def __init__(self, retries: int = 3):
+        self.retries = retries
+
+    def run(self, steps) -> dict:
+        results: dict = {}
+        for name, fn in steps:
+            last_err: Exception | None = None
+            for _attempt in range(self.retries + 1):
+                try:
+                    results[name] = fn()
+                    last_err = None
+                    break
+                except Exception as e:  # noqa: BLE001 — retry any step failure
+                    last_err = e
+            if last_err is not None:
+                raise RuntimeError(f"pipeline step '{name}' failed after "
+                                   f"{self.retries + 1} attempts") from last_err
+        return results

@@ -110,3 +110,23 @@ def read_jsonl_gz(
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)
+
+
+def put_json_object(obj: Mapping, path: str) -> str:
+    """Small JSON control-file put (S6 parity: the reference uploads a
+    dict as an S3 object, ``s3_loader.py:43-50``). Local/NFS paths
+    here; the call shape is storage-agnostic."""
+    import json
+    import os
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(dict(obj), f, sort_keys=True)
+    return path
+
+
+def get_json_object(path: str) -> dict:
+    import json
+
+    with open(path) as f:
+        return json.load(f)

@@ -133,3 +133,30 @@ def test_discover_partition_values(engine):
     path = engine.writer.table_path("datalake_tpch", "orders_part")
     years = discover_partition_values(path, "year")
     assert len(years) >= 2 and all(y.isdigit() for y in years)
+
+
+def test_put_get_json_object(tmp_path):
+    from etl_projects_spark.sources.ingest import get_json_object, put_json_object
+
+    p = put_json_object({"ds": "2024-01-02", "rows": 42}, str(tmp_path / "ctl/run.json"))
+    assert get_json_object(p) == {"ds": "2024-01-02", "rows": 42}
+
+
+def test_pipeline_runner_retries_then_fails():
+    from etl_projects_spark.engine import PipelineRunner
+
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise ValueError("transient")
+        return "ok"
+
+    out = PipelineRunner(retries=3).run([("flaky", flaky)])
+    assert out["flaky"] == "ok" and calls["n"] == 3
+
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="failed after"):
+        PipelineRunner(retries=1).run([("dead", lambda: 1 / 0)])
