@@ -464,3 +464,24 @@ def ntile_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("c_acctbal"), 2).alias("max_bal"),
         )
     )
+
+
+@_q(
+    "array_agg_customer_priorities",
+    """
+    SELECT o_custkey,
+           list_sort(list(DISTINCT o_orderpriority)) AS priorities,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def array_agg_customer_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collection aggregation: per-customer sorted distinct priority
+    array. collect_set order is nondeterministic by contract —
+    array_sort makes the result stable (and engine-portable)."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.array_sort(F.collect_set("o_orderpriority")).alias("priorities"),
+        F.count("*").alias("n_orders"),
+    )

@@ -60,6 +60,12 @@ def build_session(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # Scan sizing: 128 MiB splits keep one task's working set well
+        # inside executor memory at any SF; openCostInBytes biases the
+        # packer against tiny-file tasks (the 250k-rows-per-file layout
+        # this engine writes makes splits uniform to begin with).
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.sql.files.openCostInBytes", "4194304")
     )
     if extra_conf:
         for k, v in extra_conf.items():
