@@ -463,3 +463,32 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the 4 probed clusters. Recall vs exact pinned in tests/test_ivf.py;
     at scale the cluster id becomes the storage partition key."""
     return similarity.ivf_topk(load(spark, sf_dir, "embeddings"), query_id=7, k=10)
+
+
+@_q(
+    "dedup_jaccard_df_capped",
+    f"""
+    WITH {dedup.shingles_cte()},
+    capped AS (
+      SELECT id, shingle FROM shingles
+      WHERE shingle IN (SELECT shingle FROM shingles
+                        GROUP BY shingle HAVING COUNT(*) <= 50)),
+    sizes AS (SELECT id, count(*) AS n_sh FROM capped GROUP BY id),
+    common AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
+      FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           CAST(common AS DOUBLE) / CAST(x.n_sh + y.n_sh - common AS DOUBLE) AS jaccard
+    FROM common JOIN sizes x ON id_a = x.id JOIN sizes y ON id_b = y.id
+    WHERE 2 * common >= 1 * (x.n_sh + y.n_sh - common)
+    """,
+)
+def dedup_jaccard_df_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard dedup with the document-frequency skew guard: shingles
+    shared by more than 50 docs are dropped before the pair join —
+    the cap that bounds the worst bucket on a shared-vocabulary
+    corpus (without it, one ubiquitous shingle creates a quadratic
+    hot bucket at 100 TB)."""
+    sh = dedup.word_shingles(load(spark, sf_dir, "documents")).persist()
+    return dedup.jaccard_pairs(sh, threshold_num=1, threshold_den=2, max_doc_freq=50)
