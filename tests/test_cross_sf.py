@@ -1,0 +1,32 @@
+"""Cross-scale-factor oracle checks: the driver gates at sf0.01; these
+re-verify representative queries at sf0.001 so nothing is tuned to one
+dataset's values."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from tests.oracle_check import compare
+
+SF = "/root/testdata/sf0.001"
+REPRESENTATIVE = [
+    "q1_pricing_summary",
+    "q10_returned_revenue",
+    "rollup_revenue",
+    "window_running_order_total",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "winnow_fingerprints",
+    "media_fingerprint",
+    "quality_validate_events",
+    "asof_click_before_purchase",
+    "salted_join_lineitem_orders",
+]
+
+
+@pytest.mark.parametrize("name", REPRESENTATIVE)
+def test_matches_oracle_at_sf0001(spark, name):
+    qs, osql = entrymod.queries(), entrymod.oracle_sql()
+    problems = compare(qs[name](spark, SF), osql[name], SF)
+    assert not problems, f"{name}@sf0.001: " + "; ".join(problems)

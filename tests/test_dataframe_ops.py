@@ -1,0 +1,82 @@
+"""DataFrameOps fluent service: per-operator unit checks (P4-P10, X1-X2)."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from etl_projects_spark.operators.dataframe_ops import DataFrameOps
+
+
+def test_struct_and_array_to_json(spark):
+    df = spark.createDataFrame(
+        [(1, {"a": 2}, [1, 2])], "id int, s struct<a:int>, arr array<int>"
+    )
+    out = (
+        DataFrameOps.input(df)
+        .convert_struct_type_to_json()
+        .convert_array_type_to_json()
+        .output()
+    )
+    types = dict(out.dtypes)
+    assert types["s"] == "string" and types["arr"] == "string"
+    row = out.collect()[0]
+    assert row["s"] == '{"a":2}' and row["arr"] == "[1,2]"
+
+
+def test_struct_to_string_cast(spark):
+    df = spark.createDataFrame([(1, {"a": 2})], "id int, s struct<a:int>")
+    out = DataFrameOps.input(df).convert_struct_type_to_string().output()
+    assert dict(out.dtypes)["s"] == "string"
+    assert out.collect()[0]["s"] == "{2}"
+
+
+def test_literal_columns_and_date_parts(spark):
+    df = spark.createDataFrame([(1,)], "id int")
+    out = (
+        DataFrameOps.input(df)
+        .create_columns_from_dict({"source": "api", "batch": 7})
+        .create_year_month_day_columns_from_date(datetime.date(2024, 3, 5))
+        .output()
+    )
+    row = out.collect()[0]
+    assert (row["source"], row["batch"]) == ("api", 7)
+    assert (row["year"], row["month"], row["day"]) == (2024, 3, 5)
+
+
+def test_date_parts_from_column(spark):
+    df = spark.createDataFrame(
+        [(1, datetime.datetime(2023, 12, 31, 5, 0))], "id int, ts timestamp"
+    )
+    out = (
+        DataFrameOps.input(df)
+        .create_year_month_day_columns_from_dataframe_column("ts")
+        .output()
+    )
+    row = out.collect()[0]
+    assert (row["year"], row["month"], row["day"]) == (2023, 12, 31)
+
+
+def test_optimize_partition_counts(spark):
+    df = spark.range(1000).repartition(16)
+    shrunk = DataFrameOps.input(df).optimize_partition(records_by_partition=500).output()
+    assert shrunk.rdd.getNumPartitions() <= 2
+    grown = DataFrameOps.input(spark.range(10).coalesce(1)).optimize_partition(
+        records_by_partition=2
+    ).output()
+    assert grown.rdd.getNumPartitions() >= 5
+
+
+def test_optimize_partitions_by_columns(spark):
+    df = spark.createDataFrame(
+        [(i, i % 3) for i in range(30)], "id int, bucket int"
+    )
+    out = (
+        DataFrameOps.input(df)
+        .optimize_partitions_by_partition_columns(["bucket"])
+        .output()
+    )
+    # every in-memory partition holds at most... all rows of its bucket(s)
+    per_part = out.rdd.glom().map(lambda rows: len({r["bucket"] for r in rows})).collect()
+    assert all(n <= 3 for n in per_part)
