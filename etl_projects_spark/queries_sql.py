@@ -485,3 +485,129 @@ def array_agg_customer_priorities(spark: SparkSession, sf_dir: str) -> DataFrame
         F.array_sort(F.collect_set("o_orderpriority")).alias("priorities"),
         F.count("*").alias("n_orders"),
     )
+
+
+@_q(
+    "join_right_outer",
+    """
+    SELECT o_orderkey, o_totalprice, c_custkey, c_name
+    FROM orders RIGHT OUTER JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join (customers kept even with zero orders) — the
+    remaining outer-join variant; planned as the mirrored left join."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    return orders.join(
+        cust, orders.o_custkey == cust.c_custkey, "right_outer"
+    ).select("o_orderkey", "o_totalprice", "c_custkey", "c_name")
+
+
+@_q(
+    "union_distinct_keys",
+    """
+    SELECT o_custkey AS key FROM orders WHERE year(o_orderdate) = 1996
+    UNION
+    SELECT c_custkey AS key FROM customer WHERE c_mktsegment = 'BUILDING'
+    """,
+)
+def union_distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (set semantics): distinct-merging two key sets — one
+    aggregate over the concatenated inputs (vs union_append's
+    shuffle-free UNION ALL)."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    a = orders.filter(F.year("o_orderdate") == 1996).select(
+        F.col("o_custkey").alias("key")
+    )
+    b = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("key")
+    )
+    return a.union(b).distinct()
+
+
+@_q(
+    "q12_shipmode_priority",
+    """
+    SELECT l_returnflag,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_returnflag
+    """,
+)
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: fact-to-fact join with date pushdown and
+    priority-class conditional counts."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("long")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(high).alias("high_line_count"),
+            F.sum(1 - high).alias("low_line_count"),
+        )
+    )
+
+
+@_q(
+    "q18_large_orders",
+    f"""
+    SELECT o_orderkey, o_totalprice, qty_sum
+    FROM orders JOIN (
+        SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS {D})) AS DOUBLE) AS qty_sum
+        FROM lineitem GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS {D})) > 250
+    ) big ON o_orderkey = big.l_orderkey
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING-filtered aggregate joined back to the
+    dimension — the aggregate side shrinks drastically before the join,
+    so AQE converts it to a broadcast at runtime."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity")).alias("qty_dec"))
+        .filter(F.col("qty_dec") > 250)
+        .select("l_orderkey", F.col("qty_dec").cast("double").alias("qty_sum"))
+    )
+    return orders.join(big, orders.o_orderkey == big.l_orderkey).select(
+        "o_orderkey", "o_totalprice", "qty_sum"
+    )
+
+
+@_q(
+    "window_first_last_order",
+    """
+    SELECT DISTINCT o_custkey,
+           first_value(o_orderkey) OVER w AS first_order,
+           last_value(o_orderkey) OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate, o_orderkey
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                                 AND UNBOUNDED FOLLOWING) AS last_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_first_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value/last_value analytics: each customer's first and most
+    recent order in one windowed pass (full-frame for last_value)."""
+    o = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wfull = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return (
+        o.select(
+            "o_custkey",
+            F.first("o_orderkey").over(w).alias("first_order"),
+            F.last("o_orderkey").over(wfull).alias("last_order"),
+        )
+        .distinct()
+    )
