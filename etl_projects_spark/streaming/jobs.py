@@ -213,3 +213,49 @@ def foreach_batch_upsert(
         .start()
         .awaitTermination()
     )
+
+
+def continuous_rollup(
+    spark: SparkSession,
+    source_dir: str,
+    rollup_path: str,
+    checkpoint: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    schema: StructType | str = EVENTS_SCHEMA_DDL,
+) -> None:
+    """Incrementally-maintained rollup table (the continuous-aggregate /
+    hypertable-rollup pattern): each invocation ingests newly-arrived
+    files, advances the event-time watermark, and APPENDS only the
+    windows the watermark has closed to the parquet rollup.
+
+    Append mode + watermark = each window is written exactly once, when
+    it can no longer change — the rollup table needs no rewrites and
+    readers never see a partial window. Still-open windows are held in
+    the state store (checkpointed) until a later invocation closes
+    them. One shuffle per batch on (window, event_type).
+    """
+    events = stream_from_directory(spark, source_dir, schema=schema)
+    agg = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    (
+        agg.writeStream.format("parquet")
+        .option("path", rollup_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -129,3 +129,40 @@ def test_foreach_batch_upsert_dedups(spark, events_batch, events_dir, tmp_path):
     jobs.foreach_batch_upsert(src, dest, ckpt, dedup_keys=("event_id",))
     out = spark.read.parquet(dest)
     assert out.count() == out.select("event_id").distinct().count() == N
+
+
+def test_continuous_rollup_incremental(spark, events_batch, events_dir, tmp_path):
+    """Closed windows land exactly once across invocations and match
+    the batch aggregate; re-runs without new data write nothing."""
+    import shutil
+
+    src = str(tmp_path / "src")
+    shutil.copytree(events_dir, src)
+    rollup, ckpt = str(tmp_path / "rollup"), str(tmp_path / "ckpt")
+
+    jobs.continuous_rollup(spark, src, rollup, ckpt)
+    first = spark.read.parquet(rollup).count()
+    assert first > 0
+    # idempotent re-run: no new files → no new rows
+    jobs.continuous_rollup(spark, src, rollup, ckpt)
+    assert spark.read.parquet(rollup).count() == first
+    # every written (closed) window must equal the batch aggregate
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.read.parquet(rollup).collect()
+    }
+    expect = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in jobs.tumbling_counts(events_batch)
+        .join(
+            events_batch.groupBy(
+                F.window("ts", "1 hour").getField("start").alias("window_start"),
+                "event_type",
+            ).agg(F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value")),
+            ["window_start", "event_type"],
+        )
+        .collect()
+    }
+    assert got, "at least one closed window expected"
+    for k, v in got.items():
+        assert expect[k][0] == v[0] and abs(expect[k][1] - v[1]) < 1e-6, k
