@@ -611,3 +611,61 @@ def window_first_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+@_q(
+    "date_functions_orders",
+    """
+    SELECT o_orderkey,
+           date_diff('day', o_orderdate, TIMESTAMP '2000-01-01 00:00:00') AS days_to_y2k,
+           o_orderdate + INTERVAL 7 DAY AS due_ts,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
+           dayofweek(o_orderdate) + 1 AS dow,
+           CAST(year(o_orderdate) AS BIGINT) * 100 + month(o_orderdate) AS yyyymm
+    FROM orders
+    """,
+)
+def date_functions_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time scalar surface: datediff, interval arithmetic,
+    last_day, dayofweek, composed period keys — all codegen'd
+    (DuckDB dayofweek is 0-based Sunday, Spark 1-based: oracle adds 1)."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.datediff(F.lit("2000-01-01").cast("date"), F.col("o_orderdate")).alias(
+            "days_to_y2k"
+        ),
+        (F.col("o_orderdate") + F.expr("INTERVAL 7 DAYS")).alias("due_ts"),
+        F.last_day("o_orderdate").alias("month_end"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        (F.year("o_orderdate").cast("long") * 100 + F.month("o_orderdate")).alias(
+            "yyyymm"
+        ),
+    )
+
+
+@_q(
+    "null_handling_functions",
+    """
+    SELECT o_orderkey,
+           nullif(o_orderstatus, 'F') AS status_or_null,
+           coalesce(nullif(o_orderstatus, 'F'), 'FINISHED') AS status_filled,
+           CASE WHEN nullif(o_orderstatus, 'F') IS NULL THEN 1 ELSE 0 END AS was_f,
+           ifnull(nullif(o_orderpriority, '1-URGENT'), 'URGENT!') AS prio_filled
+    FROM orders
+    """,
+)
+def null_handling_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-handling scalar surface: nullif / coalesce / isnull-CASE /
+    ifnull — the three-valued-logic toolkit every SQL port needs."""
+    o = load(spark, sf_dir, "orders")
+    status_null = F.nullif(F.col("o_orderstatus"), F.lit("F"))
+    return o.select(
+        "o_orderkey",
+        status_null.alias("status_or_null"),
+        F.coalesce(status_null, F.lit("FINISHED")).alias("status_filled"),
+        F.when(status_null.isNull(), 1).otherwise(0).alias("was_f"),
+        F.ifnull(
+            F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")), F.lit("URGENT!")
+        ).alias("prio_filled"),
+    )
