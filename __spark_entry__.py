@@ -20,6 +20,8 @@ import etl_projects_spark.queries_media  # noqa: F401
 import etl_projects_spark.queries_quality  # noqa: F401
 import etl_projects_spark.queries_scale  # noqa: F401
 import etl_projects_spark.queries_sql  # noqa: F401
+import etl_projects_spark.queries_timeseries  # noqa: F401
+import etl_projects_spark.queries_tpch_ext  # noqa: F401
 from etl_projects_spark.queries import ORACLE, QUERIES
 from etl_projects_spark.queries import q1_pricing_summary
 

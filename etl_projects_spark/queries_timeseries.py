@@ -1,0 +1,145 @@
+"""Time-series resampling, reshaping, and distribution analytics.
+
+Rounds out the relational surface (SURVEY §2.5 — the reference's implied
+full-Spark-SQL capability) with shapes common in lake ETL that the other
+modules don't cover: calendar gap-filling (the `{{ ds }}` daily-batch
+pattern of `datalake_sub_dag_builder.py:111` implies dense daily
+partitions; gap-fill reconstructs them when days are missing), wide→long
+unpivot, cumulative-distribution window metrics, and fixed-width
+histogram binning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from etl_projects_spark.queries import _q, dec, load
+
+
+@_q(
+    "resample_gap_fill",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n
+      FROM events GROUP BY day, event_type
+    ),
+    bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily),
+    cal AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+            FROM bounds),
+    types AS (SELECT DISTINCT event_type FROM events)
+    SELECT c.day, t.event_type, COALESCE(d.n, 0) AS n
+    FROM cal c CROSS JOIN types t
+      LEFT JOIN daily d ON d.day = c.day AND d.event_type = t.event_type
+    """,
+)
+def resample_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily resample with zero-filled gaps: dense (day × event_type)
+    grid via `sequence` + `explode`, left-joined against observed daily
+    counts.
+
+    Scale: the aggregate shuffles once on (day, type); the calendar is
+    built from a single-row min/max aggregate (`sequence` explodes
+    driver-free, executor-side) and the grid is dimension-sized, so it
+    broadcasts into the left join — the fact table is never re-scanned.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("day"), "event_type"
+    )
+    daily = ev.groupBy("day", "event_type").agg(F.count("*").alias("n"))
+    cal = (
+        daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+        .select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    )
+    types = ev.select("event_type").distinct()
+    grid = F.broadcast(cal.crossJoin(types))
+    return (
+        grid.join(daily, ["day", "event_type"], "left")
+        .select("day", "event_type", F.coalesce("n", F.lit(0)).alias("n"))
+    )
+
+
+@_q(
+    "unpivot_part_measures",
+    """
+    SELECT p_partkey, 'p_retailprice' AS measure, CAST(p_retailprice AS DOUBLE) AS value
+    FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_size' AS measure, CAST(p_size AS DOUBLE) AS value
+    FROM part
+    """,
+)
+def unpivot_part_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (melt): one row per (part, measure). Spark's
+    native `unpivot` plans a single Expand over one scan — the oracle's
+    UNION ALL spelling would scan twice.
+    """
+    p = load(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_retailprice").cast("double").alias("p_retailprice"),
+        F.col("p_size").cast("double").alias("p_size"),
+    )
+    return p.unpivot("p_partkey", ["p_retailprice", "p_size"], "measure", "value")
+
+
+@_q(
+    "window_rank_metrics",
+    """
+    SELECT c_custkey, c_mktsegment,
+           dense_rank()   OVER w AS bal_dense_rank,
+           percent_rank() OVER w AS bal_pct_rank,
+           cume_dist()    OVER w AS bal_cume_dist
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def window_rank_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-position analytics: dense_rank / percent_rank /
+    cume_dist per market segment, unique tie-break so ranks are
+    deterministic. percent_rank and cume_dist are ratios of exact
+    integers — bit-identical doubles in both engines.
+
+    Scale: all three functions share ONE window spec → a single
+    sort-within-partition pass after one shuffle on c_mktsegment.
+    """
+    c = load(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.dense_rank().over(w).alias("bal_dense_rank"),
+        F.percent_rank().over(w).alias("bal_pct_rank"),
+        F.cume_dist().over(w).alias("bal_cume_dist"),
+    )
+
+
+@_q(
+    "histogram_order_totals",
+    """
+    SELECT CAST(FLOOR(o_totalprice / 500.0) AS BIGINT) AS bin,
+           COUNT(*) AS n,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS hi
+    FROM orders
+    GROUP BY bin
+    ORDER BY bin
+    """,
+)
+def histogram_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals (500-unit bins) — the
+    profiling primitive behind data-quality distribution checks
+    (SURVEY §2.8). One map-side-combinable aggregate; the bin count is
+    bounded, so the reduce side is tiny regardless of input scale.
+    """
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.floor(F.col("o_totalprice") / 500.0).cast("bigint").alias("bin")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.min("o_totalprice").cast("double").alias("lo"),
+            F.max("o_totalprice").cast("double").alias("hi"),
+        )
+        .orderBy("bin")
+    )
