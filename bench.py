@@ -60,9 +60,12 @@ def main() -> None:
         t0 = time.perf_counter()
         qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
-        # Isolate queries: persisted frames from one query otherwise
-        # accumulate in storage memory and evict/churn later queries.
+        # Isolate queries (untimed): drop persisted frames, then force a
+        # JVM GC so the ContextCleaner releases the previous query's
+        # shuffle/broadcast state now instead of asynchronously inside
+        # some later query's timed window.
         spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
 
     sf = None
     base = os.path.basename(SF_DIR.rstrip("/"))

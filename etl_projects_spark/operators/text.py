@@ -111,3 +111,56 @@ def lang_id_oracle_case(text_expr: str = "text") -> str:
             conds.append(f"{hits(lang)} {op} {hits(other)}")
         whens.append(f"WHEN ({total}) > 0 AND {' AND '.join(conds)} THEN '{lang}'")
     return "CASE " + " ".join(whens) + " ELSE 'und' END"
+
+
+# -- Normalization & PII redaction -------------------------------------
+
+# Java-regex and RE2 (DuckDB) compatible patterns: explicit character
+# classes only, no lookaround, no \p{...} classes.
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+PHONE_RE = "[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+LONG_ID_RE = "[0-9]{9,}"
+
+
+def normalize_text(text: Column | str) -> Column:
+    """Canonical form for near-exact dedup: lowercase, strip everything
+    but [a-z0-9 ], collapse runs of spaces, trim. Pure codegen'd
+    expressions — runs at scan speed over a 100 TB corpus; dedup on
+    ``md5(normalize_text(text))`` catches case/punct/whitespace dupes
+    that byte-exact hashing misses."""
+    c = F.col(text) if isinstance(text, str) else text
+    c = F.lower(c)
+    c = F.regexp_replace(c, "[^a-z0-9 ]", " ")
+    c = F.regexp_replace(c, " +", " ")
+    return F.trim(c)
+
+
+def normalize_oracle_sql(text_expr: str = "text") -> str:
+    """DuckDB twin of :func:`normalize_text` (note the 'g' flag —
+    DuckDB's regexp_replace is first-match-only by default)."""
+    return (
+        "trim(regexp_replace(regexp_replace(lower("
+        f"{text_expr}), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+    )
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Replace emails → <EMAIL>, phone-shaped numbers → <PHONE>, and
+    9+-digit runs → <ID>. Order matters: emails first (their local
+    part may contain digit runs), then phones, then bare ID runs."""
+    c = F.col(text) if isinstance(text, str) else text
+    c = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
+    c = F.regexp_replace(c, PHONE_RE, "<PHONE>")
+    c = F.regexp_replace(c, LONG_ID_RE, "<ID>")
+    return c
+
+
+def pii_counts(text: Column | str) -> tuple[Column, Column, Column]:
+    """(n_emails, n_phones, n_long_ids) match counts per row."""
+    c = F.col(text) if isinstance(text, str) else text
+    no_email = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
+    return (
+        F.regexp_count(c, F.lit(EMAIL_RE)),
+        F.regexp_count(no_email, F.lit(PHONE_RE)),
+        F.regexp_count(F.regexp_replace(no_email, PHONE_RE, "<PHONE>"), F.lit(LONG_ID_RE)),
+    )

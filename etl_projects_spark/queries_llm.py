@@ -492,3 +492,60 @@ def dedup_jaccard_df_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     hot bucket at 100 TB)."""
     sh = dedup.word_shingles(load(spark, sf_dir, "documents")).persist()
     return dedup.jaccard_pairs(sh, threshold_num=1, threshold_den=2, max_doc_freq=50)
+
+
+@_q(
+    "text_normalized_dedup",
+    f"""
+    SELECT md5({text.normalize_oracle_sql()}) AS norm_fingerprint,
+           min(doc_id) AS keeper_id, count(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def text_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-exact dedup on the normalized form (case/punctuation/
+    whitespace-insensitive): catches trivially-mutated duplicates that
+    byte hashing misses. Same one-shuffle hash-groupBy as dedup_exact —
+    normalization is codegen'd into the scan."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id", F.md5(text.normalize_text("text")).alias("norm_fingerprint")
+        )
+        .groupBy("norm_fingerprint")
+        .agg(F.min("doc_id").alias("keeper_id"), F.count("*").alias("n_copies"))
+    )
+
+
+@_q(
+    "text_pii_redaction",
+    f"""
+    WITH ne AS (
+      SELECT doc_id, text,
+             regexp_replace(text, '{text.EMAIL_RE}', '<EMAIL>', 'g') AS t
+      FROM documents)
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{text.EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(t, '{text.PHONE_RE}')) AS n_phones,
+           len(regexp_extract_all(regexp_replace(t, '{text.PHONE_RE}', '<PHONE>', 'g'),
+                                  '{text.LONG_ID_RE}')) AS n_ids,
+           md5(regexp_replace(regexp_replace(t, '{text.PHONE_RE}', '<PHONE>', 'g'),
+                              '{text.LONG_ID_RE}', '<ID>', 'g')) AS redacted_md5
+    FROM ne
+    """,
+)
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing for training corpora: per-doc email / phone /
+    long-digit-run match counts plus the fingerprint of the redacted
+    text. All regexp_replace/regexp_count — JVM codegen, no Python in
+    the scan path; patterns are written in the Java-regex ∩ RE2 dialect
+    so the DuckDB oracle runs them verbatim."""
+    docs = load(spark, sf_dir, "documents")
+    n_emails, n_phones, n_ids = text.pii_counts("text")
+    return docs.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        n_ids.alias("n_ids"),
+        F.md5(text.redact_pii("text")).alias("redacted_md5"),
+    )

@@ -259,3 +259,29 @@ def continuous_rollup(
         .start()
         .awaitTermination()
     )
+
+
+def enrich_stream_with_dim(
+    stream: DataFrame, dim: DataFrame, on: str, how: str = "left"
+) -> DataFrame:
+    """Stream-static join: enrich a stream with a (batch) dimension
+    table. The static side is broadcast per micro-batch — no stream-side
+    shuffle, no state store; the dimension is re-resolved each batch so
+    a dimension refresh is picked up without restarting the query."""
+    return stream.join(F.broadcast(dim), on, how)
+
+
+def dedup_stream(
+    stream: DataFrame,
+    keys: tuple[str, ...],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exactly-once-per-key dedup with bounded state:
+    duplicates arriving within the watermark horizon are dropped;
+    per-key state is evicted once the watermark passes it. Without the
+    watermark the dedup state grows without bound on an infinite
+    stream."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )

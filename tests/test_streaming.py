@@ -166,3 +166,40 @@ def test_continuous_rollup_incremental(spark, events_batch, events_dir, tmp_path
     assert got, "at least one closed window expected"
     for k, v in got.items():
         assert expect[k][0] == v[0] and abs(expect[k][1] - v[1]) < 1e-6, k
+
+
+def test_enrich_stream_with_dim(spark, events_batch, events_dir):
+    dim = spark.createDataFrame(
+        [("click", "engagement"), ("purchase", "revenue")],
+        "event_type STRING, category STRING",
+    )
+    stream = jobs.stream_from_directory(spark, events_dir)
+    jobs.run_to_memory(
+        jobs.enrich_stream_with_dim(stream, dim, on="event_type"), "enriched"
+    )
+    got = spark.table("enriched")
+    assert got.count() == events_batch.count()
+    batch_expected = {
+        r["event_id"]: r["category"]
+        for r in events_batch.join(dim, "event_type", "left").collect()
+    }
+    for r in got.select("event_id", "category").collect():
+        assert batch_expected[r["event_id"]] == r["category"]
+
+
+def test_dedup_stream_drops_watermark_window_dupes(spark, events_batch, events_dir, tmp_path):
+    # Duplicate every event: write the same files again under new names.
+    import shutil
+
+    for f in os.listdir(events_dir):
+        shutil.copy(os.path.join(events_dir, f), os.path.join(events_dir, "dup_" + f))
+    try:
+        stream = jobs.stream_from_directory(spark, events_dir)
+        jobs.run_to_memory(
+            jobs.dedup_stream(stream, ("event_id",), watermark="10 days"), "deduped"
+        )
+        assert spark.table("deduped").count() == events_batch.count()
+    finally:
+        for f in os.listdir(events_dir):
+            if f.startswith("dup_"):
+                os.remove(os.path.join(events_dir, f))
