@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 import etl_projects_spark.queries_llm  # noqa: F401  (registers into the catalog)
 import etl_projects_spark.queries_media  # noqa: F401
+import etl_projects_spark.queries_mixing  # noqa: F401
 import etl_projects_spark.queries_quality  # noqa: F401
 import etl_projects_spark.queries_scale  # noqa: F401
 import etl_projects_spark.queries_sql  # noqa: F401

@@ -1,0 +1,141 @@
+"""Corpus-construction operators: deterministic sampling, shard
+packing, and benchmark-contamination probing.
+
+The last mile of a training-data pipeline after cleaning/dedup: pick a
+source mixture, pack documents into fixed-token-budget shards, and
+check the corpus against held-out evaluation n-grams. All three are
+pure relational plans (no UDFs, no driver loops), and all sampling is
+*deterministic integer arithmetic* — reproducible across engines and
+across re-runs, which hash-based `TABLESAMPLE` is not.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from etl_projects_spark.operators import dedup, text
+from etl_projects_spark.queries import _q, load
+
+# Knuth multiplicative hash → uniform-ish [0,1) from a bigint id, exact
+# in both engines (values stay far below 2^63 for our id ranges).
+_MIX_MOD = 1_000_000
+_MIX_MULT = 2_654_435_761
+
+
+def mix_unit(id_col: str) -> F.Column:
+    return F.pmod(F.col(id_col) * F.lit(_MIX_MULT), F.lit(_MIX_MOD)) / F.lit(
+        float(_MIX_MOD)
+    )
+
+
+def mix_unit_sql(id_expr: str) -> str:
+    return f"(({id_expr} * {_MIX_MULT}) % {_MIX_MOD}) / {float(_MIX_MOD)}"
+
+
+@_q(
+    "stratified_sample_sources",
+    f"""
+    SELECT source, count(*) AS n_sampled, min(doc_id) AS first_doc
+    FROM documents
+    WHERE {mix_unit_sql("doc_id")} <
+          CASE WHEN lang = 'en' THEN 0.8 ELSE 0.4 END
+    GROUP BY source ORDER BY source
+    """,
+)
+def stratified_sample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified corpus sampling: per-stratum keep-rates (80% en, 40%
+    other) applied via a deterministic multiplicative hash of doc_id —
+    the mixture-weighting step of corpus construction.
+
+    Scale: a pure scan-side filter (no shuffle until the count);
+    reproducible across runs/engines, unlike rand()-based sampling, and
+    stable under re-partitioning, unlike TABLESAMPLE.
+    """
+    docs = load(spark, sf_dir, "documents")
+    rate = F.when(F.col("lang") == "en", F.lit(0.8)).otherwise(F.lit(0.4))
+    return (
+        docs.filter(mix_unit("doc_id") < rate)
+        .groupBy("source")
+        .agg(F.count("*").alias("n_sampled"), F.min("doc_id").alias("first_doc"))
+        .orderBy("source")
+    )
+
+
+@_q(
+    "shard_packing",
+    """
+    SELECT doc_id, lang, n_tokens,
+           CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+                 PARTITION BY lang ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               / 2000.0) AS BIGINT) AS shard_id
+    FROM (SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+          FROM documents)
+    """,
+)
+def shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard assignment: documents packed in doc_id order
+    into ~2000-token shards per language — the exclusive running token
+    sum divided by the budget. A document lands in the shard where its
+    first token falls (shards may overhang the budget by one doc).
+
+    Scale: one shuffle on lang + an ordered window; for 100 TB one would
+    sub-partition the window key (e.g. lang × date) to bound per-task
+    sort size — semantics identical per partition.
+    """
+    docs = load(spark, sf_dir, "documents")
+    w = (
+        W.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    n_tokens = text.token_count("text")
+    return docs.select(
+        "doc_id", "lang", n_tokens.alias("n_tokens")
+    ).withColumn(
+        "shard_id",
+        F.floor(F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / 2000.0).cast(
+            "bigint"
+        ),
+    )
+
+
+@_q(
+    "contamination_probe",
+    f"""
+    WITH {dedup.shingles_cte()},
+    probes AS (
+      SELECT {dedup.hex60_sql("probe")} AS shingle, probe FROM (
+        SELECT unnest(['the quick brown', 'lorem ipsum dolor',
+                       'data lake platform']) AS probe)
+    )
+    SELECT p.probe, count(DISTINCT s.id) AS n_docs
+    FROM probes p LEFT JOIN shingles s ON s.shingle = p.shingle
+    GROUP BY p.probe ORDER BY p.probe
+    """,
+)
+def contamination_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: how many corpus documents contain
+    each held-out evaluation n-gram. Probes are hashed with the same
+    60-bit scheme as the corpus shingles, so the check is a join of a
+    tiny probe table against the shingle relation.
+
+    Scale: the probe side broadcasts (evaluation sets are small); the
+    corpus side is the shingle scan — no quadratic anything, and at
+    100 TB the shingle relation is the one you already materialized for
+    dedup.
+    """
+    docs = load(spark, sf_dir, "documents")
+    sh = dedup.word_shingles(docs)
+    probes = spark.createDataFrame(
+        [("the quick brown",), ("lorem ipsum dolor",), ("data lake platform",)],
+        "probe STRING",
+    ).select("probe", dedup.hex60(F.col("probe")).alias("shingle"))
+    return (
+        F.broadcast(probes)
+        .join(sh, "shingle", "left")
+        .groupBy("probe")
+        .agg(F.countDistinct("id").alias("n_docs"))
+        .orderBy("probe")
+    )
