@@ -172,6 +172,22 @@ IVF_CENTROIDS = 16
 IVF_PROBE = 4
 
 
+def _centroids_from_sample(sample: np.ndarray, n_centroids: int) -> np.ndarray:
+    """Pure-numpy codebook core, shared by the Spark path and the
+    oracle's numpy twin so both see bit-identical centroids: seed with
+    the first ``n_centroids`` rows, one Lloyd refinement under cosine
+    (≈ spherical k-means iteration)."""
+    sample = sample / np.linalg.norm(sample, axis=1, keepdims=True)
+    cents = sample[:n_centroids].copy()
+    assign = np.argmax(sample @ cents.T, axis=1)
+    for c in range(n_centroids):
+        members = sample[assign == c]
+        if len(members):
+            m = members.mean(axis=0)
+            cents[c] = m / np.linalg.norm(m)
+    return cents
+
+
 def ivf_centroids(
     df: DataFrame,
     n_centroids: int = IVF_CENTROIDS,
@@ -192,16 +208,38 @@ def ivf_centroids(
         .toPandas()
     )
     sample = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
-    sample /= np.linalg.norm(sample, axis=1, keepdims=True)
-    cents = sample[:n_centroids].copy()
-    # one Lloyd step under cosine (≈ spherical k-means iteration)
-    assign = np.argmax(sample @ cents.T, axis=1)
-    for c in range(n_centroids):
-        members = sample[assign == c]
-        if len(members):
-            m = members.mean(axis=0)
-            cents[c] = m / np.linalg.norm(m)
-    return cents
+    return _centroids_from_sample(sample, n_centroids)
+
+
+def ivf_candidate_ids(
+    parquet_path: str,
+    query_id: int,
+    n_probe: int = IVF_PROBE,
+    n_centroids: int = IVF_CENTROIDS,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_rows: int = 2048,
+) -> list[int]:
+    """Numpy twin of the IVF candidate set, computed straight from the
+    parquet file (pyarrow, no Spark) — used to generate the DuckDB
+    oracle for ``ann_ivf_topk``. Replays :func:`ivf_centroids` +
+    :func:`ivf_assign` + the probe selection with the same numpy ops on
+    the same floats, so the candidate list is reproducible given only
+    the codebook constants and the data."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(parquet_path, columns=[id_col, vec_col]).to_pandas()
+    tbl = tbl.sort_values(id_col).reset_index(drop=True)
+    ids = tbl[id_col].to_numpy()
+    vecs = np.vstack(tbl[vec_col].to_numpy()).astype(np.float64)
+    cents = _centroids_from_sample(vecs[:sample_rows], n_centroids)
+    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    assign = np.argmax(vn @ cents.T, axis=1).astype(np.int32)
+    qn = vecs[ids == query_id][0]
+    qn = qn / np.linalg.norm(qn)
+    probes = np.argsort(-(cents @ qn))[:n_probe]
+    mask = np.isin(assign, probes) & (ids != query_id)
+    return sorted(int(i) for i in ids[mask])
 
 
 def ivf_assign(

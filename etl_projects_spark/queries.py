@@ -453,7 +453,7 @@ def date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "json_explode_props",
     f"""
     SELECT event_type,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            COUNT(*) AS n
     FROM events GROUP BY event_type
     """,

@@ -9,6 +9,8 @@ oracle SQL for the hashing operators (MinHash-LSH, SimHash) is
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -260,7 +262,7 @@ def tumbling_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN prev_ts IS NULL
                        OR date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END AS new_s
       FROM gaps)
-    SELECT user_id, SUM(new_s) AS n_sessions, COUNT(*) AS n_events
+    SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
     FROM flags GROUP BY user_id
     """,
 )
@@ -366,7 +368,7 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "vocab_top_terms",
     """
-    SELECT term, COUNT(*) AS doc_freq, SUM(tf) AS total_freq
+    SELECT term, COUNT(*) AS doc_freq, CAST(SUM(tf) AS BIGINT) AS total_freq
     FROM (
         SELECT doc_id, term, COUNT(*) AS tf
         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
@@ -456,7 +458,27 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.winnow_fingerprints(load(spark, sf_dir, "documents"))
 
 
-@_q("ann_ivf_topk")  # centroid codebook is numpy-derived — pytest oracle
+def _ivf_oracle() -> str | None:
+    """Oracle for ann_ivf_topk: the candidate set is reproducible from
+    the codebook constants + data (numpy twin, no Spark), so the oracle
+    is exact-cosine top-k restricted to those candidate ids. Generated
+    against the driver's oracle scale factor (sf0.01); None if that
+    corpus is absent (e.g. bench-only environments)."""
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    if not os.path.exists(path):
+        return None
+    cands = similarity.ivf_candidate_ids(path, query_id=7)
+    id_list = ", ".join(str(i) for i in cands)
+    return f"""
+    WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 7)
+    SELECT vec_id, round({similarity.cosine_sql('embedding', 'qvec')}, 6) AS score
+    FROM embeddings, q WHERE vec_id IN ({id_list})
+    ORDER BY score DESC, vec_id LIMIT 10
+    """
+
+
+@_q("ann_ivf_topk", _ivf_oracle())
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-k: deterministic spherical-kmeans codebook (bounded
     driver sample), Arrow-batch cluster assignment, search restricted

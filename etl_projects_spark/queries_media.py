@@ -10,6 +10,7 @@ oracles against numpy in tests/test_multimodal.py).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from etl_projects_spark.operators import multimodal
 from etl_projects_spark.queries import _q, load
@@ -53,17 +54,56 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.frame_sample(media)
 
 
-@_q("media_decode_stats")  # mapInPandas decode — non-SQL; pytest oracle
+# The payload is the UTF-8 encoding of `text`, and the test corpora are
+# pure ASCII (pinned in tests/test_multimodal.py), so DuckDB can replay
+# the byte-level UDF arithmetic character-by-character: byte value ==
+# ascii(char), byte count == strlen.
+@_q(
+    "media_decode_stats",
+    """
+    SELECT doc_id,
+           CAST(doc_id % 16 + 16 AS INTEGER) AS width,
+           CAST(doc_id % 9 + 9 AS INTEGER) AS height,
+           round(AVG(CAST(ascii(substring(text, x, 1)) AS DOUBLE)), 6) AS mean_byte,
+           CAST(COUNT(*) AS BIGINT) AS n_bytes
+    FROM (SELECT doc_id, text,
+                 unnest(generate_series(1, CAST(strlen(text) AS BIGINT))) AS x
+          FROM documents)
+    GROUP BY doc_id
+    """,
+)
 def media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stubbed-codec decode via Arrow-batched mapInPandas: real UDF
-    signature/schema/batch shape, deterministic byte-level stats."""
+    signature/schema/batch shape, deterministic byte-level stats.
+    The DuckDB oracle replays the byte arithmetic via ascii()."""
     media = multimodal.to_media(load(spark, sf_dir, "documents"))
     return multimodal.decode_stats(media)
 
 
-@_q("media_byte_histogram")  # mapInPandas features — non-SQL; pytest oracle
+@_q(
+    "media_byte_histogram",
+    f"""
+    SELECT doc_id,
+           CAST(ascii(substring(text, x, 1)) // {256 // multimodal.HIST_BUCKETS}
+                AS INTEGER) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT doc_id, text,
+                 unnest(generate_series(1, CAST(strlen(text) AS BIGINT))) AS x
+          FROM documents)
+    GROUP BY doc_id, bucket
+    """,
+)
 def media_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-histogram feature extraction (the embedding-extractor
-    layout): one narrow Arrow pass, array<long> features out."""
+    layout): one narrow Arrow pass, array<long> features out. The
+    catalog entry explodes the histogram to (doc_id, bucket, n) rows —
+    the raw array<long> is unhashable in the driver's pandas
+    canonicalizer — keeping only non-empty buckets so the DuckDB
+    GROUP BY twin is exact."""
     media = multimodal.to_media(load(spark, sf_dir, "documents"))
-    return multimodal.byte_histogram(media)
+    hist = multimodal.byte_histogram(media)
+    return (
+        hist.select("doc_id", F.posexplode("hist").alias("bucket", "n"))
+        .filter(F.col("n") > 0)
+        .select("doc_id", F.col("bucket").cast("int").alias("bucket"), "n")
+    )

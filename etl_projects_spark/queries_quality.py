@@ -8,6 +8,7 @@ rule order in both engines.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from etl_projects_spark.operators import quality
 from etl_projects_spark.queries import _q, load
@@ -40,13 +41,17 @@ _ORACLE_FLAGS = """
 
 @_q(
     "quality_validate_events",
-    f"SELECT event_id, {_ORACLE_FLAGS} AS _errors FROM events",
+    f"SELECT event_id, to_json({_ORACLE_FLAGS}) AS errors_json FROM events",
 )
 def quality_validate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q1 schema/rule validation: one codegen'd projection computes all
-    rule flags; `_errors` is empty for valid rows."""
+    rule flags; `_errors` is empty for valid rows. The catalog entry
+    serializes the error array with to_json — array cells are
+    unhashable in the driver's pandas canonicalizer."""
     ev = load(spark, sf_dir, "events")
-    return quality.validate(ev, event_rules()).select("event_id", quality.ERRORS_COL)
+    return quality.validate(ev, event_rules()).select(
+        "event_id", F.to_json(quality.ERRORS_COL).alias("errors_json")
+    )
 
 
 @_q(

@@ -20,7 +20,7 @@ from etl_projects_spark.queries import D, _q, dec, load
     f"""
     SELECT o_orderstatus,
            CAST(SUM(CAST(o_totalprice AS {D})) AS DOUBLE) AS revenue,
-           SUM(1) AS n_orders
+           CAST(SUM(1) AS BIGINT) AS n_orders
     FROM orders
     GROUP BY o_orderstatus
     """,

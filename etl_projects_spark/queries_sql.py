@@ -326,9 +326,9 @@ def except_lost_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "conditional_agg_priority_matrix",
     """
     SELECT o_orderstatus,
-           SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS n_urgent,
-           SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS n_high,
-           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS n_other
+           CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+           CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS n_other
     FROM orders
     GROUP BY o_orderstatus
     """,
@@ -470,7 +470,7 @@ def ntile_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "array_agg_customer_priorities",
     """
     SELECT o_custkey,
-           list_sort(list(DISTINCT o_orderpriority)) AS priorities,
+           to_json(list_sort(list(DISTINCT o_orderpriority))) AS priorities,
            COUNT(*) AS n_orders
     FROM orders
     GROUP BY o_custkey
@@ -479,10 +479,13 @@ def ntile_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def array_agg_customer_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collection aggregation: per-customer sorted distinct priority
     array. collect_set order is nondeterministic by contract —
-    array_sort makes the result stable (and engine-portable)."""
+    array_sort makes the result stable (and engine-portable). The
+    catalog entry serializes the array with to_json so the result is
+    hashable by the driver's pandas canonicalizer (raw array cells
+    crash it: unhashable list)."""
     o = load(spark, sf_dir, "orders")
     return o.groupBy("o_custkey").agg(
-        F.array_sort(F.collect_set("o_orderpriority")).alias("priorities"),
+        F.to_json(F.array_sort(F.collect_set("o_orderpriority"))).alias("priorities"),
         F.count("*").alias("n_orders"),
     )
 
@@ -531,8 +534,8 @@ def union_distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_shipmode_priority",
     """
     SELECT l_returnflag,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
@@ -619,7 +622,7 @@ def window_first_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderkey,
            date_diff('day', o_orderdate, TIMESTAMP '2000-01-01 00:00:00') AS days_to_y2k,
            o_orderdate + INTERVAL 7 DAY AS due_ts,
-           CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
            dayofweek(o_orderdate) + 1 AS dow,
            CAST(year(o_orderdate) AS BIGINT) * 100 + month(o_orderdate) AS yyyymm
     FROM orders
@@ -636,7 +639,9 @@ def date_functions_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "days_to_y2k"
         ),
         (F.col("o_orderdate") + F.expr("INTERVAL 7 DAYS")).alias("due_ts"),
-        F.last_day("o_orderdate").alias("month_end"),
+        # timestamp, not date: pandas renders Spark DATE as datetime.date but
+        # DuckDB DATE as datetime64 — the driver's hash would never match.
+        F.last_day("o_orderdate").cast("timestamp").alias("month_end"),
         F.dayofweek("o_orderdate").alias("dow"),
         (F.year("o_orderdate").cast("long") * 100 + F.month("o_orderdate")).alias(
             "yyyymm"

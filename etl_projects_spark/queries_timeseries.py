@@ -28,7 +28,7 @@ from etl_projects_spark.queries import _q, dec, load
     cal AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
             FROM bounds),
     types AS (SELECT DISTINCT event_type FROM events)
-    SELECT c.day, t.event_type, COALESCE(d.n, 0) AS n
+    SELECT CAST(c.day AS TIMESTAMP) AS day, t.event_type, COALESCE(d.n, 0) AS n
     FROM cal c CROSS JOIN types t
       LEFT JOIN daily d ON d.day = c.day AND d.event_type = t.event_type
     """,
@@ -55,7 +55,13 @@ def resample_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid = F.broadcast(cal.crossJoin(types))
     return (
         grid.join(daily, ["day", "event_type"], "left")
-        .select("day", "event_type", F.coalesce("n", F.lit(0)).alias("n"))
+        # timestamp, not date: keeps the pandas representation identical
+        # between Spark (datetime.date) and DuckDB (datetime64) outputs.
+        .select(
+            F.col("day").cast("timestamp").alias("day"),
+            "event_type",
+            F.coalesce("n", F.lit(0)).alias("n"),
+        )
     )
 
 

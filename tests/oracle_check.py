@@ -36,6 +36,20 @@ def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _norm(v):
+    # Unwrap numpy scalars first so dtype wrappers don't leak into repr —
+    # but do it via .item() so int64 stays int and float64 stays float,
+    # preserving exactly the int-vs-float distinction the driver's hash sees.
+    if hasattr(v, "item") and type(v).__module__ in ("numpy", "numpy.core"):
+        v = v.item()
+    if v is None:
+        return "None"
+    try:
+        import pandas as _pd
+
+        if _pd.isna(v):
+            return "NaN"
+    except (TypeError, ValueError):
+        pass
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
@@ -45,30 +59,40 @@ def _norm(v):
     return repr(v)
 
 
-def canonical(rows, columns):
-    """Sort columns by name, normalize values, sort rows → list of tuples."""
-    order = sorted(range(len(columns)), key=lambda i: columns[i])
-    out = [tuple(_norm(r[i]) for i in order) for r in rows]
+def canonical_pdf(pdf):
+    """Driver-faithful canonicalization: sort columns by name, normalize
+    values THROUGH PANDAS DTYPES (so DuckDB HUGEINT→float64 drift is
+    visible, exactly as the driver's hash sees it), sort rows."""
+    cols = sorted(pdf.columns)
+    pdf = pdf[cols]
+    out = [
+        tuple(_norm(v) for v in row)
+        for row in pdf.itertuples(index=False, name=None)
+    ]
     out.sort()
-    return sorted(columns), out
+    return cols, out
 
 
 def compare(spark_df, oracle_sql: str, sf_dir: str) -> list[str]:
-    """Returns a list of mismatch descriptions (empty = match)."""
+    """Returns a list of mismatch descriptions (empty = match).
+
+    Both sides are canonicalized through pandas frames — the same
+    representation the driver hashes — so type artifacts (e.g. DuckDB
+    SUM(BIGINT)→HUGEINT→float64) fail here before they fail there.
+    """
     problems = []
-    srows = [tuple(r) for r in spark_df.collect()]
-    scols = list(spark_df.columns)
+    s_pdf = spark_df.toPandas()
+    scols = list(s_pdf.columns)
     con = duckdb_con(sf_dir)
-    res = con.execute(oracle_sql)
-    ocols = [d[0] for d in res.description]
-    orows = res.fetchall()
+    o_pdf = con.execute(oracle_sql).df()
+    ocols = list(o_pdf.columns)
     if sorted(scols) != sorted(ocols):
         problems.append(f"schema mismatch: spark={sorted(scols)} oracle={sorted(ocols)}")
         return problems
-    if len(srows) != len(orows):
-        problems.append(f"row count mismatch: spark={len(srows)} oracle={len(orows)}")
-    _, s_can = canonical(srows, scols)
-    _, o_can = canonical(orows, ocols)
+    if len(s_pdf) != len(o_pdf):
+        problems.append(f"row count mismatch: spark={len(s_pdf)} oracle={len(o_pdf)}")
+    _, s_can = canonical_pdf(s_pdf)
+    _, o_can = canonical_pdf(o_pdf)
     if s_can != o_can:
         diffs = [
             f"  spark={s} oracle={o}" for s, o in zip(s_can, o_can) if s != o
