@@ -27,9 +27,57 @@ from datetime import date, datetime
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, StructType
+from pyspark.sql.types import ArrayType, StringType, StructField, StructType
 
 from etl_projects_spark.functions.names import format_column_name
+
+# Bounded driver-side sample used only for key-TYPE inference; the key
+# UNION itself is computed distributed (json_object_keys), so growing
+# the corpus never grows driver memory.
+JSON_TYPE_SAMPLE_ROWS = 1024
+
+
+def _infer_json_schema(
+    df: DataFrame, json_column: str, sample_ratio: float = 1.0
+) -> StructType:
+    """Union-of-all-keys schema for a JSON-string column, JVM-side.
+
+    Two bounded jobs, zero Python stages over the data:
+
+    1. key union — ``explode(json_object_keys(col))`` + distinct: a
+       narrow codegen scan and one shuffle whose rows are key *names*
+       (schema-sized, like ``df.columns`` — safe to collect);
+    2. key types — ``spark.read.json`` over at most
+       ``JSON_TYPE_SAMPLE_ROWS`` strings parallelized from the driver;
+       keys that never appear in the sample type as string.
+
+    This replaces the previous ``sample.rdd.map(...)`` inference, which
+    pushed the whole column through Python workers.
+    """
+    js = F.coalesce(F.col(json_column), F.lit("{}"))
+    keys = sorted(
+        r[0]
+        for r in df.select(F.explode(F.json_object_keys(js)).alias("k"))
+        .distinct()
+        .collect()
+    )
+    sample = df.select(js.alias("j"))
+    if sample_ratio < 1.0:
+        sample = sample.sample(fraction=sample_ratio, seed=42)
+    strings = [r[0] for r in sample.limit(JSON_TYPE_SAMPLE_ROWS).collect()]
+    spark = df.sparkSession
+    inferred = spark.read.json(
+        spark.sparkContext.parallelize(strings or ["{}"], numSlices=1)
+    ).schema
+    by_name = {f.name: f for f in inferred.fields}
+    return StructType(
+        [
+            StructField(k, by_name[k].dataType, True)
+            if k in by_name
+            else StructField(k, StringType(), True)
+            for k in keys
+        ]
+    )
 
 
 class DataFrameOps:
@@ -93,23 +141,17 @@ class DataFrameOps:
 
         Matches the reference's union-of-all-keys semantics
         (``spark_dataframe_service.py:111-146``) without its full-column
-        RDD scan: schema comes from ``spark.read.json`` over a *sampled*
-        dataset-of-strings (still the union of keys at sample_ratio=1.0),
-        or from an explicit ``schema`` for a zero-inference-job plan —
-        the right call at 100 TB.
+        RDD scan: the key UNION comes from a JVM-side
+        ``json_object_keys`` distinct (narrow scan + one key-name-sized
+        shuffle — zero Python stages over the data), key TYPES from
+        ``spark.read.json`` over a bounded driver-parallelized string
+        sample (keys outside the sample fall back to string). Pass an
+        explicit ``schema`` for a zero-inference-job plan — the right
+        call at 100 TB.
         """
         df = self.df
         if schema is None:
-            sample = df.select(json_column)
-            if sample_ratio < 1.0:
-                sample = sample.sample(fraction=sample_ratio, seed=42)
-            # Dataset[String]-based inference: no RDD hop, stays on the
-            # DataFrame reader path (one job over just this column).
-            schema = (
-                df.sparkSession.read.json(
-                    sample.rdd.map(lambda r: r[0] if r[0] is not None else "{}")
-                ).schema
-            )
+            schema = _infer_json_schema(df, json_column, sample_ratio)
         parsed = df.withColumn("__parsed__", F.from_json(F.col(json_column), schema))
         field_names = [f.name for f in parsed.schema["__parsed__"].dataType.fields]
         out_names = {

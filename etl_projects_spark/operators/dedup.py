@@ -274,60 +274,89 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.45,
-    index_chunk: int = 4096,
+    n_blocks: int = 16,
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs (cosine ≥ threshold).
+    """Embedding-cosine near-dup pairs (cosine ≥ threshold), exact.
 
-    Broadcast-index blocked matmul: the unit-normalized index matrix is
-    broadcast once (8·dim bytes/vector — the build side of a broadcast
-    join), the corpus streams through ``mapInPandas``, and each Arrow
-    batch scores against the index with one BLAS matmul per
-    ``index_chunk`` slice. Only (id_a, id_b, score) rows above the
-    threshold ever leave a task — no pairwise vector payload moves.
+    Distributed block self-join: each vector hashes into one of
+    ``n_blocks`` blocks, every unordered block pair (i ≤ j) becomes one
+    ``applyInPandas`` group, and each group scores its two blocks
+    against each other with a single BLAS matmul. Only the
+    (id_a, id_b, cosine) rows above the threshold leave a task.
 
-    This is the distributed brute-force ANN layout: O(N·d) broadcast +
-    O(N²·d) FLOPs in native BLAS, versus a self-join's O(N²·d) bytes
-    through the shuffle. For an index too big for one broadcast, shard
-    the index and union the per-shard outputs; below ~10M vectors at
-    d=64 one broadcast (~5 GB) is fine on executor-sized memory.
+    Scale shape: zero driver-side materialization; shuffle volume is
+    N·(n_blocks+1) vector rows (each vector participates in n_blocks+1
+    of the n_blocks·(n_blocks+1)/2 group matmuls); per-task memory is
+    O(2·N/n_blocks · dim) — raise ``n_blocks`` with √corpus so blocks
+    keep fitting in executor memory while FLOPs stay O(N²·d) in native
+    BLAS. This is the exact path: a 0.45 threshold sits far below
+    LSH-blocking recall (banding only pays above ~0.8 cosine), so
+    brute force over block pairs is what a correct near-dup pass needs;
+    for high-threshold corpora compose :func:`simhash_near_pairs` /
+    minhash banding as the prefilter instead.
     """
     import numpy as np
 
-    raw = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    pdf = raw.toPandas()  # index/build side only — never the pair set
-    ids = pdf["id"].to_numpy()
-    mat = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
-    # Normalize in numpy (one vectorized pass) — Spark's higher-order
-    # transform lambda runs interpreted and costs more than the matmul.
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-    bidx = df.sparkSession.sparkContext.broadcast((ids, mat))
+    src = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.pmod(F.hash(F.col(id_col)), F.lit(n_blocks)).alias("blk"),
+    )
+    # Block k's vectors serve as the "left" matrix of group (k, j) for
+    # every j ≥ k, and as the "right" matrix of group (i, k) for every
+    # i ≤ k; sequence+explode emits exactly those group memberships.
+    lefts = src.select(
+        F.col("blk").alias("pi"),
+        F.explode(F.sequence(F.col("blk"), F.lit(n_blocks - 1))).alias("pj"),
+        "id",
+        "v",
+        F.lit(0).alias("side"),
+    )
+    rights = src.select(
+        F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("pi"),
+        F.col("blk").alias("pj"),
+        "id",
+        "v",
+        F.lit(1).alias("side"),
+    )
 
-    def score(batches):
+    def score(key, pdf):
         import pandas as pd
 
-        ids_b, m_b = bidx.value
-        for batch in batches:
-            ida = batch["id"].to_numpy()
-            a = np.vstack(batch["v"].to_numpy()).astype(np.float64)
-            a /= np.linalg.norm(a, axis=1, keepdims=True)
-            out_a, out_b, out_s = [], [], []
-            for lo in range(0, len(ids_b), index_chunk):
-                hi = min(lo + index_chunk, len(ids_b))
-                s = np.round(a @ m_b[lo:hi].T, 6)
-                mask = (ida[:, None] < ids_b[None, lo:hi]) & (s >= threshold)
-                ii, jj = np.nonzero(mask)
-                out_a.append(ida[ii])
-                out_b.append(ids_b[lo:hi][jj])
-                out_s.append(s[ii, jj])
-            yield pd.DataFrame(
-                {
-                    "id_a": np.concatenate(out_a) if out_a else np.array([], dtype=np.int64),
-                    "id_b": np.concatenate(out_b) if out_b else np.array([], dtype=np.int64),
-                    "cosine": np.concatenate(out_s) if out_s else np.array([], dtype=np.float64),
-                }
-            )
+        same_block = key[0] == key[1]
+        l = pdf[pdf["side"] == 0]
+        r = pdf[pdf["side"] == 1]
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        if l.empty or r.empty:
+            return empty
+        idl = l["id"].to_numpy()
+        idr = r["id"].to_numpy()
+        a = np.vstack(l["v"].to_numpy()).astype(np.float64)
+        b = np.vstack(r["v"].to_numpy()).astype(np.float64)
+        a /= np.linalg.norm(a, axis=1, keepdims=True)
+        b /= np.linalg.norm(b, axis=1, keepdims=True)
+        s = np.round(a @ b.T, 6)
+        mask = s >= threshold
+        if same_block:
+            # left and right are the same set: keep each unordered pair
+            # once (strict id order also drops self-pairs)
+            mask &= idl[:, None] < idr[None, :]
+        else:
+            mask &= idl[:, None] != idr[None, :]
+        ii, jj = np.nonzero(mask)
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(idl[ii], idr[jj]),
+                "id_b": np.maximum(idl[ii], idr[jj]),
+                "cosine": s[ii, jj],
+            }
+        )
 
-    return raw.mapInPandas(score, schema="id_a long, id_b long, cosine double")
+    return (
+        lefts.unionAll(rights)
+        .groupBy("pi", "pj")
+        .applyInPandas(score, schema="id_a long, id_b long, cosine double")
+    )
 
 
 # ---- oracle-SQL generators (same constants, DuckDB dialect) ----------------

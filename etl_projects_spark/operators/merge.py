@@ -78,7 +78,10 @@ def scd2_apply(
     ``effective_col``) to a versioned dimension.
 
     ``dim`` schema: keys + attrs + effective_col + end_col + current_col.
-    ``updates`` schema: keys + attrs + effective_col.
+    ``updates`` schema: keys + attrs + effective_col. A batch carrying
+    several rows for one key is first collapsed to its latest row per
+    key (highest ``effective_col``) — the full-outer join below would
+    otherwise fan out and mint duplicate current versions.
 
     Semantics (per key):
     - attribute-identical current row → unchanged (idempotent re-run);
@@ -93,6 +96,7 @@ def scd2_apply(
     """
     keys = list(keys)
     attrs = list(attrs)
+    updates = latest_per_key(updates, keys, effective_col)
     upd = updates.select(
         *[F.col(k).alias(f"_u_{k}") for k in keys],
         *[F.col(a).alias(f"_u_{a}") for a in attrs],
@@ -159,8 +163,15 @@ def compact_table(
     Incremental appends leave one-file-per-batch sprawl; at 100 TB the
     small-file tax is paid on every subsequent scan (task-per-file). The
     rewrite is one job: scan → AQE-coalesced shuffle-free repartition →
-    write to a scratch dir → atomic-ish swap. ``maxRecordsPerFile``
-    enforces the cap without a driver-side count.
+    write to a scratch dir → swap. ``maxRecordsPerFile`` enforces the
+    cap without a driver-side count.
+
+    The swap renames the old directory aside BEFORE the scratch dir
+    takes its place, so a crash at any point leaves at least one
+    complete copy of the table on disk (old at ``path`` or
+    ``path.old``, new at the scratch dir) — never zero. Local/POSIX
+    filesystem only (os.rename + os.walk); an object-store deployment
+    would swap via the catalog's table location instead.
     """
     df = spark.read.parquet(path)
     # Size the rewrite from file metadata (no data scan): one output
@@ -180,6 +191,10 @@ def compact_table(
         .option("maxRecordsPerFile", str(records_per_file))
         .parquet(scratch)
     )
-    shutil.rmtree(path)
+    old = path.rstrip("/") + ".old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(path, old)
     os.rename(scratch, path)
+    shutil.rmtree(old)
     return sum(1 for f in os.listdir(path) if f.endswith(".parquet"))

@@ -28,7 +28,10 @@ def plan_string(df: DataFrame, executed: bool = True) -> str:
 def audit(df: DataFrame) -> dict:
     """Summarize the physical plan's scale-relevant properties."""
     plan = plan_string(df)
-    read_schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    # Stop at end-of-line, not just '>': explain truncates wide schemas
+    # (spark.sql.maxMetadataStringLength) and drops the closing '>',
+    # which would let the match run across lines and corrupt the audit.
+    read_schemas = re.findall(r"ReadSchema: struct<([^>\n]*)", plan)
     return {
         "pushed_filters": bool(re.search(r"PushedFilters: \[[^\]]", plan)),
         "broadcast_joins": plan.count("BroadcastHashJoin"),

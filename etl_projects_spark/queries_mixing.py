@@ -124,7 +124,10 @@ def contamination_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the probe side broadcasts (evaluation sets are small); the
     corpus side is the shingle scan — no quadratic anything, and at
     100 TB the shingle relation is the one you already materialized for
-    dedup.
+    dedup. Spelled as shingles RIGHT-join broadcast(probes): a
+    broadcast hash join can only build on the non-preserved side, so
+    hinting the preserved side of a left join would be silently
+    ignored and shuffle the shingle relation.
     """
     docs = load(spark, sf_dir, "documents")
     sh = dedup.word_shingles(docs)
@@ -133,8 +136,7 @@ def contamination_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "probe STRING",
     ).select("probe", dedup.hex60(F.col("probe")).alias("shingle"))
     return (
-        F.broadcast(probes)
-        .join(sh, "shingle", "left")
+        sh.join(F.broadcast(probes), "shingle", "right")
         .groupBy("probe")
         .agg(F.countDistinct("id").alias("n_docs"))
         .orderBy("probe")

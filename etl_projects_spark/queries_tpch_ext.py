@@ -524,29 +524,41 @@ def q21_sole_returning_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     receipt-after-commit predicate — no commit/receipt dates in the
     testdata). Layered EXISTS + NOT EXISTS on the same correlation key.
 
-    Spark side computes both existence tests in ONE aggregation over
-    lineitem per orderkey (distinct supplier count, distinct returning
-    supplier count) instead of two correlated sub-scans: three scans
-    become two, and the per-order stats frame is orders-sized (small) so
-    it broadcasts into the main join.
+    Spark side folds the whole correlation into ONE lineitem scan and a
+    two-level aggregation: (order, supplier) partials first (map-side
+    combinable, no countDistinct Expand), then per-order supplier
+    stats; the sole-returning-supplier's R-line count rides along in
+    the partials, so lineitem is never rejoined. The post-aggregation
+    frames are orders-sized — the surviving joins are cheap.
     """
-    li = load(spark, sf_dir, "lineitem")
-    per_order = li.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(
-            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-        ).alias("n_ret_supp"),
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
     )
-    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    per_os = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.sum((F.col("l_returnflag") == "R").cast("long")).alias("n_r_lines")
+    )
+    per_order = per_os.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"),
+        F.sum((F.col("n_r_lines") > 0).cast("long")).alias("n_ret_supp"),
+    )
+    qualifying = per_order.filter(
+        (F.col("n_supp") > 1) & (F.col("n_ret_supp") == 1)
+    ).select("l_orderkey")
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
     s = load(spark, sf_dir, "supplier")
-    l1 = li.filter(F.col("l_returnflag") == "R")
     return (
-        l1.join(o, l1.l_orderkey == o.o_orderkey)
-        .join(per_order, l1.l_orderkey == F.col("po_orderkey"))
-        .filter((F.col("n_supp") > 1) & (F.col("n_ret_supp") == 1))
-        .join(F.broadcast(s), l1.l_suppkey == s.s_suppkey)
+        per_os.filter(F.col("n_r_lines") > 0)
+        .join(qualifying, "l_orderkey")
+        .join(o, "l_orderkey")
+        .groupBy("l_suppkey")
+        .agg(F.sum("n_r_lines").alias("numwait"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
         .groupBy("s_name")
-        .agg(F.count("*").alias("numwait"))
+        .agg(F.sum("numwait").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
     )
 

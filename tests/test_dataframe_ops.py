@@ -80,3 +80,57 @@ def test_optimize_partitions_by_columns(spark):
     # every in-memory partition holds at most... all rows of its bucket(s)
     per_part = out.rdd.glom().map(lambda rows: len({r["bucket"] for r in rows})).collect()
     assert all(n <= 3 for n in per_part)
+
+
+def test_explode_json_inference_union_of_keys_no_python(spark):
+    """P7 inference: union-of-all-keys schema with JVM-only jobs — the
+    key-union plan must contain no Python/Arrow eval stages (the old
+    sample.rdd.map path pushed the whole column through Python)."""
+    from etl_projects_spark.operators.dataframe_ops import _infer_json_schema
+
+    df = spark.createDataFrame(
+        [
+            (1, '{"a": 1, "b": "x"}'),
+            (2, '{"b": "y", "c": 2.5}'),
+            (3, None),
+        ],
+        "id int, payload string",
+    )
+    schema = _infer_json_schema(df, "payload")
+    assert [f.name for f in schema.fields] == ["a", "b", "c"]
+    types = {f.name: f.dataType.simpleString() for f in schema.fields}
+    assert types == {"a": "bigint", "b": "string", "c": "double"}
+
+    # plan pin: the distributed part of inference is pure JVM
+    keys_plan = df.select(
+        F.explode(F.json_object_keys(F.coalesce(F.col("payload"), F.lit("{}"))))
+    )._jdf.queryExecution().executedPlan().toString()
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in keys_plan
+
+    out = DataFrameOps.input(df).explode_json_column("payload").output()
+    out_plan = out._jdf.queryExecution().executedPlan().toString()
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in out_plan
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["a"] == 1 and rows[2]["c"] == 2.5 and rows[3]["b"] is None
+
+
+def test_explode_json_type_sample_string_fallback(spark):
+    """Keys outside the bounded type sample still appear — typed as
+    string (union-of-keys fidelity is never sampled away)."""
+    import etl_projects_spark.operators.dataframe_ops as ops
+
+    df = spark.createDataFrame(
+        [(i, '{"common": %d}' % i) for i in range(5)]
+        + [(99, '{"common": 99, "rare": true}')],
+        "id int, payload string",
+    )
+    old = ops.JSON_TYPE_SAMPLE_ROWS
+    ops.JSON_TYPE_SAMPLE_ROWS = 0  # force every key outside the sample
+    try:
+        schema = ops._infer_json_schema(df, "payload")
+    finally:
+        ops.JSON_TYPE_SAMPLE_ROWS = old
+    types = {f.name: f.dataType.simpleString() for f in schema.fields}
+    assert types == {"common": "string", "rare": "string"}

@@ -116,3 +116,37 @@ def test_compact_table_merges_small_files(spark, tmp_path):
     after = compact_table(spark, path)
     assert after < before
     assert spark.read.parquet(path).count() == 20
+
+
+def test_scd2_multirow_batch_collapses_to_latest(spark):
+    """A batch with several rows for one key must not fan out the
+    full-outer join: only the latest (highest effective_ts) row
+    applies, and exactly one is_current version survives per key."""
+    from etl_projects_spark.operators import merge
+
+    dim = merge.scd2_init(
+        spark.createDataFrame(
+            [(1, "a", "2024-01-01 00:00:00")],
+            "k int, attr string, effective_ts string",
+        ).withColumn("effective_ts", F.col("effective_ts").cast("timestamp"))
+    )
+    updates = spark.createDataFrame(
+        [
+            (1, "b", "2024-02-01 00:00:00"),
+            (1, "c", "2024-03-01 00:00:00"),
+            (2, "x", "2024-02-15 00:00:00"),
+        ],
+        "k int, attr string, effective_ts string",
+    ).withColumn("effective_ts", F.col("effective_ts").cast("timestamp"))
+    out = merge.scd2_apply(dim, updates, keys=["k"], attrs=["attr"])
+    rows = out.collect()
+    current = {r["k"]: r for r in rows if r["is_current"]}
+    assert set(current) == {1, 2}
+    assert current[1]["attr"] == "c"  # latest batch row won
+    assert current[2]["attr"] == "x"
+    per_key_current = [r["k"] for r in rows if r["is_current"]]
+    assert len(per_key_current) == len(set(per_key_current))
+    # key 1: old version closed at the applied row's effective ts
+    closed = [r for r in rows if r["k"] == 1 and not r["is_current"]]
+    assert len(closed) == 1
+    assert str(closed[0]["end_ts"]) == "2024-03-01 00:00:00"
