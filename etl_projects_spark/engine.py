@@ -24,7 +24,7 @@ from datetime import date
 from pyspark.sql import DataFrame, SparkSession
 
 from etl_projects_spark.catalog import register_testdata
-from etl_projects_spark.config import Layer
+from etl_projects_spark.config import Layer, external_table_ddl
 from etl_projects_spark.session import build_session
 from etl_projects_spark.sinks.table_writer import TableWriter
 
@@ -77,6 +77,15 @@ class LakeEngine:
         partition overwrite: re-running the same ``ds`` replaces exactly
         that batch's partitions (idempotent — the semantics the reference
         left implicit in its missing ``load_table.py`` job).
+
+        After the write, the table is registered in the SPARK CATALOG as
+        an external table (``CREATE TABLE ... USING <fmt> LOCATION``) —
+        the Spark twin of the reference's create-external-table step
+        after every load (``datalake_sub_dag_builder.py:117-141`` +
+        ``athena/table_storage_format.py:20-32``). Unlike a temp view,
+        the entry lives in the shared external catalog: every session on
+        the same catalog sees it, and with a persistent metastore it
+        survives restarts.
         """
         all_params = dict(params or {})
         if ds is not None:
@@ -88,9 +97,31 @@ class LakeEngine:
         path = self.writer.load_table(
             df, database, table, layer=layer, partitions=partitions, mode=mode
         )
-        registered = self.spark.read.parquet(path) if _is_parquet(layer) else self.spark.read.json(path)
-        registered.createOrReplaceTempView(f"{database}_{table}")
-        return registered
+        return self._register_external(database, table, path, layer, partitions)
+
+    def _register_external(
+        self,
+        database: str,
+        table: str,
+        path: str,
+        layer: Layer | str,
+        partitions: Sequence[str] = (),
+    ) -> DataFrame:
+        """Run the external-table DDL against the Spark catalog (K3).
+
+        Drop-and-recreate keeps re-runs schema-fresh (dropping an
+        external table never touches the data files); MSCK REPAIR
+        registers Hive-layout partition directories so partition
+        pruning works through the catalog entry.
+        """
+        name = f"{database}_{table}"
+        # a leftover temp view with the same name would shadow the table
+        self.spark.catalog.dropTempView(name)
+        self.spark.sql(f"DROP TABLE IF EXISTS {name}")
+        self.spark.sql(external_table_ddl(name, path, layer))
+        if partitions:
+            self.spark.sql(f"MSCK REPAIR TABLE {name}")
+        return self.spark.table(name)
 
     def load_layer(
         self,
@@ -136,13 +167,7 @@ class LakeEngine:
             if not ok:
                 raise ValueError(f"DW promotion blocked by quality check: {msg}")
         path = self.writer.load_table(df, database, table, layer=Layer.DW)
-        final = self.spark.read.parquet(path)
-        final.createOrReplaceTempView(f"{database}_{table}")
-        return final
-
-
-def _is_parquet(layer: Layer | str) -> bool:
-    return Layer(layer) != Layer.RAW
+        return self._register_external(database, table, path, Layer.DW)
 
 
 class PipelineRunner:

@@ -5,9 +5,11 @@ path (SURVEY §3-E3):
 
 - the Scrapy/Selenium Yahoo-Finance spider
   (``etl_projects/scrapers/spiders/yahoo_finance.py:26-99``) becomes a
-  driver-side fetcher producing plain rows — HTML fetching/parsing is
-  not a Spark operator; here it is STUBBED with a deterministic fake
-  (no network/Selenium in this environment);
+  driver-side fetcher producing plain rows — HTML fetching is not a
+  Spark operator; the FETCH is stubbed with a deterministic fake (no
+  network/Selenium here) but the PARSE is real:
+  ``sources/quote_html.py`` extracts the same fields from a rendered
+  page, tested offline against ``tests/fixtures/quote_page.html``;
 - the schematics item models (``scrapers/items.py:11-14``,
   ``validators.py:5-13``) become declared ``StructType`` schemas at
   ``createDataFrame`` — the schema contract enforced at the raw

@@ -94,3 +94,48 @@ def test_promote_to_dw_gated(spark, quotes, tmp_path):
             "staging_quotes", "dw_market", "quotes2",
             checks=[quality.min_count_monitor(99)],
         )
+
+
+def test_parse_quote_page_fixture():
+    """S4 parse core: the fixture page yields the same field set the
+    reference spider accumulates (summary k/v + header name/ticker/
+    currency/price) — pure logic, no network."""
+    import os
+
+    from etl_projects_spark.sources.quote_html import (
+        parse_quote_page,
+        quote_row_from_html,
+    )
+
+    html = open(
+        os.path.join(os.path.dirname(__file__), "fixtures", "quote_page.html")
+    ).read()
+    raw = parse_quote_page(html)
+    assert raw["company_name"] == "iShares S&P/TSX 60 Index ETF"
+    assert raw["ticker"] == "XIU.TO"
+    assert raw["currency"] == "CAD"
+    assert raw["current_price"] == "27.15"
+    assert raw["Previous Close"] == "27.03"
+    assert raw["Market Cap"] == "11.2B"
+    assert raw["Volume"] == "1,234,567"
+    assert "Noise" not in raw  # tables outside #quote-summary ignored
+
+    row = quote_row_from_html(html, ds="2026-08-13")
+    assert row["current_price"] == 27.15
+    assert row["previous_close"] == 27.03
+    assert row["curr_date"] == "2026-08-13"
+
+
+def test_quote_row_ingests_with_declared_schema(spark):
+    import os
+
+    from etl_projects_spark.sources.ingest import QUOTE_SCHEMA, ingest_items
+    from etl_projects_spark.sources.quote_html import quote_row_from_html
+
+    html = open(
+        os.path.join(os.path.dirname(__file__), "fixtures", "quote_page.html")
+    ).read()
+    df = ingest_items(spark, [quote_row_from_html(html, ds="2026-08-13")])
+    assert df.schema == QUOTE_SCHEMA
+    got = df.collect()[0]
+    assert got["ticker"] == "XIU.TO" and got["current_price"] == 27.15
