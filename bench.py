@@ -9,6 +9,12 @@
 Each query is materialized with a count-free full execution
 (``write.format("noop")``) so the measured time is the real plan,
 not a count shortcut. Session build / JVM spin-up is excluded.
+
+ALL catalog queries are timed and summed into ``value``, but the JSON
+line's ``queries`` dict carries only the HEADLINE subset: the r1 run
+proved the capture window truncates near 4 KB (BENCH_r01.json held an
+unparseable tail), and 100 entries overflow it. The full per-query
+timings land in ``BENCH_FULL.json`` next to this script.
 """
 
 from __future__ import annotations
@@ -22,8 +28,36 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# Headline set: every catalog query, heaviest shapes included — joins,
-# window funcs, shingle/minhash dedup, cosine pair joins.
+# Headline set: the queries reported per-name in the one-line JSON —
+# the heaviest and most shape-diverse ~quarter of the catalog (TPC-H
+# joins/aggs, dedup families, ANN, windows, streaming, skew rewrites).
+HEADLINE = (
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_local_supplier_volume",
+    "q6_selective_revenue",
+    "q7_nation_trade_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q12_shipmode_priority",
+    "q18_large_orders",
+    "q21_sole_returning_supplier",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "vocab_top_terms",
+    "events_sessionize",
+    "streaming_tumbling_counts",
+    "salted_join_lineitem_orders",
+    "winnow_fingerprints",
+    "media_byte_histogram",
+    "text_quality_score",
+    "asof_click_before_purchase",
+    "resample_gap_fill",
+)
+
 SKIP: set[str] = set()
 
 
@@ -75,13 +109,22 @@ def main() -> None:
         except ValueError:
             pass
 
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"),
+        "w",
+    ) as f:
+        json.dump({"sf": sf, "queries": timings}, f, sort_keys=True)
+
     print(
         json.dumps(
             {
                 "metric": "catalog_total",
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
-                "queries": timings,
+                "n_queries": len(timings),
+                "queries": {
+                    n: timings[n] for n in HEADLINE if n in timings
+                },
                 "sf": sf,
             }
         )

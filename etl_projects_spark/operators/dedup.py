@@ -142,49 +142,80 @@ def jaccard_pairs(
     (``den*common >= num*(|A|+|B|-common)``) — no float boundary issues;
     the reported ``jaccard`` is one final double division.
 
-    ``candidates`` (e.g. from LSH) restricts the join; ``max_doc_freq``
+    ``candidates`` (e.g. from LSH) restricts the verify; ``max_doc_freq``
     drops shingles shared by more than N docs (skew guard at scale).
+
+    Two physical strategies, both avoiding a shingle×shingle self-join
+    (measured 2-5× slower than either at sf0.1):
+
+    - with ``candidates``: per-id shingle SETS (semi-join down to
+      candidate ids, one collect_set groupBy), then one broadcast join
+      per pair side and a codegen'd ``array_intersect`` — the verify
+      cost is O(|candidates| · shingles/doc), never corpus-quadratic;
+    - without: group ids per shingle (arrays bounded by the doc-freq
+      cap — THE guard that keeps the expansion linear at 100 TB) and
+      explode each group's ordered pairs; one partial-aggregated
+      shuffle counts common shingles per pair.
     """
     if max_doc_freq is not None:
         freq = shingles.groupBy("shingle").agg(F.count("*").alias("df_"))
+        # persist: the capped relation feeds multiple plan branches —
+        # without it the doc-freq aggregate and cap join recompute per
+        # branch (measured 3×+ the whole query's cost at sf0.1).
         shingles = (
             shingles.join(freq.filter(F.col("df_") <= max_doc_freq), "shingle")
             .select("id", "shingle")
+            .persist()
+        )
+    if candidates is not None:
+        # candidate sets are LSH-bounded (small by design) → both the
+        # semi-join filter and the pair-side set joins broadcast.
+        ids = (
+            candidates.select(F.col("id_a").alias("id"))
+            .union(candidates.select(F.col("id_b").alias("id")))
+            .distinct()
+        )
+        sets = (
+            shingles.join(F.broadcast(ids), "id", "left_semi")
+            .groupBy("id")
+            .agg(F.collect_set("shingle").alias("s"))
+        )
+        xa = sets.select(F.col("id").alias("id_a"), F.col("s").alias("sa"))
+        xb = sets.select(F.col("id").alias("id_b"), F.col("s").alias("sb"))
+        joined = candidates.join(F.broadcast(xa), "id_a").join(
+            F.broadcast(xb), "id_b"
+        )
+        common = F.size(F.array_intersect("sa", "sb"))
+        union_sz = F.size("sa") + F.size("sb") - common
+        return (
+            joined.filter(
+                F.lit(threshold_den) * common >= F.lit(threshold_num) * union_sz
+            )
+            .select(
+                "id_a",
+                "id_b",
+                (common.cast("double") / union_sz.cast("double")).alias("jaccard"),
+            )
         )
     sizes = shingles.groupBy("id").agg(F.count("*").alias("n_sh"))
-    if candidates is not None:
-        # Verify ONLY candidate pairs: restrict both shingle sides to
-        # ids that appear in a candidate (semi-joins), then count
-        # matching shingles per candidate pair. The quadratic work is
-        # bounded by the LSH candidate set, not the corpus.
-        ids_a = candidates.select(F.col("id_a").alias("id")).distinct()
-        ids_b = candidates.select(F.col("id_b").alias("id")).distinct()
-        sa = shingles.join(F.broadcast(ids_a), "id", "left_semi").alias("sa")
-        sb = shingles.join(F.broadcast(ids_b), "id", "left_semi").alias("sb")
-        common = (
-            sa.join(
-                sb,
-                (F.col("sa.shingle") == F.col("sb.shingle"))
-                & (F.col("sa.id") < F.col("sb.id")),
+    grouped = (
+        shingles.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pairs = grouped.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (x, i) -> "
+                "transform(slice(ids, i + 2, size(ids)), "
+                "y -> struct(x AS id_a, y AS id_b))))"
             )
-            .groupBy(F.col("sa.id").alias("id_a"), F.col("sb.id").alias("id_b"))
-            .agg(F.count("*").alias("common"))
-            .join(candidates, ["id_a", "id_b"], "left_semi")
-        )
-    else:
-        a, b = shingles.alias("sa"), shingles.alias("sb")
-        common = (
-            a.join(
-                b,
-                (F.col("sa.shingle") == F.col("sb.shingle"))
-                & (F.col("sa.id") < F.col("sb.id")),
-            )
-            .groupBy(F.col("sa.id").alias("id_a"), F.col("sb.id").alias("id_b"))
-            .agg(F.count("*").alias("common"))
-        )
+        ).alias("p")
+    ).select("p.*")
+    common_df = pairs.groupBy("id_a", "id_b").agg(F.count("*").alias("common"))
     na = sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a")
     nb = sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b")
-    joined = common.join(F.broadcast(na), "id_a").join(F.broadcast(nb), "id_b")
+    joined = common_df.join(F.broadcast(na), "id_a").join(F.broadcast(nb), "id_b")
     union_sz = F.col("n_a") + F.col("n_b") - F.col("common")
     return (
         joined.filter(
@@ -359,6 +390,86 @@ def embedding_neardup_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over a near-dup pair list: (node, comp)
+    with ``comp`` = smallest id reachable from the node.
+
+    Min-label propagation: each iteration joins current labels across
+    the (undirected) edge list and keeps the per-node minimum — one
+    shuffle join + one aggregate per round, converging in O(component
+    diameter) rounds. Near-dup clusters are shallow (stars around a
+    canonical doc), so a handful of rounds suffices even at corpus
+    scale; ``localCheckpoint`` truncates the growing loop lineage so
+    plan size stays constant. This is the step that turns a PAIR list
+    into the per-cluster decision a dedup pipeline actually needs.
+    """
+    edges = pairs.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    )
+    edges = (
+        edges.unionByName(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr = edges.join(labels, edges.a == labels.node).select(
+            F.col("b").alias("node"), "comp"
+        )
+        new = (
+            labels.select("node", "comp")
+            .unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.join(labels.withColumnRenamed("comp", "old"), "node")
+            .filter(F.col("comp") < F.col("old"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def neardup_keep_list(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document dedup verdict: (id, comp, keep).
+
+    Components come from :func:`connected_components` over the pair
+    list; the canonical survivor of each cluster is its smallest id
+    (deterministic, engine-portable), singletons keep themselves.
+    One broadcast-sized left join against the corpus id column — the
+    payload never moves.
+    """
+    cc = connected_components(pairs)
+    return (
+        docs.select(F.col(id_col))
+        .join(cc, docs[id_col] == cc.node, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("comp"), F.col(id_col)).alias("comp"),
+            (F.coalesce(F.col("comp"), F.col(id_col)) == F.col(id_col)).alias(
+                "keep"
+            ),
+        )
+    )
+
+
 # ---- oracle-SQL generators (same constants, DuckDB dialect) ----------------
 
 
@@ -386,6 +497,49 @@ def minhash_select_sql() -> str:
         for i, (a, b) in enumerate(MINHASH_COEFFS)
     )
     return f"SELECT id, {cols} FROM shingles GROUP BY id"
+
+
+def minhash_pairs_sql(threshold_num: int = 1, threshold_den: int = 2) -> str:
+    """Full DuckDB statement for the MinHash-LSH verified pair list
+    (the ``dedup_minhash_lsh`` oracle) — reused as the edge input of
+    the connected-components / keep-list oracles."""
+    return f"""
+    WITH {shingles_cte()},
+    sigs AS ({minhash_select_sql()}),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM sigs a JOIN sigs b
+        ON a.id < b.id AND ((a.mh0 = b.mh0 AND a.mh1 = b.mh1)
+                         OR (a.mh2 = b.mh2 AND a.mh3 = b.mh3)
+                         OR (a.mh4 = b.mh4 AND a.mh5 = b.mh5)
+                         OR (a.mh6 = b.mh6 AND a.mh7 = b.mh7))),
+    sizes AS (SELECT id, count(*) AS n_sh FROM shingles GROUP BY id),
+    common AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
+      FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY 1, 2)
+    SELECT c.id_a, c.id_b,
+           CAST(common AS DOUBLE) / CAST(x.n_sh + y.n_sh - common AS DOUBLE) AS jaccard
+    FROM common c JOIN cand ON c.id_a = cand.id_a AND c.id_b = cand.id_b
+         JOIN sizes x ON c.id_a = x.id JOIN sizes y ON c.id_b = y.id
+    WHERE {threshold_den} * common >= {threshold_num} * (x.n_sh + y.n_sh - common)
+    """
+
+
+def components_sql() -> str:
+    """DuckDB twin of :func:`connected_components` over the MinHash
+    pair list: transitive min-label closure via a recursive CTE
+    (UNION-dedup guarantees termination; graphs are pair-list-sized)."""
+    return f"""
+    WITH RECURSIVE pairs AS ({minhash_pairs_sql()}),
+    und AS (SELECT id_a AS a, id_b AS b FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+    reach(node, lbl) AS (
+      SELECT a, a FROM und
+      UNION
+      SELECT u.b, r.lbl FROM reach r JOIN und u ON u.a = r.node
+    )
+    SELECT node, MIN(lbl) AS comp FROM reach GROUP BY node
+    """
 
 
 def simhash_select_sql() -> str:

@@ -111,29 +111,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_pairs(sh, threshold_num=1, threshold_den=2)
 
 
-@_q(
-    "dedup_minhash_lsh",
-    f"""
-    WITH {dedup.shingles_cte()},
-    sigs AS ({dedup.minhash_select_sql()}),
-    cand AS (
-      SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM sigs a JOIN sigs b
-        ON a.id < b.id AND ((a.mh0 = b.mh0 AND a.mh1 = b.mh1)
-                         OR (a.mh2 = b.mh2 AND a.mh3 = b.mh3)
-                         OR (a.mh4 = b.mh4 AND a.mh5 = b.mh5)
-                         OR (a.mh6 = b.mh6 AND a.mh7 = b.mh7))),
-    sizes AS (SELECT id, count(*) AS n_sh FROM shingles GROUP BY id),
-    common AS (
-      SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
-      FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.id < b.id
-      GROUP BY 1, 2)
-    SELECT c.id_a, c.id_b,
-           CAST(common AS DOUBLE) / CAST(x.n_sh + y.n_sh - common AS DOUBLE) AS jaccard
-    FROM common c JOIN cand ON c.id_a = cand.id_a AND c.id_b = cand.id_b
-         JOIN sizes x ON c.id_a = x.id JOIN sizes y ON c.id_b = y.id
-    WHERE 2 * common >= 1 * (x.n_sh + y.n_sh - common)
-    """,
-)
+@_q("dedup_minhash_lsh", dedup.minhash_pairs_sql())
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH fuzzy dedup: shingle → 8 minhashes → 4 bands →
     banded candidate join → exact-Jaccard verification.
@@ -333,10 +311,14 @@ def q14_type_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL readStream path: the events parquet consumed as a file-source
     stream, watermarked 1-hour tumbling counts, drained with
-    trigger(availableNow=True) into a memory sink (complete mode emits
-    every window, making the result batch-deterministic and
-    oracle-checkable). Exercises readStream → window agg → writeStream,
-    the exactly-once incremental-ingest shape of streaming/jobs.py."""
+    trigger(availableNow=True) into a memory sink.
+
+    Complete mode here is a DEMO choice only — it re-emits every window
+    each trigger, which makes this one-shot drain batch-deterministic
+    and oracle-checkable, but it also retains all window state forever.
+    The production shape is append mode + watermark-driven state
+    eviction (streaming/jobs.py:75) — use that for any long-running
+    stream; never complete mode."""
     import os
 
     from etl_projects_spark.streaming import jobs
@@ -570,4 +552,90 @@ def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_phones.alias("n_phones"),
         n_ids.alias("n_ids"),
         F.md5(text.redact_pii("text")).alias("redacted_md5"),
+    )
+
+
+# =========================================================================
+# Near-dup clustering: pair list → per-document dedup verdict
+# =========================================================================
+
+
+def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The verified MinHash-LSH pair list (shared edge input of the
+    component/keep-list queries; same plan as dedup_minhash_lsh)."""
+    sh = dedup.word_shingles(load(spark, sf_dir, "documents")).persist()
+    sigs = dedup.minhash_signatures(sh).persist()
+    cand = dedup.lsh_candidate_pairs(sigs).persist()
+    return dedup.jaccard_pairs(sh, threshold_num=1, threshold_den=2, candidates=cand)
+
+
+@_q(
+    "dedup_minhash_components",
+    f"""
+    {dedup.components_sql()}
+    """,
+)
+def dedup_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: MinHash-LSH pairs → connected components via
+    iterative min-label propagation (one join+agg shuffle per round,
+    lineage cut each round; converges in O(cluster diameter)). The
+    DuckDB oracle computes the same closure with a recursive CTE."""
+    return dedup.connected_components(_minhash_pairs(spark, sf_dir))
+
+
+@_q(
+    "dedup_keep_list",
+    f"""
+    WITH comp AS ({dedup.components_sql()})
+    SELECT d.doc_id,
+           COALESCE(c.comp, d.doc_id) AS comp,
+           (c.comp IS NULL OR c.comp = d.doc_id) AS keep
+    FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    """,
+)
+def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's actual deliverable: one (doc_id, comp,
+    keep) verdict per corpus document — each near-dup cluster keeps
+    its smallest id, singletons keep themselves. Left join of the
+    corpus id column against the component labels; payloads never
+    move."""
+    docs = load(spark, sf_dir, "documents")
+    return dedup.neardup_keep_list(docs, _minhash_pairs(spark, sf_dir))
+
+
+@_q(
+    "text_repetition_ratio",
+    """
+    SELECT doc_id,
+           CASE WHEN len(toks) >= 3 THEN
+             round(1.0 - CAST(len(list_distinct(
+                       list_transform(generate_series(1, len(toks) - 2),
+                                      i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+                   )) AS DOUBLE)
+                 / CAST(len(toks) - 2 AS DOUBLE), 6)
+           ELSE 0.0 END AS rep3_ratio
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    """,
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition (Gopher-style quality signal, adapted
+    to single-line docs): fraction of word 3-gram occurrences that are
+    repeats — 0 for fully novel text, →1 for degenerate loops. Pure
+    per-row array expressions (transform/sequence/array_distinct):
+    codegen'd scan, no explode, no shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, F.lit(3))),
+    )
+    ratio = F.round(
+        F.lit(1.0)
+        - F.size(F.array_distinct(grams)).cast("double")
+        / F.size(grams).cast("double"),
+        6,
+    )
+    return docs.select(
+        "doc_id",
+        F.when(F.size(toks) >= 3, ratio).otherwise(F.lit(0.0)).alias("rep3_ratio"),
     )

@@ -124,10 +124,11 @@ def contamination_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the probe side broadcasts (evaluation sets are small); the
     corpus side is the shingle scan — no quadratic anything, and at
     100 TB the shingle relation is the one you already materialized for
-    dedup. Spelled as shingles RIGHT-join broadcast(probes): a
-    broadcast hash join can only build on the non-preserved side, so
-    hinting the preserved side of a left join would be silently
-    ignored and shuffle the shingle relation.
+    dedup. Join shape: an OUTER join can never broadcast its preserved
+    side (a build side must be the non-preserved one), so the corpus
+    hits the probes with a plain INNER broadcast join — one narrow pass,
+    nothing shuffles but matched rows — and zero-match probes are
+    restored by a probes-sized left join on the aggregated counts.
     """
     docs = load(spark, sf_dir, "documents")
     sh = dedup.word_shingles(docs)
@@ -135,9 +136,14 @@ def contamination_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("the quick brown",), ("lorem ipsum dolor",), ("data lake platform",)],
         "probe STRING",
     ).select("probe", dedup.hex60(F.col("probe")).alias("shingle"))
-    return (
-        sh.join(F.broadcast(probes), "shingle", "right")
+    hits = (
+        sh.join(F.broadcast(probes), "shingle")
         .groupBy("probe")
-        .agg(F.countDistinct("id").alias("n_docs"))
+        .agg(F.countDistinct("id").alias("n_hits"))
+    )
+    return (
+        probes.select("probe")
+        .join(hits, "probe", "left")
+        .select("probe", F.coalesce("n_hits", F.lit(0)).alias("n_docs"))
         .orderBy("probe")
     )
