@@ -399,14 +399,15 @@ def connected_components(
     """Connected components over a near-dup pair list: (node, comp)
     with ``comp`` = smallest id reachable from the node.
 
-    Min-label propagation: each iteration joins current labels across
-    the (undirected) edge list and keeps the per-node minimum — one
-    shuffle join + one aggregate per round, converging in O(component
-    diameter) rounds. Near-dup clusters are shallow (stars around a
-    canonical doc), so a handful of rounds suffices even at corpus
-    scale; ``localCheckpoint`` truncates the growing loop lineage so
-    plan size stays constant. This is the step that turns a PAIR list
-    into the per-cluster decision a dedup pipeline actually needs.
+    Min-label propagation with pointer jumping: each round takes the
+    minimum label over the node's neighbors, then composes the label
+    table with itself (comp := comp-of-comp), so convergence needs
+    O(log diameter) rounds instead of O(diameter) — near-dup clusters
+    are shallow, so 2-3 rounds close them. One convergence check per
+    round (a scalar count); ``localCheckpoint`` truncates the loop
+    lineage so plan size stays constant. This is the step that turns
+    a PAIR list into the per-cluster decision a dedup pipeline
+    actually needs.
     """
     edges = pairs.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
@@ -416,21 +417,27 @@ def connected_components(
         .distinct()
         .persist()
     )
+    # seed with one neighbor-min round baked in: comp = min(node, nbrs)
     labels = (
-        edges.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("comp", F.col("node"))
+        edges.groupBy(F.col("a").alias("node"))
+        .agg(F.least(F.min("b"), F.first("a")).alias("comp"))
         .localCheckpoint()
     )
     for _ in range(max_iter):
         nbr = edges.join(labels, edges.a == labels.node).select(
             F.col("b").alias("node"), "comp"
         )
-        new = (
+        m1 = (
             labels.select("node", "comp")
             .unionByName(nbr)
             .groupBy("node")
             .agg(F.min("comp").alias("comp"))
+        )
+        # pointer jump: follow comp one more hop through the label table
+        hop = m1.select(F.col("node").alias("c_node"), F.col("comp").alias("c_comp"))
+        new = (
+            m1.join(hop, m1.comp == hop.c_node, "left")
+            .select("node", F.coalesce("c_comp", "comp").alias("comp"))
             .localCheckpoint()
         )
         changed = (

@@ -275,6 +275,69 @@ def ivf_assign(
     )
 
 
+def ivf_write_index(
+    df: DataFrame,
+    path: str,
+    n_centroids: int = IVF_CENTROIDS,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """Materialize the IVF index as a cluster-partitioned parquet table.
+
+    This is the claim :func:`ivf_topk` makes, made real: the corpus is
+    written once partitioned by its nearest-centroid cluster, so every
+    subsequent query scans ONLY its probed cluster directories
+    (partition pruning at the file-index level — at 100 TB that's
+    n_probe/n_centroids of the bytes). The codebook rides along as an
+    underscore-prefixed JSON sidecar (ignored by parquet readers).
+    """
+    import json
+    import os
+
+    cents = ivf_centroids(df, n_centroids, vec_col=vec_col, id_col=id_col)
+    assigned = ivf_assign(df, cents, vec_col=vec_col, id_col=id_col)
+    assigned.write.mode("overwrite").partitionBy("cluster").parquet(path)
+    with open(os.path.join(path, "_ivf_centroids.json"), "w") as f:
+        json.dump(cents.tolist(), f)
+    return cents
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    query_vec,
+    k: int = 10,
+    n_probe: int = IVF_PROBE,
+    exclude_id: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN top-k over a materialized IVF index: read ONLY the probed
+    cluster partitions (pruned scan), score with the Arrow pair-cosine
+    batch UDF, TakeOrderedAndProject the top k. No shuffle, no driver
+    materialization — the scan is the n_probe/n_centroids slice."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_ivf_centroids.json")) as f:
+        cents = np.array(json.load(f), dtype=np.float64)
+    qn = np.asarray(query_vec, dtype=np.float64)
+    qn = qn / np.linalg.norm(qn)
+    probes = [int(c) for c in np.argsort(-(cents @ qn))[:n_probe]]
+    qarr = F.array(*[F.lit(float(x)) for x in query_vec])
+    idx = spark.read.parquet(path).filter(F.col("cluster").isin(probes))
+    if exclude_id is not None:
+        idx = idx.filter(F.col(id_col) != exclude_id)
+    return (
+        idx.select(
+            F.col(id_col),
+            F.round(pair_cosine(F.col(vec_col), qarr), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(k)
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     query_id: int,

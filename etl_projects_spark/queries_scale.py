@@ -56,14 +56,16 @@ def salted_agg_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def salted_join_lineitem_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe fact-to-dimension join: the big side carries a
     deterministic row-hash salt, the dimension is replicated salt×, so
-    a hot order key spreads over 8 reducers. Same rows as the plain
-    join — the aggregate on top makes the oracle compact."""
+    a hot order key spreads over 4 reducers. Same rows as the plain
+    join — the aggregate on top makes the oracle compact. (Salt factor
+    sizes to observed skew: replication cost is |dim|·salt, so use the
+    smallest salt that flattens the hot keys.)"""
     li = load(spark, sf_dir, "lineitem")
     orders = load(spark, sf_dir, "orders").withColumnRenamed(
         "o_orderkey", "l_orderkey"
     )
     joined = skew.salted_join(li, orders.select("l_orderkey", "o_totalprice"),
-                              on="l_orderkey", salt=8)
+                              on="l_orderkey", salt=4)
     return joined.groupBy("l_orderkey").agg(
         F.sum(dec("l_extendedprice")).cast("double").alias("line_revenue"),
         F.max("o_totalprice").cast("double").alias("order_total"),

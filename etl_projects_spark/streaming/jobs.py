@@ -285,3 +285,33 @@ def dedup_stream(
     return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         list(keys)
     )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "l_ts",
+    right_ts: str = "r_ts",
+    within: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join: pair each left event with right
+    events for the same key that occur in [left_ts, left_ts + within]
+    — the click→conversion attribution shape.
+
+    Both sides MUST be watermarked: the watermarks + the time-range
+    predicate bound how long either side's rows wait in the join state
+    store, so state is evicted as event time advances (an unbounded
+    stream-stream join would otherwise buffer both streams forever).
+    The key equality makes this a shuffled stateful equi-join on the
+    key — time-range filtering happens inside each key's state.
+    """
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark)
+    cond = (
+        (l[key] == r[key])
+        & (r[right_ts] >= l[left_ts])
+        & (r[right_ts] <= l[left_ts] + F.expr(f"INTERVAL {within}"))
+    )
+    return l.join(r, cond, "inner").drop(r[key])

@@ -34,3 +34,32 @@ def test_ivf_assign_covers_corpus(spark):
     assert assigned.count() == emb.count()
     n_clusters = assigned.select("cluster").distinct().count()
     assert 2 <= n_clusters <= similarity.IVF_CENTROIDS
+
+
+def test_ivf_partitioned_index_prunes_and_matches(spark, tmp_path):
+    """ivf_write_index materializes the cluster-partitioned layout;
+    ivf_topk_indexed reads ONLY the probed partitions (pruned scan)
+    and returns the same top-k as the in-memory IVF path."""
+    from pyspark.sql import functions as F
+
+    from etl_projects_spark.operators import similarity
+    from etl_projects_spark.queries import load
+
+    df = load(spark, "/root/testdata/sf0.001", "embeddings")
+    path = str(tmp_path / "ivf_index")
+    similarity.ivf_write_index(df, path)
+
+    qvec = df.filter(F.col("vec_id") == 7).collect()[0]["embedding"]
+    got = similarity.ivf_topk_indexed(spark, path, qvec, k=10, exclude_id=7)
+    want = similarity.ivf_topk(df, query_id=7, k=10)
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+
+    # the index holds every cluster dir, but the scan's partition
+    # filter restricts the read to the probed clusters
+    import os
+
+    scan_dirs = [d for d in os.listdir(path) if d.startswith("cluster=")]
+    assert len(scan_dirs) == similarity.IVF_CENTROIDS
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster" in plan
+    assert "cluster#" in plan.split("PartitionFilters", 1)[1][:200]

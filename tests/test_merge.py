@@ -150,3 +150,38 @@ def test_scd2_multirow_batch_collapses_to_latest(spark):
     closed = [r for r in rows if r["k"] == 1 and not r["is_current"]]
     assert len(closed) == 1
     assert str(closed[0]["end_ts"]) == "2024-03-01 00:00:00"
+
+
+def test_connected_components_random_graph(spark):
+    """CC on a random 200-node graph equals a driver-side union-find
+    (smallest-member canonical labels)."""
+    import random
+
+    from etl_projects_spark.operators import dedup
+
+    random.seed(7)
+    edges = [(random.randint(0, 199), random.randint(0, 199)) for _ in range(150)]
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["node"]: r["comp"] for r in dedup.connected_components(pairs).collect()}
+
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    from collections import defaultdict
+
+    members = defaultdict(list)
+    for n in list(parent):
+        members[find(n)].append(n)
+    want = {n: min(members[find(n)]) for n in parent}
+    assert got == want

@@ -203,3 +203,41 @@ def test_dedup_stream_drops_watermark_window_dupes(spark, events_batch, events_d
         for f in os.listdir(events_dir):
             if f.startswith("dup_"):
                 os.remove(os.path.join(events_dir, f))
+
+
+def test_interval_join_matches_batch(spark, events_batch, events_dir):
+    """Stream-stream interval join (click→later purchase within 6 h,
+    same user) equals the identical batch join over the same rows."""
+    def split(df, lp, rp):
+        clicks = df.filter(F.col("event_type") == "click").select(
+            F.col("user_id").alias("user"),
+            F.col("ts").alias(lp),
+            F.col("event_id").alias("click_id"),
+        )
+        purchases = df.filter(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("user"),
+            F.col("ts").alias(rp),
+            F.col("event_id").alias("purchase_id"),
+        )
+        return clicks, purchases
+
+    src = jobs.stream_from_directory(spark, events_dir)
+    sl, sr = split(src, "l_ts", "r_ts")
+    joined = jobs.interval_join(sl, sr, key="user", within="6 hours", watermark="12 hours")
+    jobs.run_to_memory(joined, "interval_join_sink")
+    got = {
+        (r["click_id"], r["purchase_id"])
+        for r in spark.table("interval_join_sink").collect()
+    }
+
+    bl, br = split(events_batch, "l_ts", "r_ts")
+    cond = (
+        (bl["user"] == br["user"])
+        & (br["r_ts"] >= bl["l_ts"])
+        & (br["r_ts"] <= bl["l_ts"] + F.expr("INTERVAL 6 hours"))
+    )
+    want = {
+        (r["click_id"], r["purchase_id"])
+        for r in bl.join(br, cond).collect()
+    }
+    assert got == want and len(want) > 0
