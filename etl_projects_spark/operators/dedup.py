@@ -175,10 +175,12 @@ def jaccard_pairs(
             .union(candidates.select(F.col("id_b").alias("id")))
             .distinct()
         )
+        # persisted: the set relation feeds both pair sides below
         sets = (
             shingles.join(F.broadcast(ids), "id", "left_semi")
             .groupBy("id")
             .agg(F.collect_set("shingle").alias("s"))
+            .persist()
         )
         xa = sets.select(F.col("id").alias("id_a"), F.col("s").alias("sa"))
         xb = sets.select(F.col("id").alias("id_b"), F.col("s").alias("sb"))
@@ -409,11 +411,21 @@ def connected_components(
     a PAIR list into the per-cluster decision a dedup pipeline
     actually needs.
     """
-    edges = pairs.select(
-        F.col(src).alias("a"), F.col(dst).alias("b")
-    )
+    # Undirected edge list in ONE pass over pairs: exploding both
+    # orientations per row keeps the (possibly expensive) pair-producing
+    # pipeline in a single plan branch — a union of (forward, swapped)
+    # reads pairs twice, and the two branches race to populate any
+    # upstream cache inside one job, duplicating the whole pipeline.
     edges = (
-        edges.unionByName(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("a"), F.col(dst).alias("b")),
+                    F.struct(F.col(dst).alias("a"), F.col(src).alias("b")),
+                )
+            ).alias("e")
+        )
+        .select("e.*")
         .distinct()
         .persist()
     )
@@ -433,8 +445,13 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("comp").alias("comp"))
         )
-        # pointer jump: follow comp one more hop through the label table
-        hop = m1.select(F.col("node").alias("c_node"), F.col("comp").alias("c_comp"))
+        # pointer jump: follow comp one more hop through the PREVIOUS
+        # label table (checkpointed → cheap; composing via the new one
+        # would compute m1 twice). Monotone accelerator only — the
+        # neighbor-min rounds alone guarantee convergence.
+        hop = labels.select(
+            F.col("node").alias("c_node"), F.col("comp").alias("c_comp")
+        )
         new = (
             m1.join(hop, m1.comp == hop.c_node, "left")
             .select("node", F.coalesce("c_comp", "comp").alias("comp"))
