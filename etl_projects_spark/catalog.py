@@ -53,13 +53,18 @@ def register_testdata(spark: SparkSession, sf_dir: str) -> list[str]:
     """Register every testdata parquet under ``sf_dir`` as a temp view.
 
     Parquet scans keep full pushdown/pruning through a temp view, so
-    registration costs nothing at plan time.
+    registration costs nothing at plan time. Reads route through
+    ``queries.load`` so the TIMESTAMP(NANOS) handling for ``events``
+    applies here too — a vanilla session (no ``nanosAsLong`` conf)
+    would otherwise fail on the events footer.
     """
+    from etl_projects_spark.queries import load
+
     registered = []
     for name in TESTDATA_TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
-            spark.read.parquet(path).createOrReplaceTempView(name)
+            load(spark, sf_dir, name).createOrReplaceTempView(name)
             registered.append(name)
     return registered
 

@@ -147,3 +147,73 @@ def contamination_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("probe", F.coalesce("n_hits", F.lit(0)).alias("n_docs"))
         .orderBy("probe")
     )
+
+
+@_q(
+    "mixture_weights_temperature",
+    """
+    WITH counts AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+    powed AS (SELECT source, n_docs, pow(CAST(n_docs AS DOUBLE), 0.7) AS p FROM counts),
+    tot AS (SELECT SUM(p) AS tp FROM powed)
+    SELECT source, n_docs,
+           round(p / tp, 6) AS weight,
+           CAST(floor(10000 * p / tp) AS BIGINT) AS docs_per_10k
+    FROM powed, tot
+    """,
+)
+def mixture_weights_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture design: temperature-scaled source sampling
+    weights (w_s ∝ n_s^0.7 — the standard up-weighting of small
+    sources) plus the per-10k-document quota each source gets. One
+    sources-sized aggregate; the total joins back via a broadcast of a
+    single row — nothing corpus-sized moves twice.
+    """
+    docs = load(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    powed = counts.withColumn("p", F.pow(F.col("n_docs").cast("double"), F.lit(0.7)))
+    tot = powed.agg(F.sum("p").alias("tp"))
+    return (
+        powed.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            F.round(F.col("p") / F.col("tp"), 6).alias("weight"),
+            F.floor(F.lit(10000) * F.col("p") / F.col("tp"))
+            .cast("long")
+            .alias("docs_per_10k"),
+        )
+    )
+
+
+@_q(
+    "engine_sql_file_build",
+    """
+    SELECT o_orderstatus, COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def engine_sql_file_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's MAIN path, end-to-end and driver-checkable: a
+    .sql file on disk → LakeEngine.load_layer (one table build per
+    file) → partitioned parquet write under a lake root → external
+    table registered in the Spark catalog → read back through the
+    catalog entry. Exercises S2 (SQL-file scan), K1 (layer write), K3
+    (catalog DDL), and O2 (subdag-per-SQL-file loop) in one query;
+    the oracle is the same SQL over the raw parquet.
+    """
+    import os
+    import tempfile
+
+    from etl_projects_spark.config import Layer
+    from etl_projects_spark.engine import LakeEngine
+
+    eng = LakeEngine(spark, root=tempfile.mkdtemp(prefix="lake_q_"))
+    eng.register_testdata(sf_dir)
+    qdir = tempfile.mkdtemp(prefix="sqlq_")
+    with open(os.path.join(qdir, "t_status.sql"), "w") as f:
+        f.write(
+            "SELECT o_orderstatus, COUNT(*) AS n_orders "
+            "FROM orders GROUP BY o_orderstatus"
+        )
+    out = eng.load_layer(qdir, "datalake_q", Layer.CLEAN)
+    return out["t_status"]
