@@ -175,12 +175,16 @@ def jaccard_pairs(
             .union(candidates.select(F.col("id_b").alias("id")))
             .distinct()
         )
-        # persisted: the set relation feeds both pair sides below
+        # Eagerly materialized: the set relation feeds BOTH pair-side
+        # broadcasts below, and two broadcast exchanges in one job race
+        # to populate a lazy cache — each would recompute the semi-join
+        # + collect_set. localCheckpoint is a deterministic barrier
+        # (the relation is candidate-bounded, so the job is small).
         sets = (
             shingles.join(F.broadcast(ids), "id", "left_semi")
             .groupBy("id")
             .agg(F.collect_set("shingle").alias("s"))
-            .persist()
+            .localCheckpoint()
         )
         xa = sets.select(F.col("id").alias("id_a"), F.col("s").alias("sa"))
         xb = sets.select(F.col("id").alias("id_b"), F.col("s").alias("sb"))

@@ -622,20 +622,23 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     to single-line docs): fraction of word 3-gram occurrences that are
     repeats — 0 for fully novel text, →1 for degenerate loops. Pure
     per-row array expressions (transform/sequence/array_distinct):
-    codegen'd scan, no explode, no shuffle."""
+    codegen'd scan, no explode, no shuffle. The gram array is staged
+    through an intermediate projection so it's built once per row —
+    inlining it into every use re-evaluates the transform per
+    reference (measured 4× slower)."""
     docs = load(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1))),
         lambda i: F.concat_ws(" ", F.slice(toks, i, F.lit(3))),
     )
+    staged = docs.select("doc_id", F.size(toks).alias("nt"), grams.alias("g"))
     ratio = F.round(
         F.lit(1.0)
-        - F.size(F.array_distinct(grams)).cast("double")
-        / F.size(grams).cast("double"),
+        - F.size(F.array_distinct("g")).cast("double") / F.size("g").cast("double"),
         6,
     )
-    return docs.select(
+    return staged.select(
         "doc_id",
-        F.when(F.size(toks) >= 3, ratio).otherwise(F.lit(0.0)).alias("rep3_ratio"),
+        F.when(F.col("nt") >= 3, ratio).otherwise(F.lit(0.0)).alias("rep3_ratio"),
     )
