@@ -295,6 +295,7 @@ def interval_join(
     right_ts: str = "r_ts",
     within: str = "30 minutes",
     watermark: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join: pair each left event with right
     events for the same key that occur in [left_ts, left_ts + within]
@@ -306,6 +307,13 @@ def interval_join(
     stream-stream join would otherwise buffer both streams forever).
     The key equality makes this a shuffled stateful equi-join on the
     key — time-range filtering happens inside each key's state.
+
+    ``how="left_outer"`` additionally emits unmatched left rows
+    (null right columns) — but only once the watermark has passed the
+    row's match window, since before that a matching right event could
+    still arrive. Outer results are therefore watermark-delayed by
+    design; an availableNow drain emits outer rows only for windows
+    the final watermark has closed.
     """
     l = left.withWatermark(left_ts, watermark)
     r = right.withWatermark(right_ts, watermark)
@@ -314,4 +322,4 @@ def interval_join(
         & (r[right_ts] >= l[left_ts])
         & (r[right_ts] <= l[left_ts] + F.expr(f"INTERVAL {within}"))
     )
-    return l.join(r, cond, "inner").drop(r[key])
+    return l.join(r, cond, how).drop(r[key])

@@ -197,3 +197,20 @@ def test_load_table_registers_catalog_table(engine):
         "datalake_k3", "orders_cat", layer=Layer.CLEAN, partitions=["year"],
     )
     assert engine.spark.table("datalake_k3_orders_cat").count() > 0
+
+
+def test_load_table_schema_evolution_rerun(engine):
+    """Re-running a table build with an evolved query schema refreshes
+    the catalog entry (drop-and-recreate DDL) — the new column is
+    visible without manual intervention."""
+    engine.load_table(
+        "SELECT o_orderkey FROM orders", "datalake_evo", "orders_evo",
+        layer=Layer.CLEAN,
+    )
+    assert engine.spark.table("datalake_evo_orders_evo").columns == ["o_orderkey"]
+    engine.load_table(
+        "SELECT o_orderkey, o_totalprice FROM orders", "datalake_evo", "orders_evo",
+        layer=Layer.CLEAN,
+    )
+    cols = engine.spark.table("datalake_evo_orders_evo").columns
+    assert cols == ["o_orderkey", "o_totalprice"]

@@ -241,3 +241,50 @@ def test_interval_join_matches_batch(spark, events_batch, events_dir):
         for r in bl.join(br, cond).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_interval_join_left_outer_emits_unmatched(spark, events_batch, events_dir):
+    """left_outer interval join: matched pairs equal the batch inner
+    join; unmatched clicks surface with null purchase ids once the
+    final watermark passes their match window."""
+    def split(df, lp, rp):
+        clicks = df.filter(F.col("event_type") == "click").select(
+            F.col("user_id").alias("user"),
+            F.col("ts").alias(lp),
+            F.col("event_id").alias("click_id"),
+        )
+        purchases = df.filter(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("user"),
+            F.col("ts").alias(rp),
+            F.col("event_id").alias("purchase_id"),
+        )
+        return clicks, purchases
+
+    src = jobs.stream_from_directory(spark, events_dir)
+    sl, sr = split(src, "l_ts", "r_ts")
+    joined = jobs.interval_join(
+        sl, sr, key="user", within="6 hours", watermark="6 hours", how="left_outer"
+    )
+    jobs.run_to_memory(joined, "interval_lo_sink")
+    rows = spark.table("interval_lo_sink").collect()
+    matched = {
+        (r["click_id"], r["purchase_id"]) for r in rows if r["purchase_id"] is not None
+    }
+    unmatched = {r["click_id"] for r in rows if r["purchase_id"] is None}
+
+    bl, br = split(events_batch, "l_ts", "r_ts")
+    cond = (
+        (bl["user"] == br["user"])
+        & (br["r_ts"] >= bl["l_ts"])
+        & (br["r_ts"] <= bl["l_ts"] + F.expr("INTERVAL 6 hours"))
+    )
+    want = {(r["click_id"], r["purchase_id"]) for r in bl.join(br, cond).collect()}
+    batch_matched_clicks = {c for c, _ in want}
+    batch_unmatched = {
+        r["click_id"] for r in bl.collect() if r["click_id"] not in batch_matched_clicks
+    }
+    assert matched == want
+    # outer emission is watermark-gated: everything emitted unmatched
+    # must be batch-unmatched; at least some must have been emitted
+    assert unmatched <= batch_unmatched
+    assert len(unmatched) > 0
