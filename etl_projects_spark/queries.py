@@ -578,3 +578,28 @@ def struct_to_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("meta"),
     )
     return DataFrameOps.input(with_struct).convert_struct_type_to_json().output()
+
+
+@_q(
+    "struct_to_string",
+    """
+    SELECT o_orderkey,
+           concat('{', o_orderstatus, ', ', o_orderpriority, '}') AS meta
+    FROM orders WHERE o_orderkey <= 50
+    """,
+)
+def struct_to_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6: StructType column → plain string cast. Spark renders a cast
+    struct as ``{v1, v2}``; the oracle rebuilds that exact spelling
+    with concat (DuckDB's own struct→VARCHAR format differs)."""
+    from etl_projects_spark.operators.dataframe_ops import DataFrameOps
+
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 50)
+    with_struct = orders.select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+        ).alias("meta"),
+    )
+    return DataFrameOps.input(with_struct).convert_struct_type_to_string().output()

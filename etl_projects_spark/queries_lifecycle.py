@@ -1,0 +1,108 @@
+"""Lake-lifecycle catalog entries: the engine paths (partitioned
+incremental builds, feed export, storage policy) as driver-checkable
+queries, so the K/X/S-class operators are proven by the external
+correctness gate rather than only by unit tests.
+
+Each query performs the real lifecycle side effects under a temp
+directory and returns a relational result with an exact DuckDB twin
+over the raw testdata.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_projects_spark import config
+from etl_projects_spark.queries import _q, load
+
+
+@_q(
+    "engine_partitioned_incremental",
+    """
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS year, COUNT(*) AS n_rows
+    FROM orders GROUP BY 1
+    """,
+)
+def engine_partitioned_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned incremental build, END TO END: year-partitioned
+    write (X2: repartition on the partition column; X3:
+    maxRecordsPerFile), the SAME build re-run with is_incremental
+    (dynamic partition overwrite — the idempotency contract: counts
+    must equal a single copy), partition-value discovery over the
+    Hive layout (S3), and the per-partition counts read back through
+    the registered catalog entry. Oracle = one GROUP BY over the raw
+    parquet — any duplicate from a broken re-run fails the hash."""
+    from etl_projects_spark.catalog import discover_partition_values
+    from etl_projects_spark.engine import LakeEngine
+
+    eng = LakeEngine(spark, root=tempfile.mkdtemp(prefix="lake_inc_"))
+    eng.register_testdata(sf_dir)
+    sql = (
+        "SELECT o_orderkey, o_totalprice, year(o_orderdate) AS year "
+        "FROM orders"
+    )
+    for _ in range(2):  # second run must be a no-op on the counts
+        tbl = eng.load_table(
+            sql, "datalake_q", "orders_inc",
+            layer=config.Layer.CLEAN, partitions=["year"], is_incremental=True,
+        )
+    path = eng.writer.table_path("datalake_q", "orders_inc")
+    years = sorted(int(y) for y in discover_partition_values(path, "year"))
+    return (
+        tbl.filter(F.col("year").isin(years))
+        .groupBy(F.col("year").cast("long").alias("year"))
+        .agg(F.count("*").alias("n_rows"))
+    )
+
+
+@_q(
+    "jsonl_gz_roundtrip",
+    """
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+)
+def jsonl_gz_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 gzip JSON-lines feed: export → read back with a declared
+    schema (no inference scan) → the rows must survive the round trip
+    bit-exactly against the raw parquet."""
+    from etl_projects_spark.sources import ingest
+
+    df = load(spark, sf_dir, "nation")
+    path = os.path.join(tempfile.mkdtemp(prefix="feed_"), "nation_feed")
+    ingest.export_jsonl_gz(df, path)
+    back = ingest.read_jsonl_gz(
+        spark, path, schema="n_nationkey INT, n_name STRING, n_regionkey INT"
+    )
+    return back.select("n_nationkey", "n_name", "n_regionkey")
+
+
+def _policy_values_sql() -> str:
+    rows = ", ".join(
+        f"('{layer.value}', '{config.layer_storage_format(layer).format}', "
+        f"'{config.layer_storage_format(layer).compression}')"
+        for layer in config.Layer
+    )
+    return (
+        f"SELECT * FROM (VALUES {rows}) AS t(layer, format, compression)"
+    )
+
+
+@_q("layer_format_policy", _policy_values_sql())
+def layer_format_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 layer→format policy as data: one row per medallion layer with
+    its physical format and compression. The oracle VALUES list is
+    generated from the same config constants — parity by construction
+    (a policy change breaks the hash until both sides agree)."""
+    rows = [
+        (
+            layer.value,
+            config.layer_storage_format(layer).format,
+            config.layer_storage_format(layer).compression,
+        )
+        for layer in config.Layer
+    ]
+    return spark.createDataFrame(rows, "layer string, format string, compression string")
