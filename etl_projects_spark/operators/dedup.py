@@ -35,6 +35,10 @@ SIMHASH_BITS = 32
 NGRAM_N = 3
 
 
+from etl_projects_spark.operators.exec_util import materialize  # noqa: F401
+# (re-exported: the dedup catalog queries call dedup.materialize)
+
+
 def hex60(c: Column) -> Column:
     """First 60 bits of md5 as a bigint (portable string→int hash)."""
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
@@ -159,13 +163,12 @@ def jaccard_pairs(
     """
     if max_doc_freq is not None:
         freq = shingles.groupBy("shingle").agg(F.count("*").alias("df_"))
-        # persist: the capped relation feeds multiple plan branches —
-        # without it the doc-freq aggregate and cap join recompute per
-        # branch (measured 3×+ the whole query's cost at sf0.1).
-        shingles = (
+        # materialized: the capped relation feeds multiple plan
+        # branches — left lazy, the doc-freq aggregate and cap join
+        # recompute (and race) per branch.
+        shingles = materialize(
             shingles.join(freq.filter(F.col("df_") <= max_doc_freq), "shingle")
             .select("id", "shingle")
-            .persist()
         )
     if candidates is not None:
         # candidate sets are LSH-bounded (small by design) → both the
@@ -177,14 +180,13 @@ def jaccard_pairs(
         )
         # Eagerly materialized: the set relation feeds BOTH pair-side
         # broadcasts below, and two broadcast exchanges in one job race
-        # to populate a lazy cache — each would recompute the semi-join
-        # + collect_set. localCheckpoint is a deterministic barrier
-        # (the relation is candidate-bounded, so the job is small).
-        sets = (
+        # a lazy cache — each would recompute the semi-join +
+        # collect_set (the relation is candidate-bounded, so the
+        # barrier job is small).
+        sets = materialize(
             shingles.join(F.broadcast(ids), "id", "left_semi")
             .groupBy("id")
             .agg(F.collect_set("shingle").alias("s"))
-            .localCheckpoint()
         )
         xa = sets.select(F.col("id").alias("id_a"), F.col("s").alias("sa"))
         xb = sets.select(F.col("id").alias("id_b"), F.col("s").alias("sb"))

@@ -107,7 +107,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The shingle relation feeds three plan branches (sizes + two join
     # sides): persist so it's computed once. At cluster scale this is a
     # k-ints-per-doc relation — MEMORY_AND_DISK is safe.
-    sh = dedup.word_shingles(load(spark, sf_dir, "documents")).persist()
+    sh = dedup.materialize(dedup.word_shingles(load(spark, sf_dir, "documents")))
     return dedup.jaccard_pairs(sh, threshold_num=1, threshold_den=2)
 
 
@@ -120,9 +120,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     4 equi-joins on band signatures (bounded buckets), the quadratic
     verify only runs inside candidates.
     """
-    sh = dedup.word_shingles(load(spark, sf_dir, "documents")).persist()
-    sigs = dedup.minhash_signatures(sh).persist()
-    cand = dedup.lsh_candidate_pairs(sigs).persist()
+    sh = dedup.materialize(dedup.word_shingles(load(spark, sf_dir, "documents")))
+    sigs = dedup.materialize(dedup.minhash_signatures(sh))
+    cand = dedup.materialize(dedup.lsh_candidate_pairs(sigs))
     return dedup.jaccard_pairs(sh, threshold_num=1, threshold_den=2, candidates=cand)
 
 
@@ -148,7 +148,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 32-bit signatures, byte-block candidate
     blocking, Hamming ≤ 6 — all integer math, oracle-exact."""
-    sigs = dedup.simhash_signatures(load(spark, sf_dir, "documents")).persist()
+    sigs = dedup.materialize(dedup.simhash_signatures(load(spark, sf_dir, "documents")))
     return dedup.simhash_near_pairs(sigs, max_hamming=6)
 
 
@@ -494,7 +494,7 @@ def dedup_jaccard_df_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cap that bounds the worst bucket on a shared-vocabulary
     corpus (without it, one ubiquitous shingle creates a quadratic
     hot bucket at 100 TB)."""
-    sh = dedup.word_shingles(load(spark, sf_dir, "documents")).persist()
+    sh = dedup.materialize(dedup.word_shingles(load(spark, sf_dir, "documents")))
     return dedup.jaccard_pairs(sh, threshold_num=1, threshold_den=2, max_doc_freq=50)
 
 
@@ -563,9 +563,9 @@ def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The verified MinHash-LSH pair list (shared edge input of the
     component/keep-list queries; same plan as dedup_minhash_lsh)."""
-    sh = dedup.word_shingles(load(spark, sf_dir, "documents")).persist()
-    sigs = dedup.minhash_signatures(sh).persist()
-    cand = dedup.lsh_candidate_pairs(sigs).persist()
+    sh = dedup.materialize(dedup.word_shingles(load(spark, sf_dir, "documents")))
+    sigs = dedup.materialize(dedup.minhash_signatures(sh))
+    cand = dedup.materialize(dedup.lsh_candidate_pairs(sigs))
     return dedup.jaccard_pairs(sh, threshold_num=1, threshold_den=2, candidates=cand)
 
 

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from etl_projects_spark.operators.exec_util import materialize
 from etl_projects_spark.queries import D, _q, dec, load
 
 _ONE = "CAST(1 AS DECIMAL(18,2))"
@@ -243,8 +244,10 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .groupBy("l_partkey")
         .agg(F.sum(dec("l_quantity") * dec("p_retailprice")).alias("part_value"))
-        .persist()  # reused by threshold + filter sides: scan lineitem once
     )
+    # eager barrier: the threshold broadcast and the filter side would
+    # otherwise race the lazy cache and each re-aggregate lineitem
+    value = materialize(value)
     total = value.agg(
         (F.sum("part_value") * F.lit(0.001)).alias("_threshold")
     )
@@ -324,9 +327,11 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1995-04-01")
     )
-    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.sum(_revenue()).alias("total_revenue")
-    ).persist()  # reused by the MAX side: one lineitem scan, not two
+    revenue = materialize(  # eager: the MAX side must not race the cache
+        li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+            F.sum(_revenue()).alias("total_revenue")
+        )
+    )
     best = revenue.agg(F.max("total_revenue").alias("_best"))
     s = load(spark, sf_dir, "supplier")
     return (
