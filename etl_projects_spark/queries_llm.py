@@ -476,7 +476,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     capped AS (
       SELECT id, shingle FROM shingles
       WHERE shingle IN (SELECT shingle FROM shingles
-                        GROUP BY shingle HAVING COUNT(*) <= 50)),
+                        GROUP BY shingle HAVING COUNT(*) <= 10)),
     sizes AS (SELECT id, count(*) AS n_sh FROM capped GROUP BY id),
     common AS (
       SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
@@ -490,12 +490,14 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_jaccard_df_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Jaccard dedup with the document-frequency skew guard: shingles
-    shared by more than 50 docs are dropped before the pair join —
+    shared by more than 10 docs are dropped before the pair join —
     the cap that bounds the worst bucket on a shared-vocabulary
     corpus (without it, one ubiquitous shingle creates a quadratic
-    hot bucket at 100 TB)."""
+    hot bucket at 100 TB). The cap BINDS on the test corpus (at
+    sf0.1 it drops ~40% of shingle instances), so the guard is
+    exercised, not decorative."""
     sh = dedup.materialize(dedup.word_shingles(load(spark, sf_dir, "documents")))
-    return dedup.jaccard_pairs(sh, threshold_num=1, threshold_den=2, max_doc_freq=50)
+    return dedup.jaccard_pairs(sh, threshold_num=1, threshold_den=2, max_doc_freq=10)
 
 
 @_q(
