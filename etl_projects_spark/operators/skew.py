@@ -88,6 +88,7 @@ def write_bucketed(
     n_buckets: int = 32,
     sort_cols: Sequence[str] = (),
     mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
     """Persist a bucketed (and optionally sorted) catalog table.
 
@@ -102,6 +103,11 @@ def write_bucketed(
     )
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
+    if path is not None:
+        # External bucketed table: data under the caller's path, bucket
+        # metadata in the session catalog (keeps the warehouse dir —
+        # often the process cwd in local mode — untouched).
+        writer = writer.option("path", path)
     writer.saveAsTable(table)
 
 

@@ -644,3 +644,170 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.when(F.col("nt") >= 3, ratio).otherwise(F.lit(0.0)).alias("rep3_ratio"),
     )
+
+
+@_q(
+    "text_dup_gram_fraction",
+    f"""
+    WITH {dedup.shingles_cte()},
+    freq AS (SELECT shingle, COUNT(*) AS df_ FROM shingles GROUP BY shingle),
+    per AS (SELECT id,
+                   round(CAST(SUM(CASE WHEN df_ >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                         / COUNT(*), 6) AS f
+            FROM shingles JOIN freq USING (shingle) GROUP BY id)
+    SELECT d.doc_id, COALESCE(per.f, 0.0) AS dup_gram_fraction
+    FROM documents d LEFT JOIN per ON per.id = d.doc_id
+    """,
+)
+def text_dup_gram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicate-span signal (the distributed proxy for
+    exact-substring dedup): per document, the fraction of its distinct
+    word 3-gram shingles that occur in at least one OTHER document.
+    High values mark boilerplate / templated pages that near-dup
+    clustering misses because no single pair clears the threshold.
+
+    Scale: one doc-frequency aggregation (map-side combined) + one
+    shuffle join keyed on the 8-byte shingle hash + one per-doc
+    aggregation — all linear, no pairwise expansion anywhere. Shares
+    :func:`dedup.word_shingles` (and its bit-exact DuckDB twin) with
+    the Jaccard/MinHash family.
+    """
+    docs = load(spark, sf_dir, "documents")
+    sh = dedup.word_shingles(docs)
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("df_"))
+    per = (
+        sh.join(freq, "shingle")
+        .groupBy("id")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("df_") >= 2, 1).otherwise(0)).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("f")
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per, docs.doc_id == per.id, "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("f"), F.lit(0.0)).alias("dup_gram_fraction"),
+        )
+    )
+
+
+@_q(
+    "text_token_entropy",
+    """
+    SELECT doc_id,
+           round(log2(CAST(n AS DOUBLE))
+                 - CAST(s AS DOUBLE) / 1e6 / CAST(n AS DOUBLE), 6) AS token_entropy
+    FROM (
+      SELECT doc_id, len(t) AS n,
+             list_aggregate(list_transform(
+                 list_sort(list_transform(list_distinct(t),
+                                          x -> len(list_filter(t, y -> y = x)))),
+                 c -> CAST(round(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE)) * 1e6)
+                           AS BIGINT)), 'sum') AS s
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))
+    """,
+)
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (bits) of each document's token distribution —
+    the perplexity-style quality signal: degenerate/repetitive docs
+    score low, natural prose scores high. H = log2(n) - Σ c·log2(c)/n
+    over token counts c.
+
+    Determinism across engines: the Σ c·log2(c) partial terms are
+    per-count doubles rounded to integer micro-units and summed as
+    BIGINTs — float summation ORDER can no longer change the result,
+    so Spark and DuckDB agree bit-for-bit (the terms themselves are
+    identical IEEE ops; counts hitting an exact .5 micro-unit boundary
+    would need log2 to be rational, which it is only for powers of two
+    where the product is already integral).
+
+    Scale: pure per-row array expressions — codegen'd scan, no explode,
+    no shuffle; O(distinct·len) per row stays in-core.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    staged = docs.select("doc_id", toks.alias("t"))
+    cnts = F.array_sort(
+        F.transform(
+            F.array_distinct("t"),
+            lambda x: F.size(F.filter(F.col("t"), lambda y: y == x)),
+        )
+    )
+    terms = F.transform(
+        cnts,
+        lambda c: F.round(
+            c.cast("double") * F.log2(c.cast("double")) * F.lit(1e6)
+        ).cast("long"),
+    )
+    ssum = F.aggregate(terms, F.lit(0).cast("long"), lambda acc, x: acc + x)
+    n = F.size("t").cast("double")
+    return staged.select(
+        "doc_id",
+        F.round(F.log2(n) - ssum.cast("double") / F.lit(1e6) / n, 6).alias(
+            "token_entropy"
+        ),
+    )
+
+
+@_q(
+    "embedding_centroids_by_label",
+    """
+    SELECT label, CAST(i - 1 AS INT) AS dim,
+           round(CAST(SUM(CAST(embedding[i] AS DECIMAL(27,10))) AS DOUBLE)
+                 / COUNT(*), 6) AS centroid
+    FROM (SELECT label, embedding,
+                 unnest(generate_series(1, len(embedding))) AS i
+          FROM embeddings)
+    GROUP BY label, dim
+    """,
+)
+def embedding_centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding corpus, one row per
+    (label, dimension) — the codebook-training primitive behind IVF /
+    k-means semantic clustering, as a first-class relational op.
+
+    posexplode → groupBy(label, dim) is the scale idiom: the widened
+    rows partial-aggregate map-side, so the shuffle carries one row
+    per (label, dim) per map task — O(labels·dims), independent of
+    corpus size. Float sums go through DECIMAL(27,10) (float32→decimal
+    is deterministic rounding of the exact binary value in both
+    engines), so aggregation order cannot perturb the result.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    ex = emb.select("label", F.posexplode("embedding").alias("dim", "v"))
+    return (
+        ex.groupBy("label", "dim")
+        .agg(
+            F.round(
+                F.sum(F.col("v").cast("decimal(27,10)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("centroid")
+        )
+    )
+
+
+@_q(
+    "posexplode_doc_tokens",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+               WHERE doc_id % 10 = 0),
+    i AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i FROM t)
+    SELECT doc_id, CAST(i - 1 AS INT) AS pos, toks[i] AS token FROM i
+    """,
+)
+def posexplode_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral-view tokenization: posexplode(split(text)) → one
+    (doc_id, position, token) row per token — the generator/UDTF
+    surface (LATERAL VIEW POSEXPLODE in SQL terms). The modulo
+    predicate pushes to the parquet scan; the explode is a narrow
+    codegen'd generator, no shuffle."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    return docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+    )

@@ -188,3 +188,62 @@ def range_join_daily_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.sum(dec("value")).cast("double").alias("sum_value"),
     )
+
+
+@_q(
+    "bucketed_join_revenue",
+    f"""
+    SELECT year(o_orderdate) AS o_year,
+           CAST(SUM(CAST(l_extendedprice AS {D})) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1
+    """,
+)
+def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-bucketed join, END TO END: both sides land as external
+    bucketed tables (8 buckets on the join key — the shuffle paid once
+    at write time), then join shuffle-free and aggregate. The function
+    ASSERTS the joined plan has no Exchange on either side while
+    broadcast is disabled — proving the bucket layout co-locates — and
+    the oracle proves answer parity with the plain join.
+
+    This is the 100 TB pattern for repeatedly-joined fact tables:
+    bucket lineitem and orders identically at ingest and every later
+    join/agg on the key skips its shuffle.
+    """
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="bucketed_")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    for t in ("bj_lineitem", "bj_orders"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    skew.write_bucketed(
+        li, "bj_lineitem", ["l_orderkey"], n_buckets=8,
+        path=f"{tmp}/lineitem",
+    )
+    skew.write_bucketed(
+        orders.withColumnRenamed("o_orderkey", "l_orderkey"),
+        "bj_orders", ["l_orderkey"], n_buckets=8,
+        path=f"{tmp}/orders",
+    )
+    joined = skew.bucketed_join(spark, "bj_lineitem", "bj_orders", "l_orderkey")
+    # Plan contract, checked eagerly with broadcast off so the bucketed
+    # sort-merge path is what gets planned: zero shuffle Exchange.
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        assert skew.assert_no_shuffle_join(joined), (
+            "co-bucketed join must plan without a shuffle Exchange"
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    return (
+        joined.select(F.year("o_orderdate").alias("o_year"), "l_extendedprice")
+        .groupBy("o_year")
+        .agg(
+            F.sum(dec("l_extendedprice")).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )

@@ -674,3 +674,61 @@ def null_handling_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")), F.lit("URGENT!")
         ).alias("prio_filled"),
     )
+
+
+@_q(
+    "window_percent_rank",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume_d
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-position analytics: percent_rank + cume_dist of each
+    order's price within its priority class. Both are rank-count
+    ratios — integer counts divided once at the end, so the doubles
+    agree across engines; the sort carries the unique o_orderkey
+    tie-break. One window shuffle on the partition key."""
+    orders = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume_d"),
+    )
+
+
+@_q(
+    "map_functions_props",
+    """
+    SELECT event_id,
+           CAST(len(json_keys(props)) AS INT) AS n_keys,
+           array_to_string(list_sort(json_keys(props)), ',') AS keys_csv,
+           array_to_string(list_transform(list_sort(json_keys(props)),
+                                          k -> json_extract_string(props, '$.' || k)),
+                           ',') AS vals_csv
+    FROM events WHERE event_type = 'purchase'
+    """,
+)
+def map_functions_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: JSON props → map<string,string> with map_keys /
+    element_at / size, serialized to hashable CSV projections (sorted
+    key order makes the row deterministic). Per-row codegen'd
+    expressions over a pushed-down event_type filter — no shuffle."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    m = F.from_json("props", "map<string,string>")
+    staged = ev.select("event_id", m.alias("m"))
+    keys = F.array_sort(F.map_keys(F.col("m")))
+    return staged.select(
+        "event_id",
+        F.size("m").alias("n_keys"),
+        F.concat_ws(",", keys).alias("keys_csv"),
+        F.concat_ws(
+            ",", F.transform(keys, lambda k: F.element_at(F.col("m"), k))
+        ).alias("vals_csv"),
+    )
