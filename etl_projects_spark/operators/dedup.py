@@ -44,34 +44,52 @@ def hex60(c: Column) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
 
 
-def word_shingles(
+def word_shingle_sets(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = NGRAM_N
 ) -> DataFrame:
-    """Distinct hashed word n-gram shingles per document: (id, shingle)
-    with ``shingle`` a 60-bit md5-derived long.
+    """Per-document DISTINCT shingle set as one array column:
+    (id, sh_set array<long>), shingles 60-bit md5-derived longs.
 
-    Explode the start offsets FIRST, then build each shingle with
-    plain ``element_at``/``concat_ws`` projections: higher-order
-    ``transform`` lambdas run interpreted (no whole-stage codegen) and
-    measured 3× slower building the shingle array up front. The
-    offset sequence is guarded to empty for docs shorter than n
-    (``sequence(1, 0)`` would count backwards).
+    Entirely per-row (``transform`` + ``array_distinct``): the
+    within-document dedup that a global ``distinct()`` on the exploded
+    relation would do in a full shuffle happens for free inside each
+    row — zero shuffles, and the set column doubles as the
+    ready-made per-id set for Jaccard verification (no collect_set).
+    The offset sequence is guarded to empty for docs shorter than n
+    (``sequence(1, 0)`` would count backwards); docs below n tokens
+    get an empty set.
 
     Hashing happens BEFORE the distinct: ``distinct(hash(x))`` equals
     ``hash(distinct(x))`` as a set (collisions included — identical in
-    both engines), and the distinct/join shuffles then move 8-byte
-    longs instead of ~25-char strings.
+    both engines), and downstream shuffles then move 8-byte longs
+    instead of ~25-char strings.
     """
     toks = F.split(F.col(text_col), " ")
     base = df.select(F.col(id_col).alias("id"), toks.alias("toks"))
     offsets = F.when(
         F.size("toks") >= n, F.sequence(F.lit(1), F.size("toks") - (n - 1))
     ).otherwise(F.expr("array()"))
-    pos = base.select("id", "toks", F.explode(offsets).alias("i"))
-    shingle = F.concat_ws(
-        " ", *[F.element_at(F.col("toks"), (F.col("i") + j).cast("int")) for j in range(n)]
+    shingle_of = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(F.col("toks"), (i + j).cast("int")) for j in range(n)]
     )
-    return pos.select("id", hex60(shingle).alias("shingle")).distinct()
+    grams = F.transform(offsets, lambda i: hex60(shingle_of(i)))
+    return base.select("id", F.array_distinct(grams).alias("sh_set"))
+
+
+def word_shingles(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = NGRAM_N
+) -> DataFrame:
+    """Distinct hashed word n-gram shingles per document: (id, shingle)
+    — the exploded view of :func:`word_shingle_sets`.
+
+    The per-doc distinct is already done inside each row's array, so
+    the explode needs NO trailing ``distinct()`` — the previous
+    explode-then-global-distinct shape paid a full shuffle of the
+    exploded relation for the same result set.
+    """
+    return word_shingle_sets(df, text_col=text_col, id_col=id_col, n=n).select(
+        "id", F.explode("sh_set").alias("shingle")
+    )
 
 
 def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -104,6 +122,31 @@ def minhash_signatures(shingles: DataFrame) -> DataFrame:
     return hashed.groupBy("id").agg(*aggs)
 
 
+def minhash_signatures_from_sets(sets: DataFrame) -> DataFrame:
+    """k=8 MinHash signature per id from a (id, sh_set) relation —
+    entirely per-row: each permutation is an ``array_min`` over a
+    mapped copy of the set, so the signature table needs ZERO shuffles
+    (vs one explode + groupBy shuffle from the exploded relation).
+
+    min over a multiset equals min over the set, so the result is
+    bit-identical to :func:`minhash_signatures`. The pmod staging
+    projection makes the shared ``h`` array evaluate once per row
+    instead of once per permutation. Docs with empty sets are dropped
+    (parity with the grouped path, where they have no rows to group).
+    """
+    staged = sets.filter(F.size("sh_set") > 0).select(
+        "id",
+        F.transform("sh_set", lambda x: F.pmod(x, F.lit(HASH_PRIME))).alias("h"),
+    )
+    cols = [
+        F.array_min(
+            F.transform("h", lambda h: F.pmod(a * h + b, F.lit(HASH_PRIME)))
+        ).alias(f"mh{i}")
+        for i, (a, b) in enumerate(MINHASH_COEFFS)
+    ]
+    return staged.select("id", *cols)
+
+
 def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
     """Candidate pairs: ids agreeing on all rows of any LSH band.
 
@@ -134,11 +177,12 @@ def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
 
 
 def jaccard_pairs(
-    shingles: DataFrame,
+    shingles: DataFrame | None,
     threshold_num: int = 1,
     threshold_den: int = 2,
     candidates: DataFrame | None = None,
     max_doc_freq: int | None = None,
+    shingle_sets: DataFrame | None = None,
 ) -> DataFrame:
     """Pairs with shingle-Jaccard ≥ threshold_num/threshold_den.
 
@@ -160,7 +204,16 @@ def jaccard_pairs(
       cap — THE guard that keeps the expansion linear at 100 TB) and
       explode each group's ordered pairs; one partial-aggregated
       shuffle counts common shingles per pair.
+
+    Pass ``shingle_sets`` (from :func:`word_shingle_sets`, ideally
+    cached) to skip the collect_set re-aggregation in the candidates
+    path and the per-id size groupBy in the grouped path; ``shingles``
+    may then be None (the exploded view is derived on demand).
     """
+    if shingles is None:
+        if shingle_sets is None:
+            raise ValueError("need shingles or shingle_sets")
+        shingles = shingle_sets.select("id", F.explode("sh_set").alias("shingle"))
     if max_doc_freq is not None:
         freq = shingles.groupBy("shingle").agg(F.count("*").alias("df_"))
         # materialized: the capped relation feeds multiple plan
@@ -178,16 +231,24 @@ def jaccard_pairs(
             .union(candidates.select(F.col("id_b").alias("id")))
             .distinct()
         )
-        # Eagerly materialized: the set relation feeds BOTH pair-side
-        # broadcasts below, and two broadcast exchanges in one job race
-        # a lazy cache — each would recompute the semi-join +
-        # collect_set (the relation is candidate-bounded, so the
-        # barrier job is small).
-        sets = materialize(
-            shingles.join(F.broadcast(ids), "id", "left_semi")
-            .groupBy("id")
-            .agg(F.collect_set("shingle").alias("s"))
-        )
+        if shingle_sets is not None and max_doc_freq is None:
+            # The per-row set column IS the per-id set: no collect_set
+            # shuffle, no extra barrier — each broadcast branch below
+            # re-runs only a semi-join over the (caller-cached) sets.
+            sets = shingle_sets.join(F.broadcast(ids), "id", "left_semi").select(
+                "id", F.col("sh_set").alias("s")
+            )
+        else:
+            # Eagerly materialized: the set relation feeds BOTH
+            # pair-side broadcasts below, and two broadcast exchanges
+            # in one job race a lazy cache — each would recompute the
+            # semi-join + collect_set (the relation is
+            # candidate-bounded, so the barrier job is small).
+            sets = materialize(
+                shingles.join(F.broadcast(ids), "id", "left_semi")
+                .groupBy("id")
+                .agg(F.collect_set("shingle").alias("s"))
+            )
         xa = sets.select(F.col("id").alias("id_a"), F.col("s").alias("sa"))
         xb = sets.select(F.col("id").alias("id_b"), F.col("s").alias("sb"))
         joined = candidates.join(F.broadcast(xa), "id_a").join(
@@ -205,7 +266,11 @@ def jaccard_pairs(
                 (common.cast("double") / union_sz.cast("double")).alias("jaccard"),
             )
         )
-    sizes = shingles.groupBy("id").agg(F.count("*").alias("n_sh"))
+    if shingle_sets is not None and max_doc_freq is None:
+        # per-row size of the set column — no groupBy-count shuffle
+        sizes = shingle_sets.select("id", F.size("sh_set").alias("n_sh"))
+    else:
+        sizes = shingles.groupBy("id").agg(F.count("*").alias("n_sh"))
     grouped = (
         shingles.groupBy("shingle")
         .agg(F.sort_array(F.collect_list("id")).alias("ids"))
@@ -237,7 +302,12 @@ def jaccard_pairs(
     )
 
 
-def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def simhash_signatures(
+    df: DataFrame | None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_sets: DataFrame | None = None,
+) -> DataFrame:
     """32-bit SimHash per document over distinct word n-gram shingles.
 
     Shingles, not tokens: on a shared-vocabulary corpus token sets are
@@ -247,9 +317,13 @@ def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
 
     Per bit b: sign of Σ_shingles (2*bit_b(h(shingle)) - 1); signature
     is the packed bit vector. Explode → 32 conditional-sum aggregates —
-    one narrow shuffle, all integer math.
+    one narrow shuffle, all integer math. Pass cached ``shingle_sets``
+    to make the explode an array-unnest of precomputed longs.
     """
-    sh = word_shingles(df, text_col=text_col, id_col=id_col)
+    if shingle_sets is not None:
+        sh = shingle_sets.select("id", F.explode("sh_set").alias("shingle"))
+    else:
+        sh = word_shingles(df, text_col=text_col, id_col=id_col)
     # Shingles arrive pre-hashed; the 32 bit aggregates are shift/mask
     # integer math over the long (no md5 recomputation anywhere).
     hashed = sh.select("id", F.col("shingle").alias("h"))

@@ -104,11 +104,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Integer-arithmetic threshold test — no float boundary. Candidate
     join is keyed on shared shingles (shuffle, linear), never all-pairs.
     """
-    # The shingle relation feeds three plan branches (sizes + two join
-    # sides): persist so it's computed once. At cluster scale this is a
-    # k-ints-per-doc relation — MEMORY_AND_DISK is safe.
-    sh = dedup.materialize(dedup.word_shingles(load(spark, sf_dir, "documents")))
-    return dedup.jaccard_pairs(sh, threshold_num=1, threshold_den=2)
+    # The set relation feeds two plan branches (per-id sizes + the
+    # grouped candidate join): persist so it's computed once. At
+    # cluster scale this is a k-ints-per-doc relation —
+    # MEMORY_AND_DISK is safe.
+    sets = dedup.materialize(
+        dedup.word_shingle_sets(load(spark, sf_dir, "documents"))
+    )
+    return dedup.jaccard_pairs(
+        None, threshold_num=1, threshold_den=2, shingle_sets=sets
+    )
 
 
 @_q("dedup_minhash_lsh", dedup.minhash_pairs_sql())
@@ -120,10 +125,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     4 equi-joins on band signatures (bounded buckets), the quadratic
     verify only runs inside candidates.
     """
-    sh = dedup.materialize(dedup.word_shingles(load(spark, sf_dir, "documents")))
-    sigs = dedup.materialize(dedup.minhash_signatures(sh))
+    # ONE cache barrier for the whole chain: signatures are per-row
+    # array math over the cached sets (zero shuffles), candidates one
+    # self-equi-join, and the verify re-reads the same cached sets —
+    # no exploded-shingle relation, no collect_set, anywhere.
+    sets = dedup.materialize(
+        dedup.word_shingle_sets(load(spark, sf_dir, "documents"))
+    )
+    sigs = dedup.minhash_signatures_from_sets(sets)
     cand = dedup.materialize(dedup.lsh_candidate_pairs(sigs))
-    return dedup.jaccard_pairs(sh, threshold_num=1, threshold_den=2, candidates=cand)
+    return dedup.jaccard_pairs(
+        None, threshold_num=1, threshold_den=2, candidates=cand, shingle_sets=sets
+    )
 
 
 @_q(
@@ -148,7 +161,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 32-bit signatures, byte-block candidate
     blocking, Hamming ≤ 6 — all integer math, oracle-exact."""
-    sigs = dedup.materialize(dedup.simhash_signatures(load(spark, sf_dir, "documents")))
+    sets = dedup.materialize(
+        dedup.word_shingle_sets(load(spark, sf_dir, "documents"))
+    )
+    sigs = dedup.materialize(dedup.simhash_signatures(None, shingle_sets=sets))
     return dedup.simhash_near_pairs(sigs, max_hamming=6)
 
 
@@ -496,7 +512,15 @@ def dedup_jaccard_df_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     hot bucket at 100 TB). The cap BINDS on the test corpus (at
     sf0.1 it drops ~40% of shingle instances), so the guard is
     exercised, not decorative."""
-    sh = dedup.materialize(dedup.word_shingles(load(spark, sf_dir, "documents")))
+    # Cache the per-row SET relation and explode from the cache: the
+    # exploded view inlines the md5 transform into its generator
+    # (measured 10-50× slower when the relation then feeds several
+    # plan branches); the cached sets make the explode a cheap
+    # array-unnest of precomputed longs.
+    sets = dedup.materialize(
+        dedup.word_shingle_sets(load(spark, sf_dir, "documents"))
+    )
+    sh = sets.select("id", F.explode("sh_set").alias("shingle"))
     return dedup.jaccard_pairs(sh, threshold_num=1, threshold_den=2, max_doc_freq=10)
 
 
@@ -565,10 +589,14 @@ def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The verified MinHash-LSH pair list (shared edge input of the
     component/keep-list queries; same plan as dedup_minhash_lsh)."""
-    sh = dedup.materialize(dedup.word_shingles(load(spark, sf_dir, "documents")))
-    sigs = dedup.materialize(dedup.minhash_signatures(sh))
+    sets = dedup.materialize(
+        dedup.word_shingle_sets(load(spark, sf_dir, "documents"))
+    )
+    sigs = dedup.minhash_signatures_from_sets(sets)
     cand = dedup.materialize(dedup.lsh_candidate_pairs(sigs))
-    return dedup.jaccard_pairs(sh, threshold_num=1, threshold_den=2, candidates=cand)
+    return dedup.jaccard_pairs(
+        None, threshold_num=1, threshold_den=2, candidates=cand, shingle_sets=sets
+    )
 
 
 @_q(
@@ -673,7 +701,11 @@ def text_dup_gram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     the Jaccard/MinHash family.
     """
     docs = load(spark, sf_dir, "documents")
-    sh = dedup.word_shingles(docs)
+    # Cached sets → cheap explode; the relation feeds two branches
+    # (doc-frequency agg + the per-doc join) and uncached each would
+    # re-run the md5 transform chain.
+    sets = dedup.materialize(dedup.word_shingle_sets(docs))
+    sh = sets.select("id", F.explode("sh_set").alias("shingle"))
     freq = sh.groupBy("shingle").agg(F.count("*").alias("df_"))
     per = (
         sh.join(freq, "shingle")

@@ -131,7 +131,10 @@ def contamination_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     restored by a probes-sized left join on the aggregated counts.
     """
     docs = load(spark, sf_dir, "documents")
-    sh = dedup.word_shingles(docs)
+    # Cached sets → cheap explode (the uncached exploded view inlines
+    # the md5 transform into its generator; measured 10×+ slower).
+    sets = dedup.materialize(dedup.word_shingle_sets(docs))
+    sh = sets.select("id", F.explode("sh_set").alias("shingle"))
     probes = spark.createDataFrame(
         [("the quick brown",), ("lorem ipsum dolor",), ("data lake platform",)],
         "probe STRING",
