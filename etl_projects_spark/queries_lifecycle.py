@@ -80,6 +80,36 @@ def jsonl_gz_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select("n_nationkey", "n_name", "n_regionkey")
 
 
+@_q(
+    "warehouse_copy_roundtrip",
+    """
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def warehouse_copy_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K5 warehouse COPY, offline end-to-end: stage orders as gzip
+    JSONL part files + a Redshift-style manifest
+    (``sinks/warehouse_copy.stage_for_copy``), then read back EXACTLY
+    the manifest's entries and aggregate — a part file the manifest
+    missed surfaces as a count shortfall → hash fail against the
+    raw-parquet oracle. Mirrors the reference's stage→COPY split
+    (``dw_sub_dag_builder.py:93-108``); the warehouse-side load itself
+    is proven against DuckDB in ``tests/test_warehouse_copy.py``."""
+    from etl_projects_spark.sinks import warehouse_copy as wc
+
+    df = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    path = os.path.join(tempfile.mkdtemp(prefix="wh_copy_"), "orders_stage")
+    mpath = wc.stage_for_copy(df, path, fmt="jsonl_gz")
+    parts = [e["url"] for e in wc.manifest_entries(mpath)]
+    back = spark.read.schema("o_orderkey BIGINT, o_orderstatus STRING").json(parts)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"), F.sum("o_orderkey").alias("key_sum")
+    )
+
+
 def _policy_values_sql() -> str:
     rows = ", ".join(
         f"('{layer.value}', '{config.layer_storage_format(layer).format}', "

@@ -52,12 +52,16 @@ def jdbc_writer(
 
 
 def redshift_copy_stub(*_args, **_kwargs) -> None:
-    """The reference's actual Redshift path: UNLOAD-style parquet to S3
-    (our TableWriter does this) + a warehouse-side COPY with an IAM
-    role. Needs live AWS credentials and a cluster — intentionally not
-    implemented here; use :func:`jdbc_writer` for generic warehouses.
+    """The live-AWS COPY dispatch only. The full stage→manifest→COPY
+    pipeline is implemented and offline-tested in
+    :mod:`etl_projects_spark.sinks.warehouse_copy` (staging +
+    manifest + COPY SQL + a DuckDB warehouse double); what remains
+    here is solely issuing that SQL to a real Redshift cluster, which
+    needs live AWS credentials this environment lacks.
     """
     raise NotImplementedError(
-        "Redshift COPY needs live AWS infra; write parquet with "
-        "TableWriter and issue COPY warehouse-side, or use jdbc_writer"
+        "live Redshift COPY dispatch needs AWS infra; use "
+        "sinks.warehouse_copy (stage_for_copy + copy_statement) and "
+        "issue the statement warehouse-side, or jdbc_writer for "
+        "generic JDBC targets"
     )
