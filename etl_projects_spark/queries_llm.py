@@ -340,17 +340,29 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_projects_spark.streaming import jobs
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # events.ts has shipped as TIMESTAMP(NANOS) (reads as bigint nanos
+    # under the conf above) and as TIMESTAMP(MICROS) (reads as a real
+    # timestamp) in different testdata drops. A file stream cannot
+    # infer, so probe the footer with a batch read (metadata-only) and
+    # declare the matching stream schema.
+    ts_is_nanos = (
+        dict(spark.read.parquet(os.path.join(sf_dir, "events.parquet")).dtypes)
+        .get("ts")
+        == "bigint"
+    )
+    ts_decl = "ts long" if ts_is_nanos else "ts timestamp"
     raw = (
         spark.readStream.schema(
-            "event_id long, ts long, user_id long, event_type string, "
+            f"event_id long, {ts_decl}, user_id long, event_type string, "
             "value double, props string"
         )
         # Glob, not the bare file: FileStreamSource derives basePath from
         # the glob's directory prefix (a bare file path fails the
         # "basePath must be a directory" check even with the option set).
         .parquet(os.path.join(sf_dir, "events*"))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     )
+    if ts_is_nanos:
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     agg = jobs.tumbling_counts(raw, window="1 hour", watermark="2 hours")
     (
         agg.writeStream.format("memory")
