@@ -44,6 +44,23 @@ def hex60(c: Column) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
 
 
+def fan_out(df: DataFrame) -> DataFrame:
+    """Ensure at least the session's default parallelism ahead of a
+    CPU-bound per-row stage.
+
+    A small corpus arriving as one parquet file scans as ONE partition
+    and serializes the whole hashing stage on a single core (measured:
+    the sf0.1 shingle stage alone was 4.2 s single-task vs ~0.4 s
+    fanned out). Rows here are tiny, so the round-robin shuffle is
+    cheap next to the hashing. At scale the scan already carries more
+    partitions than cores and this is a no-op — no added shuffle.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def word_shingle_sets(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = NGRAM_N
 ) -> DataFrame:
@@ -65,7 +82,7 @@ def word_shingle_sets(
     instead of ~25-char strings.
     """
     toks = F.split(F.col(text_col), " ")
-    base = df.select(F.col(id_col).alias("id"), toks.alias("toks"))
+    base = fan_out(df.select(F.col(id_col).alias("id"), toks.alias("toks")))
     offsets = F.when(
         F.size("toks") >= n, F.sequence(F.lit(1), F.size("toks") - (n - 1))
     ).otherwise(F.expr("array()"))
@@ -147,6 +164,23 @@ def minhash_signatures_from_sets(sets: DataFrame) -> DataFrame:
     return staged.select("id", *cols)
 
 
+def melt_bands(sigs: DataFrame) -> DataFrame:
+    """(id, band, k0..k{r-1}): the banded LSH key relation — one
+    ``stack`` projection, no shuffle. These rows ARE the persistable
+    LSH index of a corpus: write them partitioned/bucketed on the band
+    keys once, and every future batch probes them without touching
+    the corpus text again (see :func:`incremental_neardup`)."""
+    rows_per_band = len(MINHASH_COEFFS) // LSH_BANDS
+    stack_args = []
+    for band in range(LSH_BANDS):
+        cols = [f"mh{band * rows_per_band + r}" for r in range(rows_per_band)]
+        stack_args.append(f"{band}, {', '.join(cols)}")
+    keys = ", ".join(f"k{r}" for r in range(rows_per_band))
+    return sigs.selectExpr(
+        "id", f"stack({LSH_BANDS}, {', '.join(stack_args)}) AS (band, {keys})"
+    )
+
+
 def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
     """Candidate pairs: ids agreeing on all rows of any LSH band.
 
@@ -157,14 +191,7 @@ def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
     bounded, so the join is linear and skew-safe under AQE.
     """
     rows_per_band = len(MINHASH_COEFFS) // LSH_BANDS
-    stack_args = []
-    for band in range(LSH_BANDS):
-        cols = [f"mh{band * rows_per_band + r}" for r in range(rows_per_band)]
-        stack_args.append(f"{band}, {', '.join(cols)}")
-    keys = ", ".join(f"k{r}" for r in range(rows_per_band))
-    melted = sigs.selectExpr(
-        "id", f"stack({LSH_BANDS}, {', '.join(stack_args)}) AS (band, {keys})"
-    )
+    melted = melt_bands(sigs)
     a, b = melted.alias("a"), melted.alias("b")
     cond = F.col("a.id") < F.col("b.id")
     for c in ["band"] + [f"k{r}" for r in range(rows_per_band)]:
@@ -299,6 +326,61 @@ def jaccard_pairs(
             "id_b",
             (F.col("common").cast("double") / union_sz.cast("double")).alias("jaccard"),
         )
+    )
+
+
+def incremental_neardup(
+    new_sets: DataFrame,
+    index: DataFrame,
+    all_sets: DataFrame,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+) -> DataFrame:
+    """Incremental near-dup verdicts for a NEW batch against an
+    already-indexed corpus: (doc_id, dup_of, keep) per new document.
+
+    The 100 TB shape: an existing corpus is never re-deduped when a
+    batch arrives. Its :func:`melt_bands` rows live as a stored index
+    (``index``: (id, band, k0, k1), partitioned/bucketed on the band
+    keys); a batch probes with a BROADCAST of its own band rows — the
+    index never shuffles, and with a band-partitioned layout the scan
+    prunes too. Batch cost is O(batch + matched buckets), independent
+    of corpus size.
+
+    Candidates = index hits (existing → new) ∪ in-batch LSH pairs
+    (smaller-id new doc → larger). Both verify through the shared
+    :func:`jaccard_pairs` set intersection (``all_sets`` must cover
+    every id that can appear; it is semi-joined down to candidates, so
+    passing the full corpus set relation is scale-safe). A new doc is
+    dropped when any verified partner exists; ``dup_of`` reports the
+    smallest such partner. Deterministic by construction: the verdict
+    compares against ALL smaller-id batch members, not just kept ones
+    — no sequential dependence, one shot, SQL-expressible.
+    """
+    new_sigs = minhash_signatures_from_sets(new_sets)
+    new_bands = melt_bands(new_sigs)
+    key_cols = [c for c in new_bands.columns if c != "id"]
+    cross = (
+        index.alias("old")
+        .join(F.broadcast(new_bands.alias("new")), key_cols)
+        .filter(F.col("old.id") != F.col("new.id"))
+        .select(F.col("old.id").alias("id_a"), F.col("new.id").alias("id_b"))
+        .distinct()
+    )
+    internal = lsh_candidate_pairs(new_sigs)
+    candidates = cross.union(internal).distinct()
+    verified = jaccard_pairs(
+        None,
+        threshold_num=threshold_num,
+        threshold_den=threshold_den,
+        candidates=candidates,
+        shingle_sets=all_sets,
+    )
+    dups = verified.groupBy("id_b").agg(F.min("id_a").alias("dup_of"))
+    return (
+        new_sets.select(F.col("id").alias("doc_id"))
+        .join(dups, F.col("doc_id") == F.col("id_b"), "left")
+        .select("doc_id", "dup_of", F.col("dup_of").isNull().alias("keep"))
     )
 
 
@@ -629,6 +711,46 @@ def minhash_pairs_sql(threshold_num: int = 1, threshold_den: int = 2) -> str:
     """
 
 
+def incremental_sql(
+    batch_pred: str = "doc_id % 5 = 4",
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+) -> str:
+    """DuckDB twin of :func:`incremental_neardup` with the new batch
+    defined by ``batch_pred`` over documents: per new doc, the keep
+    verdict vs the existing corpus and smaller-id batch members."""
+    return f"""
+    WITH {shingles_cte()},
+    sigs AS ({minhash_select_sql()}),
+    newids AS (SELECT DISTINCT doc_id AS id FROM documents WHERE {batch_pred}),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM sigs a JOIN sigs b
+        ON b.id IN (SELECT id FROM newids)
+       AND (a.id NOT IN (SELECT id FROM newids) OR a.id < b.id)
+       AND a.id != b.id
+       AND ((a.mh0 = b.mh0 AND a.mh1 = b.mh1)
+         OR (a.mh2 = b.mh2 AND a.mh3 = b.mh3)
+         OR (a.mh4 = b.mh4 AND a.mh5 = b.mh5)
+         OR (a.mh6 = b.mh6 AND a.mh7 = b.mh7))),
+    sizes AS (SELECT id, count(*) AS n_sh FROM shingles GROUP BY id),
+    common AS (
+      SELECT s1.id AS id_a, s2.id AS id_b, count(*) AS common
+      FROM shingles s1 JOIN shingles s2
+        ON s1.shingle = s2.shingle AND s1.id != s2.id
+      GROUP BY 1, 2),
+    verified AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c JOIN common m ON m.id_a = c.id_a AND m.id_b = c.id_b
+           JOIN sizes x ON c.id_a = x.id JOIN sizes y ON c.id_b = y.id
+      WHERE {threshold_den} * m.common
+            >= {threshold_num} * (x.n_sh + y.n_sh - m.common))
+    SELECT n.id AS doc_id, MIN(v.id_a) AS dup_of,
+           (MIN(v.id_a) IS NULL) AS keep
+    FROM newids n LEFT JOIN verified v ON v.id_b = n.id
+    GROUP BY n.id
+    """
+
+
 def components_sql() -> str:
     """DuckDB twin of :func:`connected_components` over the MinHash
     pair list: transitive min-label closure via a recursive CTE
@@ -676,7 +798,7 @@ def positional_shingle_hashes(
     the ordered stream winnowing slides over (word_shingles drops
     order and duplicates; this keeps both)."""
     toks = F.split(F.col(text_col), " ")
-    base = df.select(F.col(id_col).alias("id"), toks.alias("toks"))
+    base = fan_out(df.select(F.col(id_col).alias("id"), toks.alias("toks")))
     offsets = F.when(
         F.size("toks") >= n, F.sequence(F.lit(1), F.size("toks") - (n - 1))
     ).otherwise(F.expr("array()"))

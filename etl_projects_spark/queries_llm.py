@@ -645,6 +645,30 @@ def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.neardup_keep_list(docs, _minhash_pairs(spark, sf_dir))
 
 
+@_q("dedup_incremental_batch", dedup.incremental_sql())
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: one batch (doc_id % 5 = 4 — an arbitrary
+    stand-in for 'the newly arrived slice') deduped against the
+    already-indexed rest of the corpus WITHOUT re-deduping it. The
+    existing docs' LSH band rows are written to parquet and read back
+    — the stored-index pattern — then the batch probes the index with
+    a broadcast of its own band rows, verifies candidates by shingle
+    Jaccard, and emits one (doc_id, dup_of, keep) verdict per batch
+    doc. At 100 TB the index is a band-partitioned table and batch
+    cost stays independent of corpus size."""
+    import tempfile
+
+    is_new = F.col("id") % 5 == 4
+    sets = dedup.materialize(
+        dedup.word_shingle_sets(load(spark, sf_dir, "documents"))
+    )
+    existing_sigs = dedup.minhash_signatures_from_sets(sets.filter(~is_new))
+    path = os.path.join(tempfile.mkdtemp(prefix="lsh_index_"), "band_index")
+    dedup.melt_bands(existing_sigs).write.mode("overwrite").parquet(path)
+    index = spark.read.parquet(path)
+    return dedup.incremental_neardup(sets.filter(is_new), index, sets)
+
+
 @_q(
     "text_repetition_ratio",
     """
