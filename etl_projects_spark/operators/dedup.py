@@ -35,30 +35,13 @@ SIMHASH_BITS = 32
 NGRAM_N = 3
 
 
-from etl_projects_spark.operators.exec_util import materialize  # noqa: F401
+from etl_projects_spark.operators.exec_util import fan_out, materialize  # noqa: F401
 # (re-exported: the dedup catalog queries call dedup.materialize)
 
 
 def hex60(c: Column) -> Column:
     """First 60 bits of md5 as a bigint (portable string→int hash)."""
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
-
-
-def fan_out(df: DataFrame) -> DataFrame:
-    """Ensure at least the session's default parallelism ahead of a
-    CPU-bound per-row stage.
-
-    A small corpus arriving as one parquet file scans as ONE partition
-    and serializes the whole hashing stage on a single core (measured:
-    the sf0.1 shingle stage alone was 4.2 s single-task vs ~0.4 s
-    fanned out). Rows here are tiny, so the round-robin shuffle is
-    cheap next to the hashing. At scale the scan already carries more
-    partitions than cores and this is a no-op — no added shuffle.
-    """
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
 
 
 def word_shingle_sets(

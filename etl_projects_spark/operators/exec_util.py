@@ -5,6 +5,23 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def fan_out(df: DataFrame) -> DataFrame:
+    """Ensure at least the session's default parallelism ahead of a
+    CPU-bound per-row stage.
+
+    A small corpus arriving as one parquet file scans as ONE partition
+    and serializes the whole stage on a single core (measured: the
+    sf0.1 shingle stage alone was 4.2 s single-task vs ~0.4 s fanned
+    out). Rows here are tiny, so the round-robin shuffle is cheap next
+    to the compute. At scale the scan already carries more partitions
+    than cores and this is a no-op — no added shuffle.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def materialize(df: DataFrame) -> DataFrame:
     """persist + eager count: a deterministic cache barrier.
 

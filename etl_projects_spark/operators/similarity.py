@@ -372,3 +372,64 @@ def ivf_topk(
         .orderBy(F.desc("score"), F.col(id_col))
         .limit(k)
     )
+
+
+def knn_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine k-NN JOIN: for every query vector, the top-k
+    corpus neighbors — (qid, nbr, score, rank). The batch-retrieval /
+    eval-set workload (N probes at once), vs the single-vector
+    :func:`brute_force_topk`.
+
+    Scale shape: ``queries`` must be a bounded probe/eval relation —
+    it is collected into ONE dense matrix and broadcast (the same
+    bounded-driver-sample contract as the IVF codebook); the corpus
+    streams through ``mapInPandas`` exactly once — no corpus shuffle,
+    one BLAS matmul per Arrow batch — and only the per-partition
+    top-k rows (≤ queries·k per partition) leave a task. The global
+    top-k is one window over queries·k·partitions rows. Scores are
+    rounded to 6 dp BEFORE ranking so the (score desc, nbr) order —
+    and therefore the k-cut — is reproducible across engines.
+    """
+    from pyspark.sql import Window as W
+
+    from etl_projects_spark.operators.exec_util import fan_out
+
+    qpdf = queries.select(id_col, vec_col).toPandas()  # bounded by contract
+    qids_v = qpdf[id_col].to_numpy()
+    Q = np.vstack(qpdf[vec_col].to_numpy()).astype(np.float64)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    bq = corpus.sparkSession.sparkContext.broadcast((qids_v, Qn.T))
+
+    def part(batches):
+        qids, QnT = bq.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            C = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+            S = np.round(Cn @ QnT, 6)  # corpus-batch x queries
+            ids = pdf[id_col].to_numpy()
+            frames = []
+            for j, qid in enumerate(qids):
+                mask = ids != qid  # a query is never its own neighbor
+                s, cids = S[mask, j], ids[mask]
+                top = np.lexsort((cids, -s))[:k]
+                frames.append(
+                    pd.DataFrame({"qid": qid, "nbr": cids[top], "score": s[top]})
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    partial = fan_out(corpus.select(id_col, vec_col)).mapInPandas(
+        part, "qid long, nbr long, score double"
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("score"), F.asc("nbr"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -220,6 +220,33 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(load(spark, sf_dir, "embeddings"), query_id=0, k=10)
 
 
+@_q(
+    "ann_knn_join",
+    f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qv
+               FROM embeddings WHERE vec_id % 100 = 0),
+    scored AS (
+      SELECT q.qid, c.vec_id AS nbr,
+             round({similarity.cosine_sql('c.embedding', 'q.qv')}, 6) AS score
+      FROM embeddings c, q WHERE c.vec_id != q.qid),
+    ranked AS (
+      SELECT qid, nbr, score,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY score DESC, nbr) AS rank
+      FROM scored)
+    SELECT qid, nbr, score, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch k-NN join: exact cosine top-3 corpus neighbors for every
+    probe vector (vec_id % 100 = 0 — the eval-set stand-in). One
+    corpus scan, probes broadcast as a dense matrix, BLAS matmul per
+    Arrow batch, partial top-k per partition, one final window."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.knn_join(emb, emb.filter(F.col("vec_id") % 100 == 0), k=3)
+
+
 # =========================================================================
 # Event-stream analytics (events table)
 # =========================================================================
