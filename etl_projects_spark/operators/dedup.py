@@ -698,10 +698,17 @@ def incremental_sql(
     batch_pred: str = "doc_id % 5 = 4",
     threshold_num: int = 1,
     threshold_den: int = 2,
+    include_batch_pairs: bool = True,
 ) -> str:
     """DuckDB twin of :func:`incremental_neardup` with the new batch
     defined by ``batch_pred`` over documents: per new doc, the keep
-    verdict vs the existing corpus and smaller-id batch members."""
+    verdict vs the existing corpus and smaller-id batch members.
+    ``include_batch_pairs=False`` restricts to existing→new pairs only
+    (the streaming probe semantics, where in-batch dedup is handled
+    separately by ``dropDuplicatesWithinWatermark``)."""
+    in_batch = (
+        "OR a.id < b.id" if include_batch_pairs else ""
+    )
     return f"""
     WITH {shingles_cte()},
     sigs AS ({minhash_select_sql()}),
@@ -709,7 +716,7 @@ def incremental_sql(
     cand AS (
       SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM sigs a JOIN sigs b
         ON b.id IN (SELECT id FROM newids)
-       AND (a.id NOT IN (SELECT id FROM newids) OR a.id < b.id)
+       AND (a.id NOT IN (SELECT id FROM newids) {in_batch})
        AND a.id != b.id
        AND ((a.mh0 = b.mh0 AND a.mh1 = b.mh1)
          OR (a.mh2 = b.mh2 AND a.mh3 = b.mh3)

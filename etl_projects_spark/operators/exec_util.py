@@ -16,6 +16,10 @@ def fan_out(df: DataFrame) -> DataFrame:
     to the compute. At scale the scan already carries more partitions
     than cores and this is a no-op — no added shuffle.
     """
+    if df.isStreaming:
+        # No partition introspection on a stream; micro-batch
+        # parallelism is the source's (maxFilesPerTrigger etc.).
+        return df
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)

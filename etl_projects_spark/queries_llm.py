@@ -697,6 +697,48 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "streaming_incremental_dedup",
+    dedup.incremental_sql(include_batch_pairs=False),
+)
+def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus admission, END TO END: documents arrive as a
+    file-source STREAM (the batch slice doc_id % 5 = 4), are banded
+    per-row, probed against the static LSH band index of the
+    already-admitted corpus via stream-static left joins, Jaccard-
+    verified on the joined row, and drained with availableNow into
+    one (doc_id, dup_of, keep) verdict per arriving doc. The only
+    stateful op is the final per-doc min — everything upstream is
+    stateless, so stream state stays O(in-flight micro-batch) at any
+    corpus size."""
+    from etl_projects_spark.streaming import jobs
+
+    docs = load(spark, sf_dir, "documents")
+    is_new = F.col("id") % 5 == 4
+    sets = dedup.materialize(dedup.word_shingle_sets(docs))
+    static_sets = sets.filter(~is_new)
+    index = dedup.melt_bands(dedup.minhash_signatures_from_sets(static_sets))
+
+    stream_docs = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .parquet(os.path.join(sf_dir, "documents*"))
+        .filter(F.col("doc_id") % 5 == 4)
+    )
+    stream_sets = dedup.word_shingle_sets(stream_docs)
+    verdicts = jobs.incremental_dedup_stream(stream_sets, index, static_sets)
+    (
+        verdicts.writeStream.format("memory")
+        .queryName("streaming_incremental_dedup_sink")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.table("streaming_incremental_dedup_sink")
+
+
+@_q(
     "text_repetition_ratio",
     """
     SELECT doc_id,

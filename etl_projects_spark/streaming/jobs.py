@@ -323,3 +323,98 @@ def interval_join(
         & (r[right_ts] <= l[left_ts] + F.expr(f"INTERVAL {within}"))
     )
     return l.join(r, cond, how).drop(r[key])
+
+
+def incremental_dedup_stream(
+    stream_sets: DataFrame,
+    index: DataFrame,
+    static_sets: DataFrame,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+) -> DataFrame:
+    """Streaming corpus admission: probe each arriving document
+    against a STATIC LSH band index and emit one (doc_id, dup_of,
+    keep) verdict per doc — the continuous-ingest twin of
+    :func:`etl_projects_spark.operators.dedup.incremental_neardup`.
+
+    ``stream_sets`` is the streaming (id, sh_set) relation (from
+    ``word_shingle_sets`` over the doc stream — per-row exprs, stream
+    -safe); ``index`` and ``static_sets`` are batch relations of the
+    already-admitted corpus. Every step is stateless until the final
+    per-doc aggregation: banding is a per-row projection, both probes
+    are stream-static LEFT joins (the static side broadcasts or
+    co-partitions; stream rows never wait in state), and the Jaccard
+    verify is an ``array_intersect`` on the joined row. Docs whose
+    shingle set is empty (or that hit no bucket) flow through the
+    outer joins with nulls and come out keep=true. In-stream
+    (new-vs-new) duplicates are out of scope by design — chain
+    :func:`dedup_stream` (``dropDuplicatesWithinWatermark``) upstream
+    for that; the DuckDB twin is
+    ``dedup.incremental_sql(include_batch_pairs=False)``.
+
+    The per-doc groupBy is the only stateful operator. Drained with
+    ``availableNow`` + complete mode it is deterministic and exactly
+    covers the batch; a long-running deployment would instead emit
+    verdicts in update mode keyed by doc (each doc's bands arrive in
+    one micro-batch, so its verdict finalizes immediately).
+    """
+    from etl_projects_spark.operators.dedup import (
+        HASH_PRIME,
+        LSH_BANDS,
+        MINHASH_COEFFS,
+    )
+
+    rows_per_band = len(MINHASH_COEFFS) // LSH_BANDS
+
+    h = F.transform("sh_set", lambda x: F.pmod(x, F.lit(HASH_PRIME)))
+    staged = stream_sets.select("id", "sh_set", h.alias("h"))
+    mh = [
+        F.array_min(
+            F.transform("h", lambda v: F.pmod(a * v + b, F.lit(HASH_PRIME)))
+        ).alias(f"mh{i}")
+        for i, (a, b) in enumerate(MINHASH_COEFFS)
+    ]
+    sigs = staged.select("id", "sh_set", *mh)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band"),
+                *[
+                    F.col(f"mh{band * rows_per_band + r}").alias(f"k{r}")
+                    for r in range(rows_per_band)
+                ],
+            )
+            for band in range(LSH_BANDS)
+        ]
+    )
+    # explode_outer keeps empty-set docs (null band keys match nothing
+    # downstream but the row survives the left joins → keep=true).
+    banded = sigs.select(
+        "id",
+        "sh_set",
+        F.explode_outer(
+            F.when(F.size("sh_set") > 0, band_structs)
+        ).alias("bk"),
+    ).select("id", "sh_set", "bk.*")
+
+    key_cols = ["band"] + [f"k{r}" for r in range(rows_per_band)]
+    idx = index.select(
+        F.col("id").alias("old_id"), *[F.col(c) for c in key_cols]
+    )
+    olds = static_sets.select(
+        F.col("id").alias("old_id"), F.col("sh_set").alias("old_set")
+    )
+    hits = banded.join(idx, key_cols, "left").join(olds, "old_id", "left")
+    common = F.size(F.array_intersect("sh_set", "old_set"))
+    union_sz = F.size("sh_set") + F.size("old_set") - common
+    verified_old = F.when(
+        (F.col("old_id") != F.col("id"))
+        & (F.lit(threshold_den) * common >= F.lit(threshold_num) * union_sz),
+        F.col("old_id"),
+    )
+    return (
+        hits.select(F.col("id").alias("doc_id"), verified_old.alias("v"))
+        .groupBy("doc_id")
+        .agg(F.min("v").alias("dup_of"))
+        .withColumn("keep", F.col("dup_of").isNull())
+    )
