@@ -738,6 +738,97 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("streaming_incremental_dedup_sink")
 
 
+# BM25 constants shared by the Spark query and its DuckDB twin — both
+# score expressions are generated from the same (terms, k1, b) so the
+# arithmetic agrees by construction.
+BM25_TERMS = ("spark", "window", "hash")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP = 20
+
+
+def _bm25_oracle() -> str:
+    tf_cols = ", ".join(
+        f"len(list_filter(string_split(text, ' '), x -> x = '{t}')) AS tf_{t}"
+        for t in BM25_TERMS
+    )
+    df_cols = ", ".join(
+        f"sum(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS df_{t}"
+        for t in BM25_TERMS
+    )
+    parts = " + ".join(
+        f"(CASE WHEN tf_{t} > 0 THEN "
+        f"ln((n - df_{t} + 0.5) / (df_{t} + 0.5) + 1) * "
+        f"tf_{t} * {BM25_K1 + 1} / "
+        f"(tf_{t} + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl / avgdl)) "
+        f"ELSE 0 END)"
+        for t in BM25_TERMS
+    )
+    return f"""
+    WITH base AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS dl, {tf_cols}
+      FROM documents),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl, {df_cols} FROM base),
+    scored AS (SELECT doc_id, round({parts}, 6) AS score FROM base, stats)
+    SELECT doc_id, score FROM scored WHERE score > 0
+    ORDER BY score DESC, doc_id LIMIT {BM25_TOP}
+    """
+
+
+@_q("bm25_retrieval", _bm25_oracle())
+def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval over the corpus for a fixed probe-term
+    set — the sparse-retrieval twin of the dense ANN queries (the
+    curation workload: find training docs matching an eval probe).
+
+    Zero explodes: per-term tf is a per-row ``size(filter(tokens))``
+    — the token relation never materializes, so the scan stays one
+    narrow codegen stage. Corpus stats (N, avgdl, per-term doc freq)
+    are ONE single-row aggregate broadcast back via crossJoin, and
+    the final top-k is a ``TakeOrderedAndProject`` — two shuffles
+    total (stats + top-k) at any corpus size. Scores round to 6 dp
+    before ranking for engine-portable ordering."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+
+    def tf_of(term: str):  # closure, NOT a 2-arg lambda — F.filter
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+        # treats a second lambda parameter as the element index.
+
+    base = docs.select(
+        "doc_id",
+        F.size(toks).alias("dl"),
+        *[tf_of(t).alias(f"tf_{t}") for t in BM25_TERMS],
+    )
+    stats = base.agg(
+        F.count("*").alias("n"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{t}") > 0).cast("int")).alias(f"df_{t}")
+            for t in BM25_TERMS
+        ],
+    )
+    part = None
+    for t in BM25_TERMS:
+        tf, df_ = F.col(f"tf_{t}"), F.col(f"df_{t}")
+        idf = F.log((F.col("n") - df_ + 0.5) / (df_ + 0.5) + 1)
+        term = F.when(
+            tf > 0,
+            idf
+            * tf
+            * (BM25_K1 + 1)
+            / (tf + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))),
+        ).otherwise(F.lit(0.0))
+        part = term if part is None else part + term
+    return (
+        base.crossJoin(F.broadcast(stats))
+        .select("doc_id", F.round(part, 6).alias("score"))
+        .filter(F.col("score") > 0)
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(BM25_TOP)
+    )
+
+
 @_q(
     "text_repetition_ratio",
     """
