@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def fan_out(df: DataFrame) -> DataFrame:
@@ -40,3 +41,49 @@ def materialize(df: DataFrame) -> DataFrame:
     df = df.persist()
     df.count()
     return df
+
+
+def prefix_sum(
+    df: DataFrame,
+    order_col: str,
+    val_col: str,
+    out_col: str = "cumsum_excl",
+    n_parts: int | None = None,
+) -> DataFrame:
+    """EXCLUSIVE prefix sum of ``val_col`` over the global ``order_col``
+    ordering — without the single-task global window.
+
+    ``Window.orderBy(x)`` with no partitionBy collapses the whole
+    relation into ONE task; this is the classic two-phase scan
+    instead: range-partition on the order key (sorted partitions),
+    take a local running sum inside each, and add each partition's
+    offset — the exclusive cumsum of the per-partition totals, a
+    relation of ``n_parts`` rows that computes in one tiny single-task
+    window and broadcasts back. Exact at any scale; requires
+    ``order_col`` to be unique (ties make "exclusive of self"
+    ambiguous).
+    """
+    from pyspark.sql import Window as W
+
+    n = n_parts or df.sparkSession.sparkContext.defaultParallelism
+    d = df.repartitionByRange(n, F.col(order_col)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    wloc = (
+        W.partitionBy("_pid")
+        .orderBy(order_col)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    local = d.withColumn("_loc", F.coalesce(F.sum(val_col).over(wloc), F.lit(0)))
+    wpart = W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
+    offs = (
+        d.groupBy("_pid")
+        .agg(F.sum(val_col).alias("_tot"))
+        .withColumn("_off", F.coalesce(F.sum("_tot").over(wpart), F.lit(0)))
+        .select("_pid", "_off")
+    )
+    return (
+        local.join(F.broadcast(offs), "_pid")
+        .withColumn(out_col, (F.col("_loc") + F.col("_off")).cast("long"))
+        .drop("_pid", "_loc")
+    )

@@ -220,3 +220,67 @@ def engine_sql_file_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     out = eng.load_layer(qdir, "datalake_q", Layer.CLEAN)
     return out["t_status"]
+
+
+PACK_BUDGET = 2048  # tokens per packed shard
+
+
+@_q(
+    "pack_token_spans",
+    f"""
+    WITH dl AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+    pos AS (
+      SELECT doc_id, dl,
+             COALESCE(SUM(dl) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+      FROM dl)
+    SELECT doc_id,
+           CAST(shard_id AS BIGINT) AS shard_id,
+           CAST(GREATEST(start, shard_id * {PACK_BUDGET}) AS BIGINT)
+             AS tok_start,
+           CAST(LEAST(start + dl, (shard_id + 1) * {PACK_BUDGET}) AS BIGINT)
+             AS tok_end
+    FROM pos, UNNEST(generate_series(
+           CAST(FLOOR(start / {PACK_BUDGET}) AS BIGINT),
+           CAST(FLOOR((start + dl - 1) / {PACK_BUDGET}) AS BIGINT))) AS t(shard_id)
+    WHERE dl > 0
+    """,
+)
+def pack_token_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-cut sequence packing: the corpus token stream (docs
+    concatenated in doc_id order) cut every PACK_BUDGET tokens, with
+    documents SPANNING shard boundaries — one row per (doc, shard)
+    span with its [tok_start, tok_end) slice of the global stream.
+    Every shard is exactly full (except the last): the layout a
+    pretraining data loader actually consumes, vs ``shard_packing``'s
+    no-split first-token binning.
+
+    The global token offset comes from the two-phase distributed
+    prefix sum (``exec_util.prefix_sum``) — range-partitioned local
+    running sums plus a broadcast offset table — NOT a single-task
+    global window; spans then explode from a ``sequence`` per doc.
+    One range shuffle + one tiny broadcast at any corpus size."""
+    from etl_projects_spark.operators.exec_util import prefix_sum
+
+    docs = load(spark, sf_dir, "documents")
+    dl = docs.select("doc_id", text.token_count("text").alias("dl")).filter(
+        F.col("dl") > 0
+    )
+    pos = prefix_sum(dl, "doc_id", "dl", out_col="start")
+    first = F.floor(F.col("start") / PACK_BUDGET).cast("long")
+    last = F.floor((F.col("start") + F.col("dl") - 1) / PACK_BUDGET).cast("long")
+    return (
+        pos.select(
+            "doc_id", "start", "dl",
+            F.explode(F.sequence(first, last)).alias("shard_id"),
+        )
+        .select(
+            "doc_id",
+            "shard_id",
+            F.greatest("start", F.col("shard_id") * PACK_BUDGET)
+            .cast("long").alias("tok_start"),
+            F.least(F.col("start") + F.col("dl"), (F.col("shard_id") + 1) * PACK_BUDGET)
+            .cast("long").alias("tok_end"),
+        )
+    )

@@ -134,3 +134,28 @@ def test_explode_json_type_sample_string_fallback(spark):
         ops.JSON_TYPE_SAMPLE_ROWS = old
     types = {f.name: f.dataType.simpleString() for f in schema.fields}
     assert types == {"common": "string", "rare": "string"}
+
+
+def test_prefix_sum_matches_global_window(spark, sf_dir):
+    import os
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from etl_projects_spark.operators.exec_util import prefix_sum
+
+    df = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
+        "o_orderkey", F.col("o_custkey").alias("v")
+    )
+    got = {
+        r.o_orderkey: r.c
+        for r in prefix_sum(df, "o_orderkey", "v", out_col="c").collect()
+    }
+    w = W.orderBy("o_orderkey").rowsBetween(W.unboundedPreceding, -1)
+    exp = {
+        r.o_orderkey: r.c
+        for r in df.select(
+            "o_orderkey", F.coalesce(F.sum("v").over(w), F.lit(0)).alias("c")
+        ).collect()
+    }
+    assert got == exp
