@@ -351,7 +351,11 @@ def incremental_neardup(
         .distinct()
     )
     internal = lsh_candidate_pairs(new_sigs)
-    candidates = cross.union(internal).distinct()
+    # Materialized: candidates feed BOTH the id-set build and the pair
+    # join inside jaccard_pairs — left lazy, each branch recomputes the
+    # index probe + in-batch self-join (measured ~2× the candidate
+    # cost). The relation is LSH-bounded, so the barrier job is small.
+    candidates = materialize(cross.union(internal).distinct())
     verified = jaccard_pairs(
         None,
         threshold_num=threshold_num,

@@ -691,7 +691,15 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     existing_sigs = dedup.minhash_signatures_from_sets(sets.filter(~is_new))
     path = os.path.join(tempfile.mkdtemp(prefix="lsh_index_"), "band_index")
-    dedup.melt_bands(existing_sigs).write.mode("overwrite").parquet(path)
+    # Band-partitioned layout: at scale each probe prunes to its band's
+    # partition; here it also keeps the demo write at one file per band.
+    (
+        dedup.melt_bands(existing_sigs)
+        .repartition(dedup.LSH_BANDS, "band")
+        .write.mode("overwrite")
+        .partitionBy("band")
+        .parquet(path)
+    )
     index = spark.read.parquet(path)
     return dedup.incremental_neardup(sets.filter(is_new), index, sets)
 

@@ -46,3 +46,33 @@ def test_scan_agg_single_shuffle(spark):
     # Pure scan→groupBy queries must shuffle at most once.
     for name in ("q1_pricing_summary", "q6_selective_revenue"):
         assert_plan(QS[name](spark, SF_DIR), shuffles=("<=", 1))
+
+
+def test_bm25_two_shuffles_no_python(spark):
+    assert_plan(QS["bm25_retrieval"](spark, SF_DIR),
+                python_stages=0, shuffles=("<=", 2), top_k_pushdown=True)
+
+
+def test_knn_join_single_python_stage(spark):
+    # One mapInPandas over the corpus; no corpus-sized shuffle — the
+    # only exchange feeds the final queries·k·partitions window.
+    assert_plan(QS["ann_knn_join"](spark, SF_DIR),
+                python_stages=1, cartesian=False)
+
+
+def test_incremental_dedup_broadcasts_batch(spark):
+    # The batch probes the stored index via broadcast: the index side
+    # must never shuffle.
+    assert_plan(QS["dedup_incremental_batch"](spark, SF_DIR),
+                broadcast_joins=(">=", 1), cartesian=False)
+
+
+def test_pack_token_spans_no_global_window(spark):
+    from etl_projects_spark.plans.audit import plan_string
+    df = QS["pack_token_spans"](spark, SF_DIR)
+    # The two-phase prefix sum range-partitions; a naive global-window
+    # implementation would show an Exchange SinglePartition feeding
+    # the full corpus window.
+    plan = plan_string(df)
+    assert "rangepartitioning" in plan, "expected the range-partitioned scan phase"
+    assert_plan(df, python_stages=0, cartesian=False)
