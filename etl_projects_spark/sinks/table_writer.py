@@ -52,12 +52,20 @@ class TableWriter:
         mode: str = "overwrite",
         storage: StorageFormat | None = None,
         one_file_per_partition: bool = False,
+        cluster_by: Sequence[str] = (),
         **options: str,
     ) -> str:
         """Write ``df`` as ``<root>/<database>/<table>``; returns the path.
 
         ``mode="overwrite"`` with ``partitions`` only replaces the incoming
         partitions (dynamic overwrite) — the incremental-load contract.
+
+        ``cluster_by`` sorts rows *within* each write task before the
+        write (no extra shuffle): parquet then stores tight min/max
+        stats on those columns, so point/range predicates skip whole
+        row groups at read time — the poor man's clustering key, and
+        the difference between scanning a 100 TB table and skipping
+        most of it.
         """
         fmt = storage or layer_storage_format(layer)
         path = self.table_path(database, table)
@@ -65,6 +73,8 @@ class TableWriter:
             # One shuffle keyed by the Hive partition columns → exactly one
             # task (and so one file) per output partition.
             df = df.repartition(*partitions)
+        if cluster_by:
+            df = df.sortWithinPartitions(*cluster_by)
         writer = (
             df.write.mode(mode)
             .format(fmt.format)

@@ -214,3 +214,25 @@ def test_load_table_schema_evolution_rerun(engine):
     )
     cols = engine.spark.table("datalake_evo_orders_evo").columns
     assert cols == ["o_orderkey", "o_totalprice"]
+
+
+def test_load_table_cluster_by_sorts_within_files(spark, sf_dir, tmp_path):
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from etl_projects_spark.sinks.table_writer import TableWriter
+
+    df = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    w = TableWriter(str(tmp_path))
+    path = w.load_table(
+        df.repartition(4), "db", "orders_clustered", cluster_by=["o_custkey"]
+    )
+    files = glob.glob(os.path.join(path, "part-*.parquet"))
+    assert files
+    for f in files:
+        vals = pq.read_table(f, columns=["o_custkey"])["o_custkey"].to_pylist()
+        assert vals == sorted(vals), f"rows not clustered in {f}"
