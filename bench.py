@@ -61,6 +61,14 @@ HEADLINE = (
     "text_quality_score",
     "asof_click_before_purchase",
     "resample_gap_fill",
+    # r2 additions
+    "dedup_incremental_batch",
+    "streaming_incremental_dedup",
+    "ann_knn_join",
+    "bm25_retrieval",
+    "pack_token_spans",
+    "dedup_keep_list",
+    "warehouse_copy_roundtrip",
 )
 
 SKIP: set[str] = set()
