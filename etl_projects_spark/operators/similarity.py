@@ -144,6 +144,44 @@ def lsh_topk(
     )
 
 
+def lsh_multiprobe_topk(
+    df: DataFrame,
+    query_id: int,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = LSH_N_PLANES,
+) -> DataFrame:
+    """Multi-probe LSH ANN top-k: search the query's bucket AND every
+    Hamming-1 neighbor bucket (flip each sign bit once).
+
+    The recall/cost knob between single-bucket LSH (fast, recall
+    gaps) and brute force: vectors near a hyperplane land on either
+    side, so probing the 1-bit-flip buckets recovers most misses for
+    (n_planes+1)/2^n_planes of the brute-force cost. The probe set is
+    a deterministic 5-element IN-list on the bucket column — still a
+    scan-side filter (partition-prunable when the corpus is stored
+    bucketed), never a shuffle.
+    """
+    with_bucket = df.withColumn("bucket", hyperplane_bucket(F.col(vec_col)))
+    q = with_bucket.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("qvec"), F.col("bucket").alias("qbucket")
+    )
+    probed = F.array(
+        F.col("qbucket"), *[F.col("qbucket").bitwiseXOR(1 << i) for i in range(n_planes)]
+    )
+    return (
+        with_bucket.filter(F.col(id_col) != query_id)
+        .join(F.broadcast(q), F.array_contains(probed, F.col("bucket")))
+        .select(
+            F.col(id_col),
+            F.round(pair_cosine(F.col(vec_col), F.col("qvec")), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(k)
+    )
+
+
 # ---- oracle-SQL generators -------------------------------------------------
 
 

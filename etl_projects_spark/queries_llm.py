@@ -221,6 +221,30 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "ann_lsh_multiprobe_topk",
+    f"""
+    WITH b AS (SELECT vec_id, embedding,
+                      {similarity.bucket_sql('embedding')} AS bucket
+               FROM embeddings),
+    q AS (SELECT embedding AS qvec, bucket AS qbucket FROM b WHERE vec_id = 0)
+    SELECT vec_id, round({similarity.cosine_sql('embedding', 'qvec')}, 6) AS score
+    FROM b, q
+    WHERE vec_id != 0 AND (bucket = qbucket
+       OR bucket = xor(qbucket, 1) OR bucket = xor(qbucket, 2)
+       OR bucket = xor(qbucket, 4) OR bucket = xor(qbucket, 8))
+    ORDER BY score DESC, vec_id LIMIT 10
+    """,
+)
+def ann_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN: the query's bucket plus all Hamming-1
+    neighbor buckets — recovers near-hyperplane misses for ~5/16 of
+    the brute-force cost (recall pinned ≥ single-probe in tests)."""
+    return similarity.lsh_multiprobe_topk(
+        load(spark, sf_dir, "embeddings"), query_id=0, k=10
+    )
+
+
+@_q(
     "ann_knn_join",
     f"""
     WITH q AS (SELECT vec_id AS qid, embedding AS qv
