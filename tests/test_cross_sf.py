@@ -22,6 +22,14 @@ REPRESENTATIVE = [
     "quality_validate_events",
     "asof_click_before_purchase",
     "salted_join_lineitem_orders",
+    # r2-late additions
+    "dedup_incremental_batch",
+    "streaming_incremental_dedup",
+    "ann_knn_join",
+    "ann_lsh_multiprobe_topk",
+    "bm25_retrieval",
+    "pack_token_spans",
+    "warehouse_copy_roundtrip",
 ]
 
 
