@@ -114,6 +114,41 @@ def read_jsonl_gz(
     return reader.json(path)
 
 
+def read_jsonl_quarantine(
+    spark: SparkSession, path: str, schema: str
+) -> tuple[DataFrame, DataFrame]:
+    """Read a raw JSONL feed with per-record fault isolation: returns
+    ``(good, quarantined)``.
+
+    The Spark-native form of the reference's per-item validation
+    (``scrapers/validators.py:5-13`` rejects bad items one at a time;
+    ``monitors.py`` counts them): PERMISSIVE mode routes malformed
+    lines into ``_corrupt_record`` instead of failing the job — on a
+    100 TB raw layer one broken line must never kill the load. The
+    good side drops the marker column; the quarantine side carries the
+    raw line for replay/debug and feeds the zero-errors monitor
+    (``operators/quality.py``).
+
+    The frame is cached before splitting: Spark disallows filtering on
+    ONLY the internal corrupt-record column of a just-read JSON
+    relation (the pushed-down parser would need to re-parse), and the
+    cache also means the feed is parsed once for both sides.
+    """
+    full = f"{schema}, _corrupt_record STRING"
+    df = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+        .cache()
+    )
+    good = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    bad = df.filter(F.col("_corrupt_record").isNotNull()).select(
+        F.col("_corrupt_record").alias("raw_line")
+    )
+    return good, bad
+
+
 def put_json_object(obj: Mapping, path: str) -> str:
     """Small JSON control-file put (S6 parity: the reference uploads a
     dict as an S3 object, ``s3_loader.py:43-50``). Local/NFS paths

@@ -139,3 +139,23 @@ def test_quote_row_ingests_with_declared_schema(spark):
     assert df.schema == QUOTE_SCHEMA
     got = df.collect()[0]
     assert got["ticker"] == "XIU.TO" and got["current_price"] == 27.15
+
+
+def test_read_jsonl_quarantine_splits_bad_lines(spark, tmp_path):
+    from etl_projects_spark.sources.ingest import read_jsonl_quarantine
+
+    feed = tmp_path / "feed.jsonl"
+    feed.write_text(
+        '{"id": 1, "name": "a", "price": 1.5}\n'
+        '{"id": 2, "name": "b", "price": 2.5}\n'
+        'not json at all\n'
+        '{"id": 3, "name": "c", "price": 3.5}\n'
+        '{"id": broken\n'
+    )
+    good, bad = read_jsonl_quarantine(
+        spark, str(feed), "id INT, name STRING, price DOUBLE"
+    )
+    assert sorted(r.id for r in good.collect()) == [1, 2, 3]
+    assert "_corrupt_record" not in good.columns
+    raws = [r.raw_line for r in bad.collect()]
+    assert len(raws) == 2 and any("not json" in r for r in raws)
