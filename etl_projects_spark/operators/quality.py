@@ -110,3 +110,28 @@ def zero_errors_monitor(rules: Mapping[str, Rule]) -> Check:
         return n_bad == 0, "zero_errors: found violating rows" if n_bad else "ok"
 
     return check
+
+
+def profile_table(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Per-column profile: (column, n_rows, n_null, n_distinct) — the
+    standard pre-load data-profiling report.
+
+    ONE aggregation job for every column (Catalyst expands the
+    multi-column distinct aggregates into a single shuffled plan with
+    partial aggregation); the single metrics row then melts to
+    per-column rows with a ``stack`` projection — no per-column jobs,
+    no driver loop over columns.
+    """
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"n_{c}"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"null_{c}"),
+            F.count_distinct(F.col(c)).alias(f"dist_{c}"),
+        ]
+    one = df.agg(*aggs)
+    stack_args = ", ".join(f"'{c}', n_{c}, null_{c}, dist_{c}" for c in cols)
+    return one.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS "
+        "(column, n_rows, n_null, n_distinct)"
+    )

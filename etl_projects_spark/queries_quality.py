@@ -67,3 +67,31 @@ def quality_violation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side partial count — one narrow shuffle of rule names)."""
     ev = load(spark, sf_dir, "events")
     return quality.violation_counts(quality.validate(ev, event_rules()))
+
+
+@_q(
+    "profile_orders",
+    """
+    SELECT col AS column, n_rows, n_null, n_distinct FROM (
+      SELECT 'o_custkey' AS col, COUNT(*) AS n_rows,
+             CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null,
+             COUNT(DISTINCT o_custkey) AS n_distinct FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus', COUNT(*),
+             CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             COUNT(DISTINCT o_orderstatus) FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority', COUNT(*),
+             CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             COUNT(DISTINCT o_orderpriority) FROM orders)
+    """,
+)
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-load data profile of orders: one aggregation pass over all
+    profiled columns, melted to per-column (n_rows, n_null,
+    n_distinct) rows."""
+    return quality.profile_table(
+        load(spark, sf_dir, "orders"),
+        ["o_custkey", "o_orderstatus", "o_orderpriority"],
+    )
