@@ -136,3 +136,38 @@ def layer_format_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
         for layer in config.Layer
     ]
     return spark.createDataFrame(rows, "layer string, format string, compression string")
+
+
+def _quotes_oracle() -> str:
+    """VALUES oracle generated from the SAME stub fetcher the source
+    runs on executors — parity by construction."""
+    from etl_projects_spark.sources.ingest import fetch_quotes_stub
+    from etl_projects_spark.sources.quote_source import _COLS
+
+    rows = fetch_quotes_stub(["AAPL", "AMZN", "GOOG", "MSFT"], "2024-01-05")
+    vals = ", ".join(
+        "("
+        + ", ".join(
+            repr(r[c]) if isinstance(r[c], str) else str(r[c]) for c in _COLS
+        )
+        + ")"
+        for r in rows
+    )
+    return f"SELECT * FROM (VALUES {vals}) AS t({', '.join(_COLS)})"
+
+
+@_q("source_quotes_scan", _quotes_oracle())
+def source_quotes_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 as a registered Spark 4 Python DataSource: the quote feed
+    read with ``spark.read.format("stub_quotes")`` — one input
+    partition per ticker, so the (stubbed) fetch distributes across
+    executors instead of looping on the driver."""
+    from etl_projects_spark.sources import quote_source
+
+    quote_source.register(spark)
+    return (
+        spark.read.format("stub_quotes")
+        .option("tickers", "AAPL,AMZN,GOOG,MSFT")
+        .option("ds", "2024-01-05")
+        .load()
+    )

@@ -1,0 +1,67 @@
+"""Custom Python DataSource for the quote feed (S4, Spark-4-native).
+
+The reference ingests stock quotes by driving a browser in a Scrapy
+spider (``etl_projects/scrapers/spiders/yahoo_finance.py:26-99``) and
+handing items to a validation pipeline. The idiomatic Spark 4 shape is
+a registered Python DataSource: ``spark.read.format("stub_quotes")``
+plans ONE input partition PER TICKER, so the fetch itself distributes
+across executors (a 10k-ticker universe fans out cluster-wide instead
+of looping on a driver), lands directly as a typed DataFrame, and
+composes with every downstream operator with no intermediate files.
+
+The fetch body is the deterministic stub
+(:func:`etl_projects_spark.sources.ingest.fetch_quotes_stub` — no
+network in this environment); a real deployment swaps that one
+function for the Selenium/HTTP fetcher and keeps the source class,
+options, and schema unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+QUOTE_DDL = (
+    "ticker string, company_name string, currency string, "
+    "current_price double, previous_close double, market_cap string, "
+    "curr_date string"
+)
+_COLS = [c.split()[0] for c in QUOTE_DDL.split(", ")]
+
+
+class QuoteDataSource(DataSource):
+    """``spark.read.format("stub_quotes").option("tickers", "A,B")
+    .option("ds", "2024-01-05").load()``"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "stub_quotes"
+
+    def schema(self) -> str:
+        return QUOTE_DDL
+
+    def reader(self, schema) -> "QuoteReader":
+        return QuoteReader(self.options)
+
+
+class QuoteReader(DataSourceReader):
+    def __init__(self, options):
+        self.tickers = [
+            t for t in options.get("tickers", "").split(",") if t
+        ]
+        if not self.tickers:
+            raise ValueError("stub_quotes requires option 'tickers' (csv)")
+        self.ds = options.get("ds", "2024-01-05")
+
+    def partitions(self) -> list[InputPartition]:
+        # One partition per ticker: the unit of parallel fetch.
+        return [InputPartition(t) for t in self.tickers]
+
+    def read(self, partition: InputPartition):
+        from etl_projects_spark.sources.ingest import fetch_quotes_stub
+
+        for item in fetch_quotes_stub([partition.value], self.ds):
+            yield tuple(item[c] for c in _COLS)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(QuoteDataSource)

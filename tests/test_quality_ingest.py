@@ -159,3 +159,19 @@ def test_read_jsonl_quarantine_splits_bad_lines(spark, tmp_path):
     assert "_corrupt_record" not in good.columns
     raws = [r.raw_line for r in bad.collect()]
     assert len(raws) == 2 and any("not json" in r for r in raws)
+
+
+def test_quote_datasource_partitions_per_ticker(spark):
+    from etl_projects_spark.sources import quote_source
+
+    quote_source.register(spark)
+    df = (
+        spark.read.format("stub_quotes")
+        .option("tickers", "AAA,BBB,CCC")
+        .option("ds", "2024-02-02")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 3
+    rows = {r.ticker: r for r in df.collect()}
+    assert set(rows) == {"AAA", "BBB", "CCC"}
+    assert all(r.current_price > 0 for r in rows.values())
