@@ -171,3 +171,50 @@ def source_quotes_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("ds", "2024-01-05")
         .load()
     )
+
+
+def _quotes_stream_oracle() -> str:
+    import datetime
+
+    from etl_projects_spark.sources.ingest import fetch_quotes_stub
+    from etl_projects_spark.sources.quote_source import _COLS
+
+    rows = []
+    for day in range(3):
+        ds = (datetime.date(2024, 1, 1) + datetime.timedelta(days=day)).isoformat()
+        rows += fetch_quotes_stub(["AAPL", "MSFT"], ds)
+    vals = ", ".join(
+        "("
+        + ", ".join(
+            repr(r[c]) if isinstance(r[c], str) else str(r[c]) for c in _COLS
+        )
+        + ")"
+        for r in rows
+    )
+    return f"SELECT * FROM (VALUES {vals}) AS t({', '.join(_COLS)})"
+
+
+@_q("streaming_quotes_ingest", _quotes_stream_oracle())
+def streaming_quotes_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 streaming: the quote feed as a registered Spark 4 Python
+    STREAMING DataSource — day-index offsets, one micro-batch per
+    trading day, exact replay via readBetweenOffsets. Bounded drain
+    (n_days) into a memory sink; the oracle is the same stub fetcher
+    evaluated for every (day, ticker) — parity by construction."""
+    from etl_projects_spark.sources import quote_source
+
+    quote_source.register(spark)
+    q = (
+        spark.readStream.format("stub_quotes_stream")
+        .option("tickers", "AAPL,MSFT")
+        .option("start_ds", "2024-01-01")
+        .option("n_days", "3")
+        .load()
+        .writeStream.format("memory")
+        .queryName("streaming_quotes_ingest_sink")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table("streaming_quotes_ingest_sink")

@@ -18,7 +18,12 @@ options, and schema unchanged.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 QUOTE_DDL = (
     "ticker string, company_name string, currency string, "
@@ -65,3 +70,67 @@ class QuoteReader(DataSourceReader):
 
 def register(spark) -> None:
     spark.dataSource.register(QuoteDataSource)
+    spark.dataSource.register(QuoteStreamDataSource)
+
+
+class QuoteStreamDataSource(DataSource):
+    """Streaming twin of :class:`QuoteDataSource`: a bounded day-by-day
+    quote ticker — each micro-batch is one trading day's quotes for
+    the configured tickers, offsets are day indices.
+
+    ``spark.readStream.format("stub_quotes_stream")
+    .option("tickers", "A,B").option("start_ds", "2024-01-01")
+    .option("n_days", "5").load()``
+
+    The day-index offset makes replay exact (``readBetweenOffsets``
+    re-fetches deterministically), which is the real contract a
+    production feed source must honor for exactly-once sinks. The
+    stream is bounded by ``n_days`` so a drain terminates — a live
+    deployment would instead advance with the clock.
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "stub_quotes_stream"
+
+    def schema(self) -> str:
+        return QUOTE_DDL
+
+    def simpleStreamReader(self, schema) -> "QuoteStreamReader":
+        return QuoteStreamReader(self.options)
+
+
+class QuoteStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, options):
+        self.tickers = [t for t in options.get("tickers", "").split(",") if t]
+        if not self.tickers:
+            raise ValueError("stub_quotes_stream requires option 'tickers'")
+        self.start_ds = options.get("start_ds", "2024-01-01")
+        self.n_days = int(options.get("n_days", "3"))
+
+    def initialOffset(self) -> dict:
+        return {"day": 0}
+
+    def _rows(self, day: int):
+        import datetime
+
+        from etl_projects_spark.sources.ingest import fetch_quotes_stub
+
+        ds = (
+            datetime.date.fromisoformat(self.start_ds)
+            + datetime.timedelta(days=day)
+        ).isoformat()
+        for item in fetch_quotes_stub(self.tickers, ds):
+            yield tuple(item[c] for c in _COLS)
+
+    def read(self, start: dict):
+        day = start["day"]
+        if day >= self.n_days:
+            return iter(()), start  # bounded: no further batches
+        # list-backed iterator: the runner's prefetch cache copy.copy()s
+        # it, which a generator cannot survive (one day is tiny anyway).
+        return iter(list(self._rows(day))), {"day": day + 1}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        for day in range(start["day"], end["day"]):
+            yield from self._rows(day)

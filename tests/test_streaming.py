@@ -288,3 +288,32 @@ def test_interval_join_left_outer_emits_unmatched(spark, events_batch, events_di
     # must be batch-unmatched; at least some must have been emitted
     assert unmatched <= batch_unmatched
     assert len(unmatched) > 0
+
+
+def test_quote_stream_source_replays_deterministically(spark):
+    from etl_projects_spark.sources import quote_source
+
+    quote_source.register(spark)
+
+    def drain(name):
+        q = (
+            spark.readStream.format("stub_quotes_stream")
+            .option("tickers", "XX,YY")
+            .option("start_ds", "2024-03-01")
+            .option("n_days", "4")
+            .load()
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        return sorted(
+            (r.ticker, r.curr_date, r.current_price)
+            for r in spark.table(name).collect()
+        )
+
+    a, b = drain("qsrc_a"), drain("qsrc_b")
+    assert a == b
+    assert len(a) == 8  # 2 tickers x 4 days
