@@ -4,6 +4,7 @@ quality-score bounds."""
 
 from __future__ import annotations
 
+import hashlib
 import re
 
 from hypothesis import given, settings, strategies as st
@@ -62,3 +63,33 @@ def test_winnowing_shared_run_guarantee(spark):
     fp1 = {r["fp"] for r in fps if r["id"] == 1}
     fp2 = {r["fp"] for r in fps if r["id"] == 2}
     assert fp1 & fp2, "shared 6-token run must yield a shared fingerprint"
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(blacklist_categories=("Cs",), max_codepoint=0x2FFF),
+            min_size=0,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=25,
+        unique=True,
+    )
+)
+@settings(max_examples=25, deadline=None)
+def test_hex60_matches_duckdb_md5_cast(strings):
+    """Cross-engine hash parity is load-bearing for the whole dedup
+    family: Spark's conv(substr(md5,1,15),16,10) must equal DuckDB's
+    CAST('0x'||substr(md5,1,15) AS BIGINT) for arbitrary unicode."""
+    import duckdb
+
+    con = duckdb.connect()
+    duck = [
+        con.execute(
+            "SELECT CAST(('0x' || substr(md5(?), 1, 15)) AS BIGINT)", [s]
+        ).fetchone()[0]
+        for s in strings
+    ]
+    py = [int(hashlib.md5(s.encode()).hexdigest()[:15], 16) for s in strings]
+    assert duck == py
