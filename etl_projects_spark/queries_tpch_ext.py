@@ -529,12 +529,15 @@ def q21_sole_returning_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     receipt-after-commit predicate — no commit/receipt dates in the
     testdata). Layered EXISTS + NOT EXISTS on the same correlation key.
 
-    Spark side folds the whole correlation into ONE lineitem scan and a
-    two-level aggregation: (order, supplier) partials first (map-side
-    combinable, no countDistinct Expand), then per-order supplier
-    stats; the sole-returning-supplier's R-line count rides along in
-    the partials, so lineitem is never rejoined. The post-aggregation
-    frames are orders-sized — the surviving joins are cheap.
+    Spark side folds the whole correlation into a two-level
+    aggregation over one logical lineitem subtree: (order, supplier)
+    partials first (map-side combinable, no countDistinct Expand),
+    then per-order supplier stats; the sole-returning-supplier's
+    R-line count rides along in the partials, so lineitem is never
+    REJOINED row-to-row. The partials feed two plan branches, which
+    re-scan the pruned 3-column parquet rather than pay a cache
+    barrier — measured faster (the narrow scan is cheaper than
+    persist+count), and the post-aggregation frames are orders-sized.
     """
     li = load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_returnflag"
