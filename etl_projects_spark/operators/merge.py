@@ -198,3 +198,50 @@ def compact_table(
     os.rename(scratch, path)
     shutil.rmtree(old)
     return sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str],
+) -> DataFrame:
+    """CDC-style reconciliation of two table snapshots: one row per
+    changed key with ``change`` ∈ {insert, update, delete}.
+
+    Full outer join on the key columns; updates are detected with
+    null-safe ``IS DISTINCT FROM`` column comparisons — never by
+    hashing stringified rows, whose float formatting differs across
+    engines. One shuffle per side on the key; unchanged keys drop
+    before anything else flows downstream, so the result is
+    changed-rows-sized. This is the verification pass a lake runs
+    after a merge/backfill (does the table now equal the source?) and
+    the generic diff feeding an incremental downstream load.
+    """
+    o = old.select(*keys, *compare_cols)
+    n = new.select(*keys, *compare_cols)
+    for c in list(keys) + list(compare_cols):
+        o = o.withColumnRenamed(c, f"o_{c}")
+        n = n.withColumnRenamed(c, f"n_{c}")
+    cond = None
+    for k in keys:
+        eq = o[f"o_{k}"] == n[f"n_{k}"]
+        cond = eq if cond is None else cond & eq
+    joined = o.join(n, cond, "full_outer")
+    changed = None
+    for c in compare_cols:
+        d = ~o[f"o_{c}"].eqNullSafe(n[f"n_{c}"])
+        changed = d if changed is None else changed | d
+    first_old, first_new = f"o_{keys[0]}", f"n_{keys[0]}"
+    change = (
+        F.when(F.col(first_old).isNull(), F.lit("insert"))
+        .when(F.col(first_new).isNull(), F.lit("delete"))
+        .when(changed, F.lit("update"))
+    )
+    out_keys = [
+        F.coalesce(F.col(f"o_{k}"), F.col(f"n_{k}")).alias(k) for k in keys
+    ]
+    return (
+        joined.select(*out_keys, change.alias("change"))
+        .filter(F.col("change").isNotNull())
+    )

@@ -218,3 +218,54 @@ def streaming_quotes_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.processAllAvailable()
     q.stop()
     return spark.table("streaming_quotes_ingest_sink")
+
+
+@_q(
+    "snapshot_diff_orders",
+    """
+    WITH old AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 7 != 0
+      UNION ALL SELECT -1, 'F', 0.0),
+    d AS (
+      SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+             CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                  WHEN n.o_orderkey IS NULL THEN 'delete'
+                  WHEN (o.o_orderstatus IS DISTINCT FROM n.o_orderstatus)
+                    OR (o.o_totalprice IS DISTINCT FROM n.o_totalprice)
+                  THEN 'update' END AS change
+      FROM old o FULL OUTER JOIN orders n ON o.o_orderkey = n.o_orderkey)
+    SELECT o_orderkey, change FROM d WHERE change IS NOT NULL
+    """,
+)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC reconciliation demo: a simulated previous snapshot of
+    orders (every 7th key missing → insert, every 5th price bumped →
+    update, one synthetic retired key → delete) diffed against the
+    current table with ``merge.snapshot_diff`` — null-safe column
+    comparison, changed-rows-sized output."""
+    from etl_projects_spark.operators.merge import snapshot_diff
+
+    new = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    old = (
+        new.filter(F.col("o_orderkey") % 7 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + 1.0
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .unionByName(
+            spark.createDataFrame(
+                [(-1, "F", 0.0)],
+                "o_orderkey long, o_orderstatus string, o_totalprice double",
+            )
+        )
+    )
+    return snapshot_diff(
+        old, new, keys=["o_orderkey"], compare_cols=["o_orderstatus", "o_totalprice"]
+    )

@@ -185,3 +185,33 @@ def test_connected_components_random_graph(spark):
         members[find(n)].append(n)
     want = {n: min(members[find(n)]) for n in parent}
     assert got == want
+
+
+def test_snapshot_diff_classes(spark):
+    from etl_projects_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)],
+        "k long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "B", 2.0), (4, "d", 4.0)],
+        "k long, s string, v double",
+    )
+    got = {
+        r.k: r.change
+        for r in snapshot_diff(old, new, ["k"], ["s", "v"]).collect()
+    }
+    assert got == {2: "update", 3: "delete", 4: "insert"}
+
+
+def test_snapshot_diff_null_safe(spark):
+    from etl_projects_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame([(1, None), (2, "x")], "k long, s string")
+    new = spark.createDataFrame([(1, None), (2, None)], "k long, s string")
+    got = {
+        r.k: r.change for r in snapshot_diff(old, new, ["k"], ["s"]).collect()
+    }
+    # null == null must NOT be an update; x -> null must be.
+    assert got == {2: "update"}
