@@ -30,6 +30,11 @@ REPRESENTATIVE = [
     "bm25_retrieval",
     "pack_token_spans",
     "warehouse_copy_roundtrip",
+    "ohlc_hourly_events",
+    "profile_orders",
+    "source_quotes_scan",
+    "streaming_quotes_ingest",
+    "snapshot_diff_orders",
 ]
 
 
