@@ -218,8 +218,12 @@ def snapshot_diff(
     after a merge/backfill (does the table now equal the source?) and
     the generic diff feeding an incremental downstream load.
     """
-    o = old.select(*keys, *compare_cols)
-    n = new.select(*keys, *compare_cols)
+    # Per-side presence markers: inferring insert/delete from key-column
+    # null-ness misclassifies an old-side row whose keys[0] is NULL
+    # (it never matches the null-hostile equi-join, but it *was* present
+    # on the old side — a delete, not an insert).
+    o = old.select(*keys, *compare_cols).withColumn("_o", F.lit(True))
+    n = new.select(*keys, *compare_cols).withColumn("_n", F.lit(True))
     for c in list(keys) + list(compare_cols):
         o = o.withColumnRenamed(c, f"o_{c}")
         n = n.withColumnRenamed(c, f"n_{c}")
@@ -232,10 +236,9 @@ def snapshot_diff(
     for c in compare_cols:
         d = ~o[f"o_{c}"].eqNullSafe(n[f"n_{c}"])
         changed = d if changed is None else changed | d
-    first_old, first_new = f"o_{keys[0]}", f"n_{keys[0]}"
     change = (
-        F.when(F.col(first_old).isNull(), F.lit("insert"))
-        .when(F.col(first_new).isNull(), F.lit("delete"))
+        F.when(F.col("_o").isNull(), F.lit("insert"))
+        .when(F.col("_n").isNull(), F.lit("delete"))
         .when(changed, F.lit("update"))
     )
     out_keys = [

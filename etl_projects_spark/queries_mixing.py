@@ -264,9 +264,12 @@ def pack_token_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_projects_spark.operators.exec_util import prefix_sum
 
     docs = load(spark, sf_dir, "documents")
-    dl = docs.select("doc_id", text.token_count("text").alias("dl")).filter(
-        F.col("dl") > 0
-    )
+    # Single-space split, matching the oracle's string_split(text, ' ')
+    # exactly (and word_shingle_sets / bm25_retrieval): text.token_count
+    # splits on \s+, which diverges on consecutive/non-space whitespace.
+    dl = docs.select(
+        "doc_id", F.size(F.split("text", " ")).alias("dl")
+    ).filter(F.col("dl") > 0)
     pos = prefix_sum(dl, "doc_id", "dl", out_col="start")
     first = F.floor(F.col("start") / PACK_BUDGET).cast("long")
     last = F.floor((F.col("start") + F.col("dl") - 1) / PACK_BUDGET).cast("long")

@@ -27,8 +27,9 @@ rows across partitions; for continuous feeds use
 from __future__ import annotations
 
 import hashlib
-from collections.abc import Iterable, Mapping
+from collections.abc import Callable, Iterable, Mapping
 from datetime import date
+from typing import NamedTuple
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -114,11 +115,22 @@ def read_jsonl_gz(
     return reader.json(path)
 
 
+class QuarantineSplit(NamedTuple):
+    """``(good, quarantined, unpersist)`` — both splits share one cached
+    parse of the feed; the caller owns that cache and must call
+    ``unpersist()`` once both sides are consumed (materialized or
+    written), or repeated ingests accumulate cached relations."""
+
+    good: DataFrame
+    quarantined: DataFrame
+    unpersist: Callable[[], None]
+
+
 def read_jsonl_quarantine(
     spark: SparkSession, path: str, schema: str
-) -> tuple[DataFrame, DataFrame]:
+) -> QuarantineSplit:
     """Read a raw JSONL feed with per-record fault isolation: returns
-    ``(good, quarantined)``.
+    ``QuarantineSplit(good, quarantined, unpersist)``.
 
     The Spark-native form of the reference's per-item validation
     (``scrapers/validators.py:5-13`` rejects bad items one at a time;
@@ -132,7 +144,9 @@ def read_jsonl_quarantine(
     The frame is cached before splitting: Spark disallows filtering on
     ONLY the internal corrupt-record column of a just-read JSON
     relation (the pushed-down parser would need to re-parse), and the
-    cache also means the feed is parsed once for both sides.
+    cache also means the feed is parsed once for both sides. Cache
+    ownership transfers to the caller via the returned ``unpersist``
+    handle — call it after both splits are consumed.
     """
     full = f"{schema}, _corrupt_record STRING"
     df = (
@@ -146,7 +160,7 @@ def read_jsonl_quarantine(
     bad = df.filter(F.col("_corrupt_record").isNotNull()).select(
         F.col("_corrupt_record").alias("raw_line")
     )
-    return good, bad
+    return QuarantineSplit(good, bad, lambda: df.unpersist())
 
 
 def put_json_object(obj: Mapping, path: str) -> str:

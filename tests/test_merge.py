@@ -215,3 +215,18 @@ def test_snapshot_diff_null_safe(spark):
     }
     # null == null must NOT be an update; x -> null must be.
     assert got == {2: "update"}
+
+
+def test_snapshot_diff_null_key_sides(spark):
+    """A row whose key is NULL never matches the null-hostile equi-join;
+    its side must still classify by PRESENCE (old-only → delete,
+    new-only → insert), not by key null-ness."""
+    from etl_projects_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame([(None, "gone"), (1, "a")], "k long, s string")
+    new = spark.createDataFrame([(None, "born"), (1, "a")], "k long, s string")
+    rows = snapshot_diff(old, new, ["k"], ["s"]).collect()
+    got = sorted((r.k, r.change) for r in rows)
+    # the two NULL-key rows can't join to each other: one delete + one
+    # insert, both with k=None; key 1 is unchanged and drops out.
+    assert got == [(None, "delete"), (None, "insert")]

@@ -152,13 +152,14 @@ def test_read_jsonl_quarantine_splits_bad_lines(spark, tmp_path):
         '{"id": 3, "name": "c", "price": 3.5}\n'
         '{"id": broken\n'
     )
-    good, bad = read_jsonl_quarantine(
+    good, bad, unpersist = read_jsonl_quarantine(
         spark, str(feed), "id INT, name STRING, price DOUBLE"
     )
     assert sorted(r.id for r in good.collect()) == [1, 2, 3]
     assert "_corrupt_record" not in good.columns
     raws = [r.raw_line for r in bad.collect()]
     assert len(raws) == 2 and any("not json" in r for r in raws)
+    unpersist()  # cache ownership is the caller's; release after both splits
 
 
 def test_quote_datasource_partitions_per_ticker(spark):
