@@ -125,14 +125,18 @@ def scd2_apply(
             (~changed).alias(current_col),
         )
     )
-    # Inserted versions: changed keys + brand-new keys.
+    # Inserted versions: changed keys + brand-new keys. The open-ended
+    # sentinel is cast to the dimension's OWN end-column dtype (the
+    # testdata parquet is TIMESTAMP_NTZ; a hardcoded LTZ cast would make
+    # the union's end column bitemporal-schizophrenic).
+    end_type = dim.schema[end_col].dataType
     new_rows = (
         joined.filter(changed | F.col(current_col).isNull())
         .select(
             *[F.col(f"_u_{k}").alias(k) for k in keys],
             *[F.col(f"_u_{a}").alias(a) for a in attrs],
             F.col("_u_eff").alias(effective_col),
-            F.lit(HIGH_TS).cast("timestamp").alias(end_col),
+            F.lit(HIGH_TS).cast(end_type).alias(end_col),
             F.lit(True).alias(current_col),
         )
     )
@@ -146,9 +150,11 @@ def scd2_init(
     current_col: str = "is_current",
 ) -> DataFrame:
     """Bootstrap an SCD2 dimension from an initial snapshot that already
-    carries ``effective_col``."""
+    carries ``effective_col``. The open-end sentinel adopts the
+    effective column's dtype so NTZ snapshots stay NTZ end-to-end."""
+    eff_type = snapshot.schema[effective_col].dataType
     return snapshot.withColumn(
-        end_col, F.lit(HIGH_TS).cast("timestamp")
+        end_col, F.lit(HIGH_TS).cast(eff_type)
     ).withColumn(current_col, F.lit(True))
 
 

@@ -269,3 +269,119 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(
         old, new, keys=["o_orderkey"], compare_cols=["o_orderstatus", "o_totalprice"]
     )
+
+
+@_q(
+    "merge_upsert_orders",
+    """
+    WITH old AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 7 != 0),
+    upd AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 7 = 0 OR o_orderkey % 5 = 0)
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM upd
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM old
+    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+    """,
+)
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD1 incremental merge, driver-checked end to end: a simulated
+    stale snapshot of orders (every 7th key missing, every 5th price
+    corrupted by +1.0) receives an update batch carrying the CURRENT
+    rows for those keys — each key twice, once fresh (batch_seq=2)
+    and once stale (batch_seq=1, price further off), so the
+    ``order_col`` latest-per-key dedup path is what the hash proves.
+    The merged table must equal current-orders for batch keys and the
+    stale snapshot elsewhere. Spark-first: anti-join + unionByName,
+    one shuffle on the business key (reference intent:
+    ``datalake_sub_dag_builder.py:71,113`` is_incremental re-runs)."""
+    from etl_projects_spark.operators.merge import merge_upsert
+
+    new = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    old = new.filter(F.col("o_orderkey") % 7 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + 1.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+    fresh = new.filter(
+        (F.col("o_orderkey") % 7 == 0) | (F.col("o_orderkey") % 5 == 0)
+    ).withColumn("batch_seq", F.lit(2))
+    stale = fresh.withColumn(
+        "o_totalprice", F.col("o_totalprice") + 99.0
+    ).withColumn("batch_seq", F.lit(1))
+    batch = fresh.unionByName(stale)
+    return merge_upsert(old, batch, keys=["o_orderkey"], order_col="batch_seq")
+
+
+@_q(
+    "scd2_apply_orders",
+    """
+    WITH base AS (SELECT o_orderkey, o_orderstatus, o_orderdate FROM orders)
+    SELECT o_orderkey, o_orderstatus,
+           CAST(o_orderdate AS VARCHAR) AS effective_ts,
+           CAST(o_orderdate + INTERVAL 30 DAY AS VARCHAR) AS end_ts,
+           FALSE AS is_current
+    FROM base WHERE o_orderkey % 3 = 0
+    UNION ALL
+    SELECT o_orderkey, 'X' AS o_orderstatus,
+           CAST(o_orderdate + INTERVAL 30 DAY AS VARCHAR) AS effective_ts,
+           '9999-12-31 23:59:59' AS end_ts, TRUE AS is_current
+    FROM base WHERE o_orderkey % 3 = 0
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus,
+           CAST(o_orderdate AS VARCHAR) AS effective_ts,
+           '9999-12-31 23:59:59' AS end_ts, TRUE AS is_current
+    FROM base WHERE o_orderkey % 3 != 0
+    """,
+)
+def scd2_apply_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history merge, driver-checked: orders bootstrapped as a
+    type-2 dimension (effective = o_orderdate, open-ended current
+    rows), then an update batch 30 days later flips every 3rd key's
+    status to 'X' and re-sends every (3k+1)th key UNCHANGED — the
+    oracle therefore proves all three outcomes at once: close-and-
+    insert for changed keys, idempotent no-op for re-sent identical
+    rows, pass-through for untouched keys. Timestamps are emitted as
+    strings because the 9999-12-31 open-end sentinel overflows
+    pandas datetime64[ns] in the comparator; semantics unchanged.
+    One shuffle (current-rows ⟗ batch on the key); history rows never
+    shuffle (reference intent: ``dw_sub_dag_builder.py:49-112``)."""
+    from etl_projects_spark.operators.merge import scd2_apply, scd2_init
+
+    orders = load(spark, sf_dir, "orders")
+    dim = scd2_init(
+        orders.select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.col("o_orderdate").alias("effective_ts"),
+        )
+    )
+    later = F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+    changed = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        F.lit("X").alias("o_orderstatus"),
+        later.alias("effective_ts"),
+    )
+    resent_same = orders.filter(F.col("o_orderkey") % 3 == 1).select(
+        "o_orderkey", "o_orderstatus", later.alias("effective_ts")
+    )
+    out = scd2_apply(
+        dim,
+        changed.unionByName(resent_same),
+        keys=["o_orderkey"],
+        attrs=["o_orderstatus"],
+    )
+    return out.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("effective_ts").cast("string").alias("effective_ts"),
+        F.col("end_ts").cast("string").alias("end_ts"),
+        "is_current",
+    )

@@ -128,6 +128,30 @@ def approx_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "exact_distinct_users_daily",
+    """
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY 1
+    """,
+)
+def exact_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact twin of ``approx_distinct_users_daily``: same grouping
+    pipeline, exact COUNT(DISTINCT) — gives the sketch query a
+    falsifiable contract. The shared scan/group/day logic is
+    hash-checked here, and tests/test_sketches.py pins
+    |approx−exact|/exact within the configured rsd against THIS
+    query's output, so the approx entry is no longer
+    unfalsifiable-by-design. (At 100 TB you run the approx one; this
+    exact twin is the audit query you run on a sampled day.)"""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.to_date("ts").cast("string").alias("day"))
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+@_q(
     "asof_click_before_purchase",
     """
     SELECT p.event_id, c.event_id AS click_id_asof, c.value AS click_value_asof
