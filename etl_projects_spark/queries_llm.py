@@ -541,11 +541,35 @@ def _ivf_oracle() -> str | None:
 
 @_q("ann_ivf_topk", _ivf_oracle())
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN top-k: deterministic spherical-kmeans codebook (bounded
-    driver sample), Arrow-batch cluster assignment, search restricted
-    to the 4 probed clusters. Recall vs exact pinned in tests/test_ivf.py;
-    at scale the cluster id becomes the storage partition key."""
-    return similarity.ivf_topk(load(spark, sf_dir, "embeddings"), query_id=7, k=10)
+    """IVF ANN top-k THROUGH THE MATERIALIZED INDEX: the corpus is
+    written once as a cluster-partitioned parquet table (deterministic
+    spherical-kmeans codebook from a bounded driver sample, Arrow-batch
+    assignment) and the query is served by ``ivf_topk_indexed`` — a
+    scan of ONLY the probed cluster directories (partition pruning at
+    the file index; n_probe/n_centroids of the bytes at 100 TB), then
+    Arrow pair-cosine + TakeOrderedAndProject. The index is built at
+    most once per (corpus, mtime) in a scratch dir and reused across
+    calls — build cost amortizes exactly as it would on a cluster.
+    Recall vs exact pinned in tests/test_ivf.py; plan pinned in
+    tests/test_plans.py (pruned partition filter, no shuffle)."""
+    import hashlib
+    import tempfile
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    stamp = int(os.stat(src).st_mtime)
+    key = hashlib.md5(
+        f"{os.path.abspath(src)}@{stamp}".encode()
+    ).hexdigest()[:16]
+    idx_dir = os.path.join(tempfile.gettempdir(), f"spark_graft_ivf_{key}")
+    emb = load(spark, sf_dir, "embeddings")
+    if not os.path.exists(os.path.join(idx_dir, "_ivf_centroids.json")):
+        similarity.ivf_write_index(emb, idx_dir)
+    qvec = (
+        emb.filter(F.col("vec_id") == 7).select("embedding").toPandas()
+    )["embedding"].iloc[0]
+    return similarity.ivf_topk_indexed(
+        spark, idx_dir, qvec, k=10, exclude_id=7
+    )
 
 
 @_q(

@@ -75,4 +75,45 @@ def test_pack_token_spans_no_global_window(spark):
     # the full corpus window.
     plan = plan_string(df)
     assert "rangepartitioning" in plan, "expected the range-partitioned scan phase"
+    # Exactly one Exchange SinglePartition is the DESIGN: the offset
+    # table (n_parts rows, post-aggregate) runs its cumsum in one tiny
+    # task. The corpus itself must never collapse — a second
+    # SinglePartition exchange would mean the naive global window.
+    assert plan.count("Exchange SinglePartition") <= 1, plan[:800]
     assert_plan(df, python_stages=0, cartesian=False)
+
+
+def test_multiprobe_lsh_zero_shuffles(spark):
+    # Multi-probe LSH is per-row signature compute + broadcast of the
+    # 1-row query: candidate generation must not shuffle the corpus.
+    assert_plan(QS["ann_lsh_multiprobe_topk"](spark, SF_DIR),
+                shuffles=0, cartesian=False, top_k_pushdown=True)
+
+
+def test_knn_join_exactly_one_shuffle(spark):
+    # The only exchange is the queries·k·partitions window cut; the
+    # corpus itself never reshuffles.
+    assert_plan(QS["ann_knn_join"](spark, SF_DIR), shuffles=("<=", 1))
+
+
+def test_ivf_topk_scans_only_probed_clusters(spark, tmp_path):
+    """The materialized-index path must show partition pruning: the
+    scan reads only the probed cluster directories, never the full
+    corpus, and serves the query without a shuffle."""
+    from etl_projects_spark.operators import similarity
+    from etl_projects_spark.plans.audit import plan_string
+    from etl_projects_spark.queries import load
+
+    df = load(spark, SF_DIR, "embeddings")
+    path = str(tmp_path / "ivf_index")
+    similarity.ivf_write_index(df, path)
+    qvec = df.filter("vec_id = 7").select("embedding").toPandas()[
+        "embedding"
+    ].iloc[0]
+    out = similarity.ivf_topk_indexed(spark, path, qvec, k=10, exclude_id=7)
+    plan = plan_string(out)
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cluster" in m.group(1), f"no cluster partition filter: {plan[:500]}"
+    assert_plan(out, shuffles=0, top_k_pushdown=True)

@@ -3,6 +3,8 @@ must plan without a shuffle Exchange."""
 
 from __future__ import annotations
 
+import math
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -71,3 +73,40 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
         spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_salt_chooser_hot_vs_uniform(spark):
+    """The skew-stats chooser must prescribe real spreading for a hot
+    key and (near-)no salting for uniform keys."""
+    from etl_projects_spark.operators.skew import choose_salt_factor
+
+    hot = spark.range(10_000).selectExpr(
+        "CASE WHEN id % 10 < 8 THEN 0 ELSE id END AS k", "id AS v"
+    )
+    uniform = spark.range(10_000).selectExpr("id AS k", "id AS v")
+    s_hot = choose_salt_factor(hot, "k")
+    s_uni = choose_salt_factor(uniform, "k")
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # 80% hot key: needs ~0.8*parts salts (clamped to 64).
+    assert s_hot >= min(64, math.ceil(0.5 * parts))
+    assert s_uni == 1
+
+
+def test_salted_join_auto_salt_80pct_hot_key_matches_unsalted(spark):
+    """Property pin for the 100× story: a synthetic join where 80% of
+    the big side lands on ONE key must produce exactly the unsalted
+    result when salted with the auto-chosen factor."""
+    from etl_projects_spark.operators.skew import choose_salt_factor, salted_join
+
+    big = spark.range(20_000).selectExpr(
+        "CASE WHEN id % 10 < 8 THEN 7 ELSE id % 500 END AS k",
+        "id AS payload",
+    )
+    small = spark.range(500).selectExpr("id AS k", "id * 10 AS dim_val")
+    for how in ("inner", "left"):
+        got = salted_join(big, small, on="k", salt=None, how=how)
+        want = big.join(small, "k", how)
+        assert got.count() == want.count()
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
+    assert choose_salt_factor(big, "k") > 1

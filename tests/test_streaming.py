@@ -168,6 +168,46 @@ def test_continuous_rollup_incremental(spark, events_batch, events_dir, tmp_path
         assert expect[k][0] == v[0] and abs(expect[k][1] - v[1]) < 1e-6, k
 
 
+def test_continuous_rollup_exactly_once_across_arrivals(
+    spark, events_batch, events_dir, tmp_path
+):
+    """availableNow re-trigger with NEW FILES between invocations:
+    phase 1 sees only the first arrival day, phase 2 sees both. Every
+    closed window must land exactly once (no dupes across the two
+    checkpointed runs) and equal the batch aggregate over all data."""
+    import shutil
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    files = sorted(os.listdir(events_dir))
+    assert len(files) >= 2
+    shutil.copy(os.path.join(events_dir, files[0]), src)
+    rollup, ckpt = str(tmp_path / "rollup"), str(tmp_path / "ckpt")
+
+    jobs.continuous_rollup(spark, src, rollup, ckpt)
+    # second arrival day lands, stream re-triggered from the checkpoint
+    for f in files[1:]:
+        shutil.copy(os.path.join(events_dir, f), src)
+    jobs.continuous_rollup(spark, src, rollup, ckpt)
+
+    out = spark.read.parquet(rollup)
+    # exactly-once: one row per (window, event_type) across BOTH runs
+    assert out.count() == out.select("window_start", "event_type").distinct().count()
+    batch = {
+        (r["window_start"], r["event_type"]): r["n"]
+        for r in events_batch.groupBy(
+            F.window("ts", "1 hour").getField("start").alias("window_start"),
+            "event_type",
+        ).agg(F.count("*").alias("n")).collect()
+    }
+    got = {
+        (r["window_start"], r["event_type"]): r["n_events"] for r in out.collect()
+    }
+    assert got, "at least one closed window expected"
+    for k, n in got.items():
+        assert batch[k] == n, k
+
+
 def test_enrich_stream_with_dim(spark, events_batch, events_dir):
     dim = spark.createDataFrame(
         [("click", "engagement"), ("purchase", "revenue")],
