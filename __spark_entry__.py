@@ -85,18 +85,18 @@ _ROUND_PRIORITY = [
     "scd2_apply_orders",
     "exact_distinct_users_daily",
     "ann_ivf_topk",  # rerouted through the materialized index this round
+    "funnel_user_conversion",
+    "retention_cohorts",
+    "tfidf_top_terms",
+    "ngram_bigram_topk",
+    "dedup_keep_best_quality",
+    "doc_length_percentile_filter",
     # previously-green re-checks fill the rest of the 50-slot window
     # (bench-variance suspects from VERDICT §Performance re-proven here)
     "q13_order_count_distribution",
     "window_running_order_total",
-    "window_rank_metrics",
-    "window_user_value_delta",
-    "percentiles_order_value",
-    "ntile_customer_quartiles",
     "q1_pricing_summary",
-    "q6_selective_revenue",
     "events_sessionize",
-    "dedup_embedding_cosine",
     "streaming_tumbling_counts",
 ]
 

@@ -1095,3 +1095,178 @@ def posexplode_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
     )
+
+
+@_q(
+    "tfidf_top_terms",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             ROUND(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS tfidf,
+             ROW_NUMBER() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)) DESC,
+                        tf.term) AS rk
+      FROM tf JOIN df USING (term) CROSS JOIN n)
+    SELECT doc_id, term, tfidf FROM scored WHERE rk <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document TF-IDF keywords (top 3 terms per doc): the feature
+    extraction behind keyword tagging, topic labeling, and classic
+    retrieval — distinct from ``bm25_retrieval`` (per-query scoring)
+    and ``vocab_top_terms`` (corpus-global counts).
+
+    Plan: tokens explode once; tf is a (doc, term) aggregate; df is a
+    re-aggregate OF TF (term-partitioned, no second corpus pass);
+    n_docs is a single-row aggregate broadcast via crossJoin; the
+    per-doc top-3 cut runs as a rank window that Spark executes with
+    WindowGroupLimit (partial top-k before the shuffle). IDF uses the
+    smoothed ln((N+1)/(df+1)) so unseen-term scores stay finite."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    score = F.col("tf") * F.log(
+        (F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))
+    )
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("_score", score)
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("_score"), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", F.round("_score", 6).alias("tfidf"))
+    )
+
+
+@_q(
+    "ngram_bigram_topk",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+    bg AS (
+      SELECT a[i] || ' ' || a[i + 1] AS bigram
+      FROM toks, UNNEST(generate_series(1, len(a) - 1)) AS t(i)
+      WHERE len(a) >= 2)
+    SELECT bigram, COUNT(*) AS n
+    FROM bg GROUP BY 1 ORDER BY n DESC, bigram LIMIT 50
+    """,
+)
+def ngram_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram counts, top 50 — the n-gram LM statistics pass
+    (KenLM-style count collection, contamination n-gram tables,
+    "most common collocations" reports). ``vocab_top_terms`` is the
+    unigram sibling; this one builds the order-2 table.
+
+    Plan: bigrams materialize per row with ``transform`` over an index
+    ``sequence`` (adjacent-pair join done INSIDE the array — no
+    self-join, no posexplode-with-offset shuffle), then explode →
+    count → TakeOrderedAndProject. One shuffle total; ties at the
+    cut broken by bigram text so the top-50 set is deterministic."""
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "a", F.split("text", " ")
+    )
+    bigrams = docs.select(
+        F.explode(
+            F.when(
+                F.size("a") >= 2,
+                F.expr(
+                    "transform(sequence(1, size(a) - 1),"
+                    " i -> concat(element_at(a, i), ' ', element_at(a, i + 1)))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bigram")
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "bigram")
+        .limit(50)
+    )
+
+
+@_q(
+    "dedup_keep_best_quality",
+    f"""
+    WITH comp AS ({dedup.components_sql()}),
+    lab AS (
+      SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS comp, d.n_chars
+      FROM documents d LEFT JOIN comp c ON c.node = d.doc_id)
+    SELECT doc_id, comp,
+           ROW_NUMBER() OVER (
+             PARTITION BY comp ORDER BY n_chars DESC, doc_id) = 1 AS keep
+    FROM lab
+    """,
+)
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup resolution: every MinHash-LSH cluster
+    keeps its HIGHEST-QUALITY member (longest doc, ties to the
+    smallest id) instead of ``dedup_keep_list``'s smallest-id rule —
+    what a curation pipeline actually wants when near-dups differ in
+    truncation or boilerplate.
+
+    Plan: component labels come from the same pointer-jumping closure
+    (log-round joins); the quality verdict is ONE window over the
+    component key — rank-1 selection, no per-cluster collect, no
+    driver participation. Payloads never move; only (id, comp,
+    n_chars) shuffles."""
+    docs = load(spark, sf_dir, "documents")
+    comps = dedup.connected_components(_minhash_pairs(spark, sf_dir))
+    lab = (
+        docs.select("doc_id", "n_chars")
+        .join(comps, docs.doc_id == comps.node, "left")
+        .select(
+            "doc_id",
+            F.coalesce("comp", "doc_id").alias("comp"),
+            "n_chars",
+        )
+    )
+    w = W.partitionBy("comp").orderBy(F.desc("n_chars"), "doc_id")
+    return lab.select(
+        "doc_id", "comp", (F.row_number().over(w) == 1).alias("keep")
+    )
+
+
+@_q(
+    "doc_length_percentile_filter",
+    """
+    WITH q AS (
+      SELECT quantile_cont(n_chars, 0.05) AS lo,
+             quantile_cont(n_chars, 0.95) AS hi
+      FROM documents)
+    SELECT d.doc_id, d.n_chars
+    FROM documents d, q
+    WHERE d.n_chars BETWEEN q.lo AND q.hi
+    """,
+)
+def doc_length_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-based length trim: drop the shortest 5% and longest
+    5% of documents — the outlier-clipping stage ahead of training-
+    data mixing (truncated boilerplate at one end, concatenation
+    accidents at the other).
+
+    Plan: the exact percentile pair is ONE single-row aggregate
+    (Spark's `percentile` with linear interpolation — same definition
+    as DuckDB's quantile_cont), broadcast into the filter via
+    crossJoin; the corpus is scanned once, never sorted. At 100 TB
+    swap `percentile` for `approx_percentile` and keep the plan."""
+    docs = load(spark, sf_dir, "documents")
+    bounds = docs.agg(
+        F.expr("percentile(n_chars, array(0.05, 0.95))").alias("q")
+    ).select(F.col("q")[0].alias("lo"), F.col("q")[1].alias("hi"))
+    return (
+        docs.crossJoin(F.broadcast(bounds))
+        .filter(F.col("n_chars").between(F.col("lo"), F.col("hi")))
+        .select("doc_id", "n_chars")
+    )

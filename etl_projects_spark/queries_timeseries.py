@@ -189,3 +189,121 @@ def ohlc_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("value", key).alias("close"),
         F.count("*").alias("n_events"),
     )
+
+
+@_q(
+    "funnel_user_conversion",
+    """
+    WITH u AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_v
+      FROM events GROUP BY user_id),
+    c AS (
+      SELECT u.user_id, u.t_v, MIN(e.ts) AS t_c
+      FROM u LEFT JOIN events e
+        ON e.user_id = u.user_id AND e.event_type = 'click' AND e.ts >= u.t_v
+      GROUP BY u.user_id, u.t_v),
+    p AS (
+      SELECT c.user_id, c.t_v, c.t_c, MIN(e.ts) AS t_p
+      FROM c LEFT JOIN events e
+        ON e.user_id = c.user_id AND e.event_type = 'purchase' AND e.ts >= c.t_c
+      GROUP BY c.user_id, c.t_v, c.t_c)
+    SELECT COUNT(*) AS n_users,
+           COUNT(t_v) AS n_viewed,
+           COUNT(t_c) AS n_clicked_after_view,
+           COUNT(t_p) AS n_purchased_after_funnel
+    FROM p
+    """,
+)
+def funnel_user_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered event funnel (view → click → purchase): how many users
+    progressed through each stage IN ORDER — the product-analytics
+    query every event lake serves daily.
+
+    Spark-first shape: ONE shuffle. Each user's events are collected
+    into an array (bounded by that user's activity, never corpus-
+    sized) and the stage times fall out of higher-order array
+    expressions — ``filter``/``transform``/``array_min`` run inside
+    whole-stage codegen, no Python, no per-stage self-join. The
+    DuckDB oracle takes the classic 3-level LEFT JOIN cascade; both
+    must agree exactly. At 100 TB the sort-of-joins cascade reshuffles
+    events three times; the collect form pays the user-key shuffle
+    once (same key every stage)."""
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(F.collect_list(F.struct("ts", "event_type")).alias("a"))
+        .withColumn(
+            "t_v",
+            F.expr(
+                "array_min(transform(filter(a, x -> x.event_type = 'view'),"
+                " x -> x.ts))"
+            ),
+        )
+        .withColumn(
+            "t_c",
+            F.expr(
+                "array_min(transform(filter(a, x -> x.event_type = 'click'"
+                " AND x.ts >= t_v), x -> x.ts))"
+            ),
+        )
+        .withColumn(
+            "t_p",
+            F.expr(
+                "array_min(transform(filter(a, x -> x.event_type = 'purchase'"
+                " AND x.ts >= t_c), x -> x.ts))"
+            ),
+        )
+    )
+    return per_user.agg(
+        F.count("*").alias("n_users"),
+        F.count("t_v").alias("n_viewed"),
+        F.count("t_c").alias("n_clicked_after_view"),
+        F.count("t_p").alias("n_purchased_after_funnel"),
+    )
+
+
+@_q(
+    "retention_cohorts",
+    """
+    WITH first_seen AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+      FROM events GROUP BY user_id),
+    active AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+    SELECT CAST(f.cohort_day AS VARCHAR) AS cohort_day,
+           CAST(date_diff('day', f.cohort_day, a.day) AS BIGINT) AS day_offset,
+           COUNT(*) AS n_active
+    FROM first_seen f JOIN active a ON a.user_id = f.user_id
+    WHERE date_diff('day', f.cohort_day, a.day) BETWEEN 0 AND 7
+    GROUP BY 1, 2
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen day, counted
+    on each of their first 8 active days — the engagement report that
+    sits on top of every event lake.
+
+    Plan: one shuffle builds (user, cohort_day), one builds the
+    distinct (user, day) activity set, and they join on user_id (both
+    sides already hash-partitioned by user, AQE coalesces); the final
+    (cohort, offset) aggregate is 8×|days| rows. COUNT(*) per
+    (cohort, offset) equals COUNT(DISTINCT user) because the activity
+    relation is already distinct — cheaper at scale than a distinct
+    aggregate over the join."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    )
+    first_seen = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    active = ev.distinct()
+    j = active.join(first_seen, "user_id").withColumn(
+        "day_offset", F.datediff("day", "cohort_day").cast("long")
+    )
+    return (
+        j.filter(F.col("day_offset").between(0, 7))
+        .groupBy(
+            F.col("cohort_day").cast("string").alias("cohort_day"),
+            "day_offset",
+        )
+        .agg(F.count("*").alias("n_active"))
+    )
