@@ -69,6 +69,14 @@ HEADLINE = (
     "pack_token_spans",
     "dedup_keep_list",
     "warehouse_copy_roundtrip",
+    # r3 additions
+    "merge_upsert_orders",
+    "scd2_apply_orders",
+    "funnel_user_conversion",
+    "retention_cohorts",
+    "tfidf_top_terms",
+    "ngram_bigram_topk",
+    "dedup_keep_best_quality",
 )
 
 SKIP: set[str] = set()

@@ -117,3 +117,31 @@ def test_ivf_topk_scans_only_probed_clusters(spark, tmp_path):
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "cluster" in m.group(1), f"no cluster partition filter: {plan[:500]}"
     assert_plan(out, shuffles=0, top_k_pushdown=True)
+
+
+def test_funnel_single_shuffle_jvm_side(spark):
+    # The ordered funnel pays ONE user-key shuffle (collect + array
+    # HOFs), not a per-stage join cascade, and stays in codegen.
+    assert_plan(QS["funnel_user_conversion"](spark, SF_DIR),
+                shuffles=("<=", 1), python_stages=0, cartesian=False)
+
+
+def test_bigram_single_shuffle_topk(spark):
+    # Adjacent pairs form inside the array: no self-join, one count
+    # shuffle, top-50 via TakeOrderedAndProject.
+    assert_plan(QS["ngram_bigram_topk"](spark, SF_DIR),
+                shuffles=("<=", 1), python_stages=0, top_k_pushdown=True)
+
+
+def test_tfidf_window_group_limit(spark):
+    # The per-doc top-3 cut must run as WindowGroupLimit (partial
+    # top-k before the shuffle), never a full rank-then-filter.
+    assert_plan(QS["tfidf_top_terms"](spark, SF_DIR),
+                window_group_limit=True, python_stages=0, cartesian=False)
+
+
+def test_length_filter_no_corpus_shuffle(spark):
+    # Percentile bounds broadcast into the scan-side filter: the
+    # corpus itself never shuffles.
+    assert_plan(QS["doc_length_percentile_filter"](spark, SF_DIR),
+                shuffles=0, python_stages=0)
