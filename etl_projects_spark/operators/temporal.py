@@ -119,3 +119,45 @@ def banded_range_join(
         .filter((F.col(point_ts) >= F.col(start_col)) & (F.col(point_ts) < F.col(end_col)))
         .drop("_band")
     )
+
+
+def funnel_stage_times(
+    df: DataFrame,
+    stages: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-user ordered-funnel stage times: one row per user with
+    ``t_0..t_{k-1}``, where ``t_i`` is the earliest event of
+    ``stages[i]`` at-or-after ``t_{i-1}`` (NULL once a stage is never
+    reached — all later stages are then NULL too, since no timestamp
+    satisfies ``ts >= NULL``).
+
+    ONE shuffle on the user key: each user's events collect into an
+    array (bounded by that user's activity) and every stage time is an
+    ``array_min∘transform∘filter`` higher-order expression inside
+    whole-stage codegen — no join cascade, no Python, no reshuffle per
+    stage. Stage names must be SQL-string-safe literals (they are
+    embedded in lambda predicates).
+    """
+    per_user = df.groupBy(user_col).agg(
+        F.collect_list(
+            F.struct(F.col(ts_col).alias("ts"), F.col(type_col).alias("et"))
+        ).alias("_a")
+    )
+    for i, stage in enumerate(stages):
+        if "'" in stage:
+            raise ValueError(f"stage name {stage!r} is not SQL-literal-safe")
+        after = f" AND x.ts >= _t{i - 1}" if i else ""
+        per_user = per_user.withColumn(
+            f"_t{i}",
+            F.expr(
+                f"array_min(transform(filter(_a, x -> x.et = '{stage}'"
+                f"{after}), x -> x.ts))"
+            ),
+        )
+    return per_user.select(
+        user_col,
+        *[F.col(f"_t{i}").alias(f"t_{i}") for i in range(len(stages))],
+    )

@@ -229,37 +229,15 @@ def funnel_user_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     must agree exactly. At 100 TB the sort-of-joins cascade reshuffles
     events three times; the collect form pays the user-key shuffle
     once (same key every stage)."""
+    from etl_projects_spark.operators.temporal import funnel_stage_times
+
     ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_type")
-    per_user = (
-        ev.groupBy("user_id")
-        .agg(F.collect_list(F.struct("ts", "event_type")).alias("a"))
-        .withColumn(
-            "t_v",
-            F.expr(
-                "array_min(transform(filter(a, x -> x.event_type = 'view'),"
-                " x -> x.ts))"
-            ),
-        )
-        .withColumn(
-            "t_c",
-            F.expr(
-                "array_min(transform(filter(a, x -> x.event_type = 'click'"
-                " AND x.ts >= t_v), x -> x.ts))"
-            ),
-        )
-        .withColumn(
-            "t_p",
-            F.expr(
-                "array_min(transform(filter(a, x -> x.event_type = 'purchase'"
-                " AND x.ts >= t_c), x -> x.ts))"
-            ),
-        )
-    )
-    return per_user.agg(
+    stages = funnel_stage_times(ev, ["view", "click", "purchase"])
+    return stages.agg(
         F.count("*").alias("n_users"),
-        F.count("t_v").alias("n_viewed"),
-        F.count("t_c").alias("n_clicked_after_view"),
-        F.count("t_p").alias("n_purchased_after_funnel"),
+        F.count("t_0").alias("n_viewed"),
+        F.count("t_1").alias("n_clicked_after_view"),
+        F.count("t_2").alias("n_purchased_after_funnel"),
     )
 
 

@@ -35,6 +35,16 @@ REPRESENTATIVE = [
     "source_quotes_scan",
     "streaming_quotes_ingest",
     "snapshot_diff_orders",
+    # r3 additions
+    "merge_upsert_orders",
+    "scd2_apply_orders",
+    "exact_distinct_users_daily",
+    "funnel_user_conversion",
+    "retention_cohorts",
+    "tfidf_top_terms",
+    "ngram_bigram_topk",
+    "dedup_keep_best_quality",
+    "doc_length_percentile_filter",
 ]
 
 

@@ -62,3 +62,52 @@ def test_banded_range_join_matches_theta(spark):
         (ev.ts >= windows.start_ts) & (ev.ts < windows.end_ts),
     ).count()
     assert banded == theta
+
+
+def test_funnel_stage_times_matches_bruteforce(spark):
+    """Randomized (seeded) oracle: funnel_stage_times on arbitrary event
+    soup must equal the obvious per-user Python scan."""
+    import numpy as np
+
+    from etl_projects_spark.operators.temporal import funnel_stage_times
+
+    rng = np.random.RandomState(7)
+    stages = ["a", "b", "c"]
+    rows = []
+    for user in range(150):
+        for _ in range(rng.randint(0, 12)):
+            rows.append(
+                (
+                    user,
+                    int(rng.randint(0, 50)),
+                    ["a", "b", "c", "x"][rng.randint(0, 4)],
+                )
+            )
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "user_id long, ts long, event_type string")
+
+    def brute(events):
+        out, prev = [], None
+        for s in stages:
+            cand = [
+                t for t, e in events if e == s and (prev is None or t >= prev)
+            ]
+            cur = min(cand) if cand else None
+            out.append(cur)
+            prev = cur
+            if cur is None:
+                # later stages can never fire after a missed stage
+                out.extend([None] * (len(stages) - len(out)))
+                break
+        return out
+
+    per_user: dict[int, list] = {}
+    for u, t, e in rows:
+        per_user.setdefault(u, []).append((t, e))
+    want = {u: brute(ev) for u, ev in per_user.items()}
+    got = {
+        r["user_id"]: [r["t_0"], r["t_1"], r["t_2"]]
+        for r in funnel_stage_times(df, stages).collect()
+    }
+    assert got == want
