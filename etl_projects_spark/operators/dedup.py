@@ -619,17 +619,21 @@ def connected_components(
 
 
 def neardup_keep_list(
-    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    components: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document dedup verdict: (id, comp, keep).
 
     Components come from :func:`connected_components` over the pair
-    list; the canonical survivor of each cluster is its smallest id
-    (deterministic, engine-portable), singletons keep themselves.
-    One broadcast-sized left join against the corpus id column — the
-    payload never moves.
+    list (or a precomputed/persisted ``components`` relation — the
+    stored-artifact lifecycle of a real dedup pipeline); the canonical
+    survivor of each cluster is its smallest id (deterministic,
+    engine-portable), singletons keep themselves. One broadcast-sized
+    left join against the corpus id column — the payload never moves.
     """
-    cc = connected_components(pairs)
+    cc = components if components is not None else connected_components(pairs)
     return (
         docs.select(F.col(id_col))
         .join(cc, docs[id_col] == cc.node, "left")

@@ -87,3 +87,31 @@ def prefix_sum(
         .withColumn(out_col, (F.col("_loc") + F.col("_off")).cast("long"))
         .drop("_pid", "_loc")
     )
+
+
+def build_once(path: str, build, marker: str = "_SUCCESS") -> str:
+    """Build a directory-shaped artifact AT MOST ONCE, concurrency-safe.
+
+    ``build(tmp_path)`` materializes the artifact into a fresh sibling
+    directory, which is then renamed into ``path`` — a single atomic
+    filesystem op, so a concurrent builder (e.g. pytest and the
+    external driver hitting the same scratch index) can never expose a
+    half-written directory: one process wins the rename, the loser
+    discards its copy and reads the winner's. ``marker`` is the
+    completeness sentinel checked for the fast path (parquet writes
+    drop ``_SUCCESS``; other artifacts pass their own final file).
+    """
+    import os
+    import shutil
+
+    if os.path.exists(os.path.join(path, marker)):
+        return path
+    tmp = f"{path}.tmp.{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    build(tmp)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        # Lost the race: another process completed `path` first.
+        shutil.rmtree(tmp, ignore_errors=True)
+    return path
