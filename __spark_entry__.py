@@ -91,13 +91,11 @@ _ROUND_PRIORITY = [
     "ngram_bigram_topk",
     "dedup_keep_best_quality",
     "doc_length_percentile_filter",
-    # previously-green re-checks fill the rest of the 50-slot window
-    # (bench-variance suspects from VERDICT §Performance re-proven here)
-    "q13_order_count_distribution",
-    "window_running_order_total",
-    "q1_pricing_summary",
-    "events_sessionize",
-    "streaming_tumbling_counts",
+    "embedding_quantize_int8",
+    "cooccurrence_pmi_topk",
+    "neardup_rate_by_source",
+    "anomaly_zscore_daily",
+    "zorder_cluster_events",
 ]
 
 

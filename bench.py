@@ -77,6 +77,9 @@ HEADLINE = (
     "tfidf_top_terms",
     "ngram_bigram_topk",
     "dedup_keep_best_quality",
+    "cooccurrence_pmi_topk",
+    "embedding_quantize_int8",
+    "zorder_cluster_events",
 )
 
 SKIP: set[str] = set()

@@ -1323,3 +1323,182 @@ def doc_length_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_chars").between(F.col("lo"), F.col("hi")))
         .select("doc_id", "n_chars")
     )
+
+
+@_q(
+    "embedding_quantize_int8",
+    """
+    WITH t AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    s AS (
+      SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+      FROM t)
+    SELECT vec_id,
+           round(scale, 9) AS scale,
+           round(CASE WHEN scale = 0 THEN 0.0 ELSE
+             list_sum(list_transform(v, x -> abs(x - round(x / scale) * scale)))
+             / len(v) END, 9) AS mae
+    FROM s
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 vector quantization audit: per-vector scale
+    (max|x|/127) and the reconstruction mean-absolute-error of
+    round-to-int8 — the compression stage that cuts ANN index storage
+    4× (float32→int8) before IVF/LSH sharding at 100 TB.
+
+    Pure higher-order array expressions (transform / array_max /
+    aggregate) — zero shuffles, zero Python; the whole audit is one
+    codegen'd projection over the scan. The oracle replays the same
+    double arithmetic with DuckDB list lambdas."""
+    emb = load(spark, sf_dir, "embeddings")
+    v = F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+    d = emb.select("vec_id", v.alias("v")).withColumn(
+        "scale", F.expr("array_max(transform(v, x -> abs(x))) / 127.0")
+    )
+    mae = F.expr(
+        "aggregate(transform(v, x -> abs(x - round(x / scale) * scale)),"
+        " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) / size(v)"
+    )
+    return d.select(
+        "vec_id",
+        F.round("scale", 9).alias("scale"),
+        F.round(
+            F.when(F.col("scale") == 0, F.lit(0.0)).otherwise(mae), 9
+        ).alias("mae"),
+    )
+
+
+@_q(
+    "cooccurrence_pmi_topk",
+    """
+    WITH toks AS (SELECT string_split(text, ' ') AS a FROM documents),
+    uni AS (
+      SELECT t.term, COUNT(*) AS c
+      FROM (SELECT unnest(a) AS term FROM toks) t GROUP BY 1),
+    n_uni AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM uni),
+    bg AS (
+      SELECT a[i] AS x, a[i + 1] AS y
+      FROM toks, UNNEST(generate_series(1, len(a) - 1)) AS t(i)
+      WHERE len(a) >= 2),
+    bgc AS (SELECT x, y, COUNT(*) AS cxy FROM bg GROUP BY 1, 2),
+    n_bg AS (SELECT CAST(SUM(cxy) AS DOUBLE) AS n FROM bgc)
+    SELECT bgc.x || ' ' || bgc.y AS bigram,
+           bgc.cxy AS n_pair,
+           round(ln((bgc.cxy / n_bg.n)
+                 / ((ux.c / n_uni.n) * (uy.c / n_uni.n))), 6) AS pmi
+    FROM bgc
+    JOIN uni ux ON bgc.x = ux.term
+    JOIN uni uy ON bgc.y = uy.term
+    CROSS JOIN n_uni CROSS JOIN n_bg
+    WHERE bgc.cxy >= 5
+    ORDER BY pmi DESC, bigram LIMIT 50
+    """,
+)
+def cooccurrence_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: pointwise mutual information of adjacent
+    token pairs (min support 5), top 50 — the statistic behind
+    phrase detection and word2vec-era co-occurrence tables, one level
+    up from ``ngram_bigram_topk``'s raw counts.
+
+    Plan: unigram and bigram counts are two aggregates over the same
+    in-array pair construction (no self-join); the two corpus-total
+    scalars broadcast via crossJoin; the support filter (cxy ≥ 5)
+    prunes the long tail BEFORE the unigram joins; PMI is rounded to
+    6 dp before the ORDER BY so the top-50 cut is stable across
+    engines' libm ulp differences."""
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "a", F.split("text", " ")
+    )
+    uni = (
+        docs.select(F.explode("a").alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("c"))
+    )
+    n_uni = uni.agg(F.sum("c").cast("double").alias("n_u"))
+    pairs = docs.select(
+        F.explode(
+            F.when(
+                F.size("a") >= 2,
+                F.expr(
+                    "transform(sequence(1, size(a) - 1),"
+                    " i -> struct(element_at(a, i) AS x,"
+                    " element_at(a, i + 1) AS y))"
+                ),
+            ).otherwise(F.expr("CAST(array() AS array<struct<x:string,y:string>>)"))
+        ).alias("p")
+    ).select("p.x", "p.y")
+    bgc = (
+        pairs.groupBy("x", "y")
+        .agg(F.count("*").alias("cxy"))
+        .filter(F.col("cxy") >= 5)
+    )
+    n_bg = pairs.groupBy().agg(F.count("*").cast("double").alias("n_b"))
+    ux = uni.select(F.col("term").alias("x"), F.col("c").alias("cx"))
+    uy = uni.select(F.col("term").alias("y"), F.col("c").alias("cy"))
+    pmi = F.log(
+        (F.col("cxy") / F.col("n_b"))
+        / ((F.col("cx") / F.col("n_u")) * (F.col("cy") / F.col("n_u")))
+    )
+    return (
+        bgc.join(ux, "x")
+        .join(uy, "y")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bg))
+        .select(
+            F.concat_ws(" ", "x", "y").alias("bigram"),
+            F.col("cxy").alias("n_pair"),
+            F.round(pmi, 6).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "bigram")
+        .limit(50)
+    )
+
+
+@_q(
+    "neardup_rate_by_source",
+    f"""
+    WITH comp AS ({dedup.components_sql()}),
+    verdict AS (
+      SELECT d.doc_id, d.source,
+             (c.comp IS NULL OR c.comp = d.doc_id) AS keep
+      FROM documents d LEFT JOIN comp c ON c.node = d.doc_id)
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dups,
+           round(SUM(CASE WHEN keep THEN 0.0 ELSE 1.0 END) / COUNT(*), 6)
+             AS dup_rate
+    FROM verdict GROUP BY source
+    """,
+)
+def neardup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation monitoring: near-duplicate rate per source — the
+    report a data-sourcing team reads to find which crawls/feeds are
+    redundant before paying to process them.
+
+    Consumes the persisted component labels (``_components_cached``)
+    and the keep-smallest-id rule, then one (source) aggregate: the
+    whole report costs a label read + one shuffle once the per-corpus
+    artifact exists."""
+    docs = load(spark, sf_dir, "documents")
+    comps = _components_cached(spark, sf_dir)
+    verdict = (
+        docs.select("doc_id", "source")
+        .join(comps, docs.doc_id == comps.node, "left")
+        .select(
+            "source",
+            (F.col("comp").isNull() | (F.col("comp") == F.col("doc_id"))).alias(
+                "keep"
+            ),
+        )
+    )
+    return verdict.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("keep"), 0).otherwise(1)).alias("n_dups"),
+        F.round(
+            F.sum(F.when(F.col("keep"), 0.0).otherwise(1.0)) / F.count("*"), 6
+        ).alias("dup_rate"),
+    )

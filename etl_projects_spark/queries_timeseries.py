@@ -285,3 +285,42 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_active"))
     )
+
+
+@_q(
+    "anomaly_zscore_daily",
+    """
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2)
+    SELECT day, event_type, n,
+           round((n - AVG(n) OVER (PARTITION BY event_type))
+                 / stddev_samp(n) OVER (PARTITION BY event_type), 6) AS z
+    FROM daily
+    """,
+)
+def anomaly_zscore_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly scoring: each (day, event_type) daily count
+    z-scored against that type's distribution — the monitoring query
+    a pipeline runs to catch a collapsed or runaway feed (|z| > 3 →
+    page someone). Rounded before output so both engines' double
+    stddev agrees at 6 dp.
+
+    Plan: one shuffle for the daily aggregate, one type-partitioned
+    window over the (days × types)-sized rollup — the window input is
+    tiny regardless of event volume, so the anomaly pass costs the
+    aggregate and nothing more."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("ts").cast("date").cast("string").alias("day"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    w = W.partitionBy("event_type")
+    return daily.select(
+        "day",
+        "event_type",
+        "n",
+        F.round(
+            (F.col("n") - F.avg("n").over(w)) / F.stddev_samp("n").over(w), 6
+        ).alias("z"),
+    )

@@ -45,6 +45,11 @@ REPRESENTATIVE = [
     "ngram_bigram_topk",
     "dedup_keep_best_quality",
     "doc_length_percentile_filter",
+    "embedding_quantize_int8",
+    "cooccurrence_pmi_topk",
+    "neardup_rate_by_source",
+    "anomaly_zscore_daily",
+    "zorder_cluster_events",
 ]
 
 
