@@ -236,3 +236,41 @@ def test_load_table_cluster_by_sorts_within_files(spark, sf_dir, tmp_path):
     for f in files:
         vals = pq.read_table(f, columns=["o_custkey"])["o_custkey"].to_pylist()
         assert vals == sorted(vals), f"rows not clustered in {f}"
+
+
+def test_build_once_builds_reuses_and_survives_race(tmp_path):
+    """build_once: builds exactly once, fast-paths on the marker, and a
+    loser whose rename fails (winner already in place) discards its tmp
+    copy without clobbering the winner."""
+    import os
+
+    from etl_projects_spark.operators.exec_util import build_once
+
+    calls = []
+
+    def build(tmp):
+        os.makedirs(tmp)
+        with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
+            f.write("x")
+        with open(os.path.join(tmp, "data"), "w") as f:
+            f.write(str(len(calls)))
+        calls.append(tmp)
+
+    path = str(tmp_path / "artifact")
+    assert build_once(path, build) == path
+    assert len(calls) == 1 and os.path.exists(os.path.join(path, "data"))
+    # Marker present → no rebuild.
+    build_once(path, build)
+    assert len(calls) == 1
+
+    # Simulate losing the race: a second builder runs while the winner's
+    # dir already exists (marker removed so the fast path misses, final
+    # dir non-empty so os.rename fails with ENOTEMPTY).
+    os.remove(os.path.join(path, "_SUCCESS"))
+    build_once(path, build)
+    assert len(calls) == 2
+    # Loser cleaned its tmp dir; winner's payload untouched.
+    leftovers = [d for d in os.listdir(tmp_path) if ".tmp." in d]
+    assert leftovers == []
+    with open(os.path.join(path, "data")) as f:
+        assert f.read() == "0"

@@ -230,3 +230,35 @@ def test_snapshot_diff_null_key_sides(spark):
     # the two NULL-key rows can't join to each other: one delete + one
     # insert, both with k=None; key 1 is unchanged and drops out.
     assert got == [(None, "delete"), (None, "insert")]
+
+
+def test_merge_upsert_random_equivalence(spark):
+    """Seeded random target/batch: merge_upsert must equal the obvious
+    dict-based SCD1 semantics (latest batch row per key wins, unmatched
+    keys insert, untouched target rows survive)."""
+    import numpy as np
+
+    from etl_projects_spark.operators.merge import merge_upsert
+
+    rng = np.random.RandomState(11)
+    target_rows = [(int(k), f"t{k}", float(rng.randint(0, 100))) for k in range(80)]
+    batch_rows = [
+        (int(rng.randint(0, 120)), f"b{i}", float(rng.randint(0, 100)), i)
+        for i in range(60)
+    ]
+    target = spark.createDataFrame(target_rows, "k long, name string, v double")
+    batch = spark.createDataFrame(
+        batch_rows, "k long, name string, v double, seq long"
+    )
+    got = {
+        r["k"]: (r["name"], r["v"])
+        for r in merge_upsert(target, batch, keys=["k"], order_col="seq").collect()
+    }
+    want = {k: (n, v) for k, n, v in target_rows}
+    latest: dict[int, tuple] = {}
+    for k, n, v, seq in batch_rows:
+        if k not in latest or seq > latest[k][2]:
+            latest[k] = (n, v, seq)
+    for k, (n, v, _) in latest.items():
+        want[k] = (n, v)
+    assert got == want
