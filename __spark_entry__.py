@@ -15,7 +15,8 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-import etl_projects_spark.queries_lifecycle  # noqa: F401  (registers into the catalog)
+import etl_projects_spark.queries_curation  # noqa: F401  (registers into the catalog)
+import etl_projects_spark.queries_lifecycle  # noqa: F401
 import etl_projects_spark.queries_llm  # noqa: F401
 import etl_projects_spark.queries_media  # noqa: F401
 import etl_projects_spark.queries_mixing  # noqa: F401

@@ -249,21 +249,18 @@ def ivf_centroids(
     return _centroids_from_sample(sample, n_centroids)
 
 
-def ivf_candidate_ids(
+def _twin_assignments(
     parquet_path: str,
-    query_id: int,
-    n_probe: int = IVF_PROBE,
-    n_centroids: int = IVF_CENTROIDS,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-    sample_rows: int = 2048,
-) -> list[int]:
-    """Numpy twin of the IVF candidate set, computed straight from the
-    parquet file (pyarrow, no Spark) — used to generate the DuckDB
-    oracle for ``ann_ivf_topk``. Replays :func:`ivf_centroids` +
-    :func:`ivf_assign` + the probe selection with the same numpy ops on
-    the same floats, so the candidate list is reproducible given only
-    the codebook constants and the data."""
+    n_centroids: int,
+    vec_col: str,
+    id_col: str,
+    sample_rows: int,
+):
+    """(ids, vecs, cents, assign) numpy twin of the stored index —
+    replays :func:`ivf_centroids` + :func:`ivf_assign` straight from
+    the parquet file (pyarrow, no Spark) with the same numpy ops on the
+    same floats, so oracle generators can reproduce the index layout
+    given only the codebook constants and the data."""
     import pyarrow.parquet as pq
 
     tbl = pq.read_table(parquet_path, columns=[id_col, vec_col]).to_pandas()
@@ -273,6 +270,41 @@ def ivf_candidate_ids(
     cents = _centroids_from_sample(vecs[:sample_rows], n_centroids)
     vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
     assign = np.argmax(vn @ cents.T, axis=1).astype(np.int32)
+    return ids, vecs, cents, assign
+
+
+def ivf_assignments(
+    parquet_path: str,
+    n_centroids: int = IVF_CENTROIDS,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_rows: int = 2048,
+) -> list[tuple[int, int]]:
+    """Numpy twin of the full (id, cluster) assignment of the stored
+    IVF index — used to generate the DuckDB oracle for cluster-local
+    operators (``semdedup_prune``): the oracle inlines this mapping and
+    verifies the within-cluster logic in pure SQL."""
+    ids, _, _, assign = _twin_assignments(
+        parquet_path, n_centroids, vec_col, id_col, sample_rows
+    )
+    return [(int(i), int(c)) for i, c in zip(ids, assign)]
+
+
+def ivf_candidate_ids(
+    parquet_path: str,
+    query_id: int,
+    n_probe: int = IVF_PROBE,
+    n_centroids: int = IVF_CENTROIDS,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_rows: int = 2048,
+) -> list[int]:
+    """Numpy twin of the IVF candidate set — the probe selection on top
+    of :func:`_twin_assignments`; generates the DuckDB oracle for
+    ``ann_ivf_topk``."""
+    ids, vecs, cents, assign = _twin_assignments(
+        parquet_path, n_centroids, vec_col, id_col, sample_rows
+    )
     qn = vecs[ids == query_id][0]
     qn = qn / np.linalg.norm(qn)
     probes = np.argsort(-(cents @ qn))[:n_probe]

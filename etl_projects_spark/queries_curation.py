@@ -1,0 +1,480 @@
+"""Corpus-curation operators, wave 2: chunk-level cross-document
+dedup (RefinedWeb-style line dedup re-expressed over token chunks),
+SemDeDup-style semantic cluster pruning, deterministic train/val/test
+splitting, the curation filter funnel, join-key skew profiling,
+tokenizer fertility stats, and the higher-order array-function surface.
+
+Registered into the same QUERIES/ORACLE catalog as queries.py; every
+oracle is generated from the same constants as the Spark
+implementation. The semantic-prune oracle inlines the numpy-twin
+cluster assignment (``similarity.ivf_assignments``) and verifies the
+within-cluster prune logic in pure SQL — the same
+twin-candidates-then-SQL-verification pattern as ``ann_ivf_topk``.
+
+Design inputs are public: RefinedWeb/Dolma-style exact-substring &
+line dedup motivates ``chunk_dedup_rewrite``; SemDeDup (Abbas et al.,
+2023, arXiv:2303.09540) motivates ``semdedup_prune``. The reference
+repo has no dedup surface (its Spark layer is the DataFrame-service
+methods covered in operators/dataframe_ops.py) — these extend SURVEY
+§2's training-data-pipeline track.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_projects_spark.operators import similarity
+from etl_projects_spark.queries import _q, load
+from etl_projects_spark.queries_llm import ivf_index_dir
+from etl_projects_spark.queries_mixing import mix_unit, mix_unit_sql
+
+CHUNK_TOKENS = 8  # chunk_dedup_rewrite: tokens per non-overlapping chunk
+CHUNK_MAX_DF = 1  # keep a chunk instance only if doc-frequency <= this
+SEMDEDUP_TAU = 0.45  # semdedup_prune: within-cluster cosine threshold
+
+
+# =========================================================================
+# Chunk-level cross-document dedup (RefinedWeb/Dolma line dedup)
+# =========================================================================
+
+
+@_q(
+    "chunk_dedup_rewrite",
+    f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+    ch AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(
+               a[(i - 1) * {CHUNK_TOKENS} + 1:(i - 1) * {CHUNK_TOKENS} + {CHUNK_TOKENS}],
+               ' ') AS chunk
+      FROM toks,
+           UNNEST(generate_series(
+             1, CAST(ceil(len(a) / {CHUNK_TOKENS}.0) AS BIGINT))) t(i)),
+    freq AS (SELECT chunk, COUNT(DISTINCT doc_id) AS df_ FROM ch GROUP BY 1)
+    SELECT doc_id,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN df_ > {CHUNK_MAX_DF} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_removed,
+           md5(COALESCE(array_to_string(
+             list(chunk ORDER BY pos) FILTER (WHERE df_ <= {CHUNK_MAX_DF}),
+             ' '), '')) AS kept_md5
+    FROM ch JOIN freq USING (chunk)
+    GROUP BY doc_id
+    """,
+)
+def chunk_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level cross-document dedup: the corpus REWRITE step of
+    RefinedWeb/Dolma-style line dedup, re-expressed over fixed
+    8-token chunks (this corpus has no newlines). Every document is
+    cut into non-overlapping chunks; any chunk that occurs in MORE
+    THAN ONE distinct document is removed from all of them; the
+    surviving chunks are re-joined in order. Output per doc: chunk
+    counts and the md5 of the rewritten text (the hash proves the
+    order-preserving reassembly, not just the counts).
+
+    Scale shape: explode to ~n_tokens/8 chunk rows, one doc-frequency
+    aggregation keyed on the chunk text (map-side combined — at 100 TB
+    key on md5(chunk) instead to bound shuffle width), one join back,
+    one per-doc re-aggregation. All linear; no pairwise expansion —
+    exactly how production line-dedup passes run, and the pass that
+    catches boilerplate that document-level near-dup misses.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("a"))
+    ch = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, CAST(ceil(size(a) / {CHUNK_TOKENS}.0) AS INT)),"
+                f" i -> array_join(slice(a, (i - 1) * {CHUNK_TOKENS} + 1,"
+                f" {CHUNK_TOKENS}), ' '))"
+            )
+        ).alias("pos", "chunk"),
+    )
+    freq = ch.groupBy("chunk").agg(
+        F.countDistinct("doc_id").alias("df_")
+    )
+    return (
+        ch.join(freq, "chunk")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(
+                F.when(F.col("df_") > CHUNK_MAX_DF, 1).otherwise(0)
+            ).cast("bigint").alias("n_removed"),
+            F.expr(
+                f"md5(array_join(transform(array_sort(collect_list("
+                f"CASE WHEN df_ <= {CHUNK_MAX_DF} THEN struct(pos, chunk) END)),"
+                f" x -> x.chunk), ' '))"
+            ).alias("kept_md5"),
+        )
+    )
+
+
+# =========================================================================
+# SemDeDup: semantic dedup by cluster-local cosine pruning
+# =========================================================================
+
+
+def _semdedup_oracle() -> str | None:
+    """Oracle for semdedup_prune: the cluster assignment is reproducible
+    from the codebook constants + data (numpy twin, no Spark), so the
+    oracle inlines the (vec_id, cluster) map as VALUES and verifies the
+    within-cluster prune rule in pure SQL. None if the driver's oracle
+    corpus is absent (bench-only environments)."""
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    if not os.path.exists(path):
+        return None
+    pairs = similarity.ivf_assignments(path)
+    vals = ", ".join(f"({i}, {c})" for i, c in pairs)
+    cos = similarity.cosine_sql("a.embedding", "b.embedding")
+    return f"""
+    WITH assign(vec_id, cluster) AS (VALUES {vals}),
+    e AS (SELECT s.vec_id, s.cluster, em.embedding
+          FROM assign s JOIN embeddings em USING (vec_id)),
+    p AS (SELECT b.vec_id AS vec_id, b.cluster AS cluster,
+                 a.vec_id AS nn_id, round({cos}, 6) AS score
+          FROM e a JOIN e b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+          WHERE round({cos}, 6) >= {SEMDEDUP_TAU}),
+    r AS (SELECT *, row_number() OVER (
+            PARTITION BY vec_id ORDER BY score DESC, nn_id) AS rn FROM p)
+    SELECT vec_id, CAST(cluster AS INT) AS cluster, nn_id, score
+    FROM r WHERE rn = 1
+    """
+
+
+@_q("semdedup_prune", _semdedup_oracle())
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic near-dup pruning that
+    scopes the pairwise cosine check to k-means clusters. A vector is
+    pruned when a LOWER-id vector in the SAME cluster has cosine ≥ τ
+    (keep-first rule); the output lists each pruned vector with its
+    best surviving justification (max score, ties to the smaller id).
+
+    Serves from the SAME materialized cluster-partitioned index as
+    ``ann_ivf_topk`` (built once per corpus via ``build_once``), so the
+    expensive step amortizes across the ANN and dedup queries. Per
+    cluster the check is ONE BLAS gram matrix inside ``applyInPandas``
+    — at 100 TB the cluster count grows with the corpus (√N-ish), so
+    per-task memory stays bounded while total FLOPs drop from N² to
+    Σ c_i² ≈ N²/k, which is the entire point of SemDeDup over
+    brute-force cosine dedup. Scores are rounded to 6 dp BEFORE the
+    τ-compare and the argmax so the decision is reproducible across
+    engines."""
+    import numpy as np
+    import pandas as pd
+
+    idx = spark.read.parquet(ivf_index_dir(spark, sf_dir))
+
+    def prune(key, pdf):
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        ids = pdf["vec_id"].to_numpy()
+        out = {"vec_id": [], "cluster": [], "nn_id": [], "score": []}
+        if len(ids) >= 2:
+            v = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+            gram = np.round(vn @ vn.T, 6)
+            for i in range(1, len(ids)):
+                s = gram[i, :i]
+                hit = s >= SEMDEDUP_TAU
+                if hit.any():
+                    best = s[hit].max()
+                    nn = ids[:i][hit][s[hit] == best].min()
+                    out["vec_id"].append(int(ids[i]))
+                    out["cluster"].append(int(key[0]))
+                    out["nn_id"].append(int(nn))
+                    out["score"].append(float(best))
+        return pd.DataFrame(out)
+
+    return idx.groupBy("cluster").applyInPandas(
+        prune, schema="vec_id long, cluster int, nn_id long, score double"
+    )
+
+
+# =========================================================================
+# Deterministic corpus splitting & the curation funnel
+# =========================================================================
+
+
+@_q(
+    "train_split_assign",
+    f"""
+    SELECT source,
+           CASE WHEN {mix_unit_sql("doc_id")} < 0.96 THEN 'train'
+                WHEN {mix_unit_sql("doc_id")} < 0.98 THEN 'valid'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def train_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/valid/test split (96/2/2) via the
+    multiplicative id hash — the assignment is a pure function of
+    doc_id, so it is reproducible across runs, engines, and
+    re-partitionings (rand()-based splits are none of those). Output:
+    per source × split document and token counts — the table a
+    pretraining run's data card reports.
+
+    Scale: a scan-side projection plus one aggregation; the split
+    column can be used directly as a write partition key so each split
+    lands in its own directory without an extra shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    u = mix_unit("doc_id")
+    split = (
+        F.when(u < 0.96, F.lit("train"))
+        .when(u < 0.98, F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.select(
+            "source",
+            split.alias("split"),
+            F.size(F.split("text", " ")).alias("n_tok"),
+        )
+        .groupBy("source", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+    )
+
+
+@_q(
+    "filter_funnel_report",
+    """
+    WITH flags AS (
+      SELECT (lang = 'en') AS c1,
+             (lang = 'en' AND n_chars BETWEEN 100 AND 500) AS c2,
+             (lang = 'en' AND n_chars BETWEEN 100 AND 500
+              AND len(string_split(text, ' ')) >= 30) AS c3,
+             (lang = 'en' AND n_chars BETWEEN 100 AND 500
+              AND len(string_split(text, ' ')) >= 30
+              AND len(list_distinct(string_split(text, ' ')))
+                  >= 0.5 * len(string_split(text, ' '))) AS c4
+      FROM documents),
+    agg AS (
+      SELECT COUNT(*) AS n0,
+             CAST(SUM(CASE WHEN c1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN c2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             CAST(SUM(CASE WHEN c3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+             CAST(SUM(CASE WHEN c4 THEN 1 ELSE 0 END) AS BIGINT) AS n4
+      FROM flags)
+    SELECT stage, n_docs, round(CAST(n_docs AS DOUBLE) / n0, 6) AS keep_rate
+    FROM (
+      SELECT 'stage0_all' AS stage, n0 AS n_docs, n0 FROM agg
+      UNION ALL SELECT 'stage1_lang_en', n1, n0 FROM agg
+      UNION ALL SELECT 'stage2_len_100_500', n2, n0 FROM agg
+      UNION ALL SELECT 'stage3_min_30_tokens', n3, n0 FROM agg
+      UNION ALL SELECT 'stage4_unique_ratio_50', n4, n0 FROM agg)
+    """,
+)
+def filter_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation funnel: how many documents survive each CUMULATIVE
+    filter stage (language → length band → token floor → lexical
+    diversity) and the keep-rate vs the raw corpus — the first report
+    a data-curation run produces, and the one that catches a filter
+    that silently drops 90% of a source.
+
+    Scale: ONE scan with conditional aggregation (no per-stage passes,
+    no self-joins); the 5-row report is a driver-side stack of the
+    single aggregate row. Adding a stage is one more flag column, still
+    one scan."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    c1 = F.col("lang") == "en"
+    c2 = c1 & F.col("n_chars").between(100, 500)
+    c3 = c2 & (F.size(toks) >= 30)
+    c4 = c3 & (
+        F.size(F.array_distinct(toks)) >= 0.5 * F.size(toks)
+    )
+    agg = docs.agg(
+        F.count("*").alias("n0"),
+        F.sum(c1.cast("long")).alias("n1"),
+        F.sum(c2.cast("long")).alias("n2"),
+        F.sum(c3.cast("long")).alias("n3"),
+        F.sum(c4.cast("long")).alias("n4"),
+    )
+    return agg.selectExpr(
+        "stack(5,"
+        " 'stage0_all', n0,"
+        " 'stage1_lang_en', n1,"
+        " 'stage2_len_100_500', n2,"
+        " 'stage3_min_30_tokens', n3,"
+        " 'stage4_unique_ratio_50', n4) AS (stage, n_docs)",
+        "n0",
+    ).select(
+        "stage",
+        "n_docs",
+        F.round(F.col("n_docs").cast("double") / F.col("n0"), 6).alias(
+            "keep_rate"
+        ),
+    )
+
+
+# =========================================================================
+# Skew profiling & tokenizer fertility
+# =========================================================================
+
+
+@_q(
+    "skew_key_report",
+    """
+    WITH c AS (SELECT user_id, COUNT(*) AS n_rows FROM events GROUP BY 1),
+    s AS (SELECT MAX(n_rows) AS max_c, SUM(n_rows) AS tot,
+                 COUNT(*) AS nk FROM c)
+    SELECT user_id, n_rows,
+           round(CAST(n_rows AS DOUBLE) / tot, 6) AS share,
+           round(CAST(max_c AS DOUBLE) * nk / tot, 6) AS skew_factor
+    FROM c, s
+    ORDER BY n_rows DESC, user_id LIMIT 10
+    """,
+)
+def skew_key_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profile: the top-10 hottest keys with their row
+    share, plus the corpus skew factor (hottest key ÷ mean rows/key) —
+    the diagnostic that decides whether a join needs salting
+    (``operators/skew.py``) BEFORE it blows an executor at 100 TB.
+
+    Scale: one key-count aggregation (map-side combined), a 1-row
+    global stat broadcast via crossJoin, TakeOrderedAndProject for the
+    top-10 — no full sort, no driver materialization."""
+    ev = load(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count("*").alias("n_rows"))
+    stats = counts.agg(
+        F.max("n_rows").alias("max_c"),
+        F.sum("n_rows").alias("tot"),
+        F.count("*").alias("nk"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(stats))
+        .select(
+            "user_id",
+            "n_rows",
+            F.round(F.col("n_rows").cast("double") / F.col("tot"), 6).alias(
+                "share"
+            ),
+            F.round(
+                F.col("max_c").cast("double") * F.col("nk") / F.col("tot"), 6
+            ).alias("skew_factor"),
+        )
+        .orderBy(F.desc("n_rows"), "user_id")
+        .limit(10)
+    )
+
+
+@_q(
+    "fertility_by_source",
+    """
+    WITH per AS (
+      SELECT source,
+             len(string_split(text, ' ')) AS n_tok,
+             length(text) AS n_ch
+      FROM documents)
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_ch) AS BIGINT) AS n_chars,
+           round(CAST(SUM(n_tok) AS DOUBLE) / SUM(n_ch), 6)
+             AS tokens_per_char,
+           round(CAST(SUM(n_ch) - SUM(n_tok) + COUNT(*) AS DOUBLE)
+                 / SUM(n_tok), 6) AS avg_token_len
+    FROM per GROUP BY source
+    """,
+)
+def fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility stats per source: tokens-per-char and mean
+    token length (chars net of separators) — the metric that predicts
+    how many training tokens a source yields per stored byte, i.e.
+    what a token-budgeted data mix actually buys from each source.
+
+    Scale: scan-side projections + one aggregation; all cross-row sums
+    are exact integer arithmetic (the divisions happen once, on the
+    aggregated totals), so the result is bit-stable across engines and
+    partitionings."""
+    docs = load(spark, sf_dir, "documents")
+    per = docs.select(
+        "source",
+        F.size(F.split("text", " ")).alias("n_tok"),
+        F.length("text").alias("n_ch"),
+    )
+    return per.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.sum("n_ch").alias("n_chars"),
+        F.round(
+            F.sum("n_tok").cast("double") / F.sum("n_ch"), 6
+        ).alias("tokens_per_char"),
+        F.round(
+            (F.sum("n_ch") - F.sum("n_tok") + F.count("*")).cast("double")
+            / F.sum("n_tok"),
+            6,
+        ).alias("avg_token_len"),
+    )
+
+
+# =========================================================================
+# Higher-order array-function surface
+# =========================================================================
+
+
+@_q(
+    "higher_order_array_funcs",
+    """
+    WITH s AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings)
+    SELECT vec_id,
+           round(sqrt(list_sum(list_transform(v, x -> x * x))), 6) AS l2_norm,
+           CAST(len(list_filter(v, x -> x > 0)) AS BIGINT) AS n_pos,
+           len(list_filter(v, x -> x > 1.5)) > 0 AS has_gt,
+           to_json(list_transform(list_reverse_sort(v)[1:3],
+                                  x -> CAST(round(x * 1000000.0) AS BIGINT)))
+             AS top3_e6,
+           round(list_sum(list_transform(list_zip(v, list_reverse(v)),
+                                         p -> p[1] * p[2])), 6) AS rev_dot
+    FROM s
+    """,
+)
+def higher_order_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order function surface over array columns: aggregate
+    (fold), filter, exists, transform, zip_with, array_sort/reverse,
+    slice — the lambda-expression toolkit that keeps vector math
+    JVM-side (whole-stage codegen) instead of dropping to Python.
+    Top-3 magnitudes are emitted as 1e-6-scaled integers inside JSON so
+    the cell is hashable and float-formatting-neutral across engines.
+
+    Scale: a single codegen'd projection over the scan — zero shuffles,
+    zero Python; this is the fast path every per-vector feature should
+    take before reaching for a pandas UDF."""
+    emb = load(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v")
+    ).select(
+        "vec_id",
+        F.round(
+            F.expr(
+                "sqrt(aggregate(v, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x))"
+            ),
+            6,
+        ).alias("l2_norm"),
+        F.expr("CAST(size(filter(v, x -> x > 0)) AS BIGINT)").alias("n_pos"),
+        F.expr("exists(v, x -> x > 1.5D)").alias("has_gt"),
+        F.expr(
+            "to_json(transform(slice(reverse(array_sort(v)), 1, 3),"
+            " x -> CAST(round(x * 1000000.0) AS BIGINT)))"
+        ).alias("top3_e6"),
+        F.round(
+            F.expr(
+                "aggregate(zip_with(v, reverse(v), (x, y) -> x * y),"
+                " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+            ),
+            6,
+        ).alias("rev_dot"),
+    )

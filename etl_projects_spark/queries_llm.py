@@ -539,19 +539,12 @@ def _ivf_oracle() -> str | None:
     """
 
 
-@_q("ann_ivf_topk", _ivf_oracle())
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN top-k THROUGH THE MATERIALIZED INDEX: the corpus is
-    written once as a cluster-partitioned parquet table (deterministic
-    spherical-kmeans codebook from a bounded driver sample, Arrow-batch
-    assignment) and the query is served by ``ivf_topk_indexed`` — a
-    scan of ONLY the probed cluster directories (partition pruning at
-    the file index; n_probe/n_centroids of the bytes at 100 TB), then
-    Arrow pair-cosine + TakeOrderedAndProject. The index is built at
-    most once per (corpus, mtime) in a scratch dir and reused across
-    calls — build cost amortizes exactly as it would on a cluster.
-    Recall vs exact pinned in tests/test_ivf.py; plan pinned in
-    tests/test_plans.py (pruned partition filter, no shuffle)."""
+def ivf_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Materialized-IVF-index scratch path for ``sf_dir``'s embeddings,
+    built AT MOST ONCE per (corpus, mtime) via ``build_once`` and shared
+    by every cluster-local operator (``ann_ivf_topk``,
+    ``semdedup_prune``) — build cost amortizes across queries exactly
+    as a persisted index would on a cluster."""
     import hashlib
     import tempfile
 
@@ -569,6 +562,24 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda tmp: similarity.ivf_write_index(emb, tmp),
         marker="_ivf_centroids.json",
     )
+    return idx_dir
+
+
+@_q("ann_ivf_topk", _ivf_oracle())
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-k THROUGH THE MATERIALIZED INDEX: the corpus is
+    written once as a cluster-partitioned parquet table (deterministic
+    spherical-kmeans codebook from a bounded driver sample, Arrow-batch
+    assignment) and the query is served by ``ivf_topk_indexed`` — a
+    scan of ONLY the probed cluster directories (partition pruning at
+    the file index; n_probe/n_centroids of the bytes at 100 TB), then
+    Arrow pair-cosine + TakeOrderedAndProject. The index is built at
+    most once per (corpus, mtime) in a scratch dir and reused across
+    calls — build cost amortizes exactly as it would on a cluster.
+    Recall vs exact pinned in tests/test_ivf.py; plan pinned in
+    tests/test_plans.py (pruned partition filter, no shuffle)."""
+    idx_dir = ivf_index_dir(spark, sf_dir)
+    emb = load(spark, sf_dir, "embeddings")
     qvec = (
         emb.filter(F.col("vec_id") == 7).select("embedding").toPandas()
     )["embedding"].iloc[0]
