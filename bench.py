@@ -80,6 +80,15 @@ HEADLINE = (
     "cooccurrence_pmi_topk",
     "embedding_quantize_int8",
     "zorder_cluster_events",
+    # curation wave 2
+    "chunk_dedup_rewrite",
+    "semdedup_prune",
+    "filter_funnel_report",
+    "higher_order_array_funcs",
+    # curation wave 3
+    "dedup_edit_distance",
+    "ewma_daily_value",
+    "weighted_sample_topk",
 )
 
 SKIP: set[str] = set()

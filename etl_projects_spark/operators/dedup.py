@@ -676,19 +676,27 @@ def minhash_select_sql() -> str:
     return f"SELECT id, {cols} FROM shingles GROUP BY id"
 
 
-def minhash_pairs_sql(threshold_num: int = 1, threshold_den: int = 2) -> str:
-    """Full DuckDB statement for the MinHash-LSH verified pair list
-    (the ``dedup_minhash_lsh`` oracle) — reused as the edge input of
-    the connected-components / keep-list oracles."""
-    return f"""
-    WITH {shingles_cte()},
+def lsh_cand_cte() -> str:
+    """DuckDB CTE chain `shingles, sigs, cand` producing the banded
+    MinHash-LSH candidate pair list — shared by the verified-pairs
+    oracle below and any oracle that verifies candidates differently
+    (e.g. ``dedup_edit_distance``'s Levenshtein check)."""
+    return f"""{shingles_cte()},
     sigs AS ({minhash_select_sql()}),
     cand AS (
       SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM sigs a JOIN sigs b
         ON a.id < b.id AND ((a.mh0 = b.mh0 AND a.mh1 = b.mh1)
                          OR (a.mh2 = b.mh2 AND a.mh3 = b.mh3)
                          OR (a.mh4 = b.mh4 AND a.mh5 = b.mh5)
-                         OR (a.mh6 = b.mh6 AND a.mh7 = b.mh7))),
+                         OR (a.mh6 = b.mh6 AND a.mh7 = b.mh7)))"""
+
+
+def minhash_pairs_sql(threshold_num: int = 1, threshold_den: int = 2) -> str:
+    """Full DuckDB statement for the MinHash-LSH verified pair list
+    (the ``dedup_minhash_lsh`` oracle) — reused as the edge input of
+    the connected-components / keep-list oracles."""
+    return f"""
+    WITH {lsh_cand_cte()},
     sizes AS (SELECT id, count(*) AS n_sh FROM shingles GROUP BY id),
     common AS (
       SELECT a.id AS id_a, b.id AS id_b, count(*) AS common

@@ -42,7 +42,9 @@ def audit(df: DataFrame) -> dict:
         "scan_columns": [s.split(",") for s in read_schemas],
         "top_k_pushdown": "TakeOrderedAndProject" in plan,
         "window_group_limit": "WindowGroupLimit" in plan,
-        "python_stages": plan.count("ArrowEvalPython") + plan.count("MapInPandas"),
+        "python_stages": plan.count("ArrowEvalPython")
+        + plan.count("MapInPandas")
+        + plan.count("FlatMapGroupsInPandas"),
     }
 
 

@@ -23,11 +23,11 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from etl_projects_spark.operators import similarity
-from etl_projects_spark.queries import _q, load
+from etl_projects_spark.operators import dedup, similarity
+from etl_projects_spark.queries import _q, dec, load
 from etl_projects_spark.queries_llm import ivf_index_dir
 from etl_projects_spark.queries_mixing import mix_unit, mix_unit_sql
 
@@ -477,4 +477,167 @@ def higher_order_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             6,
         ).alias("rev_dot"),
+    )
+
+
+# =========================================================================
+# Wave 3: entity-resolution verify, weighted windows, weighted sampling
+# =========================================================================
+
+
+@_q(
+    "dedup_edit_distance",
+    f"""
+    WITH {dedup.lsh_cand_cte()}
+    SELECT c.id_a, c.id_b,
+           levenshtein(da.text, db.text) AS edit_distance,
+           round(CAST(levenshtein(da.text, db.text) AS DOUBLE)
+                 / greatest(length(da.text), length(db.text)), 6)
+             AS rel_distance
+    FROM cand c
+    JOIN documents da ON da.doc_id = c.id_a
+    JOIN documents db ON db.doc_id = c.id_b
+    WHERE levenshtein(da.text, db.text)
+          <= 0.2 * greatest(length(da.text), length(db.text))
+    """,
+)
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution-style fuzzy dedup: MinHash-LSH candidate
+    generation, then EDIT-DISTANCE verification (Levenshtein ≤ 20% of
+    the longer text) — the verify primitive record-linkage systems use
+    when set-similarity (Jaccard) is too coarse for near-identical
+    strings with small in-place edits.
+
+    Scale: the O(len²) Levenshtein only ever runs on the LSH candidate
+    list (bounded band buckets — sub-quadratic), never corpus×corpus;
+    the two text lookups are equi-joins on doc_id. Candidate
+    generation is shared code (and shared oracle CTEs) with
+    ``dedup_minhash_lsh``."""
+    docs = load(spark, sf_dir, "documents")
+    sets = dedup.materialize(dedup.word_shingle_sets(docs))
+    sigs = dedup.minhash_signatures_from_sets(sets)
+    cand = dedup.lsh_candidate_pairs(sigs)
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("ta"))
+    b = docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("tb"))
+    lev = F.levenshtein("ta", "tb")
+    mx = F.greatest(F.length("ta"), F.length("tb"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .filter(lev <= 0.2 * mx)
+        .select(
+            "id_a",
+            "id_b",
+            lev.alias("edit_distance"),
+            F.round(lev.cast("double") / mx, 6).alias("rel_distance"),
+        )
+    )
+
+
+@_q(
+    "ewma_daily_value",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+      FROM events GROUP BY 1, 2)
+    SELECT a.event_type, CAST(a.day AS VARCHAR) AS day,
+           CAST(SUM(b.total * CAST(pow(0.5, a.day - b.day)
+                                   AS DECIMAL(9,7))) AS DOUBLE)
+           / CAST(SUM(CAST(pow(0.5, a.day - b.day)
+                           AS DECIMAL(9,7))) AS DOUBLE) AS ewma,
+           COUNT(*) AS n_days_in_window
+    FROM daily a JOIN daily b
+      ON a.event_type = b.event_type
+     AND b.day BETWEEN a.day - 6 AND a.day
+    GROUP BY a.event_type, a.day
+    """,
+)
+def ewma_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted trailing average (α = 1/2, 7-day
+    window) of daily event value per type — the smoothing pass behind
+    trend dashboards and drift monitors, as a DISTANCE-WEIGHTED window
+    (plain window frames can't weight members by their distance to the
+    current row, so the trailing window is a banded self-join).
+
+    Determinism: weights 0.5^d are exact binary fractions, cast to
+    DECIMAL(9,7) (exact for d ≤ 7), and the daily totals are exact
+    DECIMAL(18,2) — so every product and cross-row sum is exact
+    integer-scaled arithmetic in BOTH engines; the only float ops are
+    the final two casts and one division. Scale: the band self-join
+    fans each daily row into ≤ 7 copies (bounded), keyed on
+    (event_type) — the same shape as ``range_join_daily_windows``."""
+    ev = load(spark, sf_dir, "events")
+    # The 18,2 re-cast after the SUM keeps the (total × weight) product
+    # inside DECIMAL(28,9) — within both engines' 38-digit cap, so the
+    # weighted sum stays EXACT; at sum-type precision (28,2) the product
+    # would overflow 38 and each engine truncates the scale differently.
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.sum(dec("value")).cast("decimal(18,2)").alias("total"))
+    a = daily.select(
+        "event_type", F.col("day").alias("day_a")
+    )
+    b = daily.select(
+        F.col("event_type").alias("et_b"),
+        F.col("day").alias("day_b"),
+        F.col("total").alias("total_b"),
+    )
+    w = F.pow(F.lit(0.5), F.datediff("day_a", "day_b")).cast("decimal(9,7)")
+    joined = a.join(
+        b,
+        (F.col("event_type") == F.col("et_b"))
+        & F.col("day_b").between(
+            F.date_sub(F.col("day_a"), 6), F.col("day_a")
+        ),
+    )
+    return (
+        joined.groupBy(
+            "event_type", F.col("day_a").cast("string").alias("day")
+        )
+        .agg(
+            (
+                F.sum(F.col("total_b") * w).cast("double")
+                / F.sum(w).cast("double")
+            ).alias("ewma"),
+            F.count("*").alias("n_days_in_window"),
+        )
+    )
+
+
+@_q(
+    "weighted_sample_topk",
+    f"""
+    WITH keyed AS (
+      SELECT source, doc_id, n_chars,
+             ln((({mix_unit_sql("doc_id")}) * 1000000 + 1) / 1000001.0)
+               / n_chars AS k
+      FROM documents),
+    r AS (SELECT source, doc_id, n_chars,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY k DESC, doc_id) AS rk
+          FROM keyed)
+    SELECT source, rk, doc_id, n_chars FROM r WHERE rk <= 3
+    """,
+)
+def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling (Efraimidis–Spiliotis A-ES):
+    per source, the 3 documents with the largest ln(u)/w key, where u
+    is the reproducible multiplicative id hash and w = n_chars — i.e.
+    a weighted reservoir sample that prefers longer documents but is a
+    pure function of the data (re-runs, engines, and repartitionings
+    all agree; rand()-based weighted sampling is none of those).
+
+    Scale: scan-side key computation + one per-source top-k
+    (WindowGroupLimit — no global sort); this is exactly how a
+    size-weighted corpus subsample is drawn from 100 TB in one pass."""
+    docs = load(spark, sf_dir, "documents")
+    u = mix_unit("doc_id")
+    k = F.log((u * 1000000 + 1) / 1000001.0) / F.col("n_chars")
+    win = W.partitionBy("source").orderBy(F.desc("k"), "doc_id")
+    return (
+        docs.select("source", "doc_id", "n_chars", k.alias("k"))
+        .withColumn("rk", F.row_number().over(win))
+        .filter(F.col("rk") <= 3)
+        .select("source", "rk", "doc_id", "n_chars")
     )

@@ -50,6 +50,19 @@ REPRESENTATIVE = [
     "neardup_rate_by_source",
     "anomaly_zscore_daily",
     "zorder_cluster_events",
+    # curation wave 2 (semdedup_prune excluded: like ann_ivf_topk its
+    # oracle inlines sf0.01-specific twin assignments; its sf0.001
+    # parity is covered by tests/test_curation.py's numpy twin)
+    "chunk_dedup_rewrite",
+    "train_split_assign",
+    "filter_funnel_report",
+    "skew_key_report",
+    "fertility_by_source",
+    "higher_order_array_funcs",
+    # curation wave 3
+    "dedup_edit_distance",
+    "ewma_daily_value",
+    "weighted_sample_topk",
 ]
 
 

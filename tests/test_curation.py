@@ -141,3 +141,127 @@ def test_higher_order_funcs_match_numpy(spark):
         assert r.n_pos == int((v > 0).sum())
         assert r.has_gt == bool((v > 1.5).any())
         assert math.isclose(r.rev_dot, float(v @ v[::-1]), abs_tol=1e-5)
+
+
+def _write_docs(path, rng, n_docs, vocab=8, dup_frac=0.3):
+    """Random corpus with injected exact+partial duplicates."""
+    import pyarrow as pa
+
+    words = [f"w{i}" for i in range(vocab)]
+    texts = []
+    for _ in range(n_docs):
+        n = int(rng.randint(qc.CHUNK_TOKENS, 6 * qc.CHUNK_TOKENS))
+        texts.append(" ".join(words[rng.randint(0, vocab)] for _ in range(n)))
+    for i in range(int(n_docs * dup_frac)):
+        j = int(rng.randint(0, n_docs))
+        if rng.rand() < 0.5:
+            texts.append(texts[j])  # exact copy
+        else:  # shared prefix, fresh tail
+            tail = " ".join(
+                words[rng.randint(0, vocab)]
+                for _ in range(int(rng.randint(1, qc.CHUNK_TOKENS)))
+            )
+            texts.append(texts[j] + " " + tail)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["rnd"] * len(texts)),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(path, "documents.parquet"))
+
+
+def test_chunk_dedup_randomized_corpora(spark, tmp_path):
+    """Spark rewrite == python twin on random corpora with injected
+    exact and shared-prefix duplicates (not just the fixture data)."""
+    for seed in (3, 17):
+        d = tmp_path / f"corpus{seed}"
+        d.mkdir()
+        rng = np.random.RandomState(seed)
+        _write_docs(str(d), rng, n_docs=40)
+        pdf = pq.read_table(os.path.join(str(d), "documents.parquet")).to_pandas()
+        k = qc.CHUNK_TOKENS
+        chunks = {
+            doc_id: [
+                " ".join(t.split(" ")[i : i + k])
+                for i in range(0, len(t.split(" ")), k)
+            ]
+            for doc_id, t in zip(pdf.doc_id, pdf.text)
+        }
+        df_count = {}
+        for cs in chunks.values():
+            for c in set(cs):
+                df_count[c] = df_count.get(c, 0) + 1
+        expect = {}
+        for doc_id, cs in chunks.items():
+            kept = [c for c in cs if df_count[c] <= qc.CHUNK_MAX_DF]
+            expect[doc_id] = (
+                len(cs),
+                len(cs) - len(kept),
+                hashlib.md5(" ".join(kept).encode()).hexdigest(),
+            )
+        got = {
+            r.doc_id: (r.n_chunks, r.n_removed, r.kept_md5)
+            for r in qc.chunk_dedup_rewrite(spark, str(d)).collect()
+        }
+        assert got == expect
+        # injected exact copies must be fully gutted
+        n_gutted = sum(1 for n, rm, _ in expect.values() if n == rm)
+        assert n_gutted >= 2, "duplicate injection produced no full removals"
+
+
+def test_semdedup_randomized_corpora(spark, tmp_path):
+    """Spark cluster-local prune == numpy twin on random embeddings
+    with injected near-duplicate vectors."""
+    import pyarrow as pa
+
+    for seed in (5,):
+        d = tmp_path / f"emb{seed}"
+        d.mkdir()
+        rng = np.random.RandomState(seed)
+        base = rng.randn(60, 16)
+        dups = base[rng.randint(0, 60, size=20)] + 0.01 * rng.randn(20, 16)
+        vecs = np.vstack([base, dups]).astype(np.float32)
+        tbl = pa.table(
+            {
+                "vec_id": pa.array(range(len(vecs)), pa.int64()),
+                "embedding": pa.array(
+                    [list(map(float, v)) for v in vecs],
+                    pa.list_(pa.float32()),
+                ),
+                "label": pa.array([0] * len(vecs), pa.int32()),
+            }
+        )
+        pq.write_table(tbl, os.path.join(str(d), "embeddings.parquet"))
+        path = os.path.join(str(d), "embeddings.parquet")
+        assign = dict(similarity.ivf_assignments(path))
+        v64 = vecs.astype(np.float64)
+        vn = v64 / np.linalg.norm(v64, axis=1, keepdims=True)
+        by_cluster = {}
+        for i in range(len(vecs)):
+            by_cluster.setdefault(assign[i], []).append(i)
+        expect = {}
+        for c, idx in by_cluster.items():
+            gram = np.round(vn[idx] @ vn[np.array(idx)].T, 6)
+            for a in range(1, len(idx)):
+                s = gram[a, :a]
+                hit = s >= qc.SEMDEDUP_TAU
+                if hit.any():
+                    best = s[hit].max()
+                    nn = min(
+                        idx[b] for b in range(a) if hit[b] and s[b] == best
+                    )
+                    expect[idx[a]] = (c, nn, float(best))
+        got = {
+            r.vec_id: (r.cluster, r.nn_id, r.score)
+            for r in qc.semdedup_prune(spark, str(d)).collect()
+        }
+        assert set(got) == set(expect)
+        for vid, (c, nn, score) in got.items():
+            assert (c, nn) == expect[vid][:2]
+            assert math.isclose(score, expect[vid][2], abs_tol=1e-9)
+        # the injected near-dups must overwhelmingly be caught
+        assert len(got) >= 10, f"only {len(got)} of 20 injected dups pruned"

@@ -145,3 +145,58 @@ def test_length_filter_no_corpus_shuffle(spark):
     # corpus itself never shuffles.
     assert_plan(QS["doc_length_percentile_filter"](spark, SF_DIR),
                 shuffles=0, python_stages=0)
+
+
+def test_higher_order_funcs_zero_shuffle_jvm_side(spark):
+    # The whole audit is one codegen'd projection over the scan.
+    assert_plan(QS["higher_order_array_funcs"](spark, SF_DIR),
+                python_stages=0, shuffles=0, cartesian=False)
+
+
+def test_funnel_fertility_single_scan_single_shuffle(spark):
+    # Conditional-aggregation reports: one scan, at most one exchange,
+    # never a per-stage pass or a self-join.
+    for name in ("filter_funnel_report", "fertility_by_source",
+                 "train_split_assign"):
+        assert_plan(QS[name](spark, SF_DIR),
+                    python_stages=0, shuffles=("<=", 1), cartesian=False)
+
+
+def test_chunk_dedup_linear_no_pairwise(spark):
+    # Chunk dedup is explode → df-agg → join-back → per-doc agg: all
+    # linear. A pairwise/self-join formulation would show a cartesian
+    # or an extra corpus-sized exchange chain.
+    assert_plan(QS["chunk_dedup_rewrite"](spark, SF_DIR),
+                python_stages=0, cartesian=False, shuffles=("<=", 4))
+
+
+def test_semdedup_reads_materialized_index(spark):
+    from etl_projects_spark.plans.audit import plan_string
+    df = QS["semdedup_prune"](spark, SF_DIR)
+    plan = plan_string(df)
+    # Served from the cluster-partitioned index: the scan must be the
+    # scratch index table (not the raw corpus parquet), grouped per
+    # cluster with exactly the one shuffle the groupBy needs.
+    assert "spark_graft_ivf_" in plan, "expected the materialized index scan"
+    assert_plan(df, python_stages=1, cartesian=False, shuffles=("<=", 1))
+
+
+def test_edit_distance_verify_stays_on_candidates(spark):
+    # Levenshtein (JVM expression) runs only on LSH candidates; text
+    # lookups are equi-joins — never a corpus×corpus product.
+    assert_plan(QS["dedup_edit_distance"](spark, SF_DIR),
+                python_stages=0, cartesian=False)
+
+
+def test_ewma_band_join_bounded(spark):
+    # Banded self-join over the pre-aggregated daily relation: no
+    # cartesian, no Python, bounded shuffles.
+    assert_plan(QS["ewma_daily_value"](spark, SF_DIR),
+                python_stages=0, cartesian=False, shuffles=("<=", 3))
+
+
+def test_weighted_sample_window_group_limit(spark):
+    # rk <= 3 must push into WindowGroupLimit (per-source top-k, no
+    # full per-partition sort of the corpus).
+    assert_plan(QS["weighted_sample_topk"](spark, SF_DIR),
+                window_group_limit=True, shuffles=("<=", 1))
