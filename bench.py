@@ -89,6 +89,9 @@ HEADLINE = (
     "dedup_edit_distance",
     "ewma_daily_value",
     "weighted_sample_topk",
+    # curation wave 4
+    "phrase_search_positions",
+    "correlation_matrix_lineitem",
 )
 
 SKIP: set[str] = set()

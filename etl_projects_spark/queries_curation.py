@@ -641,3 +641,181 @@ def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("source", "rk", "doc_id", "n_chars")
     )
+
+
+# =========================================================================
+# Wave 4: positional phrase search, single-pass statistics, dedup-graph
+# observability
+# =========================================================================
+
+PHRASE = ("table", "value")  # phrase_search_positions query phrase
+
+
+@_q(
+    "phrase_search_positions",
+    f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+    pos AS (SELECT doc_id, a[i] AS term, i
+            FROM toks, UNNEST(generate_series(1, len(a))) t(i)
+            WHERE a[i] IN ('{PHRASE[0]}', '{PHRASE[1]}'))
+    SELECT p1.doc_id,
+           COUNT(*) AS n_matches,
+           CAST(MIN(p1.i) AS BIGINT) AS first_pos
+    FROM pos p1 JOIN pos p2
+      ON p1.doc_id = p2.doc_id AND p2.i = p1.i + 1
+     AND p1.term = '{PHRASE[0]}' AND p2.term = '{PHRASE[1]}'
+    GROUP BY p1.doc_id
+    """,
+)
+def phrase_search_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional-index phrase search: find documents containing the
+    exact phrase "{w1} {w2}" by intersecting the two terms' positional
+    posting lists (pos₂ = pos₁ + 1) — the adjacency-join primitive
+    full-text engines run over positional inverted indexes, where
+    substring scanning is impossible because the index, not the text,
+    is what's stored.
+
+    Scale: the term filter prunes the exploded postings to the two
+    query terms BEFORE any shuffle (two terms' postings ≪ corpus), the
+    adjacency join is an equi-join on (doc, position), and at 100 TB
+    the postings relation is the materialized term-partitioned table
+    this query's first stage emits (same persisted-index lifecycle as
+    ``bm25_retrieval``/``ann_ivf_topk``). The oracle verifies through
+    the identical positional formulation over DuckDB's lambda-free
+    UNNEST — independent of Spark's posexplode machinery."""
+    docs = load(spark, sf_dir, "documents")
+    pos = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split("text", " ")).alias("i0", "term"),
+        )
+        .filter(F.col("term").isin(*PHRASE))
+        # DuckDB's generate_series positions are 1-based; align.
+        .select("doc_id", "term", (F.col("i0") + 1).alias("i"))
+    )
+    p1 = pos.filter(F.col("term") == PHRASE[0]).select(
+        "doc_id", F.col("i").alias("i1")
+    )
+    p2 = pos.filter(F.col("term") == PHRASE[1]).select(
+        F.col("doc_id").alias("d2"), F.col("i").alias("i2")
+    )
+    return (
+        p1.join(
+            p2,
+            (F.col("doc_id") == F.col("d2"))
+            & (F.col("i2") == F.col("i1") + 1),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_matches"),
+            F.min("i1").cast("bigint").alias("first_pos"),
+        )
+    )
+
+
+_CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def _corr_oracle() -> str:
+    """Single-pass Pearson correlation matrix oracle, generated from
+    the same column list as the Spark query: every sum is exact
+    DECIMAL, the corr formula runs once on the aggregated totals in
+    DOUBLE (identical inputs → identical doubles in both engines)."""
+    sums = [f"CAST(COUNT(*) AS DOUBLE) AS n"]
+    for c in _CORR_COLS:
+        sums.append(f"CAST(SUM(CAST({c} AS DECIMAL(18,2))) AS DOUBLE) AS s_{c}")
+    for i, a in enumerate(_CORR_COLS):
+        for b in _CORR_COLS[i:]:
+            sums.append(
+                f"CAST(SUM(CAST({a} AS DECIMAL(18,2)) * CAST({b} AS DECIMAL(18,2))) AS DOUBLE) AS p_{a}_{b}"
+            )
+    pairs = []
+    for i, a in enumerate(_CORR_COLS):
+        for b in _CORR_COLS[i + 1 :]:
+            pairs.append(
+                f"SELECT '{a}' AS col_a, '{b}' AS col_b,"
+                f" (n * p_{a}_{b} - s_{a} * s_{b})"
+                f" / (sqrt(n * p_{a}_{a} - s_{a} * s_{a})"
+                f"    * sqrt(n * p_{b}_{b} - s_{b} * s_{b})) AS corr"
+                f" FROM agg"
+            )
+    return (
+        "WITH agg AS (SELECT "
+        + ", ".join(sums)
+        + " FROM lineitem) "
+        + " UNION ALL ".join(pairs)
+    )
+
+
+@_q("correlation_matrix_lineitem", _corr_oracle())
+def correlation_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation matrix over the lineitem measures in ONE
+    pass: a single aggregation computes every Σx, Σx², Σxy in exact
+    DECIMAL (order-independent), and the 6 pairwise correlations are a
+    driver-free projection of that one row — the statistics pass a
+    feature-engineering pipeline runs before model training, without
+    6 separate corr() scans.
+
+    Scale: one scan, one (map-side combined) aggregate to a single
+    row, however wide the matrix; adding a column adds sums, not
+    passes. The final double arithmetic runs on identical exact inputs
+    in both engines, so no rounding is needed for parity."""
+    li = load(spark, sf_dir, "lineitem")
+    aggs = [F.count("*").cast("double").alias("n")]
+    for c in _CORR_COLS:
+        aggs.append(F.sum(dec(c)).cast("double").alias(f"s_{c}"))
+    for i, a in enumerate(_CORR_COLS):
+        for b in _CORR_COLS[i:]:
+            aggs.append(
+                F.sum(dec(a) * dec(b)).cast("double").alias(f"p_{a}_{b}")
+            )
+    agg = li.agg(*aggs)
+    stack_args = []
+    for i, a in enumerate(_CORR_COLS):
+        for b in _CORR_COLS[i + 1 :]:
+            corr = (
+                f"(n * p_{a}_{b} - s_{a} * s_{b})"
+                f" / (sqrt(n * p_{a}_{a} - s_{a} * s_{a})"
+                f"    * sqrt(n * p_{b}_{b} - s_{b} * s_{b}))"
+            )
+            stack_args.append(f"'{a}', '{b}', {corr}")
+    n_pairs = len(stack_args)
+    return agg.selectExpr(
+        f"stack({n_pairs}, "
+        + ", ".join(stack_args)
+        + ") AS (col_a, col_b, corr)"
+    )
+
+
+@_q(
+    "dedup_component_size_histogram",
+    f"""
+    WITH comp AS ({dedup.components_sql()}),
+    sizes AS (SELECT comp.comp, COUNT(*) AS sz FROM comp GROUP BY 1)
+    SELECT sz AS component_size,
+           COUNT(*) AS n_components,
+           CAST(SUM(sz) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY sz
+    """,
+)
+def dedup_component_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-graph observability: the near-duplicate component-size
+    histogram — how many clusters of 2, 3, …, k near-identical
+    documents the corpus contains, and how many documents they bind.
+    A heavy tail here is the signal that one template/boilerplate
+    source is flooding the corpus (and that LSH band settings may need
+    tightening before the keep-list pass).
+
+    Consumes the SAME persisted component labels as
+    ``dedup_minhash_components`` / ``dedup_keep_list`` /
+    ``neardup_rate_by_source`` (built at most once per corpus
+    snapshot): the histogram itself is two tiny aggregations over the
+    label read."""
+    from etl_projects_spark.queries_llm import _components_cached
+
+    comps = _components_cached(spark, sf_dir)
+    sizes = comps.groupBy("comp").agg(F.count("*").alias("sz"))
+    return sizes.groupBy(F.col("sz").alias("component_size")).agg(
+        F.count("*").alias("n_components"),
+        F.sum("sz").cast("bigint").alias("n_docs"),
+    )

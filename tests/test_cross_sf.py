@@ -63,6 +63,11 @@ REPRESENTATIVE = [
     "dedup_edit_distance",
     "ewma_daily_value",
     "weighted_sample_topk",
+    # curation wave 4 (all SF-agnostic oracles, incl. the component
+    # histogram whose oracle replays label propagation in SQL)
+    "phrase_search_positions",
+    "correlation_matrix_lineitem",
+    "dedup_component_size_histogram",
 ]
 
 

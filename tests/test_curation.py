@@ -265,3 +265,34 @@ def test_semdedup_randomized_corpora(spark, tmp_path):
             assert math.isclose(score, expect[vid][2], abs_tol=1e-9)
         # the injected near-dups must overwhelmingly be caught
         assert len(got) >= 10, f"only {len(got)} of 20 injected dups pruned"
+
+
+def test_correlation_matrix_matches_numpy(spark):
+    li = pq.read_table(
+        os.path.join(SF_DIR, "lineitem.parquet"),
+        columns=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    ).to_pandas()
+    # numpy corr over the same DECIMAL(18,2)-quantized values
+    q = {c: np.round(li[c].to_numpy(np.float64), 2) for c in li.columns}
+    rows = qc.correlation_matrix_lineitem(spark, SF_DIR).collect()
+    assert len(rows) == 6
+    for r in rows:
+        expected = np.corrcoef(q[r.col_a], q[r.col_b])[0, 1]
+        assert math.isclose(r.corr, expected, abs_tol=1e-9), (
+            r.col_a, r.col_b, r.corr, expected)
+
+
+def test_phrase_search_matches_python_scan(spark):
+    pdf = _docs_pdf()
+    w1, w2 = qc.PHRASE
+    expect = {}
+    for doc_id, text in zip(pdf.doc_id, pdf.text):
+        toks = text.split(" ")
+        hits = [i for i in range(len(toks) - 1)
+                if toks[i] == w1 and toks[i + 1] == w2]
+        if hits:
+            expect[doc_id] = (len(hits), hits[0] + 1)
+    got = {r.doc_id: (r.n_matches, r.first_pos)
+           for r in qc.phrase_search_positions(spark, SF_DIR).collect()}
+    assert got == expect
+    assert expect, "fixture corpus contains no phrase hits - dead test"

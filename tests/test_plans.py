@@ -200,3 +200,24 @@ def test_weighted_sample_window_group_limit(spark):
     # full per-partition sort of the corpus).
     assert_plan(QS["weighted_sample_topk"](spark, SF_DIR),
                 window_group_limit=True, shuffles=("<=", 1))
+
+
+def test_phrase_search_postings_pruned_before_join(spark):
+    # Postings are filtered to the two query terms before the
+    # adjacency equi-join; no cartesian, no Python.
+    assert_plan(QS["phrase_search_positions"](spark, SF_DIR),
+                python_stages=0, cartesian=False, shuffles=("<=", 3))
+
+
+def test_correlation_matrix_single_pass(spark):
+    # One scan, one aggregate to a single row, however wide the matrix.
+    assert_plan(QS["correlation_matrix_lineitem"](spark, SF_DIR),
+                python_stages=0, cartesian=False, shuffles=("<=", 1))
+
+
+def test_component_histogram_reads_persisted_labels(spark):
+    from etl_projects_spark.plans.audit import plan_string
+    df = QS["dedup_component_size_histogram"](spark, SF_DIR)
+    # Two tiny aggregations over the persisted label read — never the
+    # label-propagation recompute.
+    assert "spark_graft_cc_" in plan_string(df)
