@@ -92,6 +92,9 @@ HEADLINE = (
     # curation wave 4
     "phrase_search_positions",
     "correlation_matrix_lineitem",
+    # curation wave 5
+    "events_debounce",
+    "weighted_median_price",
 )
 
 SKIP: set[str] = set()

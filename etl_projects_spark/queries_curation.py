@@ -819,3 +819,136 @@ def dedup_component_size_histogram(spark: SparkSession, sf_dir: str) -> DataFram
         F.count("*").alias("n_components"),
         F.sum("sz").cast("bigint").alias("n_docs"),
     )
+
+
+# =========================================================================
+# Wave 5: telemetry debouncing, fixed-size stratified sampling,
+# weighted median
+# =========================================================================
+
+DEBOUNCE_US = 21_600 * 1_000_000  # 6 h, in microseconds
+
+
+@_q(
+    "events_debounce",
+    f"""
+    WITH e AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS us
+               FROM events),
+    l AS (SELECT *, lag(us) OVER (PARTITION BY user_id, event_type
+                                  ORDER BY us, event_id) AS prev
+          FROM e)
+    SELECT user_id, event_type,
+           COUNT(*) AS n_events,
+           CAST(COUNT(*) FILTER (WHERE prev IS NULL
+                                 OR us - prev >= {DEBOUNCE_US}) AS BIGINT)
+             AS n_kept
+    FROM l GROUP BY user_id, event_type
+    """,
+)
+def events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Telemetry debouncing: per (user, event type), keep an event only
+    if ≥ 6 h passed since the PREVIOUS event of that stream — the
+    repeated-signal suppression every event pipeline runs before
+    counting "real" actions (retries, double-clicks, crash loops all
+    collapse to one).
+
+    One lag window inside the natural (user, type) partitioning — the
+    same single shuffle any per-stream operator pays; time math is
+    exact integer microseconds (no float epochs, no DST sensitivity —
+    only differences are compared). At 100 TB the stream key
+    partitioning bounds every task to one user-type's history."""
+    ev = load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    win = W.partitionBy("user_id", "event_type").orderBy("us", "event_id")
+    l = ev.select("user_id", "event_type", "event_id", us.alias("us")
+                  ).withColumn("prev", F.lag("us").over(win))
+    keep = F.col("prev").isNull() | (
+        F.col("us") - F.col("prev") >= F.lit(DEBOUNCE_US)
+    )
+    return l.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(keep.cast("long")).alias("n_kept"),
+    )
+
+
+@_q(
+    "fixed_size_per_group_sample",
+    f"""
+    WITH r AS (
+      SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY {mix_unit_sql("doc_id")}, doc_id)
+               AS rn
+      FROM documents)
+    SELECT source, rn, doc_id FROM r WHERE rn <= 5
+    """,
+)
+def fixed_size_per_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size stratified sample: EXACTLY 5 documents per source,
+    chosen by the deterministic id hash — the eval-set construction
+    primitive (rate-based sampling can't guarantee per-stratum counts;
+    this does, reproducibly across runs, engines, and partitionings).
+
+    Plans as WindowGroupLimit (per-group top-k, no full per-partition
+    sort) over the scan — one shuffle on the stratum key."""
+    docs = load(spark, sf_dir, "documents")
+    win = W.partitionBy("source").orderBy(mix_unit("doc_id"), "doc_id")
+    return (
+        docs.select("source", "doc_id")
+        .withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") <= 5)
+        .select("source", "rn", "doc_id")
+    )
+
+
+@_q(
+    "weighted_median_price",
+    """
+    WITH w AS (SELECT l_returnflag,
+                      CAST(l_extendedprice AS DECIMAL(18,2)) AS v,
+                      CAST(l_quantity AS DECIMAL(18,2)) AS wt
+               FROM lineitem),
+    c AS (SELECT *,
+                 SUM(wt) OVER (PARTITION BY l_returnflag
+                               ORDER BY v, wt
+                               ROWS UNBOUNDED PRECEDING) AS cum,
+                 SUM(wt) OVER (PARTITION BY l_returnflag) AS tot
+          FROM w)
+    SELECT l_returnflag, CAST(MIN(v) AS DOUBLE) AS wmedian
+    FROM c WHERE 2 * cum >= tot GROUP BY l_returnflag
+    """,
+)
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted median (quantity-weighted extendedprice per
+    return flag) via the cumulative-weight window: the first value
+    whose running weight crosses half the partition total. The
+    order-statistic that `percentile_approx` only approximates, exact
+    and engine-portable because every weight is DECIMAL (the crossing
+    comparison 2·cum ≥ tot is integer-exact, immune to float summation
+    order).
+
+    Scale: one shuffle on the group key, one ordered window pass —
+    same cost as any per-group running total; no global sort. Ties on
+    (value, weight) cannot flip the result: tied rows share v, and the
+    answer is MIN(v) over crossing rows."""
+    li = load(spark, sf_dir, "lineitem")
+    w = li.select(
+        "l_returnflag",
+        dec("l_extendedprice").alias("v"),
+        dec("l_quantity").alias("wt"),
+    )
+    cum_w = W.partitionBy("l_returnflag").orderBy("v", "wt").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    tot_w = W.partitionBy("l_returnflag")
+    c = w.select(
+        "l_returnflag",
+        "v",
+        F.sum("wt").over(cum_w).alias("cum"),
+        F.sum("wt").over(tot_w).alias("tot"),
+    )
+    return (
+        c.filter(2 * F.col("cum") >= F.col("tot"))
+        .groupBy("l_returnflag")
+        .agg(F.min("v").cast("double").alias("wmedian"))
+    )

@@ -68,6 +68,10 @@ REPRESENTATIVE = [
     "phrase_search_positions",
     "correlation_matrix_lineitem",
     "dedup_component_size_histogram",
+    # curation wave 5
+    "events_debounce",
+    "fixed_size_per_group_sample",
+    "weighted_median_price",
 ]
 
 

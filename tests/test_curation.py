@@ -296,3 +296,43 @@ def test_phrase_search_matches_python_scan(spark):
            for r in qc.phrase_search_positions(spark, SF_DIR).collect()}
     assert got == expect
     assert expect, "fixture corpus contains no phrase hits - dead test"
+
+
+def test_weighted_median_matches_numpy(spark):
+    li = pq.read_table(
+        os.path.join(SF_DIR, "lineitem.parquet"),
+        columns=["l_returnflag", "l_extendedprice", "l_quantity"],
+    ).to_pandas()
+    rows = {r.l_returnflag: r.wmedian
+            for r in qc.weighted_median_price(spark, SF_DIR).collect()}
+    for flag, grp in li.groupby("l_returnflag"):
+        v = np.round(grp.l_extendedprice.to_numpy(np.float64), 2)
+        wt = np.round(grp.l_quantity.to_numpy(np.float64), 2)
+        order = np.lexsort((wt, v))
+        v, wt = v[order], wt[order]
+        cum = np.cumsum(wt)
+        expect = v[np.searchsorted(2 * cum, cum[-1], side="left")]
+        assert rows[flag] == expect, (flag, rows[flag], expect)
+
+
+def test_fixed_size_sample_exact_counts(spark):
+    rows = qc.fixed_size_per_group_sample(spark, SF_DIR).collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.source, set()).add(r.rn)
+    pdf = _docs_pdf()
+    for source, grp in pdf.groupby("source"):
+        assert per[source] == set(range(1, min(5, len(grp)) + 1))
+
+
+def test_checker_window_is_round_priority(spark):
+    """The driver samples the FIRST 50 queries() entries; that window
+    must stay exactly the curated _ROUND_PRIORITY list — a catalog
+    addition or import reorder silently displacing it would burn a
+    round of correctness coverage."""
+    import __spark_entry__ as entrymod
+
+    window = list(entrymod.queries())[:50]
+    expected = [n for n in entrymod._ROUND_PRIORITY
+                if n in entrymod.QUERIES][:50]
+    assert window == expected

@@ -221,3 +221,23 @@ def test_component_histogram_reads_persisted_labels(spark):
     # Two tiny aggregations over the persisted label read — never the
     # label-propagation recompute.
     assert "spark_graft_cc_" in plan_string(df)
+
+
+def test_debounce_single_stream_shuffle(spark):
+    # One lag window + final agg inside the (user, type) partitioning.
+    assert_plan(QS["events_debounce"](spark, SF_DIR),
+                python_stages=0, cartesian=False, shuffles=("<=", 2))
+
+
+def test_fixed_size_sample_window_group_limit(spark):
+    assert_plan(QS["fixed_size_per_group_sample"](spark, SF_DIR),
+                window_group_limit=True, shuffles=("<=", 1))
+
+
+def test_weighted_median_no_global_sort(spark):
+    # Per-group cumulative window: the only exchange is the group-key
+    # hash partitioning, never a global range sort.
+    from etl_projects_spark.plans.audit import plan_string
+    df = QS["weighted_median_price"](spark, SF_DIR)
+    assert "rangepartitioning" not in plan_string(df)
+    assert_plan(df, python_stages=0, cartesian=False, shuffles=("<=", 2))
