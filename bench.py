@@ -95,6 +95,9 @@ HEADLINE = (
     # curation wave 5
     "events_debounce",
     "weighted_median_price",
+    # curation wave 6
+    "dedup_graph_triangles",
+    "pivot_multi_agg_daily",
 )
 
 SKIP: set[str] = set()

@@ -952,3 +952,110 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(F.min("v").cast("double").alias("wmedian"))
     )
+
+
+# =========================================================================
+# Wave 6: graph analytics on the dedup pair graph, multi-agg pivot
+# =========================================================================
+
+
+@_q(
+    "dedup_graph_triangles",
+    f"""
+    WITH edges AS (SELECT id_a AS a, id_b AS b
+                   FROM ({dedup.minhash_pairs_sql()}))
+    SELECT e1.a AS node_a, e1.b AS node_b, e2.b AS node_c
+    FROM edges e1
+    JOIN edges e2 ON e1.b = e2.a
+    JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+    """,
+)
+def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed triangle listing over the verified near-duplicate
+    pair graph: triangles are the strong-transitivity signal that a
+    component is a genuine template cluster rather than a chain of
+    borderline pairs (chains break when one edge is spurious;
+    triangles don't).
+
+    The classic oriented-edge algorithm: edges already satisfy a < b
+    (the dedup pair convention), so each triangle {{a<b<c}} is counted
+    exactly once by joining wedge (a,b)-(b,c) against closing edge
+    (a,c) — two equi-joins on node keys, no enumeration of 2-paths
+    through high-degree nodes outside the join. At 100 TB-scale graphs
+    the standard refinement (orient by degree instead of id) drops the
+    wedge count to O(m^1.5); on near-dup graphs edge count ≪ corpus so
+    the joins are broadcast-sized. Shares the edge relation (and its
+    oracle CTE) with ``dedup_minhash_lsh``."""
+    docs = load(spark, sf_dir, "documents")
+    sets = dedup.materialize(dedup.word_shingle_sets(docs))
+    sigs = dedup.minhash_signatures_from_sets(sets)
+    cand = dedup.materialize(dedup.lsh_candidate_pairs(sigs))
+    edges = dedup.jaccard_pairs(
+        None, threshold_num=1, threshold_den=2,
+        candidates=cand, shingle_sets=sets,
+    ).select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    e1 = edges.select(F.col("a").alias("node_a"), F.col("b").alias("node_b"))
+    e2 = edges.select(F.col("a").alias("node_b"), F.col("b").alias("node_c"))
+    e3 = edges.select(F.col("a").alias("node_a"), F.col("b").alias("node_c"))
+    return e1.join(e2, "node_b").join(e3, ["node_a", "node_c"]).select(
+        "node_a", "node_b", "node_c"
+    )
+
+
+@_q(
+    "pivot_multi_agg_daily",
+    """
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT)
+             AS click_n,
+           CAST(COALESCE(SUM(CAST(value AS DECIMAL(18,2)))
+                 FILTER (WHERE event_type = 'click'), 0) AS DOUBLE)
+             AS click_sum,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+             AS purchase_n,
+           CAST(COALESCE(SUM(CAST(value AS DECIMAL(18,2)))
+                 FILTER (WHERE event_type = 'purchase'), 0) AS DOUBLE)
+             AS purchase_sum,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT)
+             AS error_n,
+           CAST(COALESCE(SUM(CAST(value AS DECIMAL(18,2)))
+                 FILTER (WHERE event_type = 'error'), 0) AS DOUBLE)
+             AS error_sum
+    FROM events GROUP BY 1
+    """,
+)
+def pivot_multi_agg_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-aggregate pivot: day × event-type matrix carrying BOTH a
+    count and an exact-decimal sum per pivoted column — the wide
+    activity table BI dashboards read, where single-agg ``pivot()``
+    (see ``pivot_status``) forces two scans. Spark's
+    ``pivot().agg(count, sum)`` plans this as ONE pass; the oracle
+    replays it as conditional aggregation.
+
+    Scale: ONE scan regardless of how many (type × agg) columns the
+    matrix has; Spark plans the pivot as a two-level aggregation
+    ((day, type) partial agg, then pivot-to-columns), so what shuffles
+    twice is the compact day×type matrix — never the raw events. The
+    pivoted value list is declared explicitly so the plan skips the
+    distinct-values pre-query a dynamic pivot pays."""
+    ev = load(spark, sf_dir, "events")
+    piv = (
+        ev.select(
+            F.to_date("ts").cast("string").alias("day"),
+            "event_type",
+            dec("value").alias("v"),
+        )
+        .groupBy("day")
+        .pivot("event_type", ["click", "purchase", "error"])
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sum"))
+    )
+    out = piv.select(
+        "day",
+        F.coalesce(F.col("click_n"), F.lit(0)).cast("bigint").alias("click_n"),
+        F.coalesce(F.col("click_sum"), F.lit(0)).cast("double").alias("click_sum"),
+        F.coalesce(F.col("purchase_n"), F.lit(0)).cast("bigint").alias("purchase_n"),
+        F.coalesce(F.col("purchase_sum"), F.lit(0)).cast("double").alias("purchase_sum"),
+        F.coalesce(F.col("error_n"), F.lit(0)).cast("bigint").alias("error_n"),
+        F.coalesce(F.col("error_sum"), F.lit(0)).cast("double").alias("error_sum"),
+    )
+    return out

@@ -72,6 +72,9 @@ REPRESENTATIVE = [
     "events_debounce",
     "fixed_size_per_group_sample",
     "weighted_median_price",
+    # curation wave 6
+    "dedup_graph_triangles",
+    "pivot_multi_agg_daily",
 ]
 
 

@@ -241,3 +241,17 @@ def test_weighted_median_no_global_sort(spark):
     df = QS["weighted_median_price"](spark, SF_DIR)
     assert "rangepartitioning" not in plan_string(df)
     assert_plan(df, python_stages=0, cartesian=False, shuffles=("<=", 2))
+
+
+def test_triangles_two_equi_joins_no_cartesian(spark):
+    assert_plan(QS["dedup_graph_triangles"](spark, SF_DIR),
+                cartesian=False)
+
+
+def test_pivot_multi_agg_single_pass(spark):
+    # pivot().agg(count, sum) over declared values: one scan; Spark
+    # plans it as a two-level aggregation ((day,type) pre-agg, then the
+    # pivot-to-columns agg) so only the compact matrix shuffles twice —
+    # and no distinct-values pre-query.
+    assert_plan(QS["pivot_multi_agg_daily"](spark, SF_DIR),
+                python_stages=0, cartesian=False, shuffles=("<=", 2))
