@@ -98,6 +98,7 @@ HEADLINE = (
     # curation wave 6
     "dedup_graph_triangles",
     "pivot_multi_agg_daily",
+    "partition_checksums",
 )
 
 SKIP: set[str] = set()

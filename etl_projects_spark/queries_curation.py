@@ -1059,3 +1059,66 @@ def pivot_multi_agg_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("error_sum"), F.lit(0)).cast("double").alias("error_sum"),
     )
     return out
+
+
+# =========================================================================
+# Wave 7: partition-level anti-entropy checksums
+# =========================================================================
+
+_CK_MOD = 1 << 20  # per-row 20-bit residue: sums stay exact far past 10^12 rows
+
+
+@_q(
+    "partition_checksums",
+    f"""
+    WITH r AS (
+      SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+             {dedup.hex60_sql(
+                 "event_id || '|' || epoch_us(ts) || '|' || user_id || '|' "
+                 "|| event_type || '|' "
+                 "|| CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR)")} AS h
+      FROM events)
+    SELECT day,
+           COUNT(*) AS n_rows,
+           CAST(SUM(h % {_CK_MOD}) AS BIGINT) AS checksum,
+           MIN(h) AS min_h,
+           MAX(h) AS max_h
+    FROM r GROUP BY day
+    """,
+)
+def partition_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-entropy partition fingerprints: per day-partition, an
+    ORDER-INSENSITIVE content checksum (sum of 20-bit row-hash
+    residues), the row count, and the hash extrema — the Merkle-leaf
+    table two replicas exchange to find which partitions diverged
+    before shipping any data (the cheap first step of table repair /
+    cross-region sync / migration validation).
+
+    The row hash is the md5-derived 60-bit integer whose cross-engine
+    parity the dedup family already proves (``dedup.hex60``); the
+    summed residue is 20-bit so the per-partition sum stays exact far
+    beyond 10¹² rows in both engines' integer types. Scale: one scan,
+    one aggregation keyed on the partition value — the checksum table
+    for a 100 TB table is a few thousand rows."""
+    ev = load(spark, sf_dir, "events")
+    repr_ = F.concat_ws(
+        "|",
+        F.col("event_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")),
+        F.col("user_id"),
+        F.col("event_type"),
+        dec("value").cast("string"),
+    )
+    h = dedup.hex60(repr_)
+    return (
+        ev.select(
+            F.to_date("ts").cast("string").alias("day"), h.alias("h")
+        )
+        .groupBy("day")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("h") % _CK_MOD).alias("checksum"),
+            F.min("h").alias("min_h"),
+            F.max("h").alias("max_h"),
+        )
+    )

@@ -75,6 +75,7 @@ REPRESENTATIVE = [
     # curation wave 6
     "dedup_graph_triangles",
     "pivot_multi_agg_daily",
+    "partition_checksums",
 ]
 
 

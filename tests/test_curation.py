@@ -336,3 +336,26 @@ def test_checker_window_is_round_priority(spark):
     expected = [n for n in entrymod._ROUND_PRIORITY
                 if n in entrymod.QUERIES][:50]
     assert window == expected
+
+
+def test_partition_checksum_detects_single_row_change(spark, tmp_path):
+    """The fingerprint's purpose: any single-row difference between two
+    replicas must flip that partition's checksum row (and only it)."""
+    import pyarrow as pa
+
+    src = pq.read_table(os.path.join(SF_DIR, "events.parquet"))
+    d = tmp_path / "replica"
+    d.mkdir()
+    pdf = src.to_pandas()
+    # corrupt one row's value in one day-partition
+    pdf.loc[pdf.index[0], "value"] = float(pdf["value"].iloc[0]) + 1.0
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False),
+                   os.path.join(str(d), "events.parquet"))
+    base = {r.day: (r.n_rows, r.checksum, r.min_h, r.max_h)
+            for r in qc.partition_checksums(spark, SF_DIR).collect()}
+    rep = {r.day: (r.n_rows, r.checksum, r.min_h, r.max_h)
+           for r in qc.partition_checksums(spark, str(d)).collect()}
+    changed_day = str(pdf["ts"].iloc[0].date())
+    diffs = {day for day in base if base[day] != rep.get(day)}
+    assert diffs == {changed_day}
+    assert base[changed_day][0] == rep[changed_day][0]  # same row count

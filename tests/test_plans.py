@@ -255,3 +255,8 @@ def test_pivot_multi_agg_single_pass(spark):
     # and no distinct-values pre-query.
     assert_plan(QS["pivot_multi_agg_daily"](spark, SF_DIR),
                 python_stages=0, cartesian=False, shuffles=("<=", 2))
+
+
+def test_partition_checksums_single_shuffle(spark):
+    assert_plan(QS["partition_checksums"](spark, SF_DIR),
+                python_stages=0, cartesian=False, shuffles=("<=", 1))
