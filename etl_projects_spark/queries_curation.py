@@ -984,16 +984,16 @@ def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     through high-degree nodes outside the join. At 100 TB-scale graphs
     the standard refinement (orient by degree instead of id) drops the
     wedge count to O(m^1.5); on near-dup graphs edge count ≪ corpus so
-    the joins are broadcast-sized. Shares the edge relation (and its
-    oracle CTE) with ``dedup_minhash_lsh``."""
-    docs = load(spark, sf_dir, "documents")
-    sets = dedup.materialize(dedup.word_shingle_sets(docs))
-    sigs = dedup.minhash_signatures_from_sets(sets)
-    cand = dedup.materialize(dedup.lsh_candidate_pairs(sigs))
-    edges = dedup.jaccard_pairs(
-        None, threshold_num=1, threshold_den=2,
-        candidates=cand, shingle_sets=sets,
-    ).select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    the joins are broadcast-sized. Reads the PERSISTED pair-list
+    artifact (``queries_llm.pairs_cached`` — built once per corpus
+    snapshot, shared with the connected-components family), so the
+    triangle pass costs two joins over the edge table, not a re-run of
+    the shingle→signature→verify chain."""
+    from etl_projects_spark.queries_llm import pairs_cached
+
+    edges = pairs_cached(spark, sf_dir).select(
+        F.col("id_a").alias("a"), F.col("id_b").alias("b")
+    )
     e1 = edges.select(F.col("a").alias("node_a"), F.col("b").alias("node_b"))
     e2 = edges.select(F.col("a").alias("node_b"), F.col("b").alias("node_c"))
     e3 = edges.select(F.col("a").alias("node_a"), F.col("b").alias("node_c"))

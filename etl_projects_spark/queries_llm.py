@@ -702,13 +702,9 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _components_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(node, comp) MinHash-LSH component labels, persisted AT MOST
-    ONCE per (corpus, mtime) in a scratch parquet and reused across
-    the three component-consuming queries — the stored-artifact
-    lifecycle of a real dedup pipeline (cluster assignments are
-    materialized once per corpus snapshot, then every downstream
-    keep-list/resolution job reads them)."""
+def _corpus_scratch(sf_dir: str, kind: str) -> str:
+    """Scratch-artifact path keyed on (corpus file, mtime) — one per
+    artifact kind per corpus snapshot."""
     import hashlib
     import tempfile
 
@@ -716,13 +712,44 @@ def _components_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = hashlib.md5(
         f"{os.path.abspath(src)}@{int(os.stat(src).st_mtime)}".encode()
     ).hexdigest()[:16]
+    return os.path.join(tempfile.gettempdir(), f"spark_graft_{kind}_{key}")
+
+
+def pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The verified MinHash-LSH pair list, persisted AT MOST ONCE per
+    (corpus, mtime) as a scratch parquet — the EDGE TABLE of the dedup
+    graph. Every downstream graph consumer (connected components,
+    triangle listing) reads this artifact instead of re-running the
+    shingle→signature→band-join→verify chain, exactly as a production
+    dedup pipeline stores its pair list once per corpus snapshot."""
     from etl_projects_spark.operators.exec_util import build_once
 
-    path = os.path.join(tempfile.gettempdir(), f"spark_graft_cc_{key}")
+    path = _corpus_scratch(sf_dir, "pairs")
+    build_once(
+        path,
+        lambda tmp: _minhash_pairs(spark, sf_dir)
+        .write.mode("overwrite")
+        .parquet(tmp),
+    )
+    return spark.read.parquet(path)
+
+
+def _components_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(node, comp) MinHash-LSH component labels, persisted AT MOST
+    ONCE per (corpus, mtime) in a scratch parquet and reused across
+    the three component-consuming queries — the stored-artifact
+    lifecycle of a real dedup pipeline (cluster assignments are
+    materialized once per corpus snapshot, then every downstream
+    keep-list/resolution job reads them). Chains off the persisted
+    pair list (``pairs_cached``), so a cold start builds pairs once,
+    then components once."""
+    from etl_projects_spark.operators.exec_util import build_once
+
+    path = _corpus_scratch(sf_dir, "cc")
     build_once(
         path,
         lambda tmp: dedup.connected_components(
-            _minhash_pairs(spark, sf_dir)
+            pairs_cached(spark, sf_dir)
         ).write.mode("overwrite").parquet(tmp),
     )
     return spark.read.parquet(path)

@@ -244,8 +244,12 @@ def test_weighted_median_no_global_sort(spark):
 
 
 def test_triangles_two_equi_joins_no_cartesian(spark):
-    assert_plan(QS["dedup_graph_triangles"](spark, SF_DIR),
-                cartesian=False)
+    from etl_projects_spark.plans.audit import plan_string
+    df = QS["dedup_graph_triangles"](spark, SF_DIR)
+    # Edges come from the persisted pair-list artifact, never a re-run
+    # of the shingle->signature->verify chain.
+    assert "spark_graft_pairs_" in plan_string(df)
+    assert_plan(df, cartesian=False, python_stages=0)
 
 
 def test_pivot_multi_agg_single_pass(spark):
