@@ -99,6 +99,9 @@ HEADLINE = (
     "dedup_graph_triangles",
     "pivot_multi_agg_daily",
     "partition_checksums",
+    # wave 8 (media pipeline stages)
+    "media_resize_stub",
+    "media_frame_energy",
 )
 
 SKIP: set[str] = set()

@@ -180,3 +180,88 @@ def byte_histogram(media: DataFrame, buckets: int = HIST_BUCKETS) -> DataFrame:
     return media.select("doc_id", "payload").mapInPandas(
         run, schema="doc_id long, hist array<long>"
     )
+
+
+RESIZE_STRIDE = 4  # resize_stub: keep every 4th byte ("quarter resolution")
+ENERGY_FRAME = 64  # frame_energy: bytes per analysis window
+
+
+def resize_stub(media: DataFrame, stride: int = RESIZE_STRIDE) -> DataFrame:
+    """Arrow-batched RESIZE stage stub: every ``stride``-th payload
+    byte survives (a deterministic stand-in for a real image resample
+    — the codec isn't in this container). The SPARK-side contract is
+    real: binary in / binary out through ``mapInPandas`` Arrow
+    batches, per-row output bytes ≈ input/stride, so a fleet of
+    executors streams batches without materializing whole partitions.
+
+    Output: (doc_id, orig_bytes, resized_bytes, resized_md5) — the md5
+    proves the exact output bytes, not just their count.
+    """
+    import hashlib
+
+    import pandas as pd
+
+    def run(batches):
+        for b in batches:
+            rows = {"doc_id": [], "orig_bytes": [], "resized_bytes": [],
+                    "resized_md5": []}
+            for doc_id, payload in zip(b["doc_id"], b["payload"]):
+                resized = bytes(payload)[::stride]
+                rows["doc_id"].append(doc_id)
+                rows["orig_bytes"].append(len(payload))
+                rows["resized_bytes"].append(len(resized))
+                rows["resized_md5"].append(hashlib.md5(resized).hexdigest())
+            yield pd.DataFrame(rows)
+
+    return media.select("doc_id", "payload").mapInPandas(
+        run,
+        schema="doc_id long, orig_bytes long, resized_bytes long, "
+        "resized_md5 string",
+    )
+
+
+def frame_energy(media: DataFrame, frame: int = ENERGY_FRAME) -> DataFrame:
+    """Arrow-batched AUDIO-FEATURE stage stub: payload bytes read as
+    unsigned 8-bit samples, RMS energy per ``frame``-byte window — the
+    windowed-feature extraction shape (MFCC/spectrogram pipelines)
+    with the codec stubbed to raw bytes. numpy does the squaring and
+    windowed reduction per Arrow batch; only (doc, frame, energy)
+    rows leave the task — payload bytes never shuffle.
+
+    Output: (doc_id, n_frames, rms_first, rms_max) with RMS rounded to
+    6 dp (sums of integer squares are exact; one sqrt per frame).
+    """
+    import numpy as np
+    import pandas as pd
+
+    def run(batches):
+        for b in batches:
+            rows = {"doc_id": [], "n_frames": [], "rms_first": [],
+                    "rms_max": []}
+            for doc_id, payload in zip(b["doc_id"], b["payload"]):
+                x = np.frombuffer(bytes(payload), dtype=np.uint8).astype(
+                    np.int64
+                )
+                n = (len(x) + frame - 1) // frame
+                rms = [
+                    round(
+                        float(
+                            np.sqrt(
+                                (x[i * frame:(i + 1) * frame] ** 2).sum()
+                                / len(x[i * frame:(i + 1) * frame])
+                            )
+                        ),
+                        6,
+                    )
+                    for i in range(n)
+                ]
+                rows["doc_id"].append(doc_id)
+                rows["n_frames"].append(n)
+                rows["rms_first"].append(rms[0] if rms else None)
+                rows["rms_max"].append(max(rms) if rms else None)
+            yield pd.DataFrame(rows)
+
+    return media.select("doc_id", "payload").mapInPandas(
+        run,
+        schema="doc_id long, n_frames long, rms_first double, rms_max double",
+    )

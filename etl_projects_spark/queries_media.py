@@ -107,3 +107,58 @@ def media_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n") > 0)
         .select("doc_id", F.col("bucket").cast("int").alias("bucket"), "n")
     )
+
+
+@_q(
+    "media_resize_stub",
+    f"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS orig_bytes,
+           CAST(len(generate_series(1, length(text),
+                                    {multimodal.RESIZE_STRIDE})) AS BIGINT)
+             AS resized_bytes,
+           md5(array_to_string(
+             list_transform(generate_series(1, length(text),
+                                            {multimodal.RESIZE_STRIDE}),
+                            i -> text[i]), '')) AS resized_md5
+    FROM documents
+    """,
+)
+def media_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESIZE stage of the media pipeline, codec stubbed to a byte
+    stride (every 4th byte survives — "quarter resolution"): binary in
+    / binary out through real ``mapInPandas`` Arrow batches, and the
+    md5 of the output bytes is oracle-checked — the payload is UTF-8
+    of ASCII text, so DuckDB can replay the exact stride in SQL. Swap
+    the stub body for PIL/ffmpeg on a cluster that has them; the
+    schema, batching, and shuffle-free shape stay identical."""
+    media = multimodal.to_media(load(spark, sf_dir, "documents"))
+    return multimodal.resize_stub(media)
+
+
+@_q(
+    "media_frame_energy",
+    f"""
+    WITH ch AS (
+      SELECT doc_id, ascii(text[i]) AS v,
+             CAST((i - 1) // {multimodal.ENERGY_FRAME} AS INT) AS f
+      FROM documents, UNNEST(generate_series(1, length(text))) t(i)),
+    fr AS (
+      SELECT doc_id, f,
+             round(sqrt(CAST(SUM(v * v) AS DOUBLE) / COUNT(*)), 6) AS rms
+      FROM ch GROUP BY 1, 2)
+    SELECT doc_id, COUNT(*) AS n_frames,
+           MAX(CASE WHEN f = 0 THEN rms END) AS rms_first,
+           MAX(rms) AS rms_max
+    FROM fr GROUP BY doc_id
+    """,
+)
+def media_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIO-FEATURE stage of the media pipeline: payload bytes as
+    unsigned 8-bit samples, RMS energy per 64-byte window (the
+    windowed-reduction shape of MFCC/spectrogram extraction), numpy
+    per Arrow batch. Only (doc, frame-stat) rows leave the task —
+    payload bytes never shuffle. Sums of integer squares are exact, so
+    the oracle's SQL replay matches to the 6-dp rounding."""
+    media = multimodal.to_media(load(spark, sf_dir, "documents"))
+    return multimodal.frame_energy(media)

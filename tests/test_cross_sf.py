@@ -76,6 +76,9 @@ REPRESENTATIVE = [
     "dedup_graph_triangles",
     "pivot_multi_agg_daily",
     "partition_checksums",
+    # media pipeline stubs (wave 8)
+    "media_resize_stub",
+    "media_frame_energy",
 ]
 
 

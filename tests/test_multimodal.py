@@ -76,3 +76,40 @@ def test_frame_sample_slices(media, docs_pd, spark):
     ]
     got = [r["frame"] for r in sorted(frames, key=lambda r: r["frame_no"])]
     assert got == expect
+
+
+def test_resize_stub_matches_python(spark):
+    import hashlib
+    from etl_projects_spark.operators import multimodal
+    from etl_projects_spark.queries import load
+    from tests.conftest import SF_DIR
+
+    docs = load(spark, SF_DIR, "documents")
+    media = multimodal.to_media(docs)
+    got = {r.doc_id: (r.orig_bytes, r.resized_bytes, r.resized_md5)
+           for r in multimodal.resize_stub(media).collect()}
+    for row in docs.select("doc_id", "text").collect():
+        raw = row.text.encode()
+        resized = raw[::multimodal.RESIZE_STRIDE]
+        assert got[row.doc_id] == (
+            len(raw), len(resized), hashlib.md5(resized).hexdigest())
+
+
+def test_frame_energy_matches_numpy(spark):
+    import numpy as np
+    from etl_projects_spark.operators import multimodal
+    from etl_projects_spark.queries import load
+    from tests.conftest import SF_DIR
+
+    docs = load(spark, SF_DIR, "documents")
+    media = multimodal.to_media(docs)
+    got = {r.doc_id: (r.n_frames, r.rms_first, r.rms_max)
+           for r in multimodal.frame_energy(media).collect()}
+    fr = multimodal.ENERGY_FRAME
+    for row in docs.select("doc_id", "text").collect():
+        x = np.frombuffer(row.text.encode(), dtype=np.uint8).astype(np.int64)
+        n = (len(x) + fr - 1) // fr
+        rms = [round(float(np.sqrt((x[i*fr:(i+1)*fr] ** 2).sum()
+                                   / len(x[i*fr:(i+1)*fr]))), 6)
+               for i in range(n)]
+        assert got[row.doc_id] == (n, rms[0], max(rms))
