@@ -102,6 +102,7 @@ HEADLINE = (
     # wave 8 (media pipeline stages)
     "media_resize_stub",
     "media_frame_energy",
+    "embedding_pca_project",
 )
 
 SKIP: set[str] = set()

@@ -503,3 +503,94 @@ def knn_join(
         partial.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+# ---- PCA projection (dimensionality reduction) -----------------------------
+
+PCA_COMPONENTS = 4
+PCA_SAMPLE_ROWS = 2048
+
+
+def _pca_from_sample(sample: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """(mean, 64×k eigenbasis) from a sample matrix — the shared numpy
+    core of the Spark path and the oracle twin (identical ops on
+    identical floats → identical basis). Eigenvector sign is fixed by
+    making each column's max-|x| component positive, so the basis is
+    fully deterministic."""
+    mu = sample.mean(axis=0)
+    cov = np.cov(sample.T, bias=True)
+    w, vecs = np.linalg.eigh(cov)
+    vecs = vecs[:, np.argsort(-w)][:, :k]
+    for j in range(vecs.shape[1]):
+        i = np.argmax(np.abs(vecs[:, j]))
+        if vecs[i, j] < 0:
+            vecs[:, j] = -vecs[:, j]
+    return mu, vecs
+
+
+def pca_basis(
+    df: DataFrame,
+    k: int = PCA_COMPONENTS,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_rows: int = PCA_SAMPLE_ROWS,
+) -> tuple[np.ndarray, np.ndarray]:
+    """PCA basis from a BOUNDED id-ordered driver sample (same
+    documented contract as :func:`ivf_centroids`): O(sample·dim²)
+    driver work regardless of corpus size — at 100 TB the same recipe
+    runs on the same capped sample."""
+    pdf = df.orderBy(id_col).limit(sample_rows).select(vec_col).toPandas()
+    sample = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+    return _pca_from_sample(sample, k)
+
+
+def pca_basis_twin(
+    parquet_path: str,
+    k: int = PCA_COMPONENTS,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_rows: int = PCA_SAMPLE_ROWS,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Numpy twin of :func:`pca_basis` straight from the parquet file
+    (pyarrow, no Spark) — oracle generators inline the resulting mean
+    and basis as SQL constants."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(parquet_path, columns=[id_col, vec_col]).to_pandas()
+    tbl = tbl.sort_values(id_col).reset_index(drop=True)
+    sample = np.vstack(tbl[vec_col].to_numpy()[:sample_rows]).astype(np.float64)
+    return _pca_from_sample(sample, k)
+
+
+def pca_project(
+    df: DataFrame,
+    mu: np.ndarray,
+    basis: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Project every vector onto the PCA basis: one broadcast of the
+    (dim + dim×k) constants, one BLAS matmul per Arrow batch, rounded
+    to 6 dp. Output (id, p1..pk) — the 16× storage cut (64-d float32 →
+    4-d) that precedes coarse clustering / visualization / cheap
+    prefiltering at corpus scale."""
+    import pandas as pd
+
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast((mu, basis))
+    k = basis.shape[1]
+
+    def run(batches):
+        m, e = bc.value
+        for b in batches:
+            v = np.vstack(b[vec_col].to_numpy()).astype(np.float64)
+            p = np.round((v - m) @ e, 6)
+            out = {"vec_id": b[id_col]}
+            for j in range(k):
+                out[f"p{j + 1}"] = p[:, j]
+            yield pd.DataFrame(out)
+
+    schema = "vec_id long, " + ", ".join(
+        f"p{j + 1} double" for j in range(k)
+    )
+    return df.select(id_col, vec_col).mapInPandas(run, schema=schema)

@@ -1122,3 +1122,57 @@ def partition_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("h").alias("max_h"),
         )
     )
+
+
+# =========================================================================
+# Wave 9: PCA projection (dimensionality reduction)
+# =========================================================================
+
+
+def _pca_oracle() -> str | None:
+    """Oracle for embedding_pca_project: the basis is reproducible from
+    the sample contract + data (numpy twin), so the oracle inlines the
+    mean and eigenvectors as constants and replays the projection in
+    SQL list arithmetic. None if the oracle corpus is absent."""
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    if not os.path.exists(path):
+        return None
+    mu, basis = similarity.pca_basis_twin(path)
+    mu_l = "[" + ",".join(repr(float(x)) for x in mu) + "]"
+    cols = []
+    for j in range(basis.shape[1]):
+        ej = "[" + ",".join(repr(float(x)) for x in basis[:, j]) + "]"
+        cols.append(
+            f"round(list_sum(list_transform(list_zip(v, {ej}),"
+            f" p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), 6)"
+            f" AS p{j + 1}"
+        )
+    return f"""
+    WITH s AS (
+      SELECT vec_id,
+             list_transform(list_zip(embedding, {mu_l}),
+                            p -> CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+               AS v
+      FROM embeddings)
+    SELECT vec_id, {', '.join(cols)} FROM s
+    """
+
+
+@_q("embedding_pca_project", _pca_oracle())
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimensionality reduction for corpus-scale embedding work: PCA
+    basis from a BOUNDED id-ordered sample (2048 rows — same driver
+    contract as the IVF codebook), then every vector projected onto
+    the top 4 components in one broadcast + BLAS matmul per Arrow
+    batch. The 64-d→4-d cut is what makes billion-vector
+    visualization, coarse clustering, and cheap prefilters tractable
+    before exact rescoring on the full vectors.
+
+    Determinism: eigenvector signs are fixed (max-|x| component
+    positive), the basis is a pure function of the capped sample, and
+    the oracle replays the projection from inlined constants — so the
+    whole reduction is hash-checkable, unusual for PCA pipelines."""
+    emb = load(spark, sf_dir, "embeddings")
+    mu, basis = similarity.pca_basis(emb)
+    return similarity.pca_project(emb, mu, basis)

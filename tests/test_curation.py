@@ -359,3 +359,19 @@ def test_partition_checksum_detects_single_row_change(spark, tmp_path):
     diffs = {day for day in base if base[day] != rep.get(day)}
     assert diffs == {changed_day}
     assert base[changed_day][0] == rep[changed_day][0]  # same row count
+
+
+def test_pca_projection_matches_numpy(spark):
+    path = os.path.join(SF_DIR, "embeddings.parquet")
+    mu, basis = similarity.pca_basis_twin(path)
+    tbl = pq.read_table(path).to_pandas().sort_values("vec_id")
+    V = np.vstack(tbl.embedding.to_numpy()).astype(np.float64)
+    expect = np.round((V - mu) @ basis, 6)
+    rows = {r.vec_id: (r.p1, r.p2, r.p3, r.p4)
+            for r in qc.embedding_pca_project(spark, SF_DIR).collect()}
+    for i, vid in enumerate(tbl.vec_id):
+        assert rows[int(vid)] == tuple(expect[i]), vid
+    # the basis must actually concentrate variance: top component
+    # variance >= any remaining axis variance
+    proj = np.vstack([rows[int(v)] for v in tbl.vec_id])
+    assert proj[:, 0].var() >= proj[:, 3].var()
