@@ -103,6 +103,13 @@ HEADLINE = (
     "media_resize_stub",
     "media_frame_energy",
     "embedding_pca_project",
+    # wave 9 (CDC/MV lifecycle, containment + phash dedup, grouped regression)
+    "cdc_changelog_apply",
+    "incremental_agg_maintenance",
+    "schema_evolution_union",
+    "regr_trend_nation",
+    "dedup_prefix_containment",
+    "media_phash_neardup",
 )
 
 SKIP: set[str] = set()

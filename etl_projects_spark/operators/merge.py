@@ -43,6 +43,37 @@ def latest_per_key(updates: DataFrame, keys: Sequence[str], order_col: str) -> D
     )
 
 
+def apply_changelog(
+    changelog: DataFrame,
+    keys: Sequence[str],
+    order_cols: Sequence[str],
+    op_col: str = "op",
+    delete_op: str = "delete",
+) -> DataFrame:
+    """Materialize the final table state from an ordered CDC change log
+    (the Debezium / Delta change-data-feed consumption pattern).
+
+    Each log row carries the full payload plus an operation marker; per
+    key, the row with the highest ``order_cols`` tuple decides the
+    outcome — if its op is ``delete_op`` the key is absent from the
+    result, otherwise its payload (sans op column) is the final row.
+    Replays are idempotent: applying the same log twice yields the same
+    state, and ``order_cols`` must end in a unique column (e.g. a log
+    sequence number) so "latest" is deterministic.
+
+    Plan: one shuffle on the key (window row_number), then a local
+    filter — the log is never joined against itself, so the cost is
+    O(log size), not O(keys × versions²). At 100 TB the log would be
+    date-partitioned and this op applied per partition-pruned slice.
+    """
+    w = W.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in order_cols])
+    return (
+        changelog.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & (F.col(op_col) != delete_op))
+        .drop("_rn", op_col)
+    )
+
+
 def merge_upsert(
     target: DataFrame,
     updates: DataFrame,

@@ -265,3 +265,57 @@ def frame_energy(media: DataFrame, frame: int = ENERGY_FRAME) -> DataFrame:
         run,
         schema="doc_id long, n_frames long, rms_first double, rms_max double",
     )
+
+
+PHASH_BITS = 16  # perceptual hash width (bits = equal-width payload blocks)
+
+
+def perceptual_hash(media: DataFrame, bits: int = PHASH_BITS) -> DataFrame:
+    """Arrow-batched PERCEPTUAL-HASH stage stub: the payload is split
+    into ``bits`` equal-width byte blocks and bit *i* is set when block
+    *i*'s energy (sum of squared byte values) exceeds the payload-wide
+    mean — the block-mean-vs-global-mean structure of an image aHash /
+    pHash, with the DCT stubbed to raw byte energy (codec not in this
+    container; swap ``np.frombuffer`` for a decoded pixel array on a
+    real cluster — the hash layout and join plumbing don't change).
+
+    Exactness contract: the bit test cross-multiplies exact integers
+    (``block_ss * n_total > total_ss * block_len``) instead of
+    comparing float means, so the hash is replayable bit-for-bit in
+    any engine. Payloads shorter than ``bits`` bytes are skipped.
+
+    Output: (doc_id, phash bigint) — one narrow row per payload;
+    payload bytes never shuffle.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def run(batches):
+        for b in batches:
+            rows = {"doc_id": [], "phash": []}
+            for doc_id, payload in zip(b["doc_id"], b["payload"]):
+                x = np.frombuffer(bytes(payload), dtype=np.uint8).astype(
+                    np.int64
+                )
+                n = len(x)
+                if n < bits:
+                    continue
+                sq = x * x
+                total_ss = int(sq.sum())
+                # byte j belongs to block j*bits//n (equal-width split,
+                # replayable as integer division in any SQL engine)
+                blk = (np.arange(n) * bits) // n
+                block_ss = np.zeros(bits, dtype=np.int64)
+                np.add.at(block_ss, blk, sq)
+                block_len = np.bincount(blk, minlength=bits)
+                h = 0
+                for i in range(bits):
+                    if int(block_ss[i]) * n > total_ss * int(block_len[i]):
+                        h |= 1 << i
+                rows["doc_id"].append(doc_id)
+                rows["phash"].append(h)
+            yield pd.DataFrame(rows)
+
+    return media.select("doc_id", "payload").mapInPandas(
+        run, schema="doc_id long, phash long"
+    )

@@ -1176,3 +1176,50 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     mu, basis = similarity.pca_basis(emb)
     return similarity.pca_project(emb, mu, basis)
+
+
+@_q(
+    "dedup_prefix_containment",
+    """
+    SELECT a.doc_id AS short_id, b.doc_id AS long_id,
+           a.n_chars AS short_len, b.n_chars AS long_len
+    FROM documents a
+    JOIN documents b
+      ON substring(a.text, 1, 32) = substring(b.text, 1, 32)
+     AND a.n_chars >= 32
+     AND a.n_chars < b.n_chars
+     AND starts_with(b.text, a.text)
+    """,
+)
+def dedup_prefix_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment dedup: documents that are a strict PREFIX of a
+    longer document (truncated re-crawls, partial copies — pairs
+    MinHash under-weights because the longer doc dilutes the
+    Jaccard). Blocking is semantics-preserving, not approximate: a
+    prefix relation with len(short) ≥ 32 forces the two 32-char heads
+    to be identical, so the equi-join on the head key loses no pair —
+    the shuffle is bounded by head-cluster sizes instead of
+    all-pairs. Verification (startswith) is candidate-local. At
+    100 TB the head key distributes like a hash key except for
+    boilerplate heads, which are exactly the pairs being hunted."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    a = docs.filter(F.col("n_chars") >= 32).select(
+        F.col("doc_id").alias("short_id"),
+        F.col("text").alias("a_text"),
+        F.col("n_chars").alias("short_len"),
+        F.substring("text", 1, 32).alias("head"),
+    )
+    b = docs.select(
+        F.col("doc_id").alias("long_id"),
+        F.col("text").alias("b_text"),
+        F.col("n_chars").alias("long_len"),
+        F.substring("text", 1, 32).alias("head"),
+    )
+    return (
+        a.join(b, "head")
+        .filter(
+            (F.col("short_len") < F.col("long_len"))
+            & F.col("b_text").startswith(F.col("a_text"))
+        )
+        .select("short_id", "long_id", "short_len", "long_len")
+    )

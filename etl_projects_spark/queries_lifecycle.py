@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_projects_spark import config
-from etl_projects_spark.queries import _q, load
+from etl_projects_spark.queries import D, _q, dec, load
 
 
 @_q(
@@ -384,4 +384,130 @@ def scd2_apply_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("effective_ts").cast("string").alias("effective_ts"),
         F.col("end_ts").cast("string").alias("end_ts"),
         "is_current",
+    )
+
+
+@_q(
+    "cdc_changelog_apply",
+    """
+    WITH log AS (
+      SELECT o_custkey,
+             CASE WHEN o_orderstatus = 'F' THEN 'delete' ELSE 'upsert' END AS op,
+             o_totalprice, o_orderdate, o_orderkey
+      FROM orders),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY o_custkey
+        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM log)
+    SELECT o_custkey, o_totalprice, o_orderkey
+    FROM ranked WHERE rn = 1 AND op != 'delete'
+    """,
+)
+def cdc_changelog_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC change-log consumption: orders re-read as an ordered change
+    log per customer (op = delete when the final status is 'F', else
+    upsert; sequence = order date with the unique order key as
+    tie-break) and collapsed to the final table state with
+    ``merge.apply_changelog`` — the Debezium/change-data-feed apply
+    the reference's is_incremental promotion implies but never wrote
+    (``datalake_sub_dag_builder.py:71,113``). Keys whose LAST log
+    entry is a delete vanish; everyone else keeps exactly their
+    latest payload. One shuffle, log-sized, no self-join."""
+    from etl_projects_spark.operators.merge import apply_changelog
+
+    log = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.when(F.col("o_orderstatus") == "F", "delete")
+        .otherwise("upsert")
+        .alias("op"),
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderkey",
+    )
+    return apply_changelog(
+        log, keys=["o_custkey"], order_cols=["o_orderdate", "o_orderkey"]
+    ).select("o_custkey", "o_totalprice", "o_orderkey")
+
+
+@_q(
+    "incremental_agg_maintenance",
+    f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS order_cnt,
+           CAST(SUM(CAST(o_totalprice AS {D})) AS DOUBLE) AS revenue
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-aggregate delta maintenance: a base aggregate built
+    from history (< 1997-01-01) is combined with a delta aggregate of
+    the new batch via partial-state merge (sum-of-counts,
+    sum-of-decimal-sums) instead of re-scanning history — the
+    incremental-MV shape that keeps a 100 TB rollup updatable with
+    batch-sized work. The oracle is the full recompute, so the hash
+    proves merged-partials ≡ recompute exactly (counts and DECIMAL
+    sums are associative; doubles only materialize at the end)."""
+    cutoff = "1997-01-01"
+    orders = load(spark, sf_dir, "orders")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count("*").alias("order_cnt"),
+            F.sum(dec("o_totalprice")).alias("revenue_dec"),
+        )
+
+    base = partial(orders.filter(F.col("o_orderdate") < cutoff))
+    delta = partial(orders.filter(F.col("o_orderdate") >= cutoff))
+    return (
+        base.unionByName(delta)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("order_cnt").alias("order_cnt"),
+            F.sum("revenue_dec").cast("double").alias("revenue"),
+        )
+    )
+
+
+@_q(
+    "schema_evolution_union",
+    f"""
+    SELECT (o_orderkey % 2 = 1) AS has_priority,
+           COUNT(*) AS n_rows,
+           COUNT(o_orderpriority) AS n_with_priority,
+           CAST(SUM(CAST(o_totalprice AS {D})) AS DOUBLE) AS revenue
+    FROM (SELECT o_orderkey, o_totalprice,
+                 CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END
+                   AS o_orderpriority
+          FROM orders)
+    GROUP BY 1
+    """,
+)
+def schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across incremental batches: batch 1 lands with
+    the v1 schema (key, price), batch 2 adds a column (priority); the
+    table is read back with ``mergeSchema`` so Spark unions the file
+    schemas and back-fills the missing column with NULL — the
+    add-column path every long-lived lake table hits. The aggregate
+    proves both the row totals and that NULL back-fill applied to
+    exactly the v1 rows. Scan-level schema merge, no rewrite of old
+    files (at 100 TB you never rewrite history to add a column)."""
+    root = os.path.join(tempfile.mkdtemp(prefix="schema_evo_"), "orders_evo")
+    orders = load(spark, sf_dir, "orders")
+    v1 = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    v2 = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    v1.write.mode("overwrite").parquet(os.path.join(root, "batch=1"))
+    v2.write.mode("overwrite").parquet(os.path.join(root, "batch=2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(root)
+    return (
+        merged.groupBy((F.col("o_orderkey") % 2 == 1).alias("has_priority"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count("o_orderpriority").alias("n_with_priority"),
+            F.sum(dec("o_totalprice")).cast("double").alias("revenue"),
+        )
     )

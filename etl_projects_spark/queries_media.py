@@ -162,3 +162,86 @@ def media_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle's SQL replay matches to the 6-dp rounding."""
     media = multimodal.to_media(load(spark, sf_dir, "documents"))
     return multimodal.frame_energy(media)
+
+
+PHASH_HAM_MAX = 3  # near-dup threshold; bands = PHASH_HAM_MAX + 1 (pigeonhole)
+_PHASH_BANDS = PHASH_HAM_MAX + 1
+_BAND_BITS = multimodal.PHASH_BITS // _PHASH_BANDS
+
+
+@_q(
+    "media_phash_neardup",
+    f"""
+    WITH ch AS (
+      SELECT doc_id, ascii(text[i]) AS v, i - 1 AS idx, length(text) AS n
+      FROM documents, UNNEST(generate_series(1, length(text))) t(i)
+      WHERE length(text) >= {multimodal.PHASH_BITS}),
+    blk AS (
+      SELECT doc_id, CAST(idx * {multimodal.PHASH_BITS} // n AS INT) AS b,
+             SUM(v * v) AS ss, COUNT(*) AS cnt
+      FROM ch GROUP BY 1, 2),
+    tot AS (SELECT doc_id, SUM(ss) AS ss_tot, SUM(cnt) AS n_tot
+            FROM blk GROUP BY 1),
+    ph AS (
+      SELECT blk.doc_id,
+             CAST(SUM(CASE WHEN ss * n_tot > ss_tot * cnt
+                           THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+                  AS BIGINT) AS phash
+      FROM blk JOIN tot USING (doc_id) GROUP BY 1)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+    FROM ph a JOIN ph b
+      ON a.doc_id < b.doc_id
+     AND bit_count(xor(a.phash, b.phash)) <= {PHASH_HAM_MAX}
+    """,
+)
+def media_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup join over the media payloads: the
+    image/audio near-dup pipeline end to end — Arrow-batched pHash
+    extraction (``multimodal.perceptual_hash``), then banded LSH on
+    the hash bits. With hamming ≤ {PHASH_HAM_MAX} and
+    {PHASH_HAM_MAX}+1 disjoint bands, the pigeonhole principle makes
+    banding EXACT (some band must be untouched), so the blocked join
+    returns precisely the brute-force pair set the oracle computes —
+    candidate generation is a bounded equi-join shuffle, never
+    all-pairs, and verification (one xor+bit_count per candidate) is
+    candidate-local. The hash itself is integer-exact, so a
+    float-free cross-engine replay hash-matches."""
+    media = multimodal.to_media(load(spark, sf_dir, "documents"))
+    ph = multimodal.perceptual_hash(media)
+    bands = ph.select(
+        "doc_id",
+        "phash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("phash", _BAND_BITS * i)
+                    % (1 << _BAND_BITS)
+                    for i in range(_PHASH_BANDS)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("phash").alias("ph_a"),
+        "band_idx",
+        "band_val",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("phash").alias("ph_b"),
+        "band_idx",
+        "band_val",
+    )
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("bit_count(ph_a ^ ph_b)").cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= PHASH_HAM_MAX)
+        .dropDuplicates(["doc_a", "doc_b"])
+    )

@@ -324,3 +324,81 @@ def anomaly_zscore_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n") - F.avg("n").over(w)) / F.stddev_samp("n").over(w), 6
         ).alias("z"),
     )
+
+
+@_q(
+    "regr_trend_nation",
+    """
+    WITH daily AS (
+      SELECT n.n_name,
+             date_diff('day', DATE '1992-01-01', CAST(o.o_orderdate AS DATE))
+               AS x,
+             CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS y
+      FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2),
+    s AS (
+      SELECT n_name,
+             COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      FROM daily GROUP BY 1)
+    SELECT n_name, n AS n_days,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             AS slope_cents_per_day
+    FROM s WHERE n * sxx - sx * sx != 0
+    """,
+)
+def regr_trend_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group linear regression (closed form): the daily revenue
+    trend slope per nation, the grouped model-fit shape (one tiny
+    model per key) that at 100 TB runs as a plain two-level
+    aggregation — no applyInPandas, no per-group solver. Exactness:
+    x = integer day index, y = revenue in integer cents (via the
+    DECIMAL cast), so every regression moment (n, Σx, Σy, Σxy, Σxx)
+    is an exact BIGINT in both engines; the slope is one deterministic
+    double expression over exact integers, making a floating-point
+    regression hash-checkable cross-engine. Spark's builtin
+    ``regr_slope`` is double-summed (order-dependent) — this is the
+    scale-safe exact twin."""
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    daily = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            "n_name",
+            F.datediff(F.col("o_orderdate").cast("date"), F.lit("1992-01-01"))
+            .alias("x"),
+        )
+        .agg(
+            F.sum((dec("o_totalprice") * 100).cast("bigint")).alias("y")
+        )
+    )
+    s = daily.groupBy("n_name").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    nd, sxd, syd, sxyd, sxxd = (
+        F.col(c).cast("double") for c in ("n", "sx", "sy", "sxy", "sxx")
+    )
+    return s.filter(
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") != 0
+    ).select(
+        "n_name",
+        F.col("n").alias("n_days"),
+        ((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)).alias(
+            "slope_cents_per_day"
+        ),
+    )

@@ -262,3 +262,58 @@ def test_merge_upsert_random_equivalence(spark):
     for k, (n, v, _) in latest.items():
         want[k] = (n, v)
     assert got == want
+
+
+def test_apply_changelog_semantics(spark):
+    from etl_projects_spark.operators.merge import apply_changelog
+
+    log = spark.createDataFrame(
+        [
+            # key 1: upsert then delete → absent
+            (1, "upsert", 10.0, 1),
+            (1, "delete", 0.0, 2),
+            # key 2: delete then upsert → present with latest payload
+            (2, "delete", 0.0, 1),
+            (2, "upsert", 20.0, 2),
+            (2, "upsert", 25.0, 3),
+            # key 3: single upsert
+            (3, "upsert", 30.0, 1),
+        ],
+        "k long, op string, v double, seq long",
+    )
+    out = apply_changelog(log, keys=["k"], order_cols=["seq"])
+    got = {r["k"]: r["v"] for r in out.collect()}
+    assert got == {2: 25.0, 3: 30.0}
+    assert out.columns == ["k", "v", "seq"]
+
+
+def test_apply_changelog_replay_idempotent(spark):
+    from etl_projects_spark.operators.merge import apply_changelog
+
+    rng = __import__("numpy").random.RandomState(7)
+    rows = [
+        (
+            int(rng.randint(0, 25)),
+            "delete" if rng.rand() < 0.3 else "upsert",
+            float(rng.randint(0, 100)),
+            i,
+        )
+        for i in range(200)
+    ]
+    log = spark.createDataFrame(rows, "k long, op string, v double, seq long")
+    once = apply_changelog(log, keys=["k"], order_cols=["seq"])
+    # replaying the log twice (append of identical entries) must not
+    # change the final state — the idempotency contract
+    twice = apply_changelog(
+        log.unionByName(log), keys=["k"], order_cols=["seq"]
+    )
+    assert sorted(map(tuple, once.collect())) == sorted(
+        map(tuple, twice.collect())
+    )
+    # python reference: last op per key decides
+    last: dict[int, tuple] = {}
+    for k, op, v, seq in rows:
+        if k not in last or seq > last[k][2]:
+            last[k] = (op, v, seq)
+    want = {k: v for k, (op, v, _) in last.items() if op != "delete"}
+    assert {r["k"]: r["v"] for r in once.collect()} == want

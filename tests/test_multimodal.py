@@ -113,3 +113,41 @@ def test_frame_energy_matches_numpy(spark):
                                    / len(x[i*fr:(i+1)*fr]))), 6)
                for i in range(n)]
         assert got[row.doc_id] == (n, rms[0], max(rms))
+
+
+def test_perceptual_hash_matches_numpy(spark):
+    import numpy as np
+
+    from etl_projects_spark.operators import multimodal
+
+    texts = ["a" * 40, "abcdefgh" * 8, "z" * 15, "Aa" * 100, "x" * 16]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    media = multimodal.to_media(df)
+    got = {
+        r["doc_id"]: r["phash"]
+        for r in multimodal.perceptual_hash(media).collect()
+    }
+
+    def ref_phash(t: str) -> int | None:
+        x = np.frombuffer(t.encode(), dtype=np.uint8).astype(np.int64)
+        n = len(x)
+        bits = multimodal.PHASH_BITS
+        if n < bits:
+            return None
+        sq = x * x
+        total = int(sq.sum())
+        h = 0
+        for i in range(bits):
+            sel = (np.arange(n) * bits) // n == i
+            if int(sq[sel].sum()) * n > total * int(sel.sum()):
+                h |= 1 << i
+        return h
+
+    want = {i: ref_phash(t) for i, t in enumerate(texts) if ref_phash(t) is not None}
+    assert got == want
+    # constant payloads have zero contrast → all bits off
+    assert got[0] == 0
+    # a payload shorter than PHASH_BITS bytes is skipped, not hashed
+    assert 2 not in got
