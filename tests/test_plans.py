@@ -264,3 +264,37 @@ def test_pivot_multi_agg_single_pass(spark):
 def test_partition_checksums_single_shuffle(spark):
     assert_plan(QS["partition_checksums"](spark, SF_DIR),
                 python_stages=0, cartesian=False, shuffles=("<=", 1))
+
+
+def test_cdc_changelog_single_key_shuffle(spark):
+    # The log is ranked once on the key; no self-join, no cartesian.
+    assert_plan(QS["cdc_changelog_apply"](spark, SF_DIR),
+                shuffles=("<=", 1), cartesian=False, python_stages=0)
+
+
+def test_incremental_agg_partial_merge_shape(spark):
+    # Two partial aggregates + final merge: bounded shuffles, all JVM.
+    assert_plan(QS["incremental_agg_maintenance"](spark, SF_DIR),
+                shuffles=("<=", 3), cartesian=False, python_stages=0)
+
+
+def test_regr_trend_broadcasts_dimensions(spark):
+    # customer/nation broadcast; the only shuffles are the two
+    # aggregation levels (daily grid, then regression moments).
+    assert_plan(QS["regr_trend_nation"](spark, SF_DIR),
+                broadcast_joins=(">=", 2), cartesian=False,
+                shuffles=("<=", 2), python_stages=0)
+
+
+def test_prefix_containment_blocked_equi_join(spark):
+    # The containment pairs come from a head-key equi-join — never a
+    # cartesian — and verification stays JVM-side.
+    assert_plan(QS["dedup_prefix_containment"](spark, SF_DIR),
+                cartesian=False, python_stages=0)
+
+
+def test_phash_neardup_banded_join_one_python_stage(spark):
+    # One Arrow stage extracts the hash; candidates come from the
+    # banded equi-join (pigeonhole-exact), never all-pairs.
+    assert_plan(QS["media_phash_neardup"](spark, SF_DIR),
+                cartesian=False, python_stages=("<=", 2))
