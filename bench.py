@@ -110,6 +110,11 @@ HEADLINE = (
     "regr_trend_nation",
     "dedup_prefix_containment",
     "media_phash_neardup",
+    # wave 10 (attribution, normalization, vocab, compaction)
+    "attribution_first_touch",
+    "zscore_doc_length_by_source",
+    "vocab_id_assign",
+    "compact_small_files",
 )
 
 SKIP: set[str] = set()

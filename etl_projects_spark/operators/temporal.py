@@ -90,6 +90,7 @@ def banded_range_join(
     start_col: str = "start_ts",
     end_col: str = "end_ts",
     band_seconds: int = 3600,
+    extra_keys: Sequence[str] = (),
 ) -> DataFrame:
     """Inner-join points to the intervals containing them
     (``start <= ts < end``) WITHOUT an equi key.
@@ -100,6 +101,11 @@ def banded_range_join(
     shuffle keyed on bands, skew-safe under AQE. Pick ``band_seconds``
     near the typical interval length: too small explodes intervals,
     too large inflates residual filtering.
+
+    ``extra_keys`` (present on both sides, e.g. a user id) join as
+    additional equi keys alongside the band — essential when many
+    intervals share a band but belong to different entities, which
+    would otherwise fan out band-wide.
     """
     p = points.withColumn(
         "_band", (F.unix_timestamp(point_ts) / band_seconds).cast("long")
@@ -115,7 +121,7 @@ def banded_range_join(
         ),
     )
     return (
-        p.join(iv, "_band")
+        p.join(iv, ["_band", *extra_keys])
         .filter((F.col(point_ts) >= F.col(start_col)) & (F.col(point_ts) < F.col(end_col)))
         .drop("_band")
     )

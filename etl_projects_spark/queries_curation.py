@@ -1223,3 +1223,52 @@ def dedup_prefix_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("short_id", "long_id", "short_len", "long_len")
     )
+
+
+@_q(
+    "zscore_doc_length_by_source",
+    """
+    WITH s AS (
+      SELECT source, COUNT(*) AS n,
+             CAST(SUM(n_chars) AS BIGINT) AS sx,
+             CAST(SUM(n_chars * n_chars) AS BIGINT) AS sxx
+      FROM documents GROUP BY 1)
+    SELECT doc_id, d.source, n_chars,
+           CAST(n_chars * n - sx AS DOUBLE)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) AS z
+    FROM documents d JOIN s ON d.source = s.source
+    WHERE n * sxx - sx * sx > 0
+    """,
+)
+def zscore_doc_length_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group feature standardization (z-score of document length
+    within each source) — the normalize-before-filter step of quality
+    pipelines, done the 100 TB way: group moments (n, Σx, Σx²) are one
+    small aggregate BROADCAST back onto the corpus, not a window that
+    reshuffles every row by source (skewed sources would straggle).
+    Exactness: the moments are exact BIGINTs and
+    z = (x·n − Σx) / √(n·Σx² − Σx²) evaluates (x−μ)/σ as ONE
+    deterministic double expression over exact integers — a
+    hash-checkable float normalization, immune to summation order."""
+    docs = load(spark, sf_dir, "documents")
+    stats = docs.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.sum("n_chars").alias("sx"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).alias("sxx"),
+    )
+    joined = docs.select("doc_id", "source", "n_chars").join(
+        F.broadcast(stats), "source"
+    )
+    var_n2 = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return (
+        joined.filter(var_n2 > 0)
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            (
+                (F.col("n_chars") * F.col("n") - F.col("sx")).cast("double")
+                / F.sqrt(var_n2.cast("double"))
+            ).alias("z"),
+        )
+    )

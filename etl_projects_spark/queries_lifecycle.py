@@ -511,3 +511,44 @@ def schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec("o_totalprice")).cast("double").alias("revenue"),
         )
     )
+
+
+@_q(
+    "compact_small_files",
+    f"""
+    SELECT o_orderpriority, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS {D})) AS DOUBLE) AS revenue
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction, driver-checked end to end: an orders
+    table fragmented into 32 tiny files (the one-file-per-incremental-
+    batch sprawl) is rewritten by ``merge.compact_table`` at the
+    reference's 250k-records-per-file policy (``s3_loader.py:13``),
+    and the compacted table is read back for the aggregate the oracle
+    recomputes from the raw source — any row lost or duplicated by
+    the rename-aside swap fails the hash. The file-count reduction is
+    asserted in-line (≥32 → few); the rewrite itself is one
+    metadata-sized job, no driver count."""
+    from etl_projects_spark.operators.merge import compact_table
+
+    root = os.path.join(tempfile.mkdtemp(prefix="compact_q_"), "orders_frag")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    orders.repartition(32).write.mode("overwrite").parquet(root)
+    n_before = sum(1 for f in os.listdir(root) if f.endswith(".parquet"))
+    n_after = compact_table(spark, root, records_per_file=250_000)
+    if n_after >= n_before:
+        raise AssertionError(
+            f"compaction did not reduce file count: {n_before} -> {n_after}"
+        )
+    return (
+        spark.read.parquet(root)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(dec("o_totalprice")).cast("double").alias("revenue"),
+        )
+    )

@@ -1540,3 +1540,47 @@ def neardup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("keep"), 0.0).otherwise(1.0)) / F.count("*"), 6
         ).alias("dup_rate"),
     )
+
+
+@_q(
+    "vocab_id_assign",
+    """
+    WITH terms AS (
+      SELECT unnest(string_split(text, ' ')) AS term, doc_id
+      FROM documents),
+    v AS (
+      SELECT term, COUNT(*) AS freq, COUNT(DISTINCT doc_id) AS df
+      FROM terms WHERE term != '' GROUP BY 1)
+    SELECT term, ROW_NUMBER() OVER (ORDER BY term) AS vocab_id, freq, df
+    FROM v
+    """,
+)
+def vocab_id_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary build with STABLE dense ids: distinct corpus terms
+    get contiguous ids by lexicographic rank — the id-assignment step
+    before any token-count matrix / embedding table. The heavy work
+    (corpus explode → distinct+counts) is a normal distributed
+    aggregate; only the VOCAB-sized result passes through the
+    id-assigning global window, which is the legitimate use of a
+    single-partition window (a vocabulary is bounded — millions of
+    rows, not corpus-scale; zipWithIndex-style RDD tricks would give
+    nondeterministic ids on re-runs, lexicographic rank is
+    reproducible by construction)."""
+    docs = load(spark, sf_dir, "documents")
+    v = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("term")
+        )
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(
+            F.count("*").alias("freq"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+    )
+    return v.select(
+        "term",
+        F.row_number().over(W.orderBy("term")).alias("vocab_id"),
+        "freq",
+        "df",
+    )

@@ -402,3 +402,62 @@ def regr_trend_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "slope_cents_per_day"
         ),
     )
+
+
+@_q(
+    "attribution_first_touch",
+    """
+    WITH p AS (SELECT event_id AS purchase_id, user_id, ts
+               FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT event_id AS click_id, user_id, ts
+          FROM events WHERE event_type = 'click'),
+    j AS (
+      SELECT p.purchase_id, p.user_id, c.click_id, c.ts AS click_ts,
+             ROW_NUMBER() OVER (PARTITION BY p.purchase_id
+                                ORDER BY c.ts, c.click_id) AS rn
+      FROM p JOIN c
+        ON p.user_id = c.user_id
+       AND c.ts >= p.ts - INTERVAL 7 DAY AND c.ts < p.ts)
+    SELECT purchase_id, user_id, click_id AS first_click_id, click_ts
+    FROM j WHERE rn = 1
+    """,
+)
+def attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution: each purchase credited to the user's
+    EARLIEST click inside a 7-day lookback window — the marketing-
+    attribution twin of the as-of join (which takes the latest). The
+    theta range predicate becomes an equi-join on (user, time-band)
+    via ``temporal.banded_range_join`` with ``extra_keys`` — without
+    the user in the join key every purchase window would fan out to
+    all clicks in its band. Candidates are window-local; one
+    row_number per purchase picks the first touch deterministically
+    (ts, then click id)."""
+    from etl_projects_spark.operators import temporal
+
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    windows = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        (F.col("ts") - F.expr("INTERVAL 7 DAYS")).alias("start_ts"),
+        F.col("ts").alias("end_ts"),
+    )
+    cand = temporal.banded_range_join(
+        clicks,
+        windows,
+        band_seconds=4 * 86400,
+        extra_keys=["user_id"],
+    )
+    w = W.partitionBy("purchase_id").orderBy("ts", "click_id")
+    return (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "purchase_id",
+            "user_id",
+            F.col("click_id").alias("first_click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+    )

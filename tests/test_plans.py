@@ -298,3 +298,26 @@ def test_phash_neardup_banded_join_one_python_stage(spark):
     # banded equi-join (pigeonhole-exact), never all-pairs.
     assert_plan(QS["media_phash_neardup"](spark, SF_DIR),
                 cartesian=False, python_stages=("<=", 2))
+
+
+def test_attribution_banded_equi_join_no_cartesian(spark):
+    # The 7-day lookback is an equi-join on (user, band) + residual
+    # filter; candidates then rank per purchase — no cartesian anywhere.
+    assert_plan(QS["attribution_first_touch"](spark, SF_DIR),
+                cartesian=False, python_stages=0)
+
+
+def test_zscore_broadcasts_group_moments(spark):
+    # The corpus never reshuffles: group moments aggregate small and
+    # broadcast back.
+    assert_plan(QS["zscore_doc_length_by_source"](spark, SF_DIR),
+                broadcast_joins=(">=", 1), cartesian=False,
+                python_stages=0)
+
+
+def test_vocab_id_single_partition_only_on_vocab(spark):
+    # The corpus-scale work (explode → agg) shuffles normally; only the
+    # vocab-sized result may pass through the id-assigning single
+    # partition.
+    assert_plan(QS["vocab_id_assign"](spark, SF_DIR),
+                cartesian=False, python_stages=0)

@@ -111,3 +111,43 @@ def test_funnel_stage_times_matches_bruteforce(spark):
         for r in funnel_stage_times(df, stages).collect()
     }
     assert got == want
+
+
+def test_banded_range_join_extra_keys_matches_theta(spark):
+    import numpy as np
+
+    from etl_projects_spark.operators import temporal
+
+    rng = np.random.RandomState(11)
+    base = 1_700_000_000
+    points = spark.createDataFrame(
+        [
+            (i, int(rng.randint(0, 5)), base + int(rng.randint(0, 86400 * 10)))
+            for i in range(300)
+        ],
+        "pid long, user_id long, epoch long",
+    ).select("pid", "user_id", F.timestamp_seconds("epoch").alias("ts"))
+    intervals = spark.createDataFrame(
+        [
+            (j, int(rng.randint(0, 5)), base + int(rng.randint(0, 86400 * 9)))
+            for j in range(40)
+        ],
+        "iid long, user_id long, s long",
+    ).select(
+        "iid",
+        "user_id",
+        F.timestamp_seconds("s").alias("start_ts"),
+        F.timestamp_seconds(F.col("s") + 86400).alias("end_ts"),
+    )
+    banded = temporal.banded_range_join(
+        points, intervals, band_seconds=43200, extra_keys=["user_id"]
+    )
+    theta = points.alias("p").join(
+        intervals.alias("i"),
+        (F.col("p.user_id") == F.col("i.user_id"))
+        & (F.col("p.ts") >= F.col("i.start_ts"))
+        & (F.col("p.ts") < F.col("i.end_ts")),
+    )
+    got = sorted((r["pid"], r["iid"]) for r in banded.collect())
+    want = sorted((r["pid"], r["iid"]) for r in theta.collect())
+    assert got == want and len(got) > 0
