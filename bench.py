@@ -115,6 +115,10 @@ HEADLINE = (
     "zscore_doc_length_by_source",
     "vocab_id_assign",
     "compact_small_files",
+    # wave 11 (journey paths, optimizer stats, dataset card)
+    "session_path_topk",
+    "equi_depth_histogram_stats",
+    "data_card_report",
 )
 
 SKIP: set[str] = set()

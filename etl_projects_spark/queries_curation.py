@@ -1272,3 +1272,40 @@ def zscore_doc_length_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("z"),
         )
     )
+
+
+@_q(
+    "data_card_report",
+    """
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS DOUBLE)
+             AS avg_chars,
+           COUNT(DISTINCT lang) AS n_langs,
+           CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS en_share,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars
+    FROM documents GROUP BY source
+    """,
+)
+def data_card_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card rollup: the per-source summary block of a data
+    card (docs, volume, length profile, language mix) in ONE
+    aggregation pass — the report every corpus release ships. All
+    ratios divide exact integers, so the doubles are deterministic;
+    single shuffle on the source key."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        (F.sum("n_chars").cast("double") / F.count("*")).alias("avg_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        (
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast("double")
+            / F.count("*")
+        ).alias("en_share"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )

@@ -461,3 +461,93 @@ def attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ts").alias("click_ts"),
         )
     )
+
+
+@_q(
+    "session_path_topk",
+    """
+    WITH flags AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flags),
+    paths AS (
+      SELECT user_id, sid,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM sess GROUP BY 1, 2)
+    SELECT path, COUNT(*) AS n
+    FROM paths GROUP BY 1 ORDER BY n DESC, path LIMIT 20
+    """,
+)
+def session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey path mining: events sessionized by 30-min gaps,
+    each session rendered as its ordered event-type path, top-20
+    paths by frequency. All three stages reuse ONE user-key shuffle
+    (lag flag, running-sum session id, and the per-session collect
+    share the partitioning); the path strings then aggregate
+    path-keyed, and the final top-k is TakeOrderedAndProject with the
+    path itself as tie-break — deterministic LIMIT cross-engine."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_s = F.when(F.lag("ts").over(w).isNull() | (gap_s > 1800), 1).otherwise(0)
+    wrun = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    sess = ev.withColumn("new_s", new_s).withColumn(
+        "sid", F.sum("new_s").over(wrun)
+    )
+    paths = sess.groupBy("user_id", "sid").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda x: x["event_type"],
+            ),
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "path")
+        .limit(20)
+    )
+
+
+@_q(
+    "equi_depth_histogram_stats",
+    """
+    WITH b AS (
+      SELECT o_totalprice,
+             ntile(16) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+      FROM orders)
+    SELECT bucket, COUNT(*) AS n,
+           MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+    FROM b GROUP BY 1
+    """,
+)
+def equi_depth_histogram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram collection (the optimizer-statistics shape
+    ANALYZE builds): 16 equal-count buckets over order totals with
+    per-bucket bounds. ntile is deterministic here because the sort
+    carries the unique key as tie-break. The global sort is the
+    honest cost of exact equi-depth stats; at 100 TB you run this on
+    a fixed-fraction sample (the result schema and everything
+    downstream is unchanged) — bounds are estimates either way."""
+    orders = load(spark, sf_dir, "orders")
+    b = orders.select(
+        "o_totalprice",
+        F.ntile(16).over(W.orderBy("o_totalprice", "o_orderkey")).alias("bucket"),
+    )
+    return b.groupBy("bucket").agg(
+        F.count("*").alias("n"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+    )

@@ -321,3 +321,15 @@ def test_vocab_id_single_partition_only_on_vocab(spark):
     # partition.
     assert_plan(QS["vocab_id_assign"](spark, SF_DIR),
                 cartesian=False, python_stages=0)
+
+
+def test_session_path_single_user_shuffle_then_topk(spark):
+    # lag + running-sum + per-session collect reuse one user-key
+    # partitioning; the final top-k is TakeOrderedAndProject.
+    assert_plan(QS["session_path_topk"](spark, SF_DIR),
+                cartesian=False, python_stages=0, top_k_pushdown=True)
+
+
+def test_data_card_single_shuffle(spark):
+    assert_plan(QS["data_card_report"](spark, SF_DIR),
+                shuffles=("<=", 2), cartesian=False, python_stages=0)
