@@ -119,6 +119,9 @@ HEADLINE = (
     "session_path_topk",
     "equi_depth_histogram_stats",
     "data_card_report",
+    # wave 12 (robust statistics)
+    "mode_priority_by_segment",
+    "mad_order_totals",
 )
 
 SKIP: set[str] = set()

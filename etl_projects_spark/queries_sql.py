@@ -732,3 +732,96 @@ def map_functions_props(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",", F.transform(keys, lambda k: F.element_at(F.col("m"), k))
         ).alias("vals_csv"),
     )
+
+
+@_q(
+    "mode_priority_by_segment",
+    """
+    WITH j AS (
+      SELECT c.c_mktsegment, o.o_orderpriority
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+    cnt AS (
+      SELECT c_mktsegment, o_orderpriority, COUNT(*) AS n
+      FROM j GROUP BY 1, 2),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY c_mktsegment
+        ORDER BY n DESC, o_orderpriority) AS rn
+      FROM cnt)
+    SELECT c_mktsegment, o_orderpriority AS modal_priority, n
+    FROM r WHERE rn = 1
+    """,
+)
+def mode_priority_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped MODE (most frequent value per group): count
+    per (group, value), then one rank over the group-value COUNTS —
+    never over the raw rows. The tie-break on the value itself makes
+    the mode deterministic cross-engine. This is the scale-correct
+    mode: the window input is |groups|×|distinct values| rows, not
+    the fact table."""
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    cnt = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+    w = W.partitionBy("c_mktsegment").orderBy(
+        F.desc("n"), "o_orderpriority"
+    )
+    return (
+        cnt.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "c_mktsegment",
+            F.col("o_orderpriority").alias("modal_priority"),
+            "n",
+        )
+    )
+
+
+@_q(
+    "mad_order_totals",
+    """
+    WITH med AS (
+      SELECT o_orderpriority,
+             quantile_disc(o_totalprice, 0.5) AS median_price
+      FROM orders GROUP BY 1),
+    dev AS (
+      SELECT o.o_orderpriority, abs(o.o_totalprice - m.median_price) AS d
+      FROM orders o JOIN med m ON o.o_orderpriority = m.o_orderpriority)
+    SELECT d.o_orderpriority,
+           m.median_price,
+           quantile_disc(d.d, 0.5) AS mad
+    FROM dev d JOIN med m ON d.o_orderpriority = m.o_orderpriority
+    GROUP BY 1, 2
+    """,
+)
+def mad_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust dispersion per group: median absolute deviation of order
+    totals by priority. Two passes of EXACT discrete percentiles
+    (``percentile_disc`` picks an actual data value — deterministic
+    cross-engine, unlike interpolating percentile_cont over doubles);
+    the group medians are a 5-row aggregate broadcast back for the
+    deviation pass, so the fact table shuffles only on the group key.
+    MAD is the outlier-detection statistic z-scores can't give you
+    when the tail itself is the anomaly."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    )
+    med = orders.groupBy("o_orderpriority").agg(
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)"
+        ).alias("median_price")
+    )
+    dev = orders.join(F.broadcast(med), "o_orderpriority").select(
+        "o_orderpriority",
+        "median_price",
+        F.abs(F.col("o_totalprice") - F.col("median_price")).alias("d"),
+    )
+    return dev.groupBy("o_orderpriority", "median_price").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY d)").alias("mad")
+    )
