@@ -79,6 +79,22 @@ REPRESENTATIVE = [
     # media pipeline stubs (wave 8)
     "media_resize_stub",
     "media_frame_energy",
+    # waves 9-12 (r3 continuation)
+    "cdc_changelog_apply",
+    "incremental_agg_maintenance",
+    "schema_evolution_union",
+    "regr_trend_nation",
+    "dedup_prefix_containment",
+    "media_phash_neardup",
+    "attribution_first_touch",
+    "zscore_doc_length_by_source",
+    "vocab_id_assign",
+    "compact_small_files",
+    "session_path_topk",
+    "equi_depth_histogram_stats",
+    "data_card_report",
+    "mode_priority_by_segment",
+    "mad_order_totals",
 ]
 
 
