@@ -122,6 +122,9 @@ HEADLINE = (
     # wave 12 (robust statistics)
     "mode_priority_by_segment",
     "mad_order_totals",
+    # wave 13 (DQ audit, corpus emission)
+    "referential_integrity_report",
+    "training_shard_write",
 )
 
 SKIP: set[str] = set()

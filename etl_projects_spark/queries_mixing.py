@@ -287,3 +287,60 @@ def pack_token_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long").alias("tok_end"),
         )
     )
+
+
+N_TRAIN_SHARDS = 8
+
+
+@_q(
+    "training_shard_write",
+    f"""
+    WITH s AS (
+      SELECT doc_id,
+             ((doc_id * {_MIX_MULT}) % {_MIX_MOD}) % {N_TRAIN_SHARDS}
+               AS shard,
+             (doc_id * {_MIX_MULT}) % {_MIX_MOD} AS ord1
+      FROM documents)
+    SELECT shard, COUNT(*) AS n_docs,
+           md5(string_agg(CAST(doc_id AS VARCHAR), ','
+                          ORDER BY ord1, doc_id)) AS checksum
+    FROM s GROUP BY shard
+    """,
+)
+def training_shard_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-corpus EMISSION, driver-checked end to end: every doc
+    gets a deterministic (shard, position) from the multiplicative id
+    hash — reproducible across runs, engines, and partitionings, the
+    property a resumable training job needs from its data order — the
+    shards land as a shard-partitioned parquet write, and the
+    read-back is checksummed per shard over the PERSISTED positions
+    (md5 of the position-ordered id sequence). A row written to the
+    wrong shard, dropped, duplicated, or re-ordered flips the hash
+    against the oracle, which recomputes the checksums from the raw
+    corpus. One shuffle (shard window); the write itself is
+    partition-per-shard with no extra exchange."""
+    import os
+    import tempfile
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    ord1 = F.pmod(F.col("doc_id") * F.lit(_MIX_MULT), F.lit(_MIX_MOD))
+    sh = docs.select(
+        "doc_id",
+        (ord1 % N_TRAIN_SHARDS).alias("shard"),
+        ord1.alias("ord1"),
+    )
+    pos = F.row_number().over(
+        W.partitionBy("shard").orderBy("ord1", "doc_id")
+    )
+    staged = sh.withColumn("pos", pos).select("doc_id", "shard", "pos")
+    root = os.path.join(tempfile.mkdtemp(prefix="shards_"), "corpus")
+    staged.write.mode("overwrite").partitionBy("shard").parquet(root)
+    back = spark.read.parquet(root)
+    ordered_ids = F.transform(
+        F.sort_array(F.collect_list(F.struct("pos", "doc_id"))),
+        lambda x: x["doc_id"].cast("string"),
+    )
+    return back.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.md5(F.concat_ws(",", ordered_ids)).alias("checksum"),
+    )

@@ -95,3 +95,86 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "orders"),
         ["o_custkey", "o_orderstatus", "o_orderpriority"],
     )
+
+
+@_q(
+    "referential_integrity_report",
+    """
+    SELECT 'lineitem.l_orderkey->orders' AS relationship,
+           (SELECT COUNT(*) FROM lineitem) AS child_rows,
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey)) AS orphans
+    UNION ALL
+    SELECT 'orders.o_custkey->customer',
+           (SELECT COUNT(*) FROM orders),
+           (SELECT COUNT(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'customer.c_nationkey->nation',
+           (SELECT COUNT(*) FROM customer),
+           (SELECT COUNT(*) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM nation n
+                              WHERE n.n_nationkey = c.c_nationkey))
+    UNION ALL
+    SELECT 'lineitem.l_partkey->part',
+           (SELECT COUNT(*) FROM lineitem),
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM part p
+                              WHERE p.p_partkey = l.l_partkey))
+    UNION ALL
+    SELECT 'lineitem.l_suppkey->supplier',
+           (SELECT COUNT(*) FROM lineitem),
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                              WHERE s.s_suppkey = l.l_suppkey))
+    """,
+)
+def referential_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table referential-integrity audit: orphan counts for every
+    foreign-key relationship in the star schema — the DQ gate a DW
+    promotion (Q4, ``dw_sub_dag_builder.py:55-57``) runs before
+    publishing. Each relationship is one LEFT ANTI join (dimension
+    parents broadcast; the lineitem→orders anti join shuffles on the
+    key like any fact join) aggregated to a single row; the report is
+    a unionByName of relationship-sized rows, so the audit costs one
+    pass per relationship and returns O(relationships) rows no matter
+    the fact size."""
+
+    def rel(child: DataFrame, ckey: str, parent: DataFrame, pkey: str,
+            name: str, bcast: bool) -> DataFrame:
+        par = parent.select(F.col(pkey).alias(ckey)).distinct()
+        if bcast:
+            par = F.broadcast(par)
+        orphans = child.select(ckey).join(par, ckey, "left_anti")
+        return (
+            child.agg(F.count("*").alias("child_rows"))
+            .crossJoin(orphans.agg(F.count("*").alias("orphans")))
+            .select(
+                F.lit(name).alias("relationship"), "child_rows", "orphans"
+            )
+        )
+
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    part = load(spark, sf_dir, "part")
+    supplier = load(spark, sf_dir, "supplier")
+    reports = [
+        rel(li, "l_orderkey", orders, "o_orderkey",
+            "lineitem.l_orderkey->orders", bcast=False),
+        rel(orders, "o_custkey", customer, "c_custkey",
+            "orders.o_custkey->customer", bcast=True),
+        rel(customer, "c_nationkey", nation, "n_nationkey",
+            "customer.c_nationkey->nation", bcast=True),
+        rel(li, "l_partkey", part, "p_partkey",
+            "lineitem.l_partkey->part", bcast=True),
+        rel(li, "l_suppkey", supplier, "s_suppkey",
+            "lineitem.l_suppkey->supplier", bcast=True),
+    ]
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out

@@ -333,3 +333,15 @@ def test_session_path_single_user_shuffle_then_topk(spark):
 def test_data_card_single_shuffle(spark):
     assert_plan(QS["data_card_report"](spark, SF_DIR),
                 shuffles=("<=", 2), cartesian=False, python_stages=0)
+
+
+def test_referential_integrity_broadcast_dims(spark):
+    # Dimension parents broadcast into their anti joins; no cartesian
+    # beyond the single-row count combiner.
+    assert_plan(QS["referential_integrity_report"](spark, SF_DIR),
+                broadcast_joins=(">=", 4), python_stages=0)
+
+
+def test_training_shard_single_shuffle(spark):
+    assert_plan(QS["training_shard_write"](spark, SF_DIR),
+                cartesian=False, python_stages=0)
