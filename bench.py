@@ -200,12 +200,13 @@ def run_chunk(names: list[str]) -> dict[str, float]:
     # chain itself is measured by the chain queries
     # (dedup_minhash_lsh / dedup_jaccard_df_capped etc.), and the
     # one-time build is the documented stored-index lifecycle.
-    ARTIFACT_CONSUMERS = {
+    PAIR_GRAPH_CONSUMERS = {
         "dedup_graph_triangles", "dedup_minhash_components",
         "dedup_keep_list", "dedup_component_size_histogram",
-        "neardup_rate_by_source", "dedup_incremental_batch",
+        "neardup_rate_by_source",
     }
-    if ARTIFACT_CONSUMERS & set(names):
+    warmed = False
+    if PAIR_GRAPH_CONSUMERS & set(names):
         from etl_projects_spark.queries_llm import (
             _components_cached,
             pairs_cached,
@@ -217,10 +218,16 @@ def run_chunk(names: list[str]) -> dict[str, float]:
         _components_cached(spark, SF_DIR).write.format("noop").mode(
             "overwrite"
         ).save()
-        if "dedup_incremental_batch" in names:
-            qs["dedup_incremental_batch"](spark, SF_DIR).limit(1).write.format(
-                "noop"
-            ).mode("overwrite").save()
+        warmed = True
+    if "dedup_incremental_batch" in names:
+        # Builds only its own artifacts (shingle sets + LSH band index)
+        # via build_once inside the query; the pair/component artifacts
+        # above are NOT inputs to it.
+        qs["dedup_incremental_batch"](spark, SF_DIR).limit(1).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        warmed = True
+    if warmed:
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
 

@@ -31,11 +31,14 @@ from pyspark.sql import functions as F
 HIGH_TS = "9999-12-31 23:59:59"
 
 
-def latest_per_key(updates: DataFrame, keys: Sequence[str], order_col: str) -> DataFrame:
+def latest_per_key(
+    updates: DataFrame, keys: Sequence[str], order_col: str | Sequence[str]
+) -> DataFrame:
     """Collapse an update batch to one row per key (highest ``order_col``
-    wins, ties broken arbitrarily-but-deterministically by all columns).
-    One shuffle on the key."""
-    w = W.partitionBy(*keys).orderBy(F.col(order_col).desc())
+    tuple wins; pass a sequence ending in a unique column for a fully
+    deterministic "latest"). One shuffle on the key."""
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
+    w = W.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in order_cols])
     return (
         updates.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
@@ -61,17 +64,13 @@ def apply_changelog(
     state, and ``order_cols`` must end in a unique column (e.g. a log
     sequence number) so "latest" is deterministic.
 
-    Plan: one shuffle on the key (window row_number), then a local
-    filter — the log is never joined against itself, so the cost is
-    O(log size), not O(keys × versions²). At 100 TB the log would be
+    Plan: one shuffle on the key (``latest_per_key``'s window), then a
+    local filter — the log is never joined against itself, so the cost
+    is O(log size), not O(keys × versions²). At 100 TB the log would be
     date-partitioned and this op applied per partition-pruned slice.
     """
-    w = W.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in order_cols])
-    return (
-        changelog.withColumn("_rn", F.row_number().over(w))
-        .filter((F.col("_rn") == 1) & (F.col(op_col) != delete_op))
-        .drop("_rn", op_col)
-    )
+    latest = latest_per_key(changelog, keys, order_cols)
+    return latest.filter(F.col(op_col) != delete_op).drop(op_col)
 
 
 def merge_upsert(

@@ -95,6 +95,9 @@ REPRESENTATIVE = [
     "data_card_report",
     "mode_priority_by_segment",
     "mad_order_totals",
+    # wave 13
+    "referential_integrity_report",
+    "training_shard_write",
 ]
 
 
