@@ -125,6 +125,10 @@ HEADLINE = (
     # wave 13 (DQ audit, corpus emission)
     "referential_integrity_report",
     "training_shard_write",
+    # wave 14 (SCD2 consumption, curriculum, privacy audit)
+    "scd2_point_in_time_join",
+    "curriculum_schedule",
+    "k_anonymity_audit",
 )
 
 SKIP: set[str] = set()

@@ -1309,3 +1309,121 @@ def data_card_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
     )
+
+
+@_q(
+    "curriculum_schedule",
+    """
+    WITH t AS (
+      SELECT quantile_disc(n_chars, 0.25) AS t25,
+             quantile_disc(n_chars, 0.50) AS t50,
+             quantile_disc(n_chars, 0.75) AS t75
+      FROM documents),
+    b AS (
+      SELECT doc_id, n_chars,
+             1 + CAST(n_chars > t25 AS INT) + CAST(n_chars > t50 AS INT)
+               + CAST(n_chars > t75 AS INT) AS bucket
+      FROM documents, t),
+    r AS (
+      SELECT doc_id, bucket,
+             ROW_NUMBER() OVER (PARTITION BY bucket
+                                ORDER BY n_chars, doc_id) AS rn
+      FROM b)
+    SELECT doc_id, bucket,
+           CAST((rn - 1) * 4 + (bucket - 1) AS BIGINT) AS emit_pos
+    FROM r
+    """,
+)
+def curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-learning emission order: docs bucketed into 4
+    difficulty quartiles (length as the difficulty proxy; thresholds
+    are exact ``percentile_disc`` values broadcast from ONE tiny
+    aggregate — no global ntile sort), then interleaved round-robin
+    across buckets so training sees a difficulty mix at every step:
+    emit_pos = rank_within_bucket·4 + bucket. The within-bucket rank
+    uses the two-phase distributed prefix sum (``exec_util.prefix_sum``
+    over a composite bucket-major key), NOT a 4-partition window —
+    the per-bucket single-task collapse is exactly what kills
+    curriculum assignment at corpus scale. Fully deterministic:
+    thresholds are data values, ranks tie-break on doc_id."""
+    from etl_projects_spark.operators.exec_util import prefix_sum
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    t = docs.agg(
+        F.expr(
+            "percentile_disc(0.25) WITHIN GROUP (ORDER BY n_chars)"
+        ).alias("t25"),
+        F.expr(
+            "percentile_disc(0.50) WITHIN GROUP (ORDER BY n_chars)"
+        ).alias("t50"),
+        F.expr(
+            "percentile_disc(0.75) WITHIN GROUP (ORDER BY n_chars)"
+        ).alias("t75"),
+    )
+    b = docs.crossJoin(F.broadcast(t)).select(
+        "doc_id",
+        "n_chars",
+        (
+            F.lit(1)
+            + (F.col("n_chars") > F.col("t25")).cast("int")
+            + (F.col("n_chars") > F.col("t50")).cast("int")
+            + (F.col("n_chars") > F.col("t75")).cast("int")
+        ).alias("bucket"),
+    )
+    # Composite bucket-major order key (unique: doc_id < 2^40 by far);
+    # rank within bucket = global rank - docs in earlier buckets.
+    key = (
+        F.col("bucket").cast("long") * F.lit(1 << 50)
+        + F.col("n_chars").cast("long") * F.lit(1 << 30)
+        + F.col("doc_id")
+    )
+    keyed = b.withColumn("_k", key).withColumn("_one", F.lit(1))
+    ranked = prefix_sum(keyed, "_k", "_one", out_col="_grank")
+    offsets = (
+        b.groupBy("bucket")
+        .agg(F.count("*").alias("_n"))
+        .withColumn(
+            "_boff",
+            F.coalesce(
+                F.sum("_n").over(
+                    W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("bucket", "_boff")
+    )
+    return (
+        ranked.join(F.broadcast(offsets), "bucket")
+        .select(
+            "doc_id",
+            "bucket",
+            (
+                (F.col("_grank") - F.col("_boff")) * 4
+                + (F.col("bucket") - 1)
+            ).cast("long").alias("emit_pos"),
+        )
+    )
+
+
+@_q(
+    "k_anonymity_audit",
+    """
+    SELECT lang, source, COUNT(*) AS group_size,
+           COUNT(*) < 10 AS below_k
+    FROM documents GROUP BY 1, 2
+    """,
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the (lang, source) quasi-identifier
+    tuple: group sizes plus a below-k flag (k = 10) — the
+    re-identification-risk report a privacy review runs before a
+    corpus release (small quasi-identifier groups single out
+    individuals; those slices get suppressed or generalized). One
+    aggregation; the report is |quasi-identifier combinations| rows,
+    so at 100 TB it is still tiny."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy("lang", "source").agg(
+        F.count("*").alias("group_size"),
+        (F.count("*") < 10).alias("below_k"),
+    )

@@ -567,3 +567,87 @@ def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec("o_totalprice")).cast("double").alias("revenue"),
         )
     )
+
+
+@_q(
+    "scd2_point_in_time_join",
+    """
+    WITH dim AS (
+      SELECT o_orderkey, o_orderstatus,
+             o_orderdate AS effective_ts,
+             o_orderdate + INTERVAL 30 DAY AS end_ts
+      FROM orders WHERE o_orderkey % 3 = 0
+      UNION ALL
+      SELECT o_orderkey, 'X', o_orderdate + INTERVAL 30 DAY,
+             TIMESTAMP '9999-12-31 23:59:59'
+      FROM orders WHERE o_orderkey % 3 = 0
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, o_orderdate,
+             TIMESTAMP '9999-12-31 23:59:59'
+      FROM orders WHERE o_orderkey % 3 != 0)
+    SELECT d.o_orderstatus AS status_at_ship,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_qty
+    FROM lineitem l
+    JOIN dim d
+      ON l.l_orderkey = d.o_orderkey
+     AND l.l_shipdate >= d.effective_ts AND l.l_shipdate < d.end_ts
+    GROUP BY 1
+    """,
+)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (AS OF) fact-to-dimension join — the consumption
+    side of SCD2: each lineitem joins the dimension VERSION that was
+    effective at its ship date (orders bootstrapped as a type-2 dim
+    whose every 3rd key flips status 30 days in). The join is a plain
+    key equi-join plus a residual validity-range filter: version
+    fan-out per key is the dimension's version count (small by
+    construction), so no banding is needed — the shuffle is the same
+    fact-keyed exchange as any star join, which is exactly why SCD2
+    consumption scales where snapshot-per-day dimensions don't."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    from etl_projects_spark.operators.merge import HIGH_TS
+
+    third = F.col("o_orderkey") % 3 == 0
+    later = F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+    high = F.lit(HIGH_TS).cast("timestamp")
+    dim = (
+        orders.filter(third)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.col("o_orderdate").alias("effective_ts"),
+            later.alias("end_ts"),
+        )
+        .unionByName(
+            orders.filter(third).select(
+                "o_orderkey",
+                F.lit("X").alias("o_orderstatus"),
+                later.alias("effective_ts"),
+                high.alias("end_ts"),
+            )
+        )
+        .unionByName(
+            orders.filter(~third).select(
+                "o_orderkey",
+                "o_orderstatus",
+                F.col("o_orderdate").alias("effective_ts"),
+                high.alias("end_ts"),
+            )
+        )
+    )
+    return (
+        li.join(
+            dim,
+            (li.l_orderkey == dim.o_orderkey)
+            & (li.l_shipdate >= dim.effective_ts)
+            & (li.l_shipdate < dim.end_ts),
+        )
+        .groupBy(F.col("o_orderstatus").alias("status_at_ship"))
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+        )
+    )

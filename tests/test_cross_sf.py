@@ -98,6 +98,10 @@ REPRESENTATIVE = [
     # wave 13
     "referential_integrity_report",
     "training_shard_write",
+    # wave 14
+    "scd2_point_in_time_join",
+    "curriculum_schedule",
+    "k_anonymity_audit",
 ]
 
 

@@ -345,3 +345,15 @@ def test_referential_integrity_broadcast_dims(spark):
 def test_training_shard_single_shuffle(spark):
     assert_plan(QS["training_shard_write"](spark, SF_DIR),
                 cartesian=False, python_stages=0)
+
+
+def test_scd2_point_in_time_fact_keyed_join(spark):
+    assert_plan(QS["scd2_point_in_time_join"](spark, SF_DIR),
+                cartesian=False, python_stages=0)
+
+
+def test_curriculum_no_corpus_single_partition(spark):
+    # Thresholds broadcast from one tiny agg; ranks via the two-phase
+    # prefix sum — the corpus never collapses into one task.
+    assert_plan(QS["curriculum_schedule"](spark, SF_DIR),
+                cartesian=False, python_stages=0)
