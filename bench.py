@@ -129,6 +129,10 @@ HEADLINE = (
     "scd2_point_in_time_join",
     "curriculum_schedule",
     "k_anonymity_audit",
+    # wave 15 (window surface completion, bitmap segments, DAG build)
+    "window_nth_cume",
+    "bitmap_user_event_mask",
+    "pipeline_dag_build",
 )
 
 SKIP: set[str] = set()

@@ -651,3 +651,70 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
         )
     )
+
+
+@_q(
+    "pipeline_dag_build",
+    f"""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS {D})) AS DOUBLE) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderstatus != 'F'
+    GROUP BY c_mktsegment
+    """,
+)
+def pipeline_dag_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full medallion DAG, sequenced by ``PipelineRunner`` (O1-O4
+    in one driver-checkable query): clean (filtered orders build) →
+    enrich (clean JOINED with the customer dimension — reads the
+    PREVIOUS step's table back through the catalog, proving the
+    cross-layer dependency) → DW promotion gated on a min-row-count
+    quality check. Each step is a retried unit exactly like the
+    reference's subdag chain (``datalake_sub_dag_builder.py`` →
+    ``dw_sub_dag_builder.py``); the oracle recomputes the final DW
+    table from the raw sources, so a step writing stale/partial data
+    fails the hash."""
+    import tempfile
+
+    from etl_projects_spark.engine import LakeEngine, PipelineRunner
+    from etl_projects_spark.operators.quality import min_count_monitor
+
+    eng = LakeEngine(spark, root=tempfile.mkdtemp(prefix="lake_dag_"))
+    eng.register_testdata(sf_dir)
+
+    def build_clean():
+        return eng.load_table(
+            "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
+            "WHERE o_orderstatus != 'F'",
+            "datalake_dag", "orders_clean", layer=config.Layer.CLEAN,
+        )
+
+    def build_enrich():
+        return eng.load_table(
+            "SELECT o.o_orderkey, o.o_totalprice, c.c_mktsegment "
+            "FROM datalake_dag_orders_clean o "
+            "JOIN customer c ON o.o_custkey = c.c_custkey",
+            "datalake_dag", "orders_enriched", layer=config.Layer.ENRICH,
+        )
+
+    def build_dw():
+        return eng.promote_to_dw(
+            "datalake_dag_orders_enriched", "dw_dag", "segment_revenue",
+            checks=[min_count_monitor(1)],
+        )
+
+    runner = PipelineRunner(retries=1)
+    runner.run([
+        ("clean", build_clean),
+        ("enrich", build_enrich),
+        ("dw", build_dw),
+    ])
+    return (
+        spark.table("dw_dag_segment_revenue")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(dec("o_totalprice")).cast("double").alias("revenue"),
+        )
+    )

@@ -825,3 +825,76 @@ def mad_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dev.groupBy("o_orderpriority", "median_price").agg(
         F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY d)").alias("mad")
     )
+
+
+@_q(
+    "window_nth_cume",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           cume_dist() OVER (PARTITION BY o_orderpriority
+                             ORDER BY o_totalprice) AS cd,
+           nth_value(o_totalprice, 2) OVER (
+             PARTITION BY o_orderpriority
+             ORDER BY o_totalprice DESC, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS second_highest
+    FROM orders
+    """,
+)
+def window_nth_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining analytic-window surface: cume_dist (cumulative
+    distribution — deterministic under ties because tied rows share
+    the value) and nth_value over the full partition frame with a
+    unique tie-break. One shuffle on the partition key; both
+    functions ride the same window sort."""
+    orders = load(spark, sf_dir, "orders")
+    w_cd = W.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    w_nth = (
+        W.partitionBy("o_orderpriority")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.cume_dist().over(w_cd).alias("cd"),
+        F.nth_value("o_totalprice", 2).over(w_nth).alias("second_highest"),
+    )
+
+
+@_q(
+    "bitmap_user_event_mask",
+    """
+    WITH m AS (
+      SELECT user_id,
+             bit_or(CASE event_type
+                      WHEN 'click' THEN 1 WHEN 'view' THEN 2
+                      WHEN 'purchase' THEN 4 WHEN 'signup' THEN 8
+                      WHEN 'error' THEN 16 ELSE 0 END) AS mask
+      FROM events GROUP BY user_id)
+    SELECT mask, COUNT(*) AS n_users,
+           CAST(mask & 4 > 0 AS BOOLEAN) AS has_purchase
+    FROM m GROUP BY mask
+    """,
+)
+def bitmap_user_event_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmask segment rollup: each user's event-type set packed into
+    one integer with the ``bit_or`` aggregate, then segment sizes per
+    mask — the bitmap-index representation behind audience/segment
+    membership queries (set operations on user segments become
+    integer AND/OR instead of joins). Two narrow aggregations; the
+    second input is |users| rows of (long, long)."""
+    ev = load(spark, sf_dir, "events")
+    bit = (
+        F.when(F.col("event_type") == "click", 1)
+        .when(F.col("event_type") == "view", 2)
+        .when(F.col("event_type") == "purchase", 4)
+        .when(F.col("event_type") == "signup", 8)
+        .when(F.col("event_type") == "error", 16)
+        .otherwise(0)
+    )
+    masks = ev.groupBy("user_id").agg(F.bit_or(bit).alias("mask"))
+    return masks.groupBy("mask").agg(
+        F.count("*").alias("n_users"),
+        (F.col("mask").bitwiseAND(4) > 0).alias("has_purchase"),
+    )

@@ -102,6 +102,10 @@ REPRESENTATIVE = [
     "scd2_point_in_time_join",
     "curriculum_schedule",
     "k_anonymity_audit",
+    # wave 15
+    "window_nth_cume",
+    "bitmap_user_event_mask",
+    "pipeline_dag_build",
 ]
 
 
