@@ -898,3 +898,139 @@ def bitmap_user_event_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_users"),
         (F.col("mask").bitwiseAND(4) > 0).alias("has_purchase"),
     )
+
+
+@_q(
+    "orders_rfm_segmentation",
+    """
+    WITH per_cust AS (
+      SELECT o_custkey,
+             date_diff('day', MAX(o_orderdate),
+                       TIMESTAMP '1998-12-01 00:00:00') AS recency_days,
+             COUNT(*) AS frequency,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DECIMAL(28,2)) AS monetary
+      FROM orders GROUP BY 1),
+    t AS (
+      SELECT quantile_disc(recency_days, 1.0/3) AS r1,
+             quantile_disc(recency_days, 2.0/3) AS r2,
+             quantile_disc(frequency, 1.0/3) AS f1,
+             quantile_disc(frequency, 2.0/3) AS f2,
+             quantile_disc(monetary, 1.0/3) AS m1,
+             quantile_disc(monetary, 2.0/3) AS m2
+      FROM per_cust),
+    scored AS (
+      SELECT o_custkey,
+             3 - CAST(recency_days > r1 AS INT)
+               - CAST(recency_days > r2 AS INT) AS r_score,
+             1 + CAST(frequency > f1 AS INT)
+               + CAST(frequency > f2 AS INT) AS f_score,
+             1 + CAST(monetary > m1 AS INT)
+               + CAST(monetary > m2 AS INT) AS m_score
+      FROM per_cust, t)
+    SELECT r_score * 100 + f_score * 10 + m_score AS rfm_code,
+           COUNT(*) AS n_customers
+    FROM scored GROUP BY 1
+    """,
+)
+def orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (recency / frequency / monetary) —
+    the classic lifecycle-marketing rollup: per-customer aggregates,
+    tercile thresholds from ONE tiny ``percentile_disc`` aggregate
+    broadcast back (no global ntile sort over the customer relation),
+    three comparison-scored dimensions packed into an RFM code, and
+    segment sizes out. Recency inverts (smaller gap → higher score).
+    Every threshold is an actual data value and monetary is an exact
+    decimal, so segment assignment is hash-deterministic."""
+    orders = load(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit("1998-12-01").cast("timestamp"), F.max("o_orderdate")
+        ).alias("recency_days"),
+        F.count("*").alias("frequency"),
+        F.sum(dec("o_totalprice")).alias("monetary"),
+    )
+    t = per_cust.agg(
+        *[
+            # 1.0D forces DOUBLE division: a bare `2.0/3` is DECIMAL
+            # arithmetic in Spark SQL and rounds to 0.666667 — ABOVE
+            # the true 2/3, shifting the threshold one element vs the
+            # oracle's double division.
+            F.expr(
+                f"percentile_disc({q}D/3) WITHIN GROUP (ORDER BY {c})"
+            ).alias(n)
+            for c, q, n in [
+                ("recency_days", "1.0", "r1"),
+                ("recency_days", "2.0", "r2"),
+                ("frequency", "1.0", "f1"),
+                ("frequency", "2.0", "f2"),
+                ("monetary", "1.0", "m1"),
+                ("monetary", "2.0", "m2"),
+            ]
+        ]
+    )
+    scored = per_cust.crossJoin(F.broadcast(t)).select(
+        "o_custkey",
+        (
+            F.lit(3)
+            - (F.col("recency_days") > F.col("r1")).cast("int")
+            - (F.col("recency_days") > F.col("r2")).cast("int")
+        ).alias("r_score"),
+        (
+            F.lit(1)
+            + (F.col("frequency") > F.col("f1")).cast("int")
+            + (F.col("frequency") > F.col("f2")).cast("int")
+        ).alias("f_score"),
+        (
+            F.lit(1)
+            + (F.col("monetary") > F.col("m1")).cast("int")
+            + (F.col("monetary") > F.col("m2")).cast("int")
+        ).alias("m_score"),
+    )
+    return (
+        scored.select(
+            (
+                F.col("r_score") * 100 + F.col("f_score") * 10
+                + F.col("m_score")
+            ).alias("rfm_code")
+        )
+        .groupBy("rfm_code")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@_q(
+    "grouping_id_rollup",
+    """
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS year,
+           o_orderpriority,
+           GROUPING(year(o_orderdate)) * 2 + GROUPING(o_orderpriority)
+             AS gid,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY ROLLUP (year(o_orderdate), o_orderpriority)
+    """,
+)
+def grouping_id_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with explicit GROUPING markers: the gid column
+    distinguishes detail rows, per-year subtotals, and the grand
+    total — how BI layers tell a real NULL group from a subtotal
+    NULL. One expand + aggregate, no extra pass per grouping set."""
+    orders = load(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("year"), "o_orderpriority"
+    )
+    return (
+        orders.rollup("year", "o_orderpriority")
+        .agg(
+            (
+                F.grouping("year") * 2 + F.grouping("o_orderpriority")
+            ).alias("gid"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            F.col("year").cast("long").alias("year"),
+            "o_orderpriority",
+            F.col("gid").cast("long").alias("gid"),
+            "n",
+        )
+    )
