@@ -25,9 +25,13 @@ LANG_STOPWORDS: dict[str, list[str]] = {
 
 
 def tokens(text: Column | str) -> Column:
-    """Whitespace tokenization (the BPE-ish regex split)."""
+    """Single-space tokenization — the one split definition shared by
+    every oracle (``string_split(text, ' ')``), word_shingle_sets and
+    bm25_retrieval. NOT ``\\s+``: on text with consecutive or non-space
+    whitespace a regex split diverges from the oracles, so parity would
+    hold only by testdata construction."""
     c = F.col(text) if isinstance(text, str) else text
-    return F.split(c, r"\s+")
+    return F.split(c, " ")
 
 
 def token_count(text: Column | str) -> Column:
