@@ -1596,3 +1596,68 @@ def vocab_id_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         "freq",
         "df",
     )
+
+
+@_q(
+    "vocab_oov_rate",
+    """
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS tok
+      FROM documents),
+    freq AS (SELECT tok, COUNT(*) AS n FROM tok GROUP BY 1),
+    vocab AS (
+      SELECT tok FROM (
+        SELECT tok, row_number() OVER (ORDER BY n DESC, tok) AS r
+        FROM freq) WHERE r <= 100)
+    SELECT t.source,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS oov_rate
+    FROM tok t LEFT JOIN vocab v ON t.tok = v.tok
+    GROUP BY t.source
+    """,
+)
+def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-coverage audit: build the top-100 token vocabulary
+    (count desc, token asc — fully deterministic) and report each
+    source's out-of-vocabulary token rate — the go/no-go number for
+    freezing a tokenizer against a new data mix. The vocabulary ranks
+    the TOKEN-FREQUENCY relation (vocab-sized, not corpus-sized) and
+    joins back as a broadcast hash join; OOV-ness is null-probing that
+    broadcast, counted as exact integers with one final division.
+
+    Scale: one explode + one (token) aggregate over the corpus; the
+    global row_number sorts only distinct tokens (~vocab size). The
+    corpus-side probe is a broadcast join — no shuffle of the exploded
+    token stream beyond the per-source aggregate."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("tok")
+    )
+    freq = tok.groupBy("tok").agg(F.count("*").alias("n"))
+    vocab = (
+        freq.select(
+            "tok",
+            F.row_number()
+            .over(W.orderBy(F.desc("n"), "tok"))
+            .alias("r"),
+        )
+        .filter(F.col("r") <= 100)
+        .select("tok", F.lit(True).alias("_v"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.col("_v").isNull().cast("int")).cast("bigint").alias(
+                "n_oov"
+            ),
+            (
+                F.sum(F.col("_v").isNull().cast("int")).cast("double")
+                / F.count("*").cast("double")
+            ).alias("oov_rate"),
+        )
+    )

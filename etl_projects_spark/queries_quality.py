@@ -7,7 +7,7 @@ rule order in both engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from etl_projects_spark.operators import quality
@@ -178,3 +178,93 @@ def referential_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in reports[1:]:
         out = out.unionByName(r)
     return out
+
+
+@_q(
+    "value_drift_report",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(FLOOR(value / 50.0) AS BIGINT) AS bin,
+             COUNT(*) AS n_db
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+    sided AS (
+      SELECT day, n_db,
+             SUM(n_db) OVER (PARTITION BY bin) AS n_b,
+             SUM(n_db) OVER (PARTITION BY day) AS n_d,
+             SUM(n_db) OVER () AS n_tot
+      FROM daily),
+    terms AS (
+      SELECT day, n_d, n_tot,
+             abs(CAST(n_db AS DECIMAL(38,0)) * n_tot
+                 - CAST(n_b AS DECIMAL(38,0)) * n_d) AS term,
+             CAST(n_b AS DECIMAL(38,0)) * n_d AS cov
+      FROM sided)
+    SELECT CAST(day AS VARCHAR) AS day, CAST(n_d AS BIGINT) AS n_events,
+           CAST(SUM(term)
+                + CAST(n_tot AS DECIMAL(38,0)) * n_d - SUM(cov)
+                AS DOUBLE)
+             / (2.0 * CAST(n_d AS DOUBLE) * CAST(n_tot AS DOUBLE)) AS tvd
+    FROM terms GROUP BY day, n_d, n_tot
+    """,
+)
+def value_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: per-day total-variation distance
+    between that day's `value` histogram (fixed 50-wide bins) and the
+    whole-corpus baseline — the Q-family check that catches a feed
+    whose *distribution* shifted even when row counts and null rates
+    stay green. TVD uses the common denominator
+    Σ_bins|n_db·N − n_b·N_d| / (2·N_d·N); bins a day never observed
+    are settled algebraically (their contribution is n_b·N_d, and
+    Σ_all_bins n_b·N_d = N·N_d, so the missing mass is
+    N·N_d − Σ_observed n_b·N_d) — no dense day×bin grid, and every
+    summed term is an exact DECIMAL(38,0) integer, immune to float
+    summation order. The only float operation is the final division.
+
+    Scale: ONE scan of the fact table into a (day, bin) aggregate;
+    the three side sums are windows over that aggregate (day-count ×
+    bin-count rows), so nothing fact-sized ever re-shuffles."""
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = (
+        ev.select(
+            F.col("ts").cast("date").alias("day"),
+            F.floor(F.col("value") / 50.0).cast("bigint").alias("bin"),
+        )
+        .groupBy("day", "bin")
+        .agg(F.count("*").alias("n_db"))
+    )
+    sided = daily.select(
+        "day",
+        "n_db",
+        F.sum("n_db").over(W.partitionBy("bin")).alias("n_b"),
+        F.sum("n_db").over(W.partitionBy("day")).alias("n_d"),
+        F.sum("n_db").over(W.partitionBy()).alias("n_tot"),
+    )
+    dec38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    terms = sided.select(
+        "day",
+        "n_d",
+        "n_tot",
+        F.abs(
+            dec38("n_db") * F.col("n_tot") - dec38("n_b") * F.col("n_d")
+        ).alias("term"),
+        (dec38("n_b") * F.col("n_d")).alias("cov"),
+    )
+    return terms.groupBy("day", "n_d", "n_tot").agg(
+        F.sum("term").alias("s"), F.sum("cov").alias("c")
+    ).select(
+        F.col("day").cast("string").alias("day"),
+        F.col("n_d").cast("bigint").alias("n_events"),
+        (
+            (
+                F.col("s")
+                + dec38("n_tot") * F.col("n_d")
+                - F.col("c")
+            ).cast("double")
+            / (
+                F.lit(2.0)
+                * F.col("n_d").cast("double")
+                * F.col("n_tot").cast("double")
+            )
+        ).alias("tvd"),
+    )

@@ -1034,3 +1034,129 @@ def grouping_id_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+@_q(
+    "decile_lift_table",
+    f"""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             SUM(CAST(o_totalprice AS {D})) AS monetary
+      FROM orders GROUP BY 1),
+    ranked AS (
+      SELECT monetary,
+             ntile(10) OVER (ORDER BY monetary DESC, o_custkey) AS decile
+      FROM per_cust),
+    by_dec AS (
+      SELECT decile, COUNT(*) AS n_customers,
+             SUM(monetary) AS rev
+      FROM ranked GROUP BY 1)
+    SELECT decile, n_customers, CAST(rev AS DOUBLE) AS revenue,
+           CAST(SUM(rev) OVER (ORDER BY decile
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE)
+             / CAST(SUM(rev) OVER () AS DOUBLE) AS cum_share
+    FROM by_dec
+    """,
+)
+def decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift table — the campaign-targeting report: customers
+    ranked by lifetime spend, cut into ntile(10) deciles, each with its
+    exact-decimal revenue and the cumulative revenue share ("the top
+    20% hold X% of revenue"). The ntile ordering carries o_custkey as
+    a unique tie-break so bucket assignment is engine-deterministic;
+    shares divide two exact decimal sums as doubles at the very end.
+
+    Scale: ntile here is a global sort over the CUSTOMER aggregate
+    (1 row/customer, not the fact table); past ~1e9 customers the
+    decile boundaries would come from percentile_disc thresholds
+    (one tiny aggregate, see orders_rfm_segmentation) instead of a
+    global window sort. The final windows run over exactly 10 rows."""
+    orders = load(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(dec("o_totalprice")).alias("monetary")
+    )
+    ranked = per_cust.select(
+        "monetary",
+        F.ntile(10)
+        .over(W.orderBy(F.desc("monetary"), "o_custkey"))
+        .alias("decile"),
+    )
+    by_dec = ranked.groupBy("decile").agg(
+        F.count("*").alias("n_customers"), F.sum("monetary").alias("rev")
+    )
+    w_cum = W.orderBy("decile").rowsBetween(W.unboundedPreceding, 0)
+    w_all = W.partitionBy()
+    return by_dec.select(
+        "decile",
+        "n_customers",
+        F.col("rev").cast("double").alias("revenue"),
+        (
+            F.sum("rev").over(w_cum).cast("double")
+            / F.sum("rev").over(w_all).cast("double")
+        ).alias("cum_share"),
+    )
+
+
+@_q(
+    "gini_revenue_concentration",
+    f"""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             SUM(CAST(o_totalprice AS {D})) AS monetary
+      FROM orders GROUP BY 1),
+    ranked AS (
+      SELECT monetary,
+             row_number() OVER (ORDER BY monetary, o_custkey) AS rn
+      FROM per_cust),
+    s AS (
+      SELECT COUNT(*) AS n,
+             SUM(monetary) AS s0,
+             SUM(CAST(rn AS DECIMAL(10,0)) * monetary) AS s1
+      FROM ranked)
+    SELECT n AS n_customers,
+           (2.0 * CAST(s1 AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(s0 AS DOUBLE))
+           - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE) AS gini
+    FROM s
+    """,
+)
+def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue concentration via the exact
+    rank formula G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over ascending spend.
+    Both moments are exact decimals (rank × DECIMAL product stays under
+    the 38-digit cap); equal spends contribute identically whatever
+    their relative rank order, so ties can't perturb the result. The
+    only doubles are the four casts in the final scalar expression,
+    written operation-for-operation identically in both engines.
+
+    Scale: row_number is a global sort over the customer AGGREGATE;
+    at 1e9+ customers the rank would come from the two-phase
+    distributed prefix-rank used by pack_token_spans (per-partition
+    counts broadcast as offsets) — the moment algebra is unchanged."""
+    orders = load(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(dec("o_totalprice")).alias("monetary")
+    )
+    ranked = per_cust.select(
+        "monetary",
+        F.row_number()
+        .over(W.orderBy("monetary", "o_custkey"))
+        .alias("rn"),
+    )
+    s = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum("monetary").alias("s0"),
+        F.sum(F.col("rn").cast("decimal(10,0)") * F.col("monetary")).alias(
+            "s1"
+        ),
+    )
+    n_d = F.col("n").cast("double")
+    return s.select(
+        F.col("n").alias("n_customers"),
+        (
+            (F.lit(2.0) * F.col("s1").cast("double"))
+            / (n_d * F.col("s0").cast("double"))
+            - (n_d + F.lit(1.0)) / n_d
+        ).alias("gini"),
+    )

@@ -551,3 +551,52 @@ def equi_depth_histogram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_totalprice").alias("lo"),
         F.max("o_totalprice").alias("hi"),
     )
+
+
+@_q(
+    "event_markov_transitions",
+    """
+    WITH pairs AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events),
+    counts AS (
+      SELECT from_type, next_type, COUNT(*) AS n
+      FROM pairs WHERE next_type IS NOT NULL GROUP BY 1, 2)
+    SELECT from_type, next_type, n,
+           CAST(n AS DOUBLE)
+             / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+    FROM counts
+    """,
+)
+def event_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    stream: lead() pairs consecutive event types per user (ts ties
+    broken by event_id, so pairing is engine-deterministic), one
+    aggregate counts (from → to) edges, and row-normalizing the counts
+    into probabilities happens on the TYPE×TYPE matrix — a handful of
+    rows — never on the event stream. Counts are exact integers; the
+    single division to DOUBLE is the last operation.
+
+    Scale: one shuffle on user_id for the lead window (the same
+    partitioning sessionization uses), one map-side-combined aggregate
+    whose key space is |types|² — the normalize window is free."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+    ).filter(F.col("next_type").isNotNull())
+    counts = pairs.groupBy("from_type", "next_type").agg(
+        F.count("*").alias("n")
+    )
+    return counts.select(
+        "from_type",
+        "next_type",
+        "n",
+        (
+            F.col("n").cast("double")
+            / F.sum("n").over(W.partitionBy("from_type")).cast("double")
+        ).alias("p"),
+    )
