@@ -36,18 +36,27 @@ def asof_join(
     right_ts: str = "ts",
     right_cols: Sequence[str] = (),
     tie_break: str | None = None,
+    direction: str = "backward",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
-    """For each left row: the latest right row with ``right_ts <=
-    left_ts`` and the same ``on`` key (left join semantics — misses
-    yield nulls).
+    """For each left row: the nearest right row at-or-before
+    (``direction="backward"``, ``right_ts <= left_ts``) or at-or-after
+    (``direction="forward"``, ``right_ts >= left_ts``) it with the same
+    ``on`` key (left join semantics — misses yield nulls). The pandas
+    ``merge_asof`` surface, distributed.
 
     Implementation: tag sides, union, and per key carry the last
-    non-null right value forward over an order of (ts, side[, tie]) —
-    right rows sort before left rows at equal ts, so ties are
-    inclusive. One shuffle on the key, one sort — no inequality join.
-    ``tie_break`` (a right column, e.g. its id) makes the choice among
-    equal-ts right rows deterministic.
+    non-null right value over an order of (ts, side[, tie]) — time
+    runs descending for "forward", so "last seen right row" is always
+    the nearest qualifying one; right rows sort before left rows at
+    equal ts, so ties are inclusive either way. One shuffle on the
+    key, one sort — no inequality join. ``tie_break`` (a right
+    column, e.g. its id) makes the choice among equal-ts right rows
+    deterministic. ``tolerance_seconds`` nulls out matches farther
+    than the tolerance (both ts columns must be timestamps).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     lcols = left.columns
     l_tag = left.select(
         F.col(on).alias("_k"),
@@ -56,6 +65,7 @@ def asof_join(
         F.lit(None).cast("long").alias("_tie"),
         *[F.col(c) for c in lcols],
         *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_r_{c}") for c in right_cols],
+        F.lit(None).cast(dict(right.dtypes)[right_ts]).alias("_r__mts"),
     )
     r_tag = right.select(
         F.col(on).alias("_k"),
@@ -64,22 +74,45 @@ def asof_join(
         (F.col(tie_break).cast("long") if tie_break else F.lit(0)).alias("_tie"),
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in lcols],
         *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+        F.col(right_ts).alias("_r__mts"),
     )
+    ts_order = F.col("_ts") if direction == "backward" else F.col("_ts").desc()
     win = (
         W.partitionBy("_k")
-        .orderBy("_ts", "_side", "_tie")
+        .orderBy(ts_order, "_side", "_tie")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
+    carry_cols = [*right_cols, "_mts"]
     carried = l_tag.unionByName(r_tag).select(
         "*",
         *[
             F.last(f"_r_{c}", ignorenulls=True).over(win).alias(f"_c_{c}")
-            for c in right_cols
+            for c in carry_cols
         ],
     )
-    return carried.filter(F.col("_side") == 1).select(
+    out = carried.filter(F.col("_side") == 1)
+    if tolerance_seconds is not None:
+        # TIMESTAMP_NTZ (the parquet vintage Spark reads for testdata)
+        # can't cast straight to double; hop through TIMESTAMP. Both
+        # sides hop identically, so the difference is tz-invariant.
+        def _secs(c: str) -> F.Column:
+            return F.col(c).cast("timestamp").cast("double")
+
+        gap = _secs("_c__mts") - _secs("_ts")
+        if direction == "backward":
+            gap = -gap
+        ok = gap <= F.lit(float(tolerance_seconds))
+        out = out.select(
+            *[c for c in out.columns if not c.startswith("_c_")],
+            *[
+                F.when(ok, F.col(f"_c_{c}")).alias(f"_c_{c}")
+                for c in carry_cols
+            ],
+        )
+    return out.select(
         *[F.col(c) for c in lcols],
         *[F.col(f"_c_{c}").alias(f"{c}_asof") for c in right_cols],
+        F.col("_c__mts").alias("matched_ts_asof"),
     )
 
 

@@ -8,7 +8,7 @@ driver proves the rewrite changes the shuffle, not the answer.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from etl_projects_spark.operators import dedup, skew, text
@@ -320,4 +320,161 @@ def zorder_cluster_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("zval", "event_id")
         .limit(200)
+    )
+
+
+@_q(
+    "asof_forward_purchase_window",
+    """
+    SELECT c.event_id,
+           CASE WHEN p.ts <= c.ts + INTERVAL 10 MINUTE
+                THEN p.event_id END AS purchase_id_asof,
+           CASE WHEN p.ts <= c.ts + INTERVAL 10 MINUTE
+                THEN p.value END AS purchase_value_asof
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id AND p.ts >= c.ts
+    """,
+)
+def asof_forward_purchase_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join with tolerance — pandas ``merge_asof``
+    (direction="forward", tolerance) distributed: each click matched
+    to the same user's NEXT purchase, kept only when it lands within
+    10 minutes (conversion-window attribution). Same union + window
+    sort as the backward as-of (one shuffle on user_id, time traversed
+    descending so "last right row seen" is the earliest at-or-after),
+    with the matched ts carried so tolerance is a post-filter, not a
+    join predicate. Oracle: DuckDB's native ASOF with ``>=`` plus the
+    same CASE window."""
+    from etl_projects_spark.operators import temporal
+
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    return temporal.asof_join(
+        clicks, purchases, on="user_id",
+        right_cols=["event_id", "value"], tie_break="event_id",
+        direction="forward", tolerance_seconds=600,
+    ).select(
+        "event_id",
+        F.col("event_id_asof").alias("purchase_id_asof"),
+        F.col("value_asof").alias("purchase_value_asof"),
+    )
+
+
+@_q(
+    "kmv_jaccard_event_types",
+    """
+    WITH h AS (
+      SELECT DISTINCT event_type, md5(CAST(user_id AS VARCHAR)) AS h
+      FROM events),
+    ranked AS (
+      SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS r
+      FROM h),
+    sets AS (
+      SELECT event_type, list_sort(list(h)) AS hs
+      FROM ranked WHERE r <= 64 GROUP BY 1),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             a.hs AS ah, b.hs AS bh,
+             list_sort(list_distinct(list_concat(a.hs, b.hs)))[1:64] AS s
+      FROM sets a JOIN sets b ON a.event_type < b.event_type)
+    SELECT type_a, type_b,
+           len(s) AS k_used,
+           len(list_filter(s, x -> list_contains(ah, x)
+                              AND list_contains(bh, x))) AS n_inter,
+           CAST(len(list_filter(s, x -> list_contains(ah, x)
+                                   AND list_contains(bh, x))) AS DOUBLE)
+             / CAST(len(s) AS DOUBLE) AS jaccard_est
+    FROM pairs
+    """,
+)
+def kmv_jaccard_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) sketch Jaccard between the user sets of
+    every event-type pair — the mergeable-sketch answer to "how much do
+    these two audiences overlap" that never materializes the sets.
+    Unlike HLL, KMV with a FIXED hash (md5) is engine-deterministic, so
+    this sketch estimate has an exact cross-engine oracle: both engines
+    build the same 64 smallest distinct user hashes per type, merge a
+    pair's sketches, and count common members of the merged k-min set
+    (J ≈ |S∩A∩B| / |S|, Beyer et al.'s unbiased KMV estimator shape).
+
+    Scale: one distinct + one per-type top-k (WindowGroupLimit prunes
+    to 64/partition map-side); everything after runs on |types| rows
+    of 64-element arrays — the pair join is sketch×sketch, never
+    user×user. Sketches this shape union/merge associatively, so at
+    100 TB they maintain incrementally per partition."""
+    ev = load(spark, sf_dir, "events")
+    hashes = ev.select(
+        "event_type", F.md5(F.col("user_id").cast("string")).alias("h")
+    ).distinct()
+    kmin = (
+        hashes.select(
+            "event_type",
+            "h",
+            F.row_number()
+            .over(W.partitionBy("event_type").orderBy("h"))
+            .alias("r"),
+        )
+        .filter(F.col("r") <= 64)
+    )
+    sets = kmin.groupBy("event_type").agg(
+        F.sort_array(F.collect_list("h")).alias("hs")
+    )
+    a = sets.select(
+        F.col("event_type").alias("type_a"), F.col("hs").alias("ah")
+    )
+    b = sets.select(
+        F.col("event_type").alias("type_b"), F.col("hs").alias("bh")
+    )
+    pairs = a.join(
+        F.broadcast(b), F.col("type_a") < F.col("type_b")
+    ).withColumn(
+        "s", F.slice(F.array_sort(F.array_union("ah", "bh")), 1, 64)
+    )
+    inter = F.size(
+        F.array_intersect(F.array_intersect("s", "ah"), F.col("bh"))
+    )
+    return pairs.select(
+        "type_a",
+        "type_b",
+        F.size("s").cast("long").alias("k_used"),
+        inter.cast("long").alias("n_inter"),
+        (inter.cast("double") / F.size("s").cast("double")).alias(
+            "jaccard_est"
+        ),
+    )
+
+
+@_q(
+    "zonemap_pruning_report",
+    """
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+           min(value) AS vmin, max(value) AS vmax,
+           COUNT(*) AS n_rows,
+           max(value) < 300.0 AS pruned
+    FROM events GROUP BY 1
+    """,
+)
+def zonemap_pruning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (data-skipping) audit: per day-partition min/max of
+    `value` plus whether a reader evaluating ``value >= 300`` could
+    skip the partition entirely from its footer stats — the report
+    that tells you if the table's physical layout actually serves the
+    workload's predicates (see zorder_cluster_events for the layout
+    that makes these zones tight). min/max of doubles are exact picks,
+    so the report hash-matches across engines.
+
+    Scale: at 100 TB this is a parquet-footer/metastore scan, not a
+    data scan; the query shape (one aggregate keyed by partition)
+    is the same either way."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.to_date("ts").cast("string").alias("day")
+    ).agg(
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+        F.count("*").alias("n_rows"),
+        (F.max("value") < 300.0).alias("pruned"),
     )

@@ -151,3 +151,46 @@ def test_banded_range_join_extra_keys_matches_theta(spark):
     got = sorted((r["pid"], r["iid"]) for r in banded.collect())
     want = sorted((r["pid"], r["iid"]) for r in theta.collect())
     assert got == want and len(got) > 0
+
+
+def test_asof_forward_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, ts("2024-01-01 10:00"), "a"), (1, ts("2024-01-01 12:00"), "b"),
+         (2, ts("2024-01-01 11:00"), "c")],
+        "user_id long, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, ts("2024-01-01 09:00"), 100), (1, ts("2024-01-01 11:30"), 200),
+         (1, ts("2024-01-01 12:00"), 300)],
+        "user_id long, ts timestamp, score long",
+    )
+    out = {
+        (r["user_id"], r["tag"]): r["score_asof"]
+        for r in temporal.asof_join(
+            left, right, on="user_id", right_cols=["score"],
+            direction="forward",
+        ).collect()
+    }
+    assert out[(1, "a")] == 200      # earliest at-or-after 10:00 is 11:30
+    assert out[(1, "b")] == 300      # ts == ts counts (>= semantics)
+    assert out[(2, "c")] is None     # no right rows for user 2
+
+
+def test_asof_tolerance_nulls_far_matches(spark):
+    left = spark.createDataFrame(
+        [(1, ts("2024-01-01 10:00"), "near"), (1, ts("2024-01-01 18:00"), "far")],
+        "user_id long, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, ts("2024-01-01 09:30"), 100)],
+        "user_id long, ts timestamp, score long",
+    )
+    out = {
+        r["tag"]: (r["score_asof"], r["matched_ts_asof"])
+        for r in temporal.asof_join(
+            left, right, on="user_id", right_cols=["score"],
+            tolerance_seconds=3600,
+        ).collect()
+    }
+    assert out["near"] == (100, ts("2024-01-01 09:30"))  # 30 min <= 1 h
+    assert out["far"] == (None, None)                    # 8.5 h > 1 h
