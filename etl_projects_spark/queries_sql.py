@@ -1160,3 +1160,37 @@ def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             - (n_d + F.lit(1.0)) / n_d
         ).alias("gini"),
     )
+
+
+@_q(
+    "lateral_top2_orders_per_customer",
+    """
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c, LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+    """,
+)
+def lateral_top2_orders_per_customer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Correlated LATERAL subquery — each customer's two priciest
+    orders via a per-row ORDER BY ... LIMIT subquery, the SQL surface
+    ORMs and BI tools emit for "top N related rows". Catalyst
+    decorrelates it into a grouped top-k: WindowGroupLimit prunes to 2
+    rows per key BEFORE the exchange (map-side), then one broadcast
+    join back to customers — no per-customer subquery execution, no
+    cartesian. The LIMIT ordering carries o_orderkey as tie-break, so
+    which two orders survive is engine-deterministic."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer_lat")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_lat")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer_lat c JOIN LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders_lat o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        """
+    )

@@ -600,3 +600,50 @@ def event_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n").over(W.partitionBy("from_type")).cast("double")
         ).alias("p"),
     )
+
+
+@_q(
+    "session_window_builtin",
+    """
+    WITH s AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    g AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM s)
+    SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM g GROUP BY user_id, sid
+    """,
+)
+def session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE ``session_window`` aggregation in batch mode —
+    the engine-level session operator (the same one Structured
+    Streaming uses stateful), proven equivalent to the classic
+    gaps-and-islands SQL: a session closes after 30 idle minutes and
+    its end is last_event + gap, with an event exactly at the closing
+    boundary starting a NEW session (Spark's [start, end) overlap
+    rule — the oracle's ``>= INTERVAL`` mirrors it exactly).
+
+    Scale: one shuffle on user_id; Spark merges overlapping windows
+    with a single sort per partition — same cost shape as the manual
+    island algorithm (events_sessionize) but fused into one
+    aggregate operator instead of two windows + a groupBy."""
+    ev = load(spark, sf_dir, "events")
+    sw = ev.groupBy(
+        "user_id",
+        F.session_window(F.col("ts").cast("timestamp"), "30 minutes"),
+    ).agg(F.count("*").alias("n_events"))
+    return sw.select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        "n_events",
+    )
