@@ -357,3 +357,41 @@ def test_curriculum_no_corpus_single_partition(spark):
     # prefix sum — the corpus never collapses into one task.
     assert_plan(QS["curriculum_schedule"](spark, SF_DIR),
                 cartesian=False, python_stages=0)
+
+
+def test_lateral_decorrelates_to_window_group_limit(spark):
+    # Per-customer ORDER BY/LIMIT must become a grouped top-k + one
+    # broadcast join — never per-row subquery execution or a cartesian.
+    assert_plan(QS["lateral_top2_orders_per_customer"](spark, SF_DIR),
+                window_group_limit=True, cartesian=False,
+                broadcast_joins=(">=", 1))
+
+
+def test_value_drift_single_fact_scan(spark):
+    # The algebraic missing-bin settlement means events is scanned
+    # exactly once; everything after runs on the (day, bin) aggregate.
+    a = audit(QS["value_drift_report"](spark, SF_DIR))
+    assert len(a["scan_columns"]) == 1
+    assert not a["cartesian"]
+    assert a["pushed_filters"]           # value IS NOT NULL reaches the scan
+
+
+def test_kmv_sketch_pair_join_is_sketch_sized(spark):
+    # The only non-equi join is sketch x sketch (|types|^2 rows); the
+    # corpus side sees one distinct + one WindowGroupLimit top-64.
+    assert_plan(QS["kmv_jaccard_event_types"](spark, SF_DIR),
+                cartesian=False, window_group_limit=True,
+                python_stages=0)
+
+
+def test_asof_forward_single_shuffle(spark):
+    # Forward direction + tolerance must not change the plan shape:
+    # one union, one key shuffle, no inequality join.
+    assert_plan(QS["asof_forward_purchase_window"](spark, SF_DIR),
+                shuffles=("<=", 1), cartesian=False,
+                nested_loop_joins=0, python_stages=0)
+
+
+def test_session_window_single_shuffle(spark):
+    assert_plan(QS["session_window_builtin"](spark, SF_DIR),
+                shuffles=("<=", 1), cartesian=False, python_stages=0)
