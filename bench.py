@@ -133,6 +133,20 @@ HEADLINE = (
     "window_nth_cume",
     "bitmap_user_event_mask",
     "pipeline_dag_build",
+    # waves 16-17 (segmentation + monitors)
+    "orders_rfm_segmentation",
+    "decile_lift_table",
+    "gini_revenue_concentration",
+    "event_markov_transitions",
+    "value_drift_report",
+    "vocab_oov_rate",
+    # waves 18-20 (sketches, temporal completeness, LATERAL, streaming)
+    "kmv_jaccard_event_types",
+    "zonemap_pruning_report",
+    "asof_forward_purchase_window",
+    "lateral_top2_orders_per_customer",
+    "session_window_builtin",
+    "streaming_dedup_within_watermark",
 )
 
 SKIP: set[str] = set()
