@@ -106,6 +106,21 @@ REPRESENTATIVE = [
     "window_nth_cume",
     "bitmap_user_event_mask",
     "pipeline_dag_build",
+    # waves 16-17
+    "orders_rfm_segmentation",
+    "grouping_id_rollup",
+    "decile_lift_table",
+    "gini_revenue_concentration",
+    "event_markov_transitions",
+    "value_drift_report",
+    "vocab_oov_rate",
+    # waves 18-20
+    "asof_forward_purchase_window",
+    "kmv_jaccard_event_types",
+    "zonemap_pruning_report",
+    "lateral_top2_orders_per_customer",
+    "session_window_builtin",
+    "streaming_dedup_within_watermark",
 ]
 
 

@@ -218,3 +218,96 @@ def test_curriculum_positions_interleave(spark):
     assert len(pos) == len(set(pos))
     for r in rows:
         assert r["emit_pos"] % 4 == r["bucket"] - 1
+
+
+def test_markov_rows_normalize_to_one(spark):
+    """Per from_type, transition probabilities sum to 1 (each row of
+    the transition matrix is a distribution)."""
+    import __spark_entry__ as entrymod
+    from pyspark.sql import functions as F
+
+    df = entrymod.queries()["event_markov_transitions"](
+        spark, "/root/testdata/sf0.001"
+    )
+    sums = {
+        r["from_type"]: r["s"]
+        for r in df.groupBy("from_type")
+        .agg(F.sum("p").alias("s"))
+        .collect()
+    }
+    assert sums and all(abs(s - 1.0) < 1e-9 for s in sums.values()), sums
+
+
+def test_gini_known_extremes(spark):
+    """Equal values → G = 0; one holder of everything → G = (n-1)/n."""
+    from etl_projects_spark.queries import QUERIES
+
+    def gini_of(rows):
+        # Reuse the catalog query's algebra on a temp parquet dir.
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as d:
+            spark.createDataFrame(
+                rows, "o_custkey long, o_totalprice double, o_orderdate timestamp"
+            ).write.mode("overwrite").parquet(f"{d}/orders.parquet")
+            out = QUERIES["gini_revenue_concentration"](spark, d).collect()[0]
+            return out["n_customers"], out["gini"]
+
+    from datetime import datetime
+
+    t = datetime(2024, 1, 1)
+    n, g = gini_of([(i, 100.0, t) for i in range(8)])
+    assert n == 8 and abs(g) < 1e-12
+    n, g = gini_of([(0, 800.0, t)] + [(i, 0.0, t) for i in range(1, 8)])
+    assert n == 8 and abs(g - 7.0 / 8.0) < 1e-12
+
+
+def test_decile_lift_shares_monotone_to_one(spark):
+    import __spark_entry__ as entrymod
+
+    rows = (
+        entrymod.queries()["decile_lift_table"](spark, "/root/testdata/sf0.001")
+        .orderBy("decile")
+        .collect()
+    )
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    shares = [r["cum_share"] for r in rows]
+    assert all(b >= a for a, b in zip(shares, shares[1:]))
+    assert abs(shares[-1] - 1.0) < 1e-12
+    # Deciles are ranked by spend: per-decile revenue non-increasing.
+    revs = [r["revenue"] for r in rows]
+    assert all(a >= b for a, b in zip(revs, revs[1:]))
+
+
+def test_kmv_exact_when_sets_fit_in_sketch(spark):
+    """With |user set| <= k per type, the KMV merged k-min set IS the
+    union, so the estimate must equal the exact Jaccard."""
+    import itertools
+    import tempfile
+
+    from datetime import datetime
+
+    from etl_projects_spark.queries import QUERIES
+
+    users = {"a": set(range(0, 40)), "b": set(range(20, 60)),
+             "c": set(range(50, 55))}
+    t = datetime(2024, 1, 1)
+    rows = [
+        (i, t, u, ty, 1.0, "{}")
+        for ty, us in users.items()
+        for i, u in enumerate(sorted(us))
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+        got = {
+            (r["type_a"], r["type_b"]): r["jaccard_est"]
+            for r in QUERIES["kmv_jaccard_event_types"](spark, d).collect()
+        }
+    for ta, tb in itertools.combinations(sorted(users), 2):
+        a, b = users[ta], users[tb]
+        exact = len(a & b) / len(a | b)
+        assert abs(got[(ta, tb)] - exact) < 1e-12, (ta, tb, got[(ta, tb)], exact)
