@@ -478,3 +478,77 @@ def zonemap_pruning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         (F.max("value") < 300.0).alias("pruned"),
     )
+
+
+def _bloom_filtered_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The join runtime-bloom-filtering is meant for: a selective
+    dimension predicate whose surviving keys prune the FACT scan.
+    Built (not materialized) here so tests can pin the injected
+    ``might_contain`` filter on the executed plan."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(dec("l_extendedprice")).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+BLOOM_CONFS = {
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    # Testdata accommodation ONLY: the default application-side
+    # threshold (10 GB scanned) is exactly right at cluster scale and
+    # triggers naturally on a 100 TB fact table; sf0.1 never reaches
+    # it, so the demo lowers it to 0.
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    # Force the shuffle-join path: with a broadcastable dim the filter
+    # is pointless (the hash relation IS the filter). At scale the
+    # filtered dim side exceeding the broadcast threshold is the
+    # natural state.
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+@_q(
+    "runtime_bloom_join_revenue",
+    f"""
+    SELECT o_orderpriority,
+           CAST(SUM(CAST(l_extendedprice AS {D})) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY 1
+    """,
+)
+def runtime_bloom_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter join pruning (AQE's shuffle-join answer to
+    broadcast pruning): Spark builds a bloom filter from the selective
+    orders side at runtime and injects ``might_contain(xxhash64(key))``
+    into the lineitem SCAN, so ~19/20 of the fact rows die before the
+    shuffle instead of after it. Like the salted rewrites, the result
+    is bit-identical to the plain join — the oracle is the PLAIN SQL —
+    and the plan change is what tests pin.
+
+    The conf context is scoped: the join materializes to scratch while
+    the bloom confs are set, then the session is restored, so the
+    returned relation is inert to later queries in the same session."""
+    import tempfile
+
+    old = {k: spark.conf.get(k, None) for k in BLOOM_CONFS}
+    out = tempfile.mkdtemp(prefix="bloom_join_") + "/result"
+    try:
+        for k, v in BLOOM_CONFS.items():
+            spark.conf.set(k, v)
+        _bloom_filtered_join(spark, sf_dir).write.mode("overwrite").parquet(out)
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return spark.read.parquet(out)

@@ -1194,3 +1194,41 @@ def lateral_top2_orders_per_customer(
           ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
         """
     )
+
+
+@_q(
+    "rolling_7day_revenue",
+    f"""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS {D})) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate
+               RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS rev_7d
+    FROM orders
+    """,
+)
+def rolling_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame — the rolling-revenue surface ROWS
+    frames can't express: each order's trailing 7-calendar-day revenue
+    per customer, where the frame is bounded by the ORDER VALUE
+    (orderdate − 6 days), not a row count, so sparse and dense
+    order histories both get true calendar windows. Rows sharing an
+    o_orderdate get identical frames (RANGE peers), which also makes
+    the result tie-order-independent — no tiebreak column needed.
+    Sums are exact decimals cast to double at the end.
+
+    Scale: one shuffle on o_custkey + one sort — identical cost shape
+    to a ROWS frame; Spark keeps a sliding frame pointer per
+    partition, never re-scanning the window per row."""
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-6 * 86400, 0)
+    )
+    orders = load(spark, sf_dir, "orders")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(dec("o_totalprice")).over(w).cast("double").alias("rev_7d"),
+    )

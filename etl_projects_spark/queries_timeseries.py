@@ -647,3 +647,76 @@ def session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("session_window.end").alias("session_end"),
         "n_events",
     )
+
+
+@_q(
+    "forward_fill_daily_value",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, event_type,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS v
+      FROM events WHERE event_type IN ('purchase', 'signup')
+      GROUP BY 1, 2),
+    bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily),
+    cal AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY))
+                        AS DATE) AS day FROM bounds),
+    types AS (SELECT DISTINCT event_type FROM daily),
+    grid AS (
+      SELECT c.day, t.event_type, d.v
+      FROM cal c CROSS JOIN types t
+        LEFT JOIN daily d ON d.day = c.day AND d.event_type = t.event_type)
+    SELECT CAST(day AS VARCHAR) AS day, event_type,
+           CAST(last_value(v IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS v_filled,
+           v IS NULL AS was_gap
+    FROM grid
+    """,
+)
+def forward_fill_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill (LOCF — last observation carried forward) over a
+    dense calendar: daily totals per type, gap days reconstructed from
+    a `sequence` calendar, missing values carried forward with
+    ``last(..., ignorenulls)`` — the imputation step of every
+    sensor/market feed. Gap rows stay flagged (`was_gap`) so downstream
+    consumers can tell measured from imputed. The carried value is an
+    exact decimal; the cast to double happens after the fill, so
+    imputed and measured rows hash identically across engines.
+
+    Scale: the fill window partitions by event_type over the DAILY
+    aggregate (days × types rows); the calendar grid broadcasts into
+    the left join — the fact table aggregates once and is never
+    re-scanned."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "signup")
+    )
+    daily = (
+        ev.select(F.col("ts").cast("date").alias("day"), "event_type", "value")
+        .groupBy("day", "event_type")
+        .agg(F.sum(dec("value")).alias("v"))
+    )
+    # Calendar bounds AND the type list in ONE aggregate over `daily`,
+    # so the events subtree is computed twice total (daily + this),
+    # not three times (bounds, types, daily separately).
+    grid_dim = (
+        daily.agg(
+            F.min("day").alias("lo"),
+            F.max("day").alias("hi"),
+            F.collect_set("event_type").alias("tys"),
+        )
+        .select(F.explode(F.sequence("lo", "hi")).alias("day"), "tys")
+        .select("day", F.explode("tys").alias("event_type"))
+    )
+    grid = F.broadcast(grid_dim).join(daily, ["day", "event_type"], "left")
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return grid.select(
+        F.col("day").cast("string").alias("day"),
+        "event_type",
+        F.last("v", ignorenulls=True).over(w).cast("double").alias("v_filled"),
+        F.col("v").isNull().alias("was_gap"),
+    )

@@ -395,3 +395,36 @@ def test_asof_forward_single_shuffle(spark):
 def test_session_window_single_shuffle(spark):
     assert_plan(QS["session_window_builtin"](spark, SF_DIR),
                 shuffles=("<=", 1), cartesian=False, python_stages=0)
+
+
+def test_runtime_bloom_filter_injected(spark):
+    # Under the scoped confs the optimizer must inject a bloom
+    # might_contain() probe into the fact-side scan subtree.
+    from etl_projects_spark.queries_scale import (
+        BLOOM_CONFS,
+        _bloom_filtered_join,
+    )
+
+    old = {k: spark.conf.get(k, None) for k in BLOOM_CONFS}
+    try:
+        for k, v in BLOOM_CONFS.items():
+            spark.conf.set(k, v)
+        df = _bloom_filtered_join(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
+    assert "might_contain" in plan
+
+
+def test_rolling_range_frame_single_shuffle(spark):
+    assert_plan(QS["rolling_7day_revenue"](spark, SF_DIR),
+                shuffles=("<=", 1), cartesian=False, python_stages=0)
+
+
+def test_forward_fill_single_fact_aggregate(spark):
+    # The fill window runs over the daily aggregate; the event scan
+    # pushes the type filter and is never re-scanned for the calendar.
+    a = audit(QS["forward_fill_daily_value"](spark, SF_DIR))
+    assert a["pushed_filters"] and not a["cartesian"]
