@@ -135,3 +135,27 @@ def profile_table(df: DataFrame, cols: Sequence[str]) -> DataFrame:
         f"stack({len(cols)}, {stack_args}) AS "
         "(column, n_rows, n_null, n_distinct)"
     )
+
+
+def observed_monitor(
+    df: DataFrame, rules: Mapping[str, Rule], name: str = "quality"
+):
+    """Q2/Q3 monitors at ZERO extra cost: attach an ``observe`` node
+    carrying row count + per-rule violation counts, so the metrics are
+    computed as a side effect of whatever action the pipeline was
+    going to run anyway (the write, the export) — no second scan, no
+    separate monitor job. At 100 TB that is the difference between
+    monitoring for free and paying a full table pass per rule set.
+
+    Returns ``(df_observed, observation)``; read
+    ``observation.get`` AFTER an action has materialized the frame:
+    ``{"n_rows": ..., "viol_<rule>": ...}``.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    metrics = [F.count(F.lit(1)).alias("n_rows")] + [
+        F.sum((~rule).cast("long")).alias(f"viol_{rule_name}")
+        for rule_name, rule in rules.items()
+    ]
+    return df.observe(obs, *metrics), obs

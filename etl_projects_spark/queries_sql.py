@@ -1232,3 +1232,74 @@ def rolling_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderdate",
         F.sum(dec("o_totalprice")).over(w).cast("double").alias("rev_7d"),
     )
+
+
+@_q(
+    "variant_shred_props",
+    """
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+           json(props) AS vj
+    FROM events
+    """,
+)
+def variant_shred_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT surface: ``parse_json`` shreds the raw JSON
+    string into the binary variant encoding once, then typed access
+    (``variant_get`` → BIGINT) and canonical re-serialization
+    (``to_json``) both read the shredded form — the modern
+    semi-structured path that replaces per-access string re-parsing
+    (compare json_explode_props, the schema-inference route). The
+    oracle is DuckDB's JSON type doing the same shred + minify, which
+    pins the canonical serialization (`{"k":69}`, no whitespace) as
+    well as the typed extraction.
+
+    Scale: variant decode is a columnar scan-time operation; no
+    shuffle, no Python, and the scan reads only (event_id, props)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.expr("variant_get(parse_json(props), '$.k', 'long')").alias("k"),
+        F.expr("to_json(parse_json(props))").alias("vj"),
+    )
+
+
+@_q(
+    "try_scalar_functions",
+    """
+    SELECT o_orderkey,
+           TRY_CAST(substring(o_orderpriority, 1, 1) AS INT) AS pri_digit,
+           TRY_CAST(o_orderstatus AS INT) AS status_num,
+           o_orderkey / TRY_CAST(substring(o_orderpriority, 1, 1) AS INT)
+             AS per_pri,
+           o_orderkey / (TRY_CAST(substring(o_orderpriority, 1, 1) AS INT)
+                         - TRY_CAST(substring(o_orderpriority, 1, 1) AS INT))
+             AS div_zero,
+           CAST(CASE WHEN o_orderkey = 0 THEN 0
+                     WHEN o_orderkey = 1 THEN 9223372036854775807
+                END AS BIGINT) AS overflowed
+    FROM orders
+    """,
+)
+def try_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANSI-mode-safe ``try_`` scalar family — the error-as-NULL
+    arithmetic a strict-mode pipeline needs so one malformed row
+    degrades to NULL instead of failing a 100 TB job: try_cast
+    (parseable and unparseable), try_divide (including the
+    guaranteed-zero denominator), and try_multiply overflow (×
+    Long.MAX overflows-to-NULL every key except 0 and 1, whose exact
+    products the oracle states in a CASE). All failure paths are
+    data-independent here, so the NULL pattern is deterministic and
+    hash-checked."""
+    orders = load(spark, sf_dir, "orders")
+    pri = F.expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)")
+    return orders.select(
+        "o_orderkey",
+        pri.alias("pri_digit"),
+        F.expr("try_cast(o_orderstatus AS INT)").alias("status_num"),
+        F.try_divide(F.col("o_orderkey"), pri).alias("per_pri"),
+        F.try_divide(F.col("o_orderkey"), pri - pri).alias("div_zero"),
+        F.try_multiply(
+            F.col("o_orderkey"), F.lit(9223372036854775807).cast("long")
+        ).alias("overflowed"),
+    )

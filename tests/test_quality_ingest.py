@@ -176,3 +176,30 @@ def test_quote_datasource_partitions_per_ticker(spark):
     rows = {r.ticker: r for r in df.collect()}
     assert set(rows) == {"AAA", "BBB", "CCC"}
     assert all(r.current_price > 0 for r in rows.values())
+
+
+def test_observed_monitor_counts_without_extra_job(spark):
+    """observe() metrics must equal the explicit violation counts and
+    be produced by the SAME action that materializes the frame."""
+    from etl_projects_spark.operators import quality
+    from etl_projects_spark.queries import load
+    from pyspark.sql import functions as F
+
+    ev = load(spark, "/root/testdata/sf0.001", "events")
+    rules = {
+        "type_known": quality.in_set(
+            "event_type", ("click", "view", "purchase")
+        ),
+        "value_non_negative": quality.non_negative("value"),
+    }
+    observed, obs = quality.observed_monitor(ev, rules)
+    observed.write.format("noop").mode("overwrite").save()
+    got = obs.get
+    expected_rows = ev.count()
+    expected_viol = ev.select(
+        F.sum((~rules["type_known"]).cast("long")).alias("a"),
+        F.sum((~rules["value_non_negative"]).cast("long")).alias("b"),
+    ).collect()[0]
+    assert got["n_rows"] == expected_rows
+    assert got["viol_type_known"] == expected_viol["a"]
+    assert got["viol_value_non_negative"] == (expected_viol["b"] or 0)
