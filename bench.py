@@ -147,6 +147,12 @@ HEADLINE = (
     "lateral_top2_orders_per_customer",
     "session_window_builtin",
     "streaming_dedup_within_watermark",
+    # waves 21-22 (runtime filters, range frames, variant, try_)
+    "runtime_bloom_join_revenue",
+    "rolling_7day_revenue",
+    "forward_fill_daily_value",
+    "variant_shred_props",
+    "try_scalar_functions",
 )
 
 SKIP: set[str] = set()
