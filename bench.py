@@ -153,6 +153,7 @@ HEADLINE = (
     "forward_fill_daily_value",
     "variant_shred_props",
     "try_scalar_functions",
+    "lm_surprise_filter",
 )
 
 SKIP: set[str] = set()

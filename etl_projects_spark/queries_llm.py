@@ -1721,3 +1721,126 @@ def streaming_dedup_within_watermark(
         .awaitTermination()
     )
     return spark.table("streaming_dedup_watermark_sink")
+
+
+@_q(
+    "lm_surprise_filter",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t,
+             {{mix}} AS mix
+      FROM documents),
+    train AS (SELECT doc_id, t FROM toks WHERE mix < 0.8),
+    ev    AS (SELECT doc_id, t FROM toks WHERE mix >= 0.8 AND len(t) >= 2),
+    tb AS (
+      SELECT t[i] AS w1, t[i + 1] AS w2
+      FROM (SELECT t, unnest(range(1, len(t))) AS i
+            FROM train WHERE len(t) >= 2)),
+    c12 AS (SELECT w1, w2, COUNT(*) AS c FROM tb GROUP BY 1, 2),
+    c1  AS (SELECT w1, SUM(c) AS c FROM c12 GROUP BY 1),
+    v   AS (SELECT COUNT(DISTINCT tok) AS v
+            FROM (SELECT unnest(t) AS tok FROM train)),
+    evb AS (
+      SELECT doc_id, i AS pos, t[i] AS w1, t[i + 1] AS w2
+      FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM ev)),
+    scored AS (
+      SELECT e.doc_id, e.pos,
+             ln(CAST(COALESCE(c12.c, 0) + 1 AS DOUBLE)
+                / CAST(COALESCE(c1.c, 0) + v.v AS DOUBLE)) AS lnp
+      FROM evb e
+        LEFT JOIN c12 ON e.w1 = c12.w1 AND e.w2 = c12.w2
+        LEFT JOIN c1 ON e.w1 = c1.w1
+        CROSS JOIN v),
+    folded AS (
+      SELECT doc_id, COUNT(*) AS n_bigrams,
+             list(lnp ORDER BY pos) AS l
+      FROM scored GROUP BY doc_id)
+    SELECT doc_id, n_bigrams,
+           -list_reduce(l, (a, x) -> a + x) / CAST(n_bigrams AS DOUBLE)
+             AS surprise
+    FROM folded
+    """.format(mix="((doc_id * 2654435761) % 1000000) / 1000000.0"),
+)
+def lm_surprise_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM-surprise scoring — the perplexity-filter stage of
+    a production curation pipeline: a bigram language model with
+    add-one smoothing trains on the 80% hash-split of the corpus
+    (`mix_unit`), and every held-out document is scored by its mean
+    negative log-likelihood; high surprise = out-of-distribution /
+    garbled text, the classic keep/drop signal.
+
+    Cross-engine float discipline: p = (c12+1)/(c1+V) divides two
+    exact integers as doubles, ln() is IEEE-identical per row, and the
+    PER-DOCUMENT sum folds the ln terms in POSITION order (Spark
+    ``aggregate`` over the pos-sorted array; DuckDB
+    ``list_reduce(list(... ORDER BY pos))``) — a groupBy SUM of
+    doubles would be partition-order-dependent and hash-unstable.
+    The 0.0 fold seed is exact (0.0 + x == x), so both folds produce
+    identical bits.
+
+    Scale: bigram counting is one shuffle over train bigrams; scoring
+    joins eval bigrams against the count relations on their natural
+    keys (model-sized, shuffle-hash); the fold state per doc is one
+    double. The model persists like any aggregate — training is
+    incremental (counts are associative)."""
+    from etl_projects_spark.queries_mixing import mix_unit
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split("text", " ").alias("t"), mix_unit("doc_id").alias("mix")
+    )
+    train = toks.filter(F.col("mix") < 0.8)
+    ev = toks.filter((F.col("mix") >= 0.8) & (F.size("t") >= 2))
+
+    def bigrams(df, with_doc):
+        idx = F.sequence(F.lit(1), F.size("t") - 1)
+        pair = F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.element_at("t", i).alias("w1"),
+                    F.element_at("t", i + F.lit(1)).alias("w2"),
+                ),
+            )
+        ).alias("b")
+        cols = (["doc_id", pair] if with_doc else [pair])
+        return df.filter(F.size("t") >= 2).select(*cols).select(
+            *((["doc_id"] if with_doc else [])
+              + [F.col("b.pos").alias("pos"), "b.w1", "b.w2"])
+        )
+
+    tb = bigrams(train, with_doc=False)
+    c12 = tb.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    # c1 folds out of c12 (sum over the second word) — one bigram
+    # generation pass serves both count relations.
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    v = train.select(F.explode("t").alias("tok")).agg(
+        F.count_distinct("tok").alias("v")
+    )
+    evb = bigrams(ev, with_doc=True)
+    scored = (
+        evb.join(c12, ["w1", "w2"], "left")
+        .join(c1, ["w1"], "left")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            "pos",
+            F.log(
+                (F.coalesce("c12", F.lit(0)) + 1).cast("double")
+                / (F.coalesce("c1", F.lit(0)) + F.col("v")).cast("double")
+            ).alias("lnp"),
+        )
+    )
+    folded = scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.array_sort(F.collect_list(F.struct("pos", "lnp"))).alias("l"),
+    )
+    fold = F.aggregate(
+        "l", F.lit(0.0), lambda acc, x: acc + x.getField("lnp")
+    )
+    return folded.select(
+        "doc_id",
+        "n_bigrams",
+        (-fold / F.col("n_bigrams").cast("double")).alias("surprise"),
+    )

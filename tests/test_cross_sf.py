@@ -127,6 +127,7 @@ REPRESENTATIVE = [
     "forward_fill_daily_value",
     "variant_shred_props",
     "try_scalar_functions",
+    "lm_surprise_filter",
 ]
 
 
