@@ -154,6 +154,7 @@ HEADLINE = (
     "variant_shred_props",
     "try_scalar_functions",
     "lm_surprise_filter",
+    "mlm_token_masking",
 )
 
 SKIP: set[str] = set()

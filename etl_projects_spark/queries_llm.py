@@ -1844,3 +1844,89 @@ def lm_surprise_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bigrams",
         (-fold / F.col("n_bigrams").cast("double")).alias("surprise"),
     )
+
+
+@_q(
+    "mlm_token_masking",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    marked AS (
+      SELECT doc_id,
+             list_transform(
+               range(1, len(t) + 1),
+               i -> CASE WHEN ((doc_id * 2654435761 + i * 40503) % 1000000)
+                              / 1000000.0 < 0.15
+                         THEN '[MASK]' ELSE t[i] END) AS masked,
+             list_filter(
+               range(1, len(t) + 1),
+               i -> ((doc_id * 2654435761 + i * 40503) % 1000000)
+                         / 1000000.0 < 0.15) AS mask_pos,
+             t
+      FROM toks)
+    SELECT doc_id,
+           len(t) AS n_tokens,
+           len(mask_pos) AS n_masked,
+           COALESCE(array_to_string(masked, ' '), '') AS masked_text,
+           COALESCE(array_to_string(
+             list_transform(mask_pos, i -> t[i]), ' '), '') AS targets
+    FROM marked
+    """,
+)
+def mlm_token_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLM (BERT-style) pretraining mask generation, fully
+    deterministic: each token position masks iff a multiplicative hash
+    of (doc_id, position) lands under the 15% rate — so the masked
+    corpus is REPRODUCIBLE across runs, engines, and partitionings
+    (the property that makes a masking job resumable and its eval
+    comparable). Emits the masked text, the target tokens in position
+    order, and the audit counts. Integer hash → one double compare;
+    no RNG state anywhere.
+
+    Scale: pure per-row array expressions inside codegen — zero
+    shuffles, zero Python; the 15% rate is exact-in-distribution per
+    position, not per sampled batch."""
+    docs = load(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+
+    def hit(i):
+        return (
+            F.pmod(
+                F.col("doc_id") * F.lit(2654435761) + i * F.lit(40503),
+                F.lit(1_000_000),
+            )
+            / F.lit(1_000_000.0)
+            < 0.15
+        )
+
+    marked = docs.select(
+        "doc_id",
+        t.alias("t"),
+    ).select(
+        "doc_id",
+        "t",
+        F.transform(
+            F.sequence(F.lit(1), F.size("t")),
+            lambda i: F.when(hit(i), F.lit("[MASK]")).otherwise(
+                F.element_at("t", i)
+            ),
+        ).alias("masked"),
+        F.filter(
+            F.sequence(F.lit(1), F.size("t")),
+            lambda i: hit(i),
+        ).alias("mask_pos"),
+    )
+    return marked.select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_tokens"),
+        F.size("mask_pos").cast("long").alias("n_masked"),
+        F.coalesce(F.array_join("masked", " "), F.lit("")).alias(
+            "masked_text"
+        ),
+        F.coalesce(
+            F.array_join(
+                F.transform("mask_pos", lambda i: F.element_at("t", i)), " "
+            ),
+            F.lit(""),
+        ).alias("targets"),
+    )

@@ -128,6 +128,7 @@ REPRESENTATIVE = [
     "variant_shred_props",
     "try_scalar_functions",
     "lm_surprise_filter",
+    "mlm_token_masking",
 ]
 
 
