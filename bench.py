@@ -135,6 +135,7 @@ HEADLINE = (
     "pipeline_dag_build",
     # waves 16-17 (segmentation + monitors)
     "orders_rfm_segmentation",
+    "grouping_id_rollup",
     "decile_lift_table",
     "gini_revenue_concentration",
     "event_markov_transitions",

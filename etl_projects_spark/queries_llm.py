@@ -365,6 +365,38 @@ def q14_type_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =========================================================================
 
 
+def _read_events_stream(spark: SparkSession, sf_dir: str):
+    """File-source stream over the events parquet with the
+    timestamp-vintage handling both streaming entries need: the feed
+    has shipped as TIMESTAMP(NANOS) (reads as bigint nanos under
+    ``nanosAsLong``) and TIMESTAMP(MICROS) (reads as a real
+    timestamp). A file stream cannot infer, so probe the footer with a
+    metadata-only batch read and declare the matching stream schema;
+    normalize to a true timestamp either way."""
+    import os
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ts_is_nanos = (
+        dict(spark.read.parquet(os.path.join(sf_dir, "events.parquet")).dtypes)
+        .get("ts")
+        == "bigint"
+    )
+    ts_decl = "ts long" if ts_is_nanos else "ts timestamp"
+    raw = (
+        spark.readStream.schema(
+            f"event_id long, {ts_decl}, user_id long, event_type string, "
+            "value double, props string"
+        )
+        # Glob, not the bare file: FileStreamSource derives basePath from
+        # the glob's directory prefix (a bare file path fails the
+        # "basePath must be a directory" check even with the option set).
+        .parquet(os.path.join(sf_dir, "events*"))
+    )
+    if ts_is_nanos:
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return raw
+
+
 @_q(
     "streaming_tumbling_counts",
     """
@@ -386,34 +418,9 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     The production shape is append mode + watermark-driven state
     eviction (streaming/jobs.py:75) — use that for any long-running
     stream; never complete mode."""
-    import os
-
     from etl_projects_spark.streaming import jobs
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # events.ts has shipped as TIMESTAMP(NANOS) (reads as bigint nanos
-    # under the conf above) and as TIMESTAMP(MICROS) (reads as a real
-    # timestamp) in different testdata drops. A file stream cannot
-    # infer, so probe the footer with a batch read (metadata-only) and
-    # declare the matching stream schema.
-    ts_is_nanos = (
-        dict(spark.read.parquet(os.path.join(sf_dir, "events.parquet")).dtypes)
-        .get("ts")
-        == "bigint"
-    )
-    ts_decl = "ts long" if ts_is_nanos else "ts timestamp"
-    raw = (
-        spark.readStream.schema(
-            f"event_id long, {ts_decl}, user_id long, event_type string, "
-            "value double, props string"
-        )
-        # Glob, not the bare file: FileStreamSource derives basePath from
-        # the glob's directory prefix (a bare file path fails the
-        # "basePath must be a directory" check even with the option set).
-        .parquet(os.path.join(sf_dir, "events*"))
-    )
-    if ts_is_nanos:
-        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    raw = _read_events_stream(spark, sf_dir)
     agg = jobs.tumbling_counts(raw, window="1 hour", watermark="2 hours")
     (
         agg.writeStream.format("memory")
@@ -1687,24 +1694,7 @@ def streaming_dedup_within_watermark(
     Only the key columns are emitted: which physical row arrives
     first per key is a file-ordering artifact, so projecting to the
     dedup key is what keeps the result engine-deterministic."""
-    import os
-
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ts_is_nanos = (
-        dict(spark.read.parquet(os.path.join(sf_dir, "events.parquet")).dtypes)
-        .get("ts")
-        == "bigint"
-    )
-    ts_decl = "ts long" if ts_is_nanos else "ts timestamp"
-    raw = (
-        spark.readStream.schema(
-            f"event_id long, {ts_decl}, user_id long, event_type string, "
-            "value double, props string"
-        )
-        .parquet(os.path.join(sf_dir, "events*"))
-    )
-    if ts_is_nanos:
-        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    raw = _read_events_stream(spark, sf_dir)
     deduped = (
         raw.withColumn("ts", F.col("ts").cast("timestamp"))
         .withWatermark("ts", "40 days")
@@ -1759,7 +1749,8 @@ def streaming_dedup_within_watermark(
            -list_reduce(l, (a, x) -> a + x) / CAST(n_bigrams AS DOUBLE)
              AS surprise
     FROM folded
-    """.format(mix="((doc_id * 2654435761) % 1000000) / 1000000.0"),
+    """.format(mix=__import__("etl_projects_spark.queries_mixing",
+                              fromlist=["mix_unit_sql"]).mix_unit_sql("doc_id")),
 )
 def lm_surprise_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM-surprise scoring — the perplexity-filter stage of
@@ -1890,9 +1881,13 @@ def mlm_token_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = F.split("text", " ")
 
     def hit(i):
+        # i comes from sequence() as INT; promote to LONG before the
+        # multiply or positions >= ~53k wrap at 2^32 and diverge from
+        # the oracle's exact BIGINT product.
         return (
             F.pmod(
-                F.col("doc_id") * F.lit(2654435761) + i * F.lit(40503),
+                F.col("doc_id") * F.lit(2654435761)
+                + i.cast("long") * F.lit(40503),
                 F.lit(1_000_000),
             )
             / F.lit(1_000_000.0)
