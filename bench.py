@@ -156,6 +156,8 @@ HEADLINE = (
     "try_scalar_functions",
     "lm_surprise_filter",
     "mlm_token_masking",
+    "chi_square_type_by_dow",
+    "bollinger_bands_daily",
 )
 
 SKIP: set[str] = set()

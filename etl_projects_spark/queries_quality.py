@@ -268,3 +268,91 @@ def value_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("tvd"),
     )
+
+
+@_q(
+    "chi_square_type_by_dow",
+    """
+    WITH cells AS (
+      SELECT event_type, dayofweek(ts) + 1 AS dow, COUNT(*) AS o
+      FROM events GROUP BY 1, 2),
+    sided AS (
+      SELECT event_type, dow, o,
+             SUM(o) OVER (PARTITION BY event_type) AS r,
+             SUM(o) OVER (PARTITION BY dow) AS c,
+             SUM(o) OVER () AS n
+      FROM cells),
+    terms AS (
+      SELECT event_type, dow, n,
+             CAST(CAST(CAST(o AS DECIMAL(38,0)) * n
+                       - CAST(r AS DECIMAL(38,0)) * c AS DOUBLE)
+                  * CAST(CAST(o AS DECIMAL(38,0)) * n
+                         - CAST(r AS DECIMAL(38,0)) * c AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * CAST(r AS DOUBLE)
+                     * CAST(c AS DOUBLE)) AS DOUBLE) AS term
+      FROM sided),
+    folded AS (
+      SELECT MAX(n) AS n_events,
+             COUNT(*) AS n_cells,
+             list(term ORDER BY event_type, dow) AS l
+      FROM terms)
+    SELECT CAST(n_events AS BIGINT) AS n_events,
+           n_cells,
+           list_reduce(l, (a, x) -> a + x) AS chi2
+    FROM folded
+    """,
+)
+def chi_square_type_by_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence audit between event type and day of
+    week — the statistical drift test behind "did the weekly traffic
+    mix change": χ² = Σ (o·N − r·c)² / (N·r·c) over the contingency
+    cells, the common-denominator form whose numerator difference is
+    an exact DECIMAL(38,0) cross product. Marginals are windows over
+    the CELL relation (|types|×7 rows); each cell's term becomes a
+    double only in its own final expression, and the cross-cell sum
+    folds in (type, dow) order — both engines reduce the identically
+    ordered list, so the statistic is bit-stable. (dayofweek differs
+    by one between engines: Spark counts Sunday=1, DuckDB Sunday=0 —
+    the oracle adds 1.)
+
+    Scale: one shuffle aggregates the fact table to the contingency
+    cells; everything downstream is cell-sized."""
+    ev = load(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", F.dayofweek("ts").alias("dow")
+    ).agg(F.count("*").alias("o"))
+    sided = cells.select(
+        "event_type",
+        "dow",
+        "o",
+        F.sum("o").over(W.partitionBy("event_type")).alias("r"),
+        F.sum("o").over(W.partitionBy("dow")).alias("c"),
+        F.sum("o").over(W.partitionBy()).alias("n"),
+    )
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    diff = (d38("o") * F.col("n") - d38("r") * F.col("c")).cast("double")
+    term = (
+        diff
+        * diff
+        / (
+            F.col("n").cast("double")
+            * F.col("r").cast("double")
+            * F.col("c").cast("double")
+        )
+    ).cast("double")
+    terms = sided.select("event_type", "dow", "n", term.alias("term"))
+    folded = terms.agg(
+        F.max("n").alias("n_events"),
+        F.count("*").alias("n_cells"),
+        F.array_sort(
+            F.collect_list(F.struct("event_type", "dow", "term"))
+        ).alias("l"),
+    )
+    fold = F.aggregate(
+        "l", F.lit(0.0), lambda a, x: a + x.getField("term")
+    )
+    return folded.select(
+        F.col("n_events").cast("long").alias("n_events"),
+        "n_cells",
+        fold.alias("chi2"),
+    )

@@ -720,3 +720,88 @@ def forward_fill_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("v", ignorenulls=True).over(w).cast("double").alias("v_filled"),
         F.col("v").isNull().alias("was_gap"),
     )
+
+
+@_q(
+    "bollinger_bands_daily",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             COUNT(*) AS cnt,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS s1,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))
+                      * CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS s2
+      FROM events GROUP BY 1, 2),
+    keyed AS (
+      SELECT *, date_diff('day', DATE '1970-01-01', day) AS dk FROM daily),
+    rolled AS (
+      SELECT event_type, day,
+             SUM(cnt) OVER w AS n,
+             SUM(s1) OVER w AS rs1,
+             SUM(s2) OVER w AS rs2
+      FROM keyed
+      WINDOW w AS (PARTITION BY event_type ORDER BY dk
+                   RANGE BETWEEN 6 PRECEDING AND CURRENT ROW))
+    SELECT event_type, CAST(day AS VARCHAR) AS day, CAST(n AS BIGINT) AS n,
+           CAST(rs1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+           CAST(rs1 AS DOUBLE) / CAST(n AS DOUBLE)
+             + 2.0 * sqrt((CAST(n AS DOUBLE) * CAST(rs2 AS DOUBLE)
+                           - CAST(rs1 AS DOUBLE) * CAST(rs1 AS DOUBLE))
+                          / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS upper,
+           CAST(rs1 AS DOUBLE) / CAST(n AS DOUBLE)
+             - 2.0 * sqrt((CAST(n AS DOUBLE) * CAST(rs2 AS DOUBLE)
+                           - CAST(rs1 AS DOUBLE) * CAST(rs1 AS DOUBLE))
+                          / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS lower
+    FROM rolled
+    """,
+)
+def bollinger_bands_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands (trailing-7-day mean ± 2σ) per event type — the
+    reference's stock-quote domain signal, computed the hash-stable
+    way: the rolling window sums exact decimal MOMENTS (n, Σx, Σx²)
+    over the daily aggregate with a RANGE frame on the day key (gap
+    days shrink the window rather than stretching it), and mean/σ are
+    evaluated per row in ONE identical float expression — population
+    σ via (n·Σx² − (Σx)²)/n², sqrt being IEEE-exact. No float ever
+    crosses rows, so partitioning cannot perturb the bands.
+
+    Scale: the fact table aggregates once to (type, day); the window
+    runs over days×types rows. (Σx)² stays inside DECIMAL(38) up to
+    ~1e18 in Σx — beyond that, shard the day key and combine moments,
+    they are associative."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.count("*").alias("cnt"),
+        F.sum(dec("value")).cast("decimal(38,2)").alias("s1"),
+        F.sum(dec("value") * dec("value")).cast("decimal(38,4)").alias("s2"),
+    )
+    keyed = daily.withColumn(
+        "dk", F.datediff("day", F.lit("1970-01-01").cast("date"))
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("dk")
+        .rangeBetween(-6, 0)
+    )
+    rolled = keyed.select(
+        "event_type",
+        "day",
+        F.sum("cnt").over(w).alias("n"),
+        F.sum("s1").over(w).alias("rs1"),
+        F.sum("s2").over(w).alias("rs2"),
+    )
+    n_d = F.col("n").cast("double")
+    s1_d = F.col("rs1").cast("double")
+    s2_d = F.col("rs2").cast("double")
+    mean = s1_d / n_d
+    sigma = F.sqrt((n_d * s2_d - s1_d * s1_d) / (n_d * n_d))
+    return rolled.select(
+        "event_type",
+        F.col("day").cast("string").alias("day"),
+        F.col("n").cast("long").alias("n"),
+        mean.alias("mean"),
+        (mean + F.lit(2.0) * sigma).alias("upper"),
+        (mean - F.lit(2.0) * sigma).alias("lower"),
+    )

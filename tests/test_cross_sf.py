@@ -129,6 +129,8 @@ REPRESENTATIVE = [
     "try_scalar_functions",
     "lm_surprise_filter",
     "mlm_token_masking",
+    "chi_square_type_by_dow",
+    "bollinger_bands_daily",
 ]
 
 
