@@ -158,6 +158,7 @@ HEADLINE = (
     "mlm_token_masking",
     "chi_square_type_by_dow",
     "bollinger_bands_daily",
+    "streaming_scd1_user_state",
 )
 
 SKIP: set[str] = set()

@@ -1925,3 +1925,57 @@ def mlm_token_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(""),
         ).alias("targets"),
     )
+
+
+@_q(
+    "streaming_scd1_user_state",
+    """
+    SELECT user_id, event_type AS last_type, value AS last_value,
+           event_id AS last_event_id
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                       ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+    WHERE rn = 1
+    """,
+)
+def streaming_scd1_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SCD1 state maintenance (§2.6 + the merge family in
+    one): the event feed replays as a 4-file stream consumed one file
+    per micro-batch, and ``foreach_batch_merge`` folds each batch into
+    a persistent latest-row-per-user state table with a write-aside
+    swap. The oracle is the BATCH latest-per-key over the whole feed —
+    the equivalence only holds because the merge recomputes recency
+    from (ts, event_id) over state ∪ batch, making the final state
+    invariant to how the stream was batched. That invariance IS the
+    exactly-once-state contract an incremental 100 TB pipeline needs
+    when its input splits change."""
+    import tempfile
+
+    from etl_projects_spark.streaming import jobs
+
+    ev = load(spark, sf_dir, "events")
+    scratch = tempfile.mkdtemp(prefix="scd1_stream_")
+    feed = f"{scratch}/feed"
+    # Re-land the feed as 4 files so availableNow + maxFilesPerTrigger=1
+    # produces a real multi-batch replay (Spark rewrites normalize the
+    # timestamp vintage too, so the stream schema is the batch schema).
+    ev.repartition(4).write.mode("overwrite").parquet(feed)
+    raw = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    state = f"{scratch}/state"
+    jobs.foreach_batch_merge(
+        raw,
+        state_dir=state,
+        checkpoint=f"{scratch}/ckpt",
+        keys=("user_id",),
+        order_cols=("ts", "event_id"),
+    )
+    return spark.read.parquet(state).select(
+        "user_id",
+        F.col("event_type").alias("last_type"),
+        F.col("value").alias("last_value"),
+        F.col("event_id").alias("last_event_id"),
+    )

@@ -418,3 +418,53 @@ def incremental_dedup_stream(
         .agg(F.min("v").alias("dup_of"))
         .withColumn("keep", F.col("dup_of").isNull())
     )
+
+
+def foreach_batch_merge(
+    source: DataFrame,
+    state_dir: str,
+    checkpoint: str,
+    keys: tuple[str, ...],
+    order_cols: tuple[str, ...],
+) -> None:
+    """``foreachBatch`` SCD1 state maintenance: every micro-batch is
+    collapsed to its latest row per key and merged into the persistent
+    state table, keeping the GLOBALLY latest row per key — the merge
+    recomputes latest over (state ∪ batch), so the final state is
+    identical under any batch split or arrival order (recency comes
+    from ``order_cols``, never from arrival). The new state lands in a
+    side directory and swaps in via rename, so a crashed batch never
+    leaves a half-written table.
+
+    At scale the swap becomes a transactional MERGE (Delta/Iceberg) or
+    a key-partitioned dynamic overwrite — the per-batch work is then
+    O(batch + touched partitions), not O(state)."""
+    import os
+    import shutil
+
+    from etl_projects_spark.operators.merge import latest_per_key
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        latest = latest_per_key(batch_df, list(keys), list(order_cols))
+        if os.path.exists(state_dir):
+            merged = latest_per_key(
+                spark.read.parquet(state_dir).unionByName(latest),
+                list(keys),
+                list(order_cols),
+            )
+        else:
+            merged = latest
+        tmp = f"{state_dir}._tmp_{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(state_dir):
+            shutil.rmtree(state_dir)
+        os.rename(tmp, state_dir)
+
+    (
+        source.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -131,6 +131,7 @@ REPRESENTATIVE = [
     "mlm_token_masking",
     "chi_square_type_by_dow",
     "bollinger_bands_daily",
+    "streaming_scd1_user_state",
 ]
 
 
