@@ -317,3 +317,29 @@ def test_apply_changelog_replay_idempotent(spark):
             last[k] = (op, v, seq)
     want = {k: v for k, (op, v, _) in last.items() if op != "delete"}
     assert {r["k"]: r["v"] for r in once.collect()} == want
+
+
+def test_scd1_fold_batch_order_invariant(spark):
+    """The foreach_batch_merge fold (latest_per_key over state ∪ batch)
+    must produce identical state under any batch arrival order — the
+    invariance streaming_scd1_user_state's oracle equivalence rests on."""
+    from etl_projects_spark.operators.merge import latest_per_key
+
+    a = spark.createDataFrame(
+        [(1, 10, "x"), (2, 5, "y")], "k long, v long, payload string"
+    )
+    b = spark.createDataFrame(
+        [(1, 7, "stale"), (2, 9, "newer"), (3, 1, "z")],
+        "k long, v long, payload string",
+    )
+
+    def fold(batches):
+        state = None
+        for batch in batches:
+            merged = batch if state is None else state.unionByName(batch)
+            state = latest_per_key(merged, ["k"], ["v"])
+        return {r["k"]: (r["v"], r["payload"]) for r in state.collect()}
+
+    ab, ba = fold([a, b]), fold([b, a])
+    assert ab == ba
+    assert ab == {1: (10, "x"), 2: (9, "newer"), 3: (1, "z")}
