@@ -1979,3 +1979,45 @@ def streaming_scd1_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("last_value"),
         F.col("event_id").alias("last_event_id"),
     )
+
+
+@_q(
+    "zipf_frequency_report",
+    """
+    WITH freq AS (
+      SELECT tok, COUNT(*) AS f
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY 1),
+    fof AS (SELECT f, COUNT(*) AS n_types FROM freq GROUP BY 1),
+    tot AS (SELECT COUNT(*) AS n_vocab FROM freq)
+    SELECT f AS frequency, n_types,
+           CAST(n_types AS DOUBLE) / CAST(n_vocab AS DOUBLE) AS type_share
+    FROM fof CROSS JOIN tot
+    """,
+)
+def zipf_frequency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-of-frequencies (the Zipf/Good–Turing table): how many
+    vocabulary types occur exactly f times, with each bucket's share
+    of the vocabulary — the corpus-health profile that surfaces
+    boilerplate floods (fat head) and OCR noise (bloated hapax tail),
+    and the input Good–Turing smoothing needs. Exact integer counts;
+    the single share division is the only float.
+
+    Scale: token aggregate (one shuffle) → vocab-sized
+    frequency-of-frequencies aggregate → one broadcast scalar. The
+    corpus is scanned once."""
+    docs = load(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("f"))
+    )
+    fof = freq.groupBy("f").agg(F.count("*").alias("n_types"))
+    tot = freq.agg(F.count("*").alias("n_vocab"))
+    return fof.crossJoin(F.broadcast(tot)).select(
+        F.col("f").alias("frequency"),
+        "n_types",
+        (
+            F.col("n_types").cast("double") / F.col("n_vocab").cast("double")
+        ).alias("type_share"),
+    )

@@ -1308,3 +1308,75 @@ def try_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderkey"), F.lit(1000000000000).cast("long")
         ).alias("overflowed"),
     )
+
+
+@_q(
+    "percent_change_mom",
+    f"""
+    WITH monthly AS (
+      SELECT CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR)
+               AS month,
+             SUM(CAST(o_totalprice AS {D})) AS rev
+      FROM orders GROUP BY 1)
+    SELECT month, CAST(rev AS DOUBLE) AS revenue,
+           (CAST(rev AS DOUBLE)
+            - CAST(lag(rev) OVER (ORDER BY month) AS DOUBLE))
+             / CAST(lag(rev) OVER (ORDER BY month) AS DOUBLE) AS mom_change
+    FROM monthly
+    """,
+)
+def percent_change_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth — the headline BI trend metric:
+    exact-decimal monthly sums, lag over the month axis, and the
+    percent change computed in doubles only at the final step (a
+    decimal/decimal division would round differently per engine). The
+    first month's change is NULL by construction. The growth window
+    runs over the MONTH relation (tens of rows), not the fact table.
+    """
+    orders = load(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("month", "o_orderdate")
+        .cast("date")
+        .cast("string")
+        .alias("month")
+    ).agg(F.sum(dec("o_totalprice")).alias("rev"))
+    w = W.orderBy("month")
+    rev_d = F.col("rev").cast("double")
+    prev_d = F.lag("rev").over(w).cast("double")
+    return monthly.select(
+        "month",
+        rev_d.alias("revenue"),
+        ((rev_d - prev_d) / prev_d).alias("mom_change"),
+    )
+
+
+@_q(
+    "shuffle_hash_join_hint",
+    f"""
+    SELECT c_mktsegment,
+           CAST(SUM(CAST(o_totalprice AS {D})) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1
+    """,
+)
+def shuffle_hash_join_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-strategy hint surface: ``/*+ SHUFFLE_HASH(c) */`` forces a
+    shuffled hash join where the planner would default to broadcast
+    (or sort-merge past the broadcast threshold) — the escape hatch
+    for when one side is too big to broadcast but small enough per
+    partition to hash, saving the sort-merge's two sorts. Hints are a
+    plan rewrite only, so the oracle is the PLAIN join; the strategy
+    change is pinned by test_plans."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_hint")
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer_hint")
+    return spark.sql(
+        """
+        SELECT /*+ SHUFFLE_HASH(c) */ c_mktsegment,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS revenue,
+               COUNT(*) AS n_orders
+        FROM orders_hint o JOIN customer_hint c ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+        """
+    )

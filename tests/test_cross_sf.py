@@ -132,6 +132,9 @@ REPRESENTATIVE = [
     "chi_square_type_by_dow",
     "bollinger_bands_daily",
     "streaming_scd1_user_state",
+    "percent_change_mom",
+    "shuffle_hash_join_hint",
+    "zipf_frequency_report",
 ]
 
 

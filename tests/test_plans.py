@@ -428,3 +428,12 @@ def test_forward_fill_single_fact_aggregate(spark):
     # pushes the type filter and is never re-scanned for the calendar.
     a = audit(QS["forward_fill_daily_value"](spark, SF_DIR))
     assert a["pushed_filters"] and not a["cartesian"]
+
+
+def test_shuffle_hash_hint_changes_strategy(spark):
+    # The hint must actually flip the join strategy away from the
+    # broadcast default; results stay identical (oracle-checked).
+    from etl_projects_spark.plans.audit import plan_string
+
+    plan = plan_string(QS["shuffle_hash_join_hint"](spark, SF_DIR))
+    assert "ShuffledHashJoin" in plan
