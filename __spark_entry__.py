@@ -43,60 +43,83 @@ def entry(spark: SparkSession) -> DataFrame:
 # CORRECTNESS row yet, then the previously-green remainder. Rounds
 # accumulate: r1 proved the first-50 half, r2's window covers the rest.
 _ROUND_PRIORITY = [
-    # r3: the 35 catalog queries that have never landed in a driver
-    # window (cumulative r1+r2 covered 93/128) — one rotation closes
-    # the coverage gap to 128/128.
-    "struct_to_string",
-    "engine_partitioned_incremental",
-    "jsonl_gz_roundtrip",
-    "warehouse_copy_roundtrip",
-    "layer_format_policy",
-    "source_quotes_scan",
-    "streaming_quotes_ingest",
-    "snapshot_diff_orders",
-    "ann_lsh_multiprobe_topk",
-    "ann_knn_join",
-    "dedup_minhash_components",
-    "dedup_keep_list",
-    "dedup_incremental_batch",
-    "streaming_incremental_dedup",
-    "bm25_retrieval",
-    "text_repetition_ratio",
-    "text_dup_gram_fraction",
-    "text_token_entropy",
-    "embedding_centroids_by_label",
-    "posexplode_doc_tokens",
-    "mixture_weights_temperature",
-    "engine_sql_file_build",
-    "pack_token_spans",
-    "quality_violation_counts",
-    "profile_orders",
-    "salted_join_lineitem_orders",
-    "pipeline_training_corpus",
-    "approx_distinct_users_daily",
-    "bucketed_join_revenue",
-    "union_distinct_keys",
-    "window_first_last_order",
-    "window_percent_rank",
-    "map_functions_props",
-    "histogram_order_totals",
-    "ohlc_hourly_events",
-    # r3 new/changed catalog entries — need their first driver row
-    "merge_upsert_orders",
-    "scd2_apply_orders",
-    "exact_distinct_users_daily",
-    "ann_ivf_topk",  # rerouted through the materialized index this round
-    "funnel_user_conversion",
-    "retention_cohorts",
-    "tfidf_top_terms",
-    "ngram_bigram_topk",
-    "dedup_keep_best_quality",
-    "doc_length_percentile_filter",
-    "embedding_quantize_int8",
-    "cooccurrence_pmi_topk",
-    "neardup_rate_by_source",
-    "anomaly_zscore_daily",
-    "zorder_cluster_events",
+    # r4 window: the 50 oldest catalog queries with no driver
+    # CORRECTNESS row yet (waves 9-22; cumulative r1+r2+r3 covered
+    # 142/213). The checker samples the FIRST 50 of queries().
+    "vocab_id_assign",
+    "vocab_oov_rate",
+    "streaming_dedup_within_watermark",
+    "training_shard_write",
+    "lm_surprise_filter",
+    "mlm_token_masking",
+    "streaming_scd1_user_state",
+    "zipf_frequency_report",
+    "chunk_dedup_rewrite",
+    "semdedup_prune",
+    "train_split_assign",
+    "filter_funnel_report",
+    "skew_key_report",
+    "fertility_by_source",
+    "higher_order_array_funcs",
+    "dedup_edit_distance",
+    "ewma_daily_value",
+    "weighted_sample_topk",
+    "phrase_search_positions",
+    "correlation_matrix_lineitem",
+    "dedup_component_size_histogram",
+    "events_debounce",
+    "fixed_size_per_group_sample",
+    "weighted_median_price",
+    "dedup_graph_triangles",
+    "pivot_multi_agg_daily",
+    "partition_checksums",
+    "embedding_pca_project",
+    "dedup_prefix_containment",
+    "zscore_doc_length_by_source",
+    "data_card_report",
+    "curriculum_schedule",
+    "k_anonymity_audit",
+    "cdc_changelog_apply",
+    "incremental_agg_maintenance",
+    "schema_evolution_union",
+    "compact_small_files",
+    "scd2_point_in_time_join",
+    "pipeline_dag_build",
+    "media_resize_stub",
+    "media_frame_energy",
+    "media_phash_neardup",
+    "referential_integrity_report",
+    "value_drift_report",
+    "chi_square_type_by_dow",
+    "asof_forward_purchase_window",
+    "kmv_jaccard_event_types",
+    "zonemap_pruning_report",
+    "runtime_bloom_join_revenue",
+    "mode_priority_by_segment",
+    # queued for r5's window: the remaining never-checked entries
+    # (they sit right behind the 50-query window so the next
+    # rotation is a pure head-slice).
+    "mad_order_totals",
+    "window_nth_cume",
+    "bitmap_user_event_mask",
+    "orders_rfm_segmentation",
+    "grouping_id_rollup",
+    "decile_lift_table",
+    "gini_revenue_concentration",
+    "lateral_top2_orders_per_customer",
+    "rolling_7day_revenue",
+    "variant_shred_props",
+    "try_scalar_functions",
+    "percent_change_mom",
+    "shuffle_hash_join_hint",
+    "regr_trend_nation",
+    "attribution_first_touch",
+    "session_path_topk",
+    "equi_depth_histogram_stats",
+    "event_markov_transitions",
+    "session_window_builtin",
+    "forward_fill_daily_value",
+    "bollinger_bands_daily",
 ]
 
 

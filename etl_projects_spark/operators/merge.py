@@ -70,7 +70,10 @@ def apply_changelog(
     date-partitioned and this op applied per partition-pruned slice.
     """
     latest = latest_per_key(changelog, keys, order_cols)
-    return latest.filter(F.col(op_col) != delete_op).drop(op_col)
+    # Null-safe op compare: a malformed log row with a NULL op must fall
+    # through as an upsert (keep the payload), not vanish — a plain
+    # `op != delete_op` evaluates to NULL and the filter would drop it.
+    return latest.filter(~F.col(op_col).eqNullSafe(delete_op)).drop(op_col)
 
 
 def merge_upsert(

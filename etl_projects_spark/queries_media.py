@@ -159,7 +159,14 @@ def media_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     windowed-reduction shape of MFCC/spectrogram extraction), numpy
     per Arrow batch. Only (doc, frame-stat) rows leave the task —
     payload bytes never shuffle. Sums of integer squares are exact, so
-    the oracle's SQL replay matches to the 6-dp rounding."""
+    the oracle's SQL replay matches to the 6-dp rounding.
+
+    ORACLE SCOPE: the Spark side hashes the UTF-8 *byte* payload while
+    the DuckDB twin enumerates *characters* (``ascii(text[i])``) — they
+    coincide only because the driver's documents corpus is pure ASCII
+    (1 char == 1 byte; see TESTDATA.md). On a non-ASCII corpus the
+    operator stays correct; only this SQL replay would need a
+    byte-level rewrite."""
     media = multimodal.to_media(load(spark, sf_dir, "documents"))
     return multimodal.frame_energy(media)
 
@@ -206,7 +213,13 @@ def media_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate generation is a bounded equi-join shuffle, never
     all-pairs, and verification (one xor+bit_count per candidate) is
     candidate-local. The hash itself is integer-exact, so a
-    float-free cross-engine replay hash-matches."""
+    float-free cross-engine replay hash-matches.
+
+    ORACLE SCOPE: as with ``media_frame_energy``, the Spark pHash reads
+    UTF-8 *bytes* while the oracle enumerates *characters* — equal only
+    on the driver's all-ASCII documents corpus (block boundaries shift
+    for multibyte chars). The operator itself is byte-defined and
+    corpus-agnostic; only the SQL twin assumes ASCII."""
     media = multimodal.to_media(load(spark, sf_dir, "documents"))
     ph = multimodal.perceptual_hash(media)
     bands = ph.select(

@@ -433,8 +433,11 @@ def foreach_batch_merge(
     recomputes latest over (state ∪ batch), so the final state is
     identical under any batch split or arrival order (recency comes
     from ``order_cols``, never from arrival). The new state lands in a
-    side directory and swaps in via rename, so a crashed batch never
-    leaves a half-written table.
+    side directory and swaps in via rename-aside (current state is
+    renamed to ``<state>._old`` before the new one renames in, and a
+    leftover ``._old`` is recovered on entry), so a crash at any point
+    leaves either the previous state or the new one — never a
+    half-written or empty table.
 
     At scale the swap becomes a transactional MERGE (Delta/Iceberg) or
     a key-partitioned dynamic overwrite — the per-batch work is then
@@ -444,8 +447,16 @@ def foreach_batch_merge(
 
     from etl_projects_spark.operators.merge import latest_per_key
 
+    aside = f"{state_dir}._old"
+
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        # Crash recovery: if a previous swap was interrupted between the
+        # two renames, the prior state survives only as the aside dir —
+        # restore it so checkpoint replay merges against full history
+        # instead of silently rebuilding from one micro-batch.
+        if os.path.exists(aside) and not os.path.exists(state_dir):
+            os.rename(aside, state_dir)
         latest = latest_per_key(batch_df, list(keys), list(order_cols))
         if os.path.exists(state_dir):
             merged = latest_per_key(
@@ -457,9 +468,15 @@ def foreach_batch_merge(
             merged = latest
         tmp = f"{state_dir}._tmp_{batch_id}"
         merged.write.mode("overwrite").parquet(tmp)
+        # Rename-aside swap: at every instant either the old or the new
+        # state dir exists under a recoverable name (never delete-first).
+        if os.path.exists(aside):
+            shutil.rmtree(aside)
         if os.path.exists(state_dir):
-            shutil.rmtree(state_dir)
+            os.rename(state_dir, aside)
         os.rename(tmp, state_dir)
+        if os.path.exists(aside):
+            shutil.rmtree(aside)
 
     (
         source.writeStream.foreachBatch(write_batch)

@@ -343,3 +343,23 @@ def test_scd1_fold_batch_order_invariant(spark):
     ab, ba = fold([a, b]), fold([b, a])
     assert ab == ba
     assert ab == {1: (10, "x"), 2: (9, "newer"), 3: (1, "z")}
+
+
+def test_apply_changelog_null_op_is_upsert(spark):
+    """A malformed CDC row with a NULL op must keep its payload (upsert
+    semantics), not silently delete the key — `op != 'delete'` alone
+    evaluates to NULL and would drop it (ADVICE r3)."""
+    from etl_projects_spark.operators.merge import apply_changelog
+
+    log = spark.createDataFrame(
+        [
+            (1, "upsert", 10.0, 1),
+            (1, None, 11.0, 2),  # malformed: NULL op wins on seq
+            (2, "delete", 5.0, 1),
+            (3, None, 7.0, 1),  # key seen only with a NULL op
+        ],
+        "k long, op string, v double, seq long",
+    )
+    got = {r["k"]: r["v"] for r in
+           apply_changelog(log, keys=["k"], order_cols=["seq"]).collect()}
+    assert got == {1: 11.0, 3: 7.0}

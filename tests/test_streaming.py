@@ -357,3 +357,52 @@ def test_quote_stream_source_replays_deterministically(spark):
     a, b = drain("qsrc_a"), drain("qsrc_b")
     assert a == b
     assert len(a) == 8  # 2 tickers x 4 days
+
+def test_foreach_batch_merge_recovers_mid_swap_crash(
+    spark, events_batch, events_dir, tmp_path
+):
+    """A crash between the swap's two renames leaves the prior state
+    only under '<state>._old'. The next run must recover it — keys seen
+    only before the crash survive, and the final state equals the batch
+    latest-per-key over the full feed (the ADVICE-r3 durability gap)."""
+    import shutil
+
+    from etl_projects_spark.operators.merge import latest_per_key
+
+    day0, day1 = str(tmp_path / "day0"), str(tmp_path / "day1")
+    for d in (day0, day1):
+        os.makedirs(d)
+    shutil.copy(os.path.join(events_dir, "batch_0.json"), day0)
+    shutil.copy(os.path.join(events_dir, "batch_1.json"), day1)
+    state = str(tmp_path / "state")
+
+    jobs.foreach_batch_merge(
+        jobs.stream_from_directory(spark, day0),
+        state_dir=state,
+        checkpoint=str(tmp_path / "ckpt0"),
+        keys=("user_id",),
+        order_cols=("ts", "event_id"),
+    )
+    # Simulate the mid-swap crash: prior state renamed aside, the new
+    # directory never renamed in.
+    os.rename(state, state + "._old")
+
+    jobs.foreach_batch_merge(
+        jobs.stream_from_directory(spark, day1),
+        state_dir=state,
+        checkpoint=str(tmp_path / "ckpt1"),
+        keys=("user_id",),
+        order_cols=("ts", "event_id"),
+    )
+    got = {
+        r["user_id"]: (r["ts"], r["event_id"])
+        for r in spark.read.parquet(state).collect()
+    }
+    want = {
+        r["user_id"]: (r["ts"], r["event_id"])
+        for r in latest_per_key(
+            events_batch, ["user_id"], ["ts", "event_id"]
+        ).collect()
+    }
+    assert got == want  # day-0-only keys survived the simulated crash
+    assert not os.path.exists(state + "._old")  # aside cleaned up
