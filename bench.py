@@ -10,11 +10,14 @@ Each query is materialized with a count-free full execution
 (``write.format("noop")``) so the measured time is the real plan,
 not a count shortcut. Session build / JVM spin-up is excluded.
 
-ALL catalog queries are timed and summed into ``value``, but the JSON
-line's ``queries`` dict carries only the HEADLINE subset: the r1 run
-proved the capture window truncates near 4 KB (BENCH_r01.json held an
-unparseable tail), and 100 entries overflow it. The full per-query
-timings land in ``BENCH_FULL.json`` next to this script.
+ALL catalog queries are timed and summed into ``value``, but the FINAL
+stdout line carries only a compact ``queries`` dict (the worst-10 by
+time): the r1 and r3 runs both proved the driver's capture window
+truncates near 2-4 KB (BENCH_r01/BENCH_r03 held unparseable tails), so
+the machine-readable line must stay well under ~1.5 KB to survive the
+archive. The full per-query timings land in ``BENCH_FULL.json`` next
+to this script, and the HEADLINE per-name map is printed as an earlier
+(human-facing, truncation-tolerant) line.
 
 The catalog is measured in CHUNKS, each in a fresh JVM subprocess:
 a single 100+-query marathon degrades late queries 2-4× (accumulated
@@ -330,20 +333,29 @@ def main() -> None:
     ) as f:
         json.dump({"sf": sf, "queries": timings}, f, sort_keys=True)
 
+    # Human-facing detail first (may be clipped by the driver's capture
+    # window — that's fine, BENCH_FULL.json is the durable record) …
     print(
-        json.dumps(
-            {
-                "metric": "catalog_total",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "n_queries": len(timings),
-                "queries": {
-                    n: timings[n] for n in HEADLINE if n in timings
-                },
-                "sf": sf,
-            }
-        )
+        "HEADLINE "
+        + json.dumps({n: timings[n] for n in HEADLINE if n in timings})
     )
+    # … then the machine-readable summary as the LAST line, sized well
+    # under the driver's ~2 KB capture limit so it always parses.
+    worst = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
+    )
+    compact = json.dumps(
+        {
+            "metric": "catalog_total",
+            "value": round(sum(timings.values()), 3),
+            "unit": "sec",
+            "n_queries": len(timings),
+            "queries": worst,
+            "sf": sf,
+        }
+    )
+    assert len(compact) < 1500, f"bench summary line too long: {len(compact)}"
+    print(compact)
 
 
 if __name__ == "__main__":

@@ -115,3 +115,22 @@ def build_once(path: str, build, marker: str = "_SUCCESS") -> str:
         # Lost the race: another process completed `path` first.
         shutil.rmtree(tmp, ignore_errors=True)
     return path
+
+
+def scratch_path(kind: str, *source_files: str) -> str:
+    """Stable scratch-artifact path keyed on the source files' (path,
+    mtime) — the same snapshot key ``queries_llm._corpus_scratch`` uses
+    for the dedup indexes, generalized to any source table. A new
+    corpus/sf or regenerated testdata changes the key, so stale
+    artifacts are never reused across data vintages."""
+    import hashlib
+    import os
+    import tempfile
+
+    key = hashlib.md5(
+        "|".join(
+            f"{os.path.abspath(s)}@{int(os.stat(s).st_mtime)}"
+            for s in source_files
+        ).encode()
+    ).hexdigest()[:16]
+    return os.path.join(tempfile.gettempdir(), f"spark_graft_{kind}_{key}")

