@@ -289,8 +289,12 @@ def run_chunk(names: list[str]) -> dict[str, float]:
     # Steady-state re-measure: first executions of the heaviest-codegen
     # queries race the C2 JIT against the executor threads, swinging
     # 2-5× run to run. Re-run anything slow and keep the min (bounded:
-    # only the outliers pay a second execution).
-    for name in [n for n, t in timings.items() if t > 2.5]:
+    # only the outliers pay a second execution). The 1.5 s threshold is
+    # set from the r3→r4 drift audit: 1-2 s queries single-shot carried
+    # up to 1.4× pure-JIT noise across rounds (ann_knn_join measured
+    # 0.78 s steady-state vs 1.78 s single-shot), which read as false
+    # regressions in the round-over-round comparison.
+    for name in [n for n, t in timings.items() if t > 1.5]:
         timings[name] = min(timings[name], timed(name))
     return timings
 

@@ -143,3 +143,28 @@ def test_matches_oracle_at_sf0001(spark, name):
     qs, osql = entrymod.queries(), entrymod.oracle_sql()
     problems = compare(qs[name](spark, SF), osql[name], SF)
     assert not problems, f"{name}@sf0.001: " + "; ".join(problems)
+
+
+# The newest statistical families lean hardest on the determinism
+# recipes (exact decimal moments, ordered float folds, common-
+# denominator integer cross products) — prove those survive 10× the
+# gate's data, not just smaller, where accumulation order and decimal
+# headroom are actually stressed.
+SF_UP = "/root/testdata/sf0.1"
+UPSCALE = [
+    "chi_square_type_by_dow",
+    "bollinger_bands_daily",
+    "percent_change_mom",
+    "zipf_frequency_report",
+    "shuffle_hash_join_hint",
+    "mad_order_totals",
+    "mode_priority_by_segment",
+    "approx_distinct_users_daily",
+]
+
+
+@pytest.mark.parametrize("name", UPSCALE)
+def test_matches_oracle_at_sf01(spark, name):
+    qs, osql = entrymod.queries(), entrymod.oracle_sql()
+    problems = compare(qs[name](spark, SF_UP), osql[name], SF_UP)
+    assert not problems, f"{name}@sf0.1: " + "; ".join(problems)

@@ -185,7 +185,7 @@ def test_edit_distance_verify_stays_on_candidates(spark):
     # Levenshtein (JVM expression) runs only on LSH candidates; text
     # lookups are equi-joins — never a corpus×corpus product.
     assert_plan(QS["dedup_edit_distance"](spark, SF_DIR),
-                python_stages=0, cartesian=False)
+                python_stages=0, cartesian=False, shuffles=("<=", 1))
 
 
 def test_ewma_band_join_bounded(spark):
@@ -297,7 +297,8 @@ def test_phash_neardup_banded_join_one_python_stage(spark):
     # One Arrow stage extracts the hash; candidates come from the
     # banded equi-join (pigeonhole-exact), never all-pairs.
     assert_plan(QS["media_phash_neardup"](spark, SF_DIR),
-                cartesian=False, python_stages=("<=", 2))
+                cartesian=False, python_stages=("<=", 2),
+                shuffles=("<=", 1))
 
 
 def test_attribution_banded_equi_join_no_cartesian(spark):
@@ -339,7 +340,8 @@ def test_referential_integrity_broadcast_dims(spark):
     # Dimension parents broadcast into their anti joins; no cartesian
     # beyond the single-row count combiner.
     assert_plan(QS["referential_integrity_report"](spark, SF_DIR),
-                broadcast_joins=(">=", 4), python_stages=0)
+                broadcast_joins=(">=", 4), python_stages=0,
+                shuffles=("<=", 5))
 
 
 def test_training_shard_single_shuffle(spark):
@@ -348,8 +350,18 @@ def test_training_shard_single_shuffle(spark):
 
 
 def test_scd2_point_in_time_fact_keyed_join(spark):
+    # ONE fact-keyed exchange; the validity-interval predicate rides
+    # the equi-join as a residual filter, never a range explosion.
     assert_plan(QS["scd2_point_in_time_join"](spark, SF_DIR),
-                cartesian=False, python_stages=0)
+                cartesian=False, python_stages=0, shuffles=("<=", 1))
+
+
+def test_lm_surprise_filter_bounded_shuffles(spark):
+    # Unigram stats + doc score + threshold broadcast: 5 bounded
+    # exchanges end to end, no Python, no cartesian — pinned so a
+    # rewrite that re-shuffles the corpus per stage surfaces here.
+    assert_plan(QS["lm_surprise_filter"](spark, SF_DIR),
+                cartesian=False, python_stages=0, shuffles=("<=", 5))
 
 
 def test_curriculum_no_corpus_single_partition(spark):
