@@ -165,6 +165,19 @@ HEADLINE = (
     "percent_change_mom",
     "shuffle_hash_join_hint",
     "zipf_frequency_report",
+    # wave 27 (tokenizer/RAG/novelty, drift + bag ops, cohort/seasonality)
+    "bpe_merge_step",
+    "rag_chunk_windows",
+    "ngram_novelty_by_doc",
+    "packing_efficiency_report",
+    "user_activity_entropy",
+    "json_key_drift_daily",
+    "bag_setops_lineitem",
+    "event_cooccurrence_lift",
+    "cohort_ltv_curve",
+    "range_interval_window_user",
+    "funnel_time_to_convert",
+    "seasonal_dow_index",
 )
 
 SKIP: set[str] = set()

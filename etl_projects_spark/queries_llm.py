@@ -2032,3 +2032,194 @@ def zipf_frequency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_types").cast("double") / F.col("n_vocab").cast("double")
         ).alias("type_share"),
     )
+
+
+# =========================================================================
+# Wave 27: tokenizer training, RAG chunking, cross-doc novelty
+# =========================================================================
+
+RAG_CHUNK = 64  # tokens per chunk
+RAG_STRIDE = 48  # chunk start stride (overlap = CHUNK - STRIDE)
+NOVELTY_NGRAM = 8
+
+
+@_q(
+    "bpe_merge_step",
+    """
+    WITH w AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+    p AS (
+      SELECT substr(w, CAST(i AS INT), 2) AS pair
+      FROM w, UNNEST(generate_series(1, length(w) - 1)) t(i)
+      WHERE length(w) >= 2)
+    SELECT pair, COUNT(*) AS n
+    FROM p GROUP BY 1 ORDER BY n DESC, pair LIMIT 20
+    """,
+)
+def bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE training iteration: count every adjacent symbol pair
+    inside words and rank the merge candidates — the inner loop of
+    byte-pair-encoding tokenizer training (the top pair becomes the
+    next merge rule). Character-level here (iteration 0); subsequent
+    iterations substitute the learned symbol table.
+
+    Scale: pair generation is a scan-side higher-order expression
+    (no Python, no join); one count shuffle on 2-char keys with
+    map-side combine (bounded key space = alphabet²), then global
+    top-20 via TakeOrderedAndProject. Deterministic tiebreak
+    (count DESC, pair ASC) keeps the merge-rule sequence reproducible
+    across engines and partitionings — a nondeterministic tiebreak
+    would fork the whole downstream vocab."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(w) - 1),"
+                    " i -> substring(w, i, 2))"
+                )
+            ).alias("pair")
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(20)
+    )
+
+
+@_q(
+    "rag_chunk_windows",
+    f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n
+      FROM documents)
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS chunk_idx,
+           CAST(i * {RAG_STRIDE} AS BIGINT) AS tok_start,
+           CAST(LEAST({RAG_CHUNK}, n - i * {RAG_STRIDE}) AS BIGINT)
+             AS n_toks,
+           md5(array_to_string(
+             list_slice(toks, CAST(i * {RAG_STRIDE} + 1 AS BIGINT),
+                        CAST(i * {RAG_STRIDE}
+                             + LEAST({RAG_CHUNK}, n - i * {RAG_STRIDE})
+                             AS BIGINT)), ' ')) AS chunk_md5
+    FROM t, UNNEST(generate_series(
+             0, CAST(FLOOR((n - 1) / {RAG_STRIDE}) AS BIGINT))) s(i)
+    WHERE n > 0
+    """,
+)
+def rag_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping sliding-window chunking (size {RAG_CHUNK}, stride
+    {RAG_STRIDE}) — the retrieval-corpus preparation step: every doc
+    becomes chunks that overlap by {RAG_CHUNK}-{RAG_STRIDE} tokens so
+    no answer span is ever split across a chunk boundary without also
+    appearing whole in a neighbor. Emits the chunk's global layout
+    (index, token offset, length) plus an md5 of the chunk text — the
+    payload a vector indexer consumes.
+
+    Scale: pure per-row explode (chunks per doc = ceil(n/stride)) —
+    zero shuffles, zero Python; the chunk table inherits the corpus
+    partitioning, ready for a per-partition embedding stage."""
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.split("text", " ").alias("toks"),
+        F.size(F.split("text", " ")).alias("n"),
+    ).filter(F.col("n") > 0)
+    idx = F.explode(
+        F.sequence(
+            F.lit(0).cast("long"),
+            F.floor((F.col("n") - 1) / RAG_STRIDE).cast("long"),
+        )
+    ).alias("chunk_idx")
+    t = t.select("doc_id", "toks", "n", idx)
+    start = F.col("chunk_idx") * RAG_STRIDE
+    ln = F.least(F.lit(RAG_CHUNK), F.col("n") - start)
+    return t.select(
+        "doc_id",
+        "chunk_idx",
+        start.cast("long").alias("tok_start"),
+        ln.cast("long").alias("n_toks"),
+        F.md5(
+            F.concat_ws(
+                " ", F.slice("toks", (start + 1).cast("int"), ln.cast("int"))
+            )
+        ).alias("chunk_md5"),
+    )
+
+
+@_q(
+    "ngram_novelty_by_doc",
+    f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n
+      FROM documents),
+    g AS (
+      SELECT DISTINCT doc_id,
+             md5(array_to_string(
+               list_slice(toks, CAST(i AS BIGINT),
+                          CAST(i + {NOVELTY_NGRAM} - 1 AS BIGINT)),
+               ' ')) AS gram
+      FROM t, UNNEST(generate_series(1, n - {NOVELTY_NGRAM} + 1)) s(i)
+      WHERE n >= {NOVELTY_NGRAM}),
+    f AS (SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY 1)
+    SELECT g.doc_id,
+           COUNT(*) AS n_grams,
+           CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS novelty
+    FROM g JOIN f USING (gram)
+    GROUP BY g.doc_id
+    """,
+)
+def ngram_novelty_by_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a doc's distinct
+    {NOVELTY_NGRAM}-grams whose FIRST corpus occurrence (min doc_id)
+    is this doc — the memorization/boilerplate signal used to rank
+    documents by how much new text they contribute (near-zero novelty
+    = the doc is assembled from already-seen spans; the doc-level
+    complement of chunk dedup).
+
+    Scale: grams are md5'd scan-side (16-byte shuffle keys, never raw
+    text); one aggregate finds each gram's first doc, one equi-join
+    back, one per-doc aggregate — all linear, no pairwise anything.
+    The single novelty division is the only float, computed in the
+    identical expression both engines."""
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.split("text", " ").alias("toks"),
+        F.size(F.split("text", " ")).alias("n"),
+    ).filter(F.col("n") >= NOVELTY_NGRAM)
+    grams = t.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, n - {NOVELTY_NGRAM} + 1),"
+                    f" i -> md5(concat_ws(' ', slice(toks, i,"
+                    f" {NOVELTY_NGRAM}))))"
+                )
+            )
+        ).alias("gram"),
+    )
+    first = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    )
+    return (
+        grams.join(first, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            novel.cast("bigint").alias("n_novel"),
+            (novel.cast("double") / F.count("*")).alias("novelty"),
+        )
+    )

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from etl_projects_spark.operators import dedup, text
-from etl_projects_spark.queries import _q, load
+from etl_projects_spark.queries import QUERIES, _q, load
 
 # Knuth multiplicative hash → uniform-ish [0,1) from a bigint id, exact
 # in both engines (values stay far below 2^63 for our id ranges).
@@ -343,4 +343,61 @@ def training_shard_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("shard").agg(
         F.count("*").alias("n_docs"),
         F.md5(F.concat_ws(",", ordered_ids)).alias("checksum"),
+    )
+
+
+@_q(
+    "packing_efficiency_report",
+    f"""
+    WITH dl AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+    pos AS (
+      SELECT doc_id, dl,
+             COALESCE(SUM(dl) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+      FROM dl),
+    spans AS (
+      SELECT doc_id,
+             CAST(shard_id AS BIGINT) AS shard_id,
+             CAST(GREATEST(start, shard_id * {PACK_BUDGET}) AS BIGINT)
+               AS tok_start,
+             CAST(LEAST(start + dl, (shard_id + 1) * {PACK_BUDGET})
+                  AS BIGINT) AS tok_end
+      FROM pos, UNNEST(generate_series(
+             CAST(FLOOR(start / {PACK_BUDGET}) AS BIGINT),
+             CAST(FLOOR((start + dl - 1) / {PACK_BUDGET}) AS BIGINT)))
+             AS t(shard_id)
+      WHERE dl > 0)
+    SELECT shard_id,
+           COUNT(*) AS n_spans,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           CAST(SUM(tok_end - tok_start) AS BIGINT) AS n_tokens,
+           CAST(SUM(tok_end - tok_start) AS DOUBLE) / {PACK_BUDGET}
+             AS fill_ratio
+    FROM spans GROUP BY shard_id
+    """,
+)
+def packing_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-level audit of the concat-and-cut packing: spans per
+    shard, documents contributing, tokens landed, and fill ratio —
+    the invariant check a data loader runs before training (every
+    shard must be exactly full except the last; a fill_ratio < 1 on
+    an interior shard means the packer dropped tokens). Shares plan
+    AND oracle CTEs with ``pack_token_spans`` by construction, so the
+    two can never silently diverge.
+
+    Scale: the span relation (one range shuffle + broadcast offsets,
+    see ``exec_util.prefix_sum``) plus one aggregate keyed on
+    shard_id — bounded fan-in of ceil(corpus_tokens/budget) keys."""
+    spans = QUERIES["pack_token_spans"](spark, sf_dir)
+    return spans.groupBy("shard_id").agg(
+        F.count("*").alias("n_spans"),
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.sum(F.col("tok_end") - F.col("tok_start"))
+        .cast("bigint")
+        .alias("n_tokens"),
+        (
+            F.sum(F.col("tok_end") - F.col("tok_start")).cast("double")
+            / PACK_BUDGET
+        ).alias("fill_ratio"),
     )

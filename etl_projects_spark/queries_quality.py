@@ -356,3 +356,64 @@ def chi_square_type_by_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_cells",
         fold.alias("chi2"),
     )
+
+
+@_q(
+    "user_activity_entropy",
+    """
+    WITH cells AS (
+      SELECT user_id, event_type, COUNT(*) AS c
+      FROM events GROUP BY 1, 2),
+    folded AS (
+      SELECT user_id,
+             CAST(SUM(c) AS BIGINT) AS n_events,
+             COUNT(*) AS n_types,
+             list(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+                  ORDER BY event_type) AS l
+      FROM cells GROUP BY 1)
+    SELECT user_id, n_events, n_types,
+           ln(CAST(n_events AS DOUBLE))
+             - list_reduce(l, (a, x) -> a + x)
+               / CAST(n_events AS DOUBLE) AS entropy
+    FROM folded
+    """,
+)
+def user_activity_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral entropy over event types — the
+    bot/monoculture detector: H = ln(N) − Σ cᵢ·ln(cᵢ)/N from exact
+    integer counts. H = 0 means a single-action account (scraper,
+    ping); high H means organically mixed activity. Determinism: each
+    cᵢ·ln(cᵢ) term is one float expression per (user, type) cell, the
+    cross-cell sum folds in event_type order (both engines reduce the
+    identically ordered list), and the final H is one identical
+    expression — partitioning cannot perturb it.
+
+    Scale: one shuffle to (user, type) counts with map-side combine,
+    then a per-user fold over ≤ |event types| cells — the fold list is
+    bounded by the type vocabulary, never by event volume."""
+    ev = load(spark, sf_dir, "events")
+    cells = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("c")
+    )
+    term = F.col("c").cast("double") * F.log(F.col("c").cast("double"))
+    folded = cells.select(
+        "user_id", "event_type", term.alias("term"), "c"
+    ).groupBy("user_id").agg(
+        F.sum("c").cast("bigint").alias("n_events"),
+        F.count("*").alias("n_types"),
+        F.array_sort(
+            F.collect_list(F.struct("event_type", "term"))
+        ).alias("l"),
+    )
+    s = F.aggregate(
+        "l", F.lit(0.0), lambda a, x: a + x.getField("term")
+    )
+    return folded.select(
+        "user_id",
+        "n_events",
+        "n_types",
+        (
+            F.log(F.col("n_events").cast("double"))
+            - s / F.col("n_events").cast("double")
+        ).alias("entropy"),
+    )

@@ -1380,3 +1380,300 @@ def shuffle_hash_join_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY c_mktsegment
         """
     )
+
+
+# =========================================================================
+# Wave 27: schema drift, bag set ops, GROUP BY ALL / VALUES surface,
+# co-occurrence lift, cohort LTV
+# =========================================================================
+
+
+@_q(
+    "json_key_drift_daily",
+    """
+    WITH dk AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day,
+             unnest(json_keys(props)) AS key
+      FROM events),
+    nk AS (SELECT day, COUNT(*) AS n_keys FROM dk GROUP BY 1),
+    new AS (
+      SELECT a.day, COUNT(*) AS n_new
+      FROM dk a LEFT JOIN dk b
+        ON b.key = a.key AND b.day = a.day - 1
+      WHERE b.key IS NULL
+      GROUP BY 1)
+    SELECT CAST(nk.day AS VARCHAR) AS day, n_keys,
+           COALESCE(n_new, 0) AS n_new
+    FROM nk LEFT JOIN new ON nk.day = new.day
+    """,
+)
+def json_key_drift_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured schema-drift monitor: the distinct JSON keys in
+    the ``props`` payload per day, plus how many were absent the
+    previous calendar day — the alarm that catches an upstream service
+    silently adding/renaming fields before the new keys hit a typed
+    consumer. Key extraction is JVM-side ``json_object_keys`` (no
+    Python, no full JSON parse into rows).
+
+    Scale: distinct over (day, key) — a shuffle whose key space is
+    days × schema width, NOT event volume (map-side distinct collapses
+    per-partition repeats); the day-over-day anti probe runs on that
+    tiny relation."""
+    ev = load(spark, sf_dir, "events")
+    dk = ev.select(
+        F.to_date("ts").alias("day"),
+        F.explode(F.json_object_keys("props")).alias("key"),
+    ).distinct()
+    nk = dk.groupBy("day").agg(F.count("*").alias("n_keys"))
+    prev = dk.select(F.date_add("day", 1).alias("day"), "key")
+    new = (
+        dk.join(prev, ["day", "key"], "left_anti")
+        .groupBy("day")
+        .agg(F.count("*").alias("n_new"))
+    )
+    return nk.join(new, "day", "left").select(
+        F.col("day").cast("string").alias("day"),
+        "n_keys",
+        F.coalesce("n_new", F.lit(0)).alias("n_new"),
+    )
+
+
+@_q(
+    "bag_setops_lineitem",
+    """
+    WITH a AS (SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'A'),
+    r AS (SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'),
+    ea AS (SELECT l_suppkey FROM a EXCEPT ALL SELECT l_suppkey FROM r),
+    ia AS (SELECT l_suppkey FROM a INTERSECT ALL SELECT l_suppkey FROM r)
+    SELECT 'except_all' AS op, l_suppkey, COUNT(*) AS n
+    FROM ea GROUP BY 2
+    UNION ALL
+    SELECT 'intersect_all' AS op, l_suppkey, COUNT(*) AS n
+    FROM ia GROUP BY 2
+    """,
+)
+def bag_setops_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag (multiset) set operations — EXCEPT ALL / INTERSECT ALL,
+    which preserve duplicate multiplicity where the plain set ops
+    collapse it: per supplier, surplus 'A'-flag line occurrences
+    beyond the 'R' count, and the overlapping multiplicity. The
+    multiplicity semantics (max(m−n,0) / min(m,n)) are what inventory
+    reconciliation and replay-vs-expected stream audits need.
+
+    Scale: Catalyst compiles both to one aggregate-style shuffle on
+    the value (no join explosion); the two branches share the scan
+    via the reused subplan."""
+    li = load(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "A").select("l_suppkey")
+    r = li.filter(F.col("l_returnflag") == "R").select("l_suppkey")
+    ea = (
+        a.exceptAll(r)
+        .groupBy("l_suppkey")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("except_all").alias("op"), "l_suppkey", "n")
+    )
+    ia = (
+        a.intersectAll(r)
+        .groupBy("l_suppkey")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "l_suppkey", "n")
+    )
+    return ea.unionByName(ia)
+
+
+@_q(
+    "groupby_all_revenue",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_extendedprice AS {D})) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem GROUP BY ALL
+    """,
+)
+def groupby_all_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL surface — every non-aggregate select item becomes
+    a grouping key implicitly (the BI-tool codegen convenience both
+    Spark 4 and DuckDB support). Semantically identical to the
+    explicit list; this entry pins that the dialect accepts it and
+    that the implicit keys resolve to the same plan."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem_gba"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS revenue,
+               COUNT(*) AS n_lines
+        FROM lineitem_gba GROUP BY ALL
+        """
+    )
+
+
+@_q(
+    "values_clause_dim_join",
+    f"""
+    SELECT t.tier,
+           CAST(SUM(CAST(o_totalprice AS {D})) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders
+    JOIN (VALUES ('1-URGENT', 'rush'), ('2-HIGH', 'rush'),
+                 ('3-MEDIUM', 'standard'), ('4-NOT SPECIFIED', 'lax'),
+                 ('5-LOW', 'lax')) AS t(priority, tier)
+      ON o_orderpriority = t.priority
+    GROUP BY 1
+    """,
+)
+def values_clause_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inline VALUES dimension — the literal lookup table pattern for
+    small business mappings (priority → SLA tier) that don't merit a
+    stored dim. The literal relation broadcast-joins into the fact
+    scan for free; at 100 TB this is strictly better than a UDF or a
+    CASE ladder because the mapping stays a relation the optimizer
+    can reorder, prune, and reuse."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_vals")
+    return spark.sql(
+        """
+        SELECT t.tier,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS revenue,
+               COUNT(*) AS n_orders
+        FROM orders_vals
+        JOIN (VALUES ('1-URGENT', 'rush'), ('2-HIGH', 'rush'),
+                     ('3-MEDIUM', 'standard'), ('4-NOT SPECIFIED', 'lax'),
+                     ('5-LOW', 'lax')) AS t(priority, tier)
+          ON o_orderpriority = t.priority
+        GROUP BY t.tier
+        """
+    )
+
+
+@_q(
+    "event_cooccurrence_lift",
+    """
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    singles AS (SELECT event_type, COUNT(*) AS n_t FROM ut GROUP BY 1),
+    tot AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM ut),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             COUNT(*) AS n_ab
+      FROM ut a JOIN ut b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2)
+    SELECT type_a, type_b, n_ab,
+           CAST(n_ab AS DOUBLE) * n_users
+             / (CAST(sa.n_t AS DOUBLE) * sb.n_t) AS lift
+    FROM pairs
+    JOIN singles sa ON sa.event_type = type_a
+    JOIN singles sb ON sb.event_type = type_b
+    CROSS JOIN tot
+    """,
+)
+def event_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket lift between event types: P(a∧b)/(P(a)·P(b)) over
+    users, from exact integer co-occurrence counts — lift > 1 means
+    the behaviors attract (view→purchase), < 1 they repel. The
+    association-rule primitive, computed set-exactly.
+
+    Scale: the self-join runs on the DISTINCT (user, type) relation —
+    bounded at users × |type vocabulary|, with per-user fan-out ≤
+    |types|² (tiny constant), never event × event. That relation feeds
+    four consumers (both join sides, the marginals, the user total),
+    so it is materialized once — without the cache each consumer would
+    re-scan and re-distinct the full fact table. One float expression
+    per output row; counts broadcast."""
+    from etl_projects_spark.operators.exec_util import materialize
+
+    ev = load(spark, sf_dir, "events")
+    ut = materialize(ev.select("user_id", "event_type").distinct())
+    singles = ut.groupBy("event_type").agg(F.count("*").alias("n_t"))
+    tot = ut.agg(F.count_distinct("user_id").alias("n_users"))
+    b = ut.select(
+        F.col("user_id").alias("uid_b"), F.col("event_type").alias("type_b")
+    )
+    pairs = (
+        ut.join(
+            b,
+            (F.col("user_id") == F.col("uid_b"))
+            & (F.col("event_type") < F.col("type_b")),
+        )
+        .groupBy(F.col("event_type").alias("type_a"), "type_b")
+        .agg(F.count("*").alias("n_ab"))
+    )
+    sa = singles.select(
+        F.col("event_type").alias("type_a"), F.col("n_t").alias("n_a")
+    )
+    sb = singles.select(
+        F.col("event_type").alias("type_b"), F.col("n_t").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "type_a",
+            "type_b",
+            "n_ab",
+            (
+                F.col("n_ab").cast("double") * F.col("n_users")
+                / (F.col("n_a").cast("double") * F.col("n_b"))
+            ).alias("lift"),
+        )
+    )
+
+
+@_q(
+    "cohort_ltv_curve",
+    f"""
+    WITH o AS (
+      SELECT o_custkey,
+             year(o_orderdate) * 12 + month(o_orderdate) AS m,
+             o_totalprice
+      FROM orders),
+    cohort AS (SELECT o_custkey, MIN(m) AS cm FROM o GROUP BY 1),
+    g AS (
+      SELECT cm, o.m - cm AS age,
+             CAST(SUM(CAST(o_totalprice AS {D})) AS {D}) AS rev
+      FROM o JOIN cohort USING (o_custkey)
+      GROUP BY 1, 2)
+    SELECT cm AS cohort_month, age,
+           CAST(rev AS DOUBLE) AS revenue,
+           CAST(SUM(rev) OVER (PARTITION BY cm ORDER BY age
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS cum_revenue
+    FROM g
+    """,
+)
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: customers grouped by first-order
+    month, revenue accumulated by months-since-first-order — the
+    retention-economics table behind every LTV dashboard. The cumsum
+    runs in exact DECIMAL over the (cohort × age) relation and casts
+    to double only on emit.
+
+    Scale: one aggregate to per-customer first month (map-side
+    combinable), one fact-keyed join + aggregate to cohort × age
+    (calendar-bounded: months²), then a window over that tiny
+    relation — the fact table never enters a window."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("m"),
+        "o_totalprice",
+    )
+    cohort = o.groupBy("o_custkey").agg(F.min("m").alias("cm"))
+    g = (
+        o.join(cohort, "o_custkey")
+        .groupBy("cm", (F.col("m") - F.col("cm")).alias("age"))
+        .agg(F.sum(dec("o_totalprice")).cast(D).alias("rev"))
+    )
+    w = (
+        W.partitionBy("cm")
+        .orderBy("age")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return g.select(
+        F.col("cm").alias("cohort_month"),
+        "age",
+        F.col("rev").cast("double").alias("revenue"),
+        F.sum("rev").over(w).cast("double").alias("cum_revenue"),
+    )

@@ -805,3 +805,178 @@ def bollinger_bands_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         (mean + F.lit(2.0) * sigma).alias("upper"),
         (mean - F.lit(2.0) * sigma).alias("lower"),
     )
+
+
+# =========================================================================
+# Wave 27: time-range window frames, conversion latency, seasonality
+# =========================================================================
+
+
+@_q(
+    "range_interval_window_user",
+    """
+    WITH e AS (
+      SELECT event_id, user_id, CAST(epoch(ts) AS BIGINT) AS sec,
+             CAST(value AS DECIMAL(18,2)) AS v
+      FROM events)
+    SELECT event_id,
+           COUNT(*) OVER w AS n_prev_hour,
+           CAST(SUM(v) OVER w AS DOUBLE) AS sum_value_hour
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY sec
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+)
+def range_interval_window_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-range window frame: per event, the same user's activity in
+    the trailing hour (count + value sum, self included) — the rate-
+    limit / burst-detection feature that ROWS frames cannot express
+    (a row frame counts neighbors, not elapsed time). The frame is
+    value-based on epoch seconds, so tied timestamps are all included
+    regardless of physical row order — the property that makes the
+    result partition-invariant where a ROWS frame would be
+    nondeterministic under ties.
+
+    Scale: one shuffle on user_id; per-user frames slide in one sorted
+    pass (Spark's range-frame executor keeps only the in-frame buffer,
+    bounded by events-per-user-per-hour, not history)."""
+    ev = load(spark, sf_dir, "events")
+    e = ev.select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("timestamp").cast("long").alias("sec"),
+        dec("value").alias("v"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-3600, W.currentRow)
+    )
+    return e.select(
+        "event_id",
+        F.count("*").over(w).alias("n_prev_hour"),
+        F.sum("v").over(w).cast("double").alias("sum_value_hour"),
+    )
+
+
+@_q(
+    "funnel_time_to_convert",
+    """
+    WITH clicks AS (
+      SELECT user_id, MIN(ts) AS fc FROM events
+      WHERE event_type = 'click' GROUP BY 1),
+    conv AS (
+      SELECT e.user_id, fc, MIN(ts) AS fp
+      FROM events e JOIN clicks USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts >= fc
+      GROUP BY 1, 2),
+    d AS (
+      SELECT dayofweek(fc) + 1 AS click_dow,
+             epoch_us(fp) - epoch_us(fc) AS delta_us
+      FROM conv)
+    SELECT click_dow,
+           COUNT(*) AS n_converted,
+           CAST(quantile_disc(delta_us, 0.5) AS BIGINT) AS median_us,
+           CAST(SUM(delta_us) AS DOUBLE) / COUNT(*) / 1000000.0
+             AS avg_sec
+    FROM d GROUP BY 1
+    """,
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion latency: for every user, seconds from their FIRST
+    click to their first purchase at-or-after it, summarized per
+    day-of-week of the click — the time-to-convert distribution
+    behind funnel SLAs. Median is ``percentile_disc`` (an actual data
+    value — exact and engine-portable, unlike interpolated quantiles);
+    deltas are exact integer MICROseconds (a seconds cast differs per
+    engine: Spark truncates sub-second fractions where DuckDB's
+    BIGINT cast rounds), and the mean divides the exact micro sum
+    once. (Spark's dayofweek is Sunday=1; DuckDB's Sunday=0 — the
+    oracle adds 1.)
+
+    Scale: two per-user aggregates (map-side combinable) and one
+    user-keyed join — never an event×event inequality join; the
+    summary relation is 7 rows."""
+    ev = load(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fc"))
+    )
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(clicks, "user_id")
+        .filter(F.col("ts") >= F.col("fc"))
+        .groupBy("user_id", "fc")
+        .agg(F.min("ts").alias("fp"))
+    )
+    delta = F.unix_micros(F.col("fp").cast("timestamp")) - F.unix_micros(
+        F.col("fc").cast("timestamp")
+    )
+    d = conv.select(
+        F.dayofweek("fc").alias("click_dow"), delta.alias("delta_us")
+    )
+    return d.groupBy("click_dow").agg(
+        F.count("*").alias("n_converted"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY delta_us)")
+        .cast("bigint")
+        .alias("median_us"),
+        (
+            F.sum("delta_us").cast("double") / F.count("*") / 1000000.0
+        ).alias("avg_sec"),
+    )
+
+
+@_q(
+    "seasonal_dow_index",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS v
+      FROM events GROUP BY 1),
+    per_dow AS (
+      SELECT dayofweek(day) + 1 AS dow,
+             COUNT(*) AS n_days,
+             CAST(SUM(v) AS DECIMAL(38,2)) AS tot
+      FROM daily GROUP BY 1),
+    g AS (SELECT CAST(SUM(tot) AS DECIMAL(38,2)) AS g_tot,
+                 CAST(SUM(n_days) AS BIGINT) AS g_days
+          FROM per_dow)
+    SELECT dow, n_days,
+           CAST(tot AS DOUBLE) / n_days AS avg_daily_value,
+           (CAST(tot AS DOUBLE) / n_days)
+             / (CAST(g_tot AS DOUBLE) / g_days) AS seasonal_index
+    FROM per_dow CROSS JOIN g
+    """,
+)
+def seasonal_dow_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality index: average daily event value per
+    weekday divided by the overall average daily value — index > 1 =
+    structurally busy day. The multiplicative-decomposition seasonal
+    factor every capacity-planning and anomaly-detection baseline
+    starts from. All cross-row sums are exact DECIMAL; each output's
+    two divisions are one identical float expression per engine.
+
+    Scale: day-level aggregate (one shuffle), 7-row weekday rollup,
+    one broadcast scalar — the fact table is scanned once."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(dec("value")).cast("decimal(18,2)").alias("v")
+    )
+    per_dow = daily.groupBy(F.dayofweek("day").alias("dow")).agg(
+        F.count("*").alias("n_days"),
+        F.sum("v").cast("decimal(38,2)").alias("tot"),
+    )
+    g = per_dow.agg(
+        F.sum("tot").cast("decimal(38,2)").alias("g_tot"),
+        F.sum("n_days").cast("bigint").alias("g_days"),
+    )
+    avg = F.col("tot").cast("double") / F.col("n_days")
+    return per_dow.crossJoin(F.broadcast(g)).select(
+        "dow",
+        "n_days",
+        avg.alias("avg_daily_value"),
+        (avg / (F.col("g_tot").cast("double") / F.col("g_days"))).alias(
+            "seasonal_index"
+        ),
+    )

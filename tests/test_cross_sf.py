@@ -135,6 +135,21 @@ REPRESENTATIVE = [
     "percent_change_mom",
     "shuffle_hash_join_hint",
     "zipf_frequency_report",
+    # wave 27
+    "bpe_merge_step",
+    "rag_chunk_windows",
+    "ngram_novelty_by_doc",
+    "packing_efficiency_report",
+    "user_activity_entropy",
+    "json_key_drift_daily",
+    "bag_setops_lineitem",
+    "groupby_all_revenue",
+    "values_clause_dim_join",
+    "event_cooccurrence_lift",
+    "cohort_ltv_curve",
+    "range_interval_window_user",
+    "funnel_time_to_convert",
+    "seasonal_dow_index",
 ]
 
 

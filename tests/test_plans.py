@@ -184,6 +184,10 @@ def test_semdedup_reads_materialized_index(spark):
 def test_edit_distance_verify_stays_on_candidates(spark):
     # Levenshtein (JVM expression) runs only on LSH candidates; text
     # lookups are equi-joins — never a corpus×corpus product.
+    # Shuffle count is only meaningful on a cold plan: a warm cache
+    # from an earlier test re-prints the cached subtree's lineage and
+    # inflates the textual Exchange count.
+    spark.catalog.clearCache()
     assert_plan(QS["dedup_edit_distance"](spark, SF_DIR),
                 python_stages=0, cartesian=False, shuffles=("<=", 1))
 
@@ -449,3 +453,39 @@ def test_shuffle_hash_hint_changes_strategy(spark):
 
     plan = plan_string(QS["shuffle_hash_join_hint"](spark, SF_DIR))
     assert "ShuffledHashJoin" in plan
+
+
+def test_rag_chunk_windows_shuffle_free(spark):
+    # Pure per-row explode: the chunk table inherits corpus
+    # partitioning — zero exchanges, zero Python.
+    assert_plan(QS["rag_chunk_windows"](spark, SF_DIR),
+                shuffles=0, python_stages=0, cartesian=False)
+
+
+def test_bpe_merge_step_topk_pushdown(spark):
+    # One count shuffle on 2-char keys, global top-20 via
+    # TakeOrderedAndProject — never a full sort.
+    assert_plan(QS["bpe_merge_step"](spark, SF_DIR),
+                shuffles=("<=", 1), python_stages=0,
+                top_k_pushdown=True)
+
+
+def test_ngram_novelty_linear_joins(spark):
+    # md5 grams → first-doc agg → equi-join back: linear, two
+    # bounded exchanges, nothing pairwise.
+    assert_plan(QS["ngram_novelty_by_doc"](spark, SF_DIR),
+                shuffles=("<=", 2), python_stages=0, cartesian=False)
+
+
+def test_range_interval_window_single_shuffle(spark):
+    # Value-based range frame: one exchange on user_id, frames slide
+    # in a single sorted pass.
+    assert_plan(QS["range_interval_window_user"](spark, SF_DIR),
+                shuffles=("<=", 1), python_stages=0, cartesian=False)
+
+
+def test_values_dim_join_broadcasts_literal(spark):
+    # The inline VALUES relation must broadcast into the fact scan.
+    assert_plan(QS["values_clause_dim_join"](spark, SF_DIR),
+                broadcast_joins=(">=", 1), shuffles=("<=", 1),
+                python_stages=0)
