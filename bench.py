@@ -178,6 +178,10 @@ HEADLINE = (
     "range_interval_window_user",
     "funnel_time_to_convert",
     "seasonal_dow_index",
+    "split_contamination_report",
+    "minhash_jaccard_estimate",
+    "share_of_parent_revenue",
+    "embedding_norm_topk",
 )
 
 SKIP: set[str] = set()

@@ -1427,3 +1427,106 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("group_size"),
         (F.count("*") < 10).alias("below_k"),
     )
+
+
+CONTAM_NGRAM = 8
+
+
+@_q(
+    "split_contamination_report",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n,
+             CASE WHEN {mix_unit_sql("doc_id")} < 0.96 THEN 'train'
+                  WHEN {mix_unit_sql("doc_id")} < 0.98 THEN 'valid'
+                  ELSE 'test' END AS split
+      FROM documents),
+    g AS (
+      SELECT DISTINCT doc_id, source, split,
+             md5(array_to_string(
+               list_slice(toks, CAST(i AS BIGINT),
+                          CAST(i + {CONTAM_NGRAM} - 1 AS BIGINT)),
+               ' ')) AS gram
+      FROM t, UNNEST(generate_series(1, n - {CONTAM_NGRAM} + 1)) s(i)
+      WHERE n >= {CONTAM_NGRAM}),
+    tr AS (SELECT DISTINCT gram FROM g WHERE split = 'train'),
+    te AS (SELECT doc_id, source, gram FROM g WHERE split = 'test'),
+    hit AS (
+      SELECT DISTINCT te.doc_id
+      FROM te JOIN tr USING (gram)),
+    docs AS (
+      SELECT source, doc_id FROM t
+      WHERE split = 'test' AND n >= {CONTAM_NGRAM})
+    SELECT d.source,
+           COUNT(*) AS n_test_docs,
+           CAST(SUM(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_contaminated,
+           CAST(SUM(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS contamination_rate
+    FROM docs d LEFT JOIN hit h ON d.doc_id = h.doc_id
+    GROUP BY 1
+    """,
+)
+def split_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train→test leakage audit on the deterministic 96/2/2 split: a
+    test document is CONTAMINATED if any of its {CONTAM_NGRAM}-grams
+    also occurs in any train document — the decontamination check run
+    before every evaluation (complements ``contamination_probe``,
+    which checks fixed external benchmark strings; this one sweeps the
+    corpus's own held-out split). Reports per-source test-doc counts
+    and contamination rate.
+
+    Scale: grams are md5'd scan-side; the train gram set is reached by
+    a SEMI join from the (far smaller, 2%) test gram relation — the
+    probe is test-sized, the train side is the big-but-linear build.
+    Nothing pairwise; the same shape as the dedup band joins."""
+    docs = load(spark, sf_dir, "documents")
+    u = mix_unit("doc_id")
+    split = (
+        F.when(u < 0.96, F.lit("train"))
+        .when(u < 0.98, F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+    t = docs.select(
+        "doc_id",
+        "source",
+        split.alias("split"),
+        F.split("text", " ").alias("toks"),
+        F.size(F.split("text", " ")).alias("n"),
+    ).filter(F.col("n") >= CONTAM_NGRAM)
+    grams = t.select(
+        "doc_id",
+        "source",
+        "split",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, n - {CONTAM_NGRAM} + 1),"
+                    f" i -> md5(concat_ws(' ', slice(toks, i,"
+                    f" {CONTAM_NGRAM}))))"
+                )
+            )
+        ).alias("gram"),
+    )
+    tr = grams.filter(F.col("split") == "train").select("gram").distinct()
+    te = grams.filter(F.col("split") == "test")
+    hit = (
+        te.join(tr, "gram", "semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("contam", F.lit(1))
+    )
+    test_docs = t.filter(F.col("split") == "test").select("source", "doc_id")
+    contam = F.sum(F.coalesce("contam", F.lit(0)))
+    return (
+        test_docs.join(hit, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_test_docs"),
+            contam.cast("bigint").alias("n_contaminated"),
+            (contam.cast("double") / F.count("*")).alias(
+                "contamination_rate"
+            ),
+        )
+    )

@@ -2223,3 +2223,81 @@ def ngram_novelty_by_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
             (novel.cast("double") / F.count("*")).alias("novelty"),
         )
     )
+
+
+@_q(
+    "minhash_jaccard_estimate",
+    f"""
+    WITH {dedup.lsh_cand_cte()},
+    sizes AS (SELECT id, count(*) AS n_sh FROM shingles GROUP BY id),
+    com AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS c
+      FROM shingles a JOIN shingles b
+        ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY 1, 2),
+    m AS (
+      SELECT cand.id_a, cand.id_b,
+             ({" + ".join(f"CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END"
+                          for i in range(8))}) AS matches
+      FROM cand JOIN sigs a ON a.id = cand.id_a
+                JOIN sigs b ON b.id = cand.id_b)
+    SELECT m.id_a, m.id_b, matches,
+           CAST(matches AS DOUBLE) / 8.0 AS est_jaccard,
+           CAST(COALESCE(c, 0) AS BIGINT) AS n_common,
+           CAST(x.n_sh + y.n_sh - COALESCE(c, 0) AS BIGINT) AS n_union,
+           CAST(COALESCE(c, 0) AS DOUBLE)
+             / (x.n_sh + y.n_sh - COALESCE(c, 0)) AS exact_jaccard
+    FROM m
+    LEFT JOIN com ON com.id_a = m.id_a AND com.id_b = m.id_b
+    JOIN sizes x ON x.id = m.id_a
+    JOIN sizes y ON y.id = m.id_b
+    """,
+)
+def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch calibration for the MinHash family: per LSH candidate
+    pair, the signature-agreement Jaccard ESTIMATE (matching
+    components / k — the only similarity a signature-store can compute
+    without the raw sets) next to the exact set Jaccard — the table
+    that tells you whether k=8 is enough hashes for your threshold,
+    and the falsifiability bridge between the sketch and the truth
+    (every column is exact integer math plus one division, so the
+    whole calibration is hash-checked cross-engine).
+
+    Scale: candidates come from the banded self-equi-join (bounded
+    buckets, never all-pairs); the estimate is a per-pair projection
+    over the already-joined signatures; the exact side is
+    candidate-local ``array_intersect`` over cached shingle sets —
+    exactly the verify cost the dedup pipeline already pays."""
+    docs = load(spark, sf_dir, "documents")
+    sets = dedup.materialize(dedup.word_shingle_sets(docs))
+    sigs = dedup.minhash_signatures_from_sets(sets)
+    cand = dedup.lsh_candidate_pairs(sigs)
+    sa = sigs.select(
+        F.col("id").alias("id_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(8)]
+    )
+    sb = sigs.select(
+        F.col("id").alias("id_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(8)]
+    )
+    seta = sets.select(F.col("id").alias("id_a"), F.col("sh_set").alias("set_a"))
+    setb = sets.select(F.col("id").alias("id_b"), F.col("sh_set").alias("set_b"))
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(8)
+    )
+    common = F.size(F.array_intersect("set_a", "set_b"))
+    union = F.size("set_a") + F.size("set_b") - common
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .join(seta, "id_a")
+        .join(setb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            matches.alias("matches"),
+            (matches.cast("double") / 8.0).alias("est_jaccard"),
+            common.cast("bigint").alias("n_common"),
+            union.cast("bigint").alias("n_union"),
+            (common.cast("double") / union).alias("exact_jaccard"),
+        )
+    )

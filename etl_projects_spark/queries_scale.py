@@ -590,3 +590,46 @@ def runtime_bloom_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             else:
                 spark.conf.set(k, v)
     return spark.read.parquet(out)
+
+
+@_q(
+    "embedding_norm_topk",
+    """
+    WITH n AS (
+      SELECT vec_id, label, len(embedding) AS dim,
+             sqrt(list_reduce(
+               list_transform(embedding,
+                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+               (a, b) -> a + b)) AS l2_norm
+      FROM embeddings)
+    SELECT vec_id, label, dim, l2_norm
+    FROM n ORDER BY l2_norm DESC, vec_id LIMIT 20
+    """,
+)
+def embedding_norm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding L2-norm outlier scan: the top-20 vectors by norm —
+    the sanity probe run before cosine-based dedup/ANN (a handful of
+    huge-norm vectors usually means an un-normalized encoder batch or
+    corrupted rows, and they poison dot-product top-k). The norm folds
+    each vector's squares in POSITION order with a 0-init (0 + s₁ ≡ s₁,
+    so Spark's seeded fold and DuckDB's seedless reduce are
+    IEEE-identical), making the float fully deterministic; ordering
+    ties break on vec_id.
+
+    Scale: row-local JVM higher-order functions over the vector column
+    — zero shuffles, zero Python; top-20 via TakeOrderedAndProject."""
+    emb = load(spark, sf_dir, "embeddings")
+    sq = F.transform(
+        "embedding", lambda x: x.cast("double") * x.cast("double")
+    )
+    norm = F.sqrt(F.aggregate(sq, F.lit(0.0), lambda a, s: a + s))
+    return (
+        emb.select(
+            "vec_id",
+            "label",
+            F.size("embedding").alias("dim"),
+            norm.alias("l2_norm"),
+        )
+        .orderBy(F.desc("l2_norm"), "vec_id")
+        .limit(20)
+    )

@@ -1677,3 +1677,69 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rev").cast("double").alias("revenue"),
         F.sum("rev").over(w).cast("double").alias("cum_revenue"),
     )
+
+
+@_q(
+    "share_of_parent_revenue",
+    f"""
+    WITH g AS (
+      SELECT n_name, year(o_orderdate) AS o_year,
+             CAST(SUM(CAST(o_totalprice AS {D})) AS DECIMAL(38,2)) AS rev
+      FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2),
+    w AS (
+      SELECT n_name, o_year, rev,
+             CAST(SUM(rev) OVER (PARTITION BY n_name) AS DECIMAL(38,2))
+               AS nation_rev,
+             CAST(SUM(rev) OVER () AS DECIMAL(38,2)) AS grand_rev
+      FROM g)
+    SELECT n_name, o_year,
+           CAST(rev AS DOUBLE) AS revenue,
+           CAST(rev AS DOUBLE) / CAST(nation_rev AS DOUBLE)
+             AS share_of_nation,
+           CAST(nation_rev AS DOUBLE) / CAST(grand_rev AS DOUBLE)
+             AS nation_share_of_total
+    FROM w
+    """,
+)
+def share_of_parent_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-parent ratios down a dimension hierarchy: each
+    (nation, year) cell's share of its nation, and each nation's share
+    of the grand total — the percent-of-parent metric every drill-down
+    BI view shows next to the raw measure. All cross-row sums are
+    exact DECIMAL window aggregates over the already-aggregated cell
+    relation; each share is one float division on emit.
+
+    Scale: dims broadcast into the fact aggregate (one shuffle); the
+    windows run over nations × years cells, never fact rows."""
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    g = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(dec("o_totalprice")).cast("decimal(38,2)").alias("rev"))
+    )
+    nation_rev = (
+        F.sum("rev").over(W.partitionBy("n_name")).cast("decimal(38,2)")
+    )
+    grand_rev = F.sum("rev").over(W.partitionBy()).cast("decimal(38,2)")
+    w = g.select("n_name", "o_year", "rev",
+                 nation_rev.alias("nation_rev"), grand_rev.alias("grand_rev"))
+    return w.select(
+        "n_name",
+        "o_year",
+        F.col("rev").cast("double").alias("revenue"),
+        (F.col("rev").cast("double") / F.col("nation_rev").cast("double"))
+        .alias("share_of_nation"),
+        (
+            F.col("nation_rev").cast("double")
+            / F.col("grand_rev").cast("double")
+        ).alias("nation_share_of_total"),
+    )

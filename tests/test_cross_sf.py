@@ -150,6 +150,10 @@ REPRESENTATIVE = [
     "range_interval_window_user",
     "funnel_time_to_convert",
     "seasonal_dow_index",
+    "split_contamination_report",
+    "minhash_jaccard_estimate",
+    "share_of_parent_revenue",
+    "embedding_norm_topk",
 ]
 
 

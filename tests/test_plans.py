@@ -489,3 +489,17 @@ def test_values_dim_join_broadcasts_literal(spark):
     assert_plan(QS["values_clause_dim_join"](spark, SF_DIR),
                 broadcast_joins=(">=", 1), shuffles=("<=", 1),
                 python_stages=0)
+
+
+def test_embedding_norm_topk_rowlocal(spark):
+    # Row-local HOF norm + TakeOrderedAndProject: no exchange at all.
+    assert_plan(QS["embedding_norm_topk"](spark, SF_DIR),
+                shuffles=0, python_stages=0, top_k_pushdown=True)
+
+
+def test_contamination_semi_probe_no_pairwise(spark):
+    # Train grams reached by a semi/equi probe from the 2% test side —
+    # never a pairwise text join.
+    spark.catalog.clearCache()
+    assert_plan(QS["split_contamination_report"](spark, SF_DIR),
+                cartesian=False, python_stages=0, shuffles=("<=", 3))
