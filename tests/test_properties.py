@@ -311,3 +311,96 @@ def test_kmv_exact_when_sets_fit_in_sketch(spark):
         a, b = users[ta], users[tb]
         exact = len(a & b) / len(a | b)
         assert abs(got[(ta, tb)] - exact) < 1e-12, (ta, tb, got[(ta, tb)], exact)
+
+
+def test_rag_chunks_cover_every_token(spark):
+    """Chunk-coverage invariant: the union of [tok_start, tok_start +
+    n_toks) ranges covers [0, n) for every doc with no gaps, every
+    chunk is non-empty and ≤ CHUNK tokens, consecutive starts step by
+    STRIDE, and interior chunks are exactly CHUNK long — the contract
+    a retrieval index relies on (no answer span falls in a hole)."""
+    from etl_projects_spark.queries import QUERIES, load
+    from etl_projects_spark.queries_llm import RAG_CHUNK, RAG_STRIDE
+
+    sf = "/root/testdata/sf0.001"
+    n_toks = {
+        r["doc_id"]: r["n"]
+        for r in load(spark, sf, "documents")
+        .selectExpr("doc_id", "size(split(text, ' ')) AS n")
+        .collect()
+    }
+    chunks: dict[int, list] = {}
+    for r in QUERIES["rag_chunk_windows"](spark, sf).collect():
+        chunks.setdefault(r["doc_id"], []).append(r)
+    assert set(chunks) == {d for d, n in n_toks.items() if n > 0}
+    for doc, rows in chunks.items():
+        rows.sort(key=lambda r: r["chunk_idx"])
+        n = n_toks[doc]
+        for i, r in enumerate(rows):
+            assert r["chunk_idx"] == i
+            assert r["tok_start"] == i * RAG_STRIDE
+            assert 1 <= r["n_toks"] <= RAG_CHUNK
+            if r["tok_start"] + RAG_CHUNK <= n:
+                assert r["n_toks"] == RAG_CHUNK  # interior chunk full
+            assert r["tok_start"] + r["n_toks"] <= n
+        last = rows[-1]
+        assert last["tok_start"] + last["n_toks"] == n  # reaches the end
+        # no gap: each next chunk starts inside (or at the edge of) the
+        # previous chunk's range
+        for a, b in zip(rows, rows[1:]):
+            assert b["tok_start"] <= a["tok_start"] + a["n_toks"]
+
+
+def test_packing_shards_full_except_last(spark):
+    """Packing invariant the efficiency report audits: every shard but
+    the highest-numbered is exactly full (fill_ratio == 1), tokens sum
+    to the corpus token count, and no shard is empty."""
+    from etl_projects_spark.queries import QUERIES, load
+
+    sf = "/root/testdata/sf0.001"
+    rows = sorted(
+        QUERIES["packing_efficiency_report"](spark, sf).collect(),
+        key=lambda r: r["shard_id"],
+    )
+    assert rows
+    total = load(spark, sf, "documents").selectExpr(
+        "sum(size(split(text, ' '))) AS t"
+    ).collect()[0]["t"]
+    assert sum(r["n_tokens"] for r in rows) == total
+    assert [r["shard_id"] for r in rows] == list(range(len(rows)))
+    for r in rows[:-1]:
+        assert r["fill_ratio"] == 1.0, r
+    assert 0 < rows[-1]["fill_ratio"] <= 1.0
+
+
+def test_activity_entropy_bounds(spark):
+    """0 ≤ H ≤ ln(n_types) for every user, with H == 0 exactly when
+    the user has a single event type."""
+    import math
+
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["user_activity_entropy"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert -1e-12 <= r["entropy"] <= math.log(r["n_types"]) + 1e-12, r
+        if r["n_types"] == 1:
+            assert r["entropy"] == 0.0, r
+
+
+def test_minhash_estimate_matches_signature_agreement(spark):
+    """The estimate column must equal matches/k exactly, and exact
+    Jaccard must equal n_common/n_union — per construction, so any
+    drift means the signature path and the set path diverged."""
+    from etl_projects_spark.queries import QUERIES
+
+    rows = QUERIES["minhash_jaccard_estimate"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r["est_jaccard"] == r["matches"] / 8.0
+        assert abs(r["exact_jaccard"] - r["n_common"] / r["n_union"]) < 1e-15
+        assert 0 <= r["matches"] <= 8
