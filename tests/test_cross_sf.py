@@ -179,6 +179,13 @@ UPSCALE = [
     "mad_order_totals",
     "mode_priority_by_segment",
     "approx_distinct_users_daily",
+    # wave 27 + late additions: entropy log-sums, ordered vector folds,
+    # first-occurrence novelty ratios, lift ratios, dayofweek mapping
+    "user_activity_entropy",
+    "embedding_norm_topk",
+    "ngram_novelty_by_doc",
+    "event_cooccurrence_lift",
+    "seasonal_dow_index",
 ]
 
 
