@@ -2188,8 +2188,11 @@ def ngram_novelty_by_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     complement of chunk dedup).
 
     Scale: grams are md5'd scan-side (16-byte shuffle keys, never raw
-    text); one aggregate finds each gram's first doc, one equi-join
-    back, one per-doc aggregate — all linear, no pairwise anything.
+    text); each gram's first doc is a ``min() OVER (PARTITION BY
+    gram)`` window, so the corpus is scanned and exploded ONCE and the
+    gram relation crosses the wire once (the aggregate+join-back
+    formulation scans twice and shuffles the gram relation ~1.7×),
+    then one per-doc aggregate — all linear, no pairwise anything.
     The single novelty division is the only float, computed in the
     identical expression both engines."""
     docs = load(spark, sf_dir, "documents")
@@ -2210,12 +2213,12 @@ def ngram_novelty_by_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("gram"),
     )
-    first = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    first_doc = F.min("doc_id").over(W.partitionBy("gram"))
     novel = F.sum(
         F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
     )
     return (
-        grams.join(first, "gram")
+        grams.withColumn("first_doc", first_doc)
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_grams"),

@@ -471,8 +471,8 @@ def test_bpe_merge_step_topk_pushdown(spark):
 
 
 def test_ngram_novelty_linear_joins(spark):
-    # md5 grams → first-doc agg → equi-join back: linear, two
-    # bounded exchanges, nothing pairwise.
+    # md5 grams → min-over-gram window → per-doc agg: single corpus
+    # scan, two bounded exchanges, nothing pairwise, no join at all.
     assert_plan(QS["ngram_novelty_by_doc"](spark, SF_DIR),
                 shuffles=("<=", 2), python_stages=0, cartesian=False)
 
