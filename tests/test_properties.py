@@ -404,3 +404,84 @@ def test_minhash_estimate_matches_signature_agreement(spark):
         assert r["est_jaccard"] == r["matches"] / 8.0
         assert abs(r["exact_jaccard"] - r["n_common"] / r["n_union"]) < 1e-15
         assert 0 <= r["matches"] <= 8
+
+
+def test_cohort_ltv_curve_monotone(spark):
+    """LTV-curve invariants: the cumulative column is the exact
+    running sum of revenues in age order (so it never decreases —
+    revenue is non-negative), every cohort starts at age 0 with
+    cum == revenue (the cohort month IS the first-order month), and
+    ages are non-negative."""
+    import __spark_entry__ as entrymod
+
+    by_cohort: dict[int, list] = {}
+    for r in entrymod.queries()["cohort_ltv_curve"](
+        spark, "/root/testdata/sf0.001"
+    ).collect():
+        by_cohort.setdefault(r["cohort_month"], []).append(r)
+    assert by_cohort
+    for cm, rows in by_cohort.items():
+        rows.sort(key=lambda r: r["age"])
+        assert rows[0]["age"] == 0, cm
+        assert rows[0]["cum_revenue"] == rows[0]["revenue"], cm
+        run = 0.0
+        for r in rows:
+            assert r["age"] >= 0 and r["revenue"] >= 0, r
+            run += r["revenue"]
+            # exact-DECIMAL cumsum cast to double at emit: the float
+            # re-accumulation here can differ only by float addition
+            # order of exact cents
+            assert abs(r["cum_revenue"] - run) < 1e-6 * max(run, 1.0), r
+
+
+def test_funnel_counts_match_direct_recount(spark):
+    """The per-DOW conversion counts must sum to an independently
+    computed converter count (users with a purchase at/after their
+    first click), with valid DOW keys and non-negative latencies."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+
+    from etl_projects_spark.queries import load
+
+    sf = "/root/testdata/sf0.001"
+    rows = entrymod.queries()["funnel_time_to_convert"](spark, sf).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["click_dow"] <= 7
+        assert r["n_converted"] > 0
+        assert r["median_us"] >= 0 and r["avg_sec"] >= 0.0
+    ev = load(spark, sf, "events")
+    fc = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fc"))
+    )
+    direct = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(fc, "user_id")
+        .filter(F.col("ts") >= F.col("fc"))
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_converted"] for r in rows) == direct
+
+
+def test_seasonal_index_weighted_mean_is_one(spark):
+    """The n_days-weighted mean of the seasonal index is exactly 1 by
+    construction (Σ tot_d / g_tot); any drift means the per-DOW and
+    grand totals diverged. Also: at most 7 rows, distinct DOW keys."""
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["seasonal_dow_index"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows and len(rows) <= 7
+    dows = [r["dow"] for r in rows]
+    assert len(set(dows)) == len(dows) and all(1 <= d <= 7 for d in dows)
+    g_days = sum(r["n_days"] for r in rows)
+    wmean = sum(r["seasonal_index"] * r["n_days"] for r in rows) / g_days
+    assert abs(wmean - 1.0) < 1e-9, wmean
+    for r in rows:
+        assert r["seasonal_index"] > 0 and r["avg_daily_value"] >= 0
