@@ -42,6 +42,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # (their repaired oracles need fresh rows), then every query with no
 # CORRECTNESS row yet, then the previously-green remainder. Rounds
 # accumulate: r1 proved the first-50 half, r2's window covers the rest.
+#
+# r5 ROTATION PLAN (apply FIRST thing in round 5, before any other
+# work): never-driver-checked after r4 = the 21 entries queued behind
+# this window (mad_order_totals .. bollinger_bands_daily) + the 14
+# wave-27 names + the 4 late additions (split_contamination_report,
+# minhash_jaccard_estimate, share_of_parent_revenue,
+# embedding_norm_topk) + the REWORKED approx_distinct_users_daily
+# (columns changed after its r1/r3 rows) = 40 entries. Reorder so
+# those 40 lead; one r5 window then reaches 231/231 driver-green.
+# Keep r5 catalog additions <= 10 so they fit the same window.
 _ROUND_PRIORITY = [
     # r4 window: the 50 oldest catalog queries with no driver
     # CORRECTNESS row yet (waves 9-22; cumulative r1+r2+r3 covered
