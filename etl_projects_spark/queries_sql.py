@@ -1417,24 +1417,31 @@ def json_key_drift_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: distinct over (day, key) — a shuffle whose key space is
     days × schema width, NOT event volume (map-side distinct collapses
-    per-partition repeats); the day-over-day anti probe runs on that
-    tiny relation."""
+    per-partition repeats). "Absent the previous day" is a ``lag(day)
+    OVER (PARTITION BY key)`` gap test on that tiny relation, so the
+    event table is scanned and JSON-parsed ONCE (the anti-join
+    formulation re-derives the distinct relation and parses twice)."""
     ev = load(spark, sf_dir, "events")
     dk = ev.select(
         F.to_date("ts").alias("day"),
         F.explode(F.json_object_keys("props")).alias("key"),
     ).distinct()
-    nk = dk.groupBy("day").agg(F.count("*").alias("n_keys"))
-    prev = dk.select(F.date_add("day", 1).alias("day"), "key")
-    new = (
-        dk.join(prev, ["day", "key"], "left_anti")
-        .groupBy("day")
-        .agg(F.count("*").alias("n_new"))
+    prev_day = F.lag("day").over(W.partitionBy("key").orderBy("day"))
+    is_new = prev_day.isNull() | (
+        F.datediff(F.col("day"), prev_day) > 1
     )
-    return nk.join(new, "day", "left").select(
-        F.col("day").cast("string").alias("day"),
-        "n_keys",
-        F.coalesce("n_new", F.lit(0)).alias("n_new"),
+    return (
+        dk.withColumn("is_new", is_new)
+        .groupBy("day")
+        .agg(
+            F.count("*").alias("n_keys"),
+            F.sum(F.when(F.col("is_new"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_new"),
+        )
+        .select(
+            F.col("day").cast("string").alias("day"), "n_keys", "n_new"
+        )
     )
 
 
