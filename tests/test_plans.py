@@ -503,3 +503,10 @@ def test_contamination_semi_probe_no_pairwise(spark):
     spark.catalog.clearCache()
     assert_plan(QS["split_contamination_report"](spark, SF_DIR),
                 cartesian=False, python_stages=0, shuffles=("<=", 3))
+
+
+def test_json_key_drift_single_scan_lag(spark):
+    # Drift = lag-gap window over the distinct (day, key) relation:
+    # one events scan/parse, three metadata-sized exchanges, no join.
+    assert_plan(QS["json_key_drift_daily"](spark, SF_DIR),
+                shuffles=("<=", 3), python_stages=0, cartesian=False)
