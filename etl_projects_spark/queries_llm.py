@@ -1056,21 +1056,23 @@ def text_dup_gram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     High values mark boilerplate / templated pages that near-dup
     clustering misses because no single pair clears the threshold.
 
-    Scale: one doc-frequency aggregation (map-side combined) + one
-    shuffle join keyed on the 8-byte shingle hash + one per-doc
-    aggregation — all linear, no pairwise expansion anywhere. Shares
-    :func:`dedup.word_shingles` (and its bit-exact DuckDB twin) with
-    the Jaccard/MinHash family.
+    Scale: doc frequency is ``count(*) OVER (PARTITION BY shingle)``
+    on the exploded relation — ONE shuffle keyed on the 8-byte shingle
+    hash (the agg+join-back formulation shuffles the same relation
+    plus the combined frequencies and reads the shingle cache twice),
+    then one per-doc aggregation — all linear, no pairwise expansion
+    anywhere; hot boilerplate shingles co-locate identically under
+    either formulation. Shares :func:`dedup.word_shingles` (and its
+    bit-exact DuckDB twin) with the Jaccard/MinHash family.
     """
     docs = load(spark, sf_dir, "documents")
-    # Cached sets → cheap explode; the relation feeds two branches
-    # (doc-frequency agg + the per-doc join) and uncached each would
-    # re-run the md5 transform chain.
+    # The shared shingle cache stays: other dedup-family queries reuse
+    # the same materialized artifact within a session.
     sets = dedup.materialize(dedup.word_shingle_sets(docs))
     sh = sets.select("id", F.explode("sh_set").alias("shingle"))
-    freq = sh.groupBy("shingle").agg(F.count("*").alias("df_"))
+    df_ = F.count("*").over(W.partitionBy("shingle"))
     per = (
-        sh.join(freq, "shingle")
+        sh.withColumn("df_", df_)
         .groupBy("id")
         .agg(
             F.round(
