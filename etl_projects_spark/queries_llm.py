@@ -1058,12 +1058,15 @@ def text_dup_gram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: doc frequency is ``count(*) OVER (PARTITION BY shingle)``
     on the exploded relation — ONE shuffle keyed on the 8-byte shingle
-    hash (the agg+join-back formulation shuffles the same relation
-    plus the combined frequencies and reads the shingle cache twice),
-    then one per-doc aggregation — all linear, no pairwise expansion
-    anywhere; hot boilerplate shingles co-locate identically under
-    either formulation. Shares :func:`dedup.word_shingles` (and its
-    bit-exact DuckDB twin) with the Jaccard/MinHash family.
+    hash, then one per-doc aggregation — all linear, no pairwise
+    expansion anywhere; hot boilerplate shingles co-locate identically
+    under either formulation. At bench SF the agg+join-back
+    formulation times identically (AQE broadcasts the small frequency
+    relation); at 100 TB the global distinct-shingle relation cannot
+    broadcast, the join degrades to a second full shuffle, and the
+    window shape strictly moves less data. Shares
+    :func:`dedup.word_shingles` (and its bit-exact DuckDB twin) with
+    the Jaccard/MinHash family.
     """
     docs = load(spark, sf_dir, "documents")
     # The shared shingle cache stays: other dedup-family queries reuse
