@@ -1467,19 +1467,15 @@ def cooccurrence_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     up from ``ngram_bigram_topk``'s raw counts.
 
     Plan: unigram and bigram counts are two aggregates over the same
-    in-array pair construction (no self-join); both count relations
-    are vocabulary-sized and MATERIALIZED, so the corpus is tokenized
-    exactly twice (once per explode shape) — the totals and both
-    unigram join sides read the caches instead of re-deriving the
-    scan (5 → 2 corpus scans); the two corpus-total scalars broadcast
-    via crossJoin; the support filter (cxy ≥ 5) prunes the long tail
-    BEFORE the unigram joins; PMI is rounded to 6 dp before the
-    ORDER BY so the top-50 cut is stable across engines' libm ulp
-    differences."""
+    in-array pair construction (no self-join); the two corpus-total
+    scalars broadcast via crossJoin; the support filter (cxy ≥ 5)
+    prunes the long tail BEFORE the unigram joins; PMI is rounded to
+    6 dp before the ORDER BY so the top-50 cut is stable across
+    engines' libm ulp differences."""
     docs = load(spark, sf_dir, "documents").withColumn(
         "a", F.split("text", " ")
     )
-    uni = dedup.materialize(
+    uni = (
         docs.select(F.explode("a").alias("term"))
         .groupBy("term")
         .agg(F.count("*").alias("c"))
@@ -1497,11 +1493,12 @@ def cooccurrence_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.expr("CAST(array() AS array<struct<x:string,y:string>>)"))
         ).alias("p")
     ).select("p.x", "p.y")
-    bg_all = dedup.materialize(
-        pairs.groupBy("x", "y").agg(F.count("*").alias("cxy"))
+    bgc = (
+        pairs.groupBy("x", "y")
+        .agg(F.count("*").alias("cxy"))
+        .filter(F.col("cxy") >= 5)
     )
-    bgc = bg_all.filter(F.col("cxy") >= 5)
-    n_bg = bg_all.agg(F.sum("cxy").cast("double").alias("n_b"))
+    n_bg = pairs.groupBy().agg(F.count("*").cast("double").alias("n_b"))
     ux = uni.select(F.col("term").alias("x"), F.col("c").alias("cx"))
     uy = uni.select(F.col("term").alias("y"), F.col("c").alias("cy"))
     pmi = F.log(
