@@ -186,6 +186,16 @@ UPSCALE = [
     "ngram_novelty_by_doc",
     "event_cooccurrence_lift",
     "seasonal_dow_index",
+    # the rest of the r5 driver-window entries with float/epoch/prefix
+    # determinism surface: micro-epoch deltas + percentile_disc,
+    # DECIMAL cumsums, gram-hash semi joins, signature agreement,
+    # two-phase prefix sums, share-ratio divisions
+    "funnel_time_to_convert",
+    "cohort_ltv_curve",
+    "share_of_parent_revenue",
+    "minhash_jaccard_estimate",
+    "split_contamination_report",
+    "packing_efficiency_report",
 ]
 
 
