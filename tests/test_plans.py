@@ -510,3 +510,30 @@ def test_json_key_drift_single_scan_lag(spark):
     # one events scan/parse, three metadata-sized exchanges, no join.
     assert_plan(QS["json_key_drift_daily"](spark, SF_DIR),
                 shuffles=("<=", 3), python_stages=0, cartesian=False)
+
+
+def test_analytics_family_bounded_shuffles(spark):
+    # Cohort/funnel/attribution/share analytics: facts aggregate to
+    # calendar- or user-bounded relations before any window/join —
+    # pin the exchange budget each was tuned to (PLANS.md values +1
+    # headroom is deliberate NOT given: a regression should fail).
+    bounds = {
+        "attribution_first_touch": 1,
+        "cohort_ltv_curve": 3,
+        "funnel_time_to_convert": 3,
+        "share_of_parent_revenue": 1,
+        "user_activity_entropy": 2,
+        "seasonal_dow_index": 4,
+        "groupby_all_revenue": 1,
+        "bag_setops_lineitem": 2,
+    }
+    for name, n in bounds.items():
+        assert_plan(QS[name](spark, SF_DIR),
+                    shuffles=("<=", n), python_stages=0, cartesian=False)
+
+
+def test_share_of_parent_broadcasts_dims(spark):
+    # Both dimension sides must broadcast into the single fact
+    # aggregate; the windows then run over the cell relation.
+    assert_plan(QS["share_of_parent_revenue"](spark, SF_DIR),
+                broadcast_joins=(">=", 2))
