@@ -485,3 +485,79 @@ def test_seasonal_index_weighted_mean_is_one(spark):
     assert abs(wmean - 1.0) < 1e-9, wmean
     for r in rows:
         assert r["seasonal_index"] > 0 and r["avg_daily_value"] >= 0
+
+
+def test_bpe_merge_step_ranking_contract(spark):
+    """Exactly 20 merge candidates, every pair 2 symbols, counts
+    positive and ordered by (count DESC, pair ASC) — the deterministic
+    merge-rule contract tokenizer training relies on."""
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["bpe_merge_step"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert len(r["pair"]) == 2 and r["n"] > 0
+    keys = [(-r["n"], r["pair"]) for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_zipf_table_accounts_for_every_token(spark):
+    """Σ frequency·n_types over the frequency-of-frequencies table
+    equals the corpus token count, and type shares sum to 1 — the
+    completeness check Good–Turing smoothing needs."""
+    import __spark_entry__ as entrymod
+
+    from etl_projects_spark.queries import load
+
+    sf = "/root/testdata/sf0.001"
+    rows = entrymod.queries()["zipf_frequency_report"](spark, sf).collect()
+    assert rows
+    total = load(spark, sf, "documents").selectExpr(
+        "sum(size(split(text, ' '))) AS t"
+    ).collect()[0]["t"]
+    assert sum(r["frequency"] * r["n_types"] for r in rows) == total
+    assert abs(sum(r["type_share"] for r in rows) - 1.0) < 1e-9
+    freqs = [r["frequency"] for r in rows]
+    assert len(set(freqs)) == len(freqs) and all(f > 0 for f in freqs)
+
+
+def test_vocab_oov_rate_bounds_and_recount(spark):
+    """OOV rates in [0, 1], n_oov ≤ n_tokens, and the token totals per
+    source match an independent recount."""
+    import __spark_entry__ as entrymod
+
+    from pyspark.sql import functions as F
+
+    from etl_projects_spark.queries import load
+
+    sf = "/root/testdata/sf0.001"
+    rows = entrymod.queries()["vocab_oov_rate"](spark, sf).collect()
+    assert rows
+    direct = {
+        r["source"]: r["t"]
+        for r in load(spark, sf, "documents")
+        .groupBy("source")
+        .agg(F.expr("sum(size(split(text, ' ')))").alias("t"))
+        .collect()
+    }
+    for r in rows:
+        assert 0 <= r["n_oov"] <= r["n_tokens"]
+        assert 0.0 <= r["oov_rate"] <= 1.0
+        assert r["n_tokens"] == direct[r["source"]]
+
+
+def test_mixture_weights_normalized(spark):
+    """Temperature-scaled mixture weights sum to 1 (6-dp rounding
+    slack) and per-10k quotas never exceed the budget."""
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["mixture_weights_temperature"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    assert abs(sum(r["weight"] for r in rows) - 1.0) < 1e-4
+    assert sum(r["docs_per_10k"] for r in rows) <= 10000
+    for r in rows:
+        assert r["weight"] > 0 and r["docs_per_10k"] >= 0
