@@ -537,3 +537,25 @@ def test_share_of_parent_broadcasts_dims(spark):
     # aggregate; the windows then run over the cell relation.
     assert_plan(QS["share_of_parent_revenue"](spark, SF_DIR),
                 broadcast_joins=(">=", 2))
+
+
+def test_tpch_heavies_broadcast_dims_bounded_shuffles(spark):
+    # The multi-join TPC-H heavies must keep dimensions on the
+    # broadcast side and stay inside the exchange budget each was
+    # audited at (PLANS.md): a lost broadcast here multiplies shuffled
+    # bytes by the fact-table width at cluster scale.
+    specs = {
+        "q7_nation_trade_volume": {"broadcast_joins": (">=", 4),
+                                   "shuffles": ("<=", 2)},
+        "q8_market_share": {"broadcast_joins": (">=", 3),
+                            "shuffles": ("<=", 3)},
+        "q9_product_profit": {"broadcast_joins": (">=", 3),
+                              "shuffles": ("<=", 2)},
+        "q18_large_orders": {"broadcast_joins": (">=", 1),
+                             "shuffles": ("<=", 2)},
+        "q21_sole_returning_supplier": {"broadcast_joins": (">=", 2),
+                                        "shuffles": ("<=", 5)},
+    }
+    for name, kw in specs.items():
+        assert_plan(QS[name](spark, SF_DIR), cartesian=False,
+                    python_stages=0, **kw)
