@@ -43,72 +43,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # CORRECTNESS row yet, then the previously-green remainder. Rounds
 # accumulate: r1 proved the first-50 half, r2's window covers the rest.
 #
-# r5 ROTATION PLAN (apply FIRST thing in round 5, before any other
-# work): never-driver-checked after r4 = the 21 entries queued behind
-# this window (mad_order_totals .. bollinger_bands_daily) + the 14
-# wave-27 names + the 4 late additions (split_contamination_report,
-# minhash_jaccard_estimate, share_of_parent_revenue,
-# embedding_norm_topk) + the REWORKED approx_distinct_users_daily
-# (columns changed after its r1/r3 rows) = 40 entries. Reorder so
-# those 40 lead; one r5 window then reaches 231/231 driver-green.
-# Keep r5 catalog additions <= 10 so they fit the same window.
+# r1-r4 cumulative: 191/231 driver-green. r5 applies the final
+# rotation below; after its window every catalog query has a green
+# driver row.
 _ROUND_PRIORITY = [
-    # r4 window: the 50 oldest catalog queries with no driver
-    # CORRECTNESS row yet (waves 9-22; cumulative r1+r2+r3 covered
-    # 142/213). The checker samples the FIRST 50 of queries().
-    "vocab_id_assign",
-    "vocab_oov_rate",
-    "streaming_dedup_within_watermark",
-    "training_shard_write",
-    "lm_surprise_filter",
-    "mlm_token_masking",
-    "streaming_scd1_user_state",
-    "zipf_frequency_report",
-    "chunk_dedup_rewrite",
-    "semdedup_prune",
-    "train_split_assign",
-    "filter_funnel_report",
-    "skew_key_report",
-    "fertility_by_source",
-    "higher_order_array_funcs",
-    "dedup_edit_distance",
-    "ewma_daily_value",
-    "weighted_sample_topk",
-    "phrase_search_positions",
-    "correlation_matrix_lineitem",
-    "dedup_component_size_histogram",
-    "events_debounce",
-    "fixed_size_per_group_sample",
-    "weighted_median_price",
-    "dedup_graph_triangles",
-    "pivot_multi_agg_daily",
-    "partition_checksums",
-    "embedding_pca_project",
-    "dedup_prefix_containment",
-    "zscore_doc_length_by_source",
-    "data_card_report",
-    "curriculum_schedule",
-    "k_anonymity_audit",
-    "cdc_changelog_apply",
-    "incremental_agg_maintenance",
-    "schema_evolution_union",
-    "compact_small_files",
-    "scd2_point_in_time_join",
-    "pipeline_dag_build",
-    "media_resize_stub",
-    "media_frame_energy",
-    "media_phash_neardup",
-    "referential_integrity_report",
-    "value_drift_report",
-    "chi_square_type_by_dow",
-    "asof_forward_purchase_window",
-    "kmv_jaccard_event_types",
-    "zonemap_pruning_report",
-    "runtime_bloom_join_revenue",
-    "mode_priority_by_segment",
-    # queued for r5's window: the remaining never-checked entries
-    # (they sit right behind the 50-query window so the next
-    # rotation is a pure head-slice).
+    # r5 window (final rotation): the 40 catalog entries with no
+    # current driver CORRECTNESS row after r4 — the reworked
+    # approx-distinct (stale r1 row predates its exact+tolerance
+    # shape), the 21 entries queued behind r4's window, the 14
+    # wave-27 additions, and the 4 late additions. One green window
+    # here closes the catalog at 231/231 driver-proven.
+    "approx_distinct_users_daily",
     "mad_order_totals",
     "window_nth_cume",
     "bitmap_user_event_mask",
@@ -130,6 +75,27 @@ _ROUND_PRIORITY = [
     "session_window_builtin",
     "forward_fill_daily_value",
     "bollinger_bands_daily",
+    "bpe_merge_step",
+    "rag_chunk_windows",
+    "ngram_novelty_by_doc",
+    "packing_efficiency_report",
+    "user_activity_entropy",
+    "json_key_drift_daily",
+    "bag_setops_lineitem",
+    "groupby_all_revenue",
+    "values_clause_dim_join",
+    "event_cooccurrence_lift",
+    "cohort_ltv_curve",
+    "range_interval_window_user",
+    "funnel_time_to_convert",
+    "seasonal_dow_index",
+    "split_contamination_report",
+    "minhash_jaccard_estimate",
+    "share_of_parent_revenue",
+    "embedding_norm_topk",
+    # positions 41-50: r5 catalog additions go HERE (cap 10) so every
+    # new query lands inside the same driver window and nothing
+    # escapes its CORRECTNESS row.
 ]
 
 
