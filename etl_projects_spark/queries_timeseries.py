@@ -816,15 +816,15 @@ def bollinger_bands_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     "range_interval_window_user",
     """
     WITH e AS (
-      SELECT event_id, user_id, CAST(epoch(ts) AS BIGINT) AS sec,
+      SELECT event_id, user_id, epoch_us(ts) AS us,
              CAST(value AS DECIMAL(18,2)) AS v
       FROM events)
     SELECT event_id,
            COUNT(*) OVER w AS n_prev_hour,
            CAST(SUM(v) OVER w AS DOUBLE) AS sum_value_hour
     FROM e
-    WINDOW w AS (PARTITION BY user_id ORDER BY sec
-                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    WINDOW w AS (PARTITION BY user_id ORDER BY us
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
     """,
 )
 def range_interval_window_user(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -832,10 +832,14 @@ def range_interval_window_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     the trailing hour (count + value sum, self included) — the rate-
     limit / burst-detection feature that ROWS frames cannot express
     (a row frame counts neighbors, not elapsed time). The frame is
-    value-based on epoch seconds, so tied timestamps are all included
-    regardless of physical row order — the property that makes the
-    result partition-invariant where a ROWS frame would be
-    nondeterministic under ties.
+    value-based on EXACT integer microseconds (the repo's epoch_us
+    determinism recipe: Spark's long cast of a timestamp TRUNCATES
+    sub-second parts while DuckDB's epoch() ROUNDS them, so a
+    seconds-granularity frame diverges at window boundaries — both
+    engines agree bit-exactly on unix_micros/epoch_us), so tied
+    timestamps are all included regardless of physical row order —
+    the property that makes the result partition-invariant where a
+    ROWS frame would be nondeterministic under ties.
 
     Scale: one shuffle on user_id; per-user frames slide in one sorted
     pass (Spark's range-frame executor keeps only the in-frame buffer,
@@ -844,13 +848,13 @@ def range_interval_window_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = ev.select(
         "event_id",
         "user_id",
-        F.col("ts").cast("timestamp").cast("long").alias("sec"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
         dec("value").alias("v"),
     )
     w = (
         W.partitionBy("user_id")
-        .orderBy("sec")
-        .rangeBetween(-3600, W.currentRow)
+        .orderBy("us")
+        .rangeBetween(-3_600_000_000, W.currentRow)
     )
     return e.select(
         "event_id",

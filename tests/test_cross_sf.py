@@ -191,6 +191,7 @@ UPSCALE = [
     # DECIMAL cumsums, gram-hash semi joins, signature agreement,
     # two-phase prefix sums, share-ratio divisions
     "funnel_time_to_convert",
+    "range_interval_window_user",
     "cohort_ltv_curve",
     "share_of_parent_revenue",
     "minhash_jaccard_estimate",
