@@ -360,22 +360,26 @@ def main() -> None:
         "HEADLINE "
         + json.dumps({n: timings[n] for n in HEADLINE if n in timings})
     )
-    # … then the machine-readable summary as the LAST line, sized well
-    # under the driver's ~2 KB capture limit so it always parses.
-    worst = dict(
-        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
-    )
-    compact = json.dumps(
-        {
-            "metric": "catalog_total",
-            "value": round(sum(timings.values()), 3),
-            "unit": "sec",
-            "n_queries": len(timings),
-            "queries": worst,
-            "sf": sf,
-        }
-    )
-    assert len(compact) < 1500, f"bench summary line too long: {len(compact)}"
+    # … then the machine-readable summary as the LAST line, kept under
+    # 1 KB so the driver record stays self-contained even if its
+    # capture window tightens. Never abort after measuring: if the
+    # worst-N dict pushes the line over budget (long query names),
+    # shrink it until the line fits — BENCH_FULL.json keeps the full
+    # map either way.
+    ranked = sorted(timings.items(), key=lambda kv: kv[1], reverse=True)
+    for keep in range(min(10, len(ranked)), 2, -1):
+        compact = json.dumps(
+            {
+                "metric": "catalog_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "n_queries": len(timings),
+                "queries": {n: round(t, 3) for n, t in ranked[:keep]},
+                "sf": sf,
+            }
+        )
+        if len(compact) < 1000:
+            break
     print(compact)
 
 

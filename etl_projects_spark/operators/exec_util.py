@@ -119,18 +119,35 @@ def build_once(path: str, build, marker: str = "_SUCCESS") -> str:
 
 def scratch_path(kind: str, *source_files: str) -> str:
     """Stable scratch-artifact path keyed on the source files' (path,
-    mtime) — the same snapshot key ``queries_llm._corpus_scratch`` uses
-    for the dedup indexes, generalized to any source table. A new
-    corpus/sf or regenerated testdata changes the key, so stale
-    artifacts are never reused across data vintages."""
+    mtime_ns, size) — the same snapshot key
+    ``queries_llm._corpus_scratch`` uses for the dedup indexes,
+    generalized to any source table. A new corpus/sf or regenerated
+    testdata changes the key, so stale artifacts are never reused
+    across data vintages. Nanosecond mtime + size (not whole-second
+    mtime) so a source regenerated within the same second as the
+    prior vintage still gets a fresh key.
+
+    Older vintages of the same ``kind`` are pruned when a new key is
+    minted, so /tmp holds at most one live artifact per kind."""
+    import glob
     import hashlib
     import os
+    import shutil
     import tempfile
 
     key = hashlib.md5(
         "|".join(
-            f"{os.path.abspath(s)}@{int(os.stat(s).st_mtime)}"
+            f"{os.path.abspath(s)}@{os.stat(s).st_mtime_ns}"
+            f"@{os.stat(s).st_size}"
             for s in source_files
         ).encode()
     ).hexdigest()[:16]
-    return os.path.join(tempfile.gettempdir(), f"spark_graft_{kind}_{key}")
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_{kind}_{key}")
+    if not os.path.exists(path):
+        pattern = os.path.join(
+            tempfile.gettempdir(), f"spark_graft_{kind}_" + "?" * 16
+        )
+        for stale in glob.glob(pattern):
+            if stale != path:
+                shutil.rmtree(stale, ignore_errors=True)
+    return path

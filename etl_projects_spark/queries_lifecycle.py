@@ -537,8 +537,10 @@ def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     indexes): repeat invocations — bench reruns especially — reuse the
     compacted table and measure the steady-state consumer read, not a
     fresh 32-file tmpdir write, and /tmp stops accumulating per run.
-    The file-count invariants are recorded at build time and
-    re-asserted on every read."""
+    The file-count invariants are recorded at build time; every read
+    re-counts the compacted dir's parquet files against the record
+    (a genuine re-measurement) and re-asserts the reduction
+    contract."""
     import json
 
     from etl_projects_spark.operators.exec_util import build_once, scratch_path
@@ -574,6 +576,17 @@ def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     build_once(scratch, _build, marker="stats.json")
     with open(os.path.join(scratch, "stats.json")) as f:
         stats = json.load(f)
+    # Re-MEASURE, don't just replay: count the compacted dir's parquet
+    # files on every read and hold them to the build-time record, so a
+    # compact_table regression (or a corrupted artifact) is caught on
+    # warm reruns too, not only at first build.
+    frag_dir = os.path.join(scratch, "orders_frag")
+    n_now = sum(1 for f in os.listdir(frag_dir) if f.endswith(".parquet"))
+    if n_now != stats["n_after"]:
+        raise AssertionError(
+            "compacted table drifted since build: "
+            f"recorded n_after={stats['n_after']}, on disk {n_now}"
+        )
     if stats["n_after"] > stats["n_before"]:
         raise AssertionError(
             "compaction increased file count: "

@@ -449,6 +449,13 @@ def foreach_batch_merge(
 
     aside = f"{state_dir}._old"
 
+    # Crash recovery must also run BEFORE the stream starts: a restart
+    # whose source delivers zero new files never enters write_batch, so
+    # a per-batch-only check would leave the state stranded in the
+    # aside dir even though it is fully recoverable.
+    if os.path.exists(aside) and not os.path.exists(state_dir):
+        os.rename(aside, state_dir)
+
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         # Crash recovery: if a previous swap was interrupted between the

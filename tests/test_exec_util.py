@@ -22,6 +22,44 @@ def test_scratch_path_keys_on_source_snapshot(tmp_path):
     assert scratch_path("a", str(src)) != scratch_path("b", str(src))
 
 
+def test_scratch_path_same_second_regeneration(tmp_path):
+    """A source rewritten within the SAME whole second (different size
+    or sub-second mtime) must still mint a new key — whole-second
+    mtime keying silently reused stale artifacts (ADVICE r4)."""
+    src = tmp_path / "docs.parquet"
+    src.write_text("v1")
+    os.utime(src, ns=(1_000_000_000_000, 1_000_000_000_000))
+    p1 = scratch_path("samesec", str(src))
+    # same integer second, different nanosecond component
+    os.utime(src, ns=(1_000_000_000_000, 1_000_000_500_000))
+    p2 = scratch_path("samesec", str(src))
+    assert p1 != p2
+    # same mtime entirely, different size → still a new key
+    src.write_text("v2-longer")
+    os.utime(src, ns=(1_000_000_000_000, 1_000_000_500_000))
+    p3 = scratch_path("samesec", str(src))
+    assert p3 != p2
+
+
+def test_scratch_path_prunes_stale_vintages(tmp_path):
+    """Minting a new vintage key removes the older sibling artifact of
+    the same kind, so /tmp does not accumulate dead vintages."""
+    src = tmp_path / "t.parquet"
+    src.write_text("v1")
+    p1 = scratch_path("prunekind", str(src))
+    os.makedirs(p1, exist_ok=True)
+    os.utime(src, ns=(2_000_000_000_000, 2_000_000_000_000))
+    p2 = scratch_path("prunekind", str(src))
+    assert p2 != p1
+    assert not os.path.exists(p1)  # stale vintage pruned
+    # other kinds' artifacts are untouched
+    other = scratch_path("otherkind", str(src))
+    os.makedirs(other, exist_ok=True)
+    os.utime(src, ns=(3_000_000_000_000, 3_000_000_000_000))
+    scratch_path("prunekind", str(src))
+    assert os.path.exists(other)
+
+
 def test_build_once_builds_exactly_once(tmp_path):
     calls = []
 
