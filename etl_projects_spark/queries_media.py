@@ -49,33 +49,53 @@ def media_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling over the video-like payload: sequence+explode+
-    substring, all JVM-side; moves frame_size/stride of the bytes."""
+    substring, all JVM-side; moves frame_size/stride of the bytes.
+
+    ORACLE SCOPE: the twin strides CHARACTERS (the sampled frames are
+    compared as strings), so it assumes the all-ASCII pinned corpus —
+    the only media oracle family still character-based, because DuckDB
+    cannot substring/md5 BLOBs directly; the byte-value oracles
+    (decode/histogram/energy/phash) are byte-exact via hex decode."""
     media = multimodal.to_media(load(spark, sf_dir, "documents"))
     return multimodal.frame_sample(media)
 
 
-# The payload is the UTF-8 encoding of `text`, and the test corpora are
-# pure ASCII (pinned in tests/test_multimodal.py), so DuckDB can replay
-# the byte-level UDF arithmetic character-by-character: byte value ==
-# ascii(char), byte count == strlen.
+# The payload is the UTF-8 encoding of `text`. DuckDB replays the
+# byte-level UDF arithmetic BYTE-exactly on any corpus (ASCII or not):
+# hex(encode(text)) renders the UTF-8 bytes two hex digits each, and
+# CAST('0x'||pair AS INTEGER) recovers byte i's value — no
+# character/byte conflation anywhere in these oracles.
+_BYTES_CTE = """
+    by AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS n
+      FROM documents),
+    ch AS (
+      SELECT doc_id,
+             CAST('0x' || substring(hx, 2 * i - 1, 2) AS INTEGER) AS v,
+             i - 1 AS idx, n
+      FROM by, UNNEST(generate_series(1, n)) t(i))
+"""
+
+
 @_q(
     "media_decode_stats",
-    """
+    f"""
+    WITH {_BYTES_CTE}
     SELECT doc_id,
            CAST(doc_id % 16 + 16 AS INTEGER) AS width,
            CAST(doc_id % 9 + 9 AS INTEGER) AS height,
-           round(AVG(CAST(ascii(substring(text, x, 1)) AS DOUBLE)), 6) AS mean_byte,
+           round(AVG(CAST(v AS DOUBLE)), 6) AS mean_byte,
            CAST(COUNT(*) AS BIGINT) AS n_bytes
-    FROM (SELECT doc_id, text,
-                 unnest(generate_series(1, CAST(strlen(text) AS BIGINT))) AS x
-          FROM documents)
+    FROM ch
     GROUP BY doc_id
     """,
 )
 def media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stubbed-codec decode via Arrow-batched mapInPandas: real UDF
     signature/schema/batch shape, deterministic byte-level stats.
-    The DuckDB oracle replays the byte arithmetic via ascii()."""
+    The DuckDB oracle replays the byte arithmetic from the
+    hex-encoded UTF-8 payload — byte-exact on any corpus."""
     media = multimodal.to_media(load(spark, sf_dir, "documents"))
     return multimodal.decode_stats(media)
 
@@ -83,13 +103,11 @@ def media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "media_byte_histogram",
     f"""
+    WITH {_BYTES_CTE}
     SELECT doc_id,
-           CAST(ascii(substring(text, x, 1)) // {256 // multimodal.HIST_BUCKETS}
-                AS INTEGER) AS bucket,
+           CAST(v // {256 // multimodal.HIST_BUCKETS} AS INTEGER) AS bucket,
            CAST(COUNT(*) AS BIGINT) AS n
-    FROM (SELECT doc_id, text,
-                 unnest(generate_series(1, CAST(strlen(text) AS BIGINT))) AS x
-          FROM documents)
+    FROM ch
     GROUP BY doc_id, bucket
     """,
 )
@@ -139,14 +157,15 @@ def media_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "media_frame_energy",
     f"""
-    WITH ch AS (
-      SELECT doc_id, ascii(text[i]) AS v,
-             CAST((i - 1) // {multimodal.ENERGY_FRAME} AS INT) AS f
-      FROM documents, UNNEST(generate_series(1, length(text))) t(i)),
+    WITH {_BYTES_CTE},
+    fe AS (
+      SELECT doc_id, v,
+             CAST(idx // {multimodal.ENERGY_FRAME} AS INT) AS f
+      FROM ch),
     fr AS (
       SELECT doc_id, f,
              round(sqrt(CAST(SUM(v * v) AS DOUBLE) / COUNT(*)), 6) AS rms
-      FROM ch GROUP BY 1, 2)
+      FROM fe GROUP BY 1, 2)
     SELECT doc_id, COUNT(*) AS n_frames,
            MAX(CASE WHEN f = 0 THEN rms END) AS rms_first,
            MAX(rms) AS rms_max
@@ -159,14 +178,10 @@ def media_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     windowed-reduction shape of MFCC/spectrogram extraction), numpy
     per Arrow batch. Only (doc, frame-stat) rows leave the task —
     payload bytes never shuffle. Sums of integer squares are exact, so
-    the oracle's SQL replay matches to the 6-dp rounding.
-
-    ORACLE SCOPE: the Spark side hashes the UTF-8 *byte* payload while
-    the DuckDB twin enumerates *characters* (``ascii(text[i])``) — they
-    coincide only because the driver's documents corpus is pure ASCII
-    (1 char == 1 byte; see TESTDATA.md). On a non-ASCII corpus the
-    operator stays correct; only this SQL replay would need a
-    byte-level rewrite."""
+    the oracle's SQL replay matches to the 6-dp rounding. The oracle
+    enumerates the payload's UTF-8 BYTES (hex-pair decode), matching
+    the Spark side on any corpus — non-ASCII included (proven by the
+    mixed-script fixture in tests/test_media_oracle_bytes.py)."""
     media = multimodal.to_media(load(spark, sf_dir, "documents"))
     return multimodal.frame_energy(media)
 
@@ -179,14 +194,14 @@ _BAND_BITS = multimodal.PHASH_BITS // _PHASH_BANDS
 @_q(
     "media_phash_neardup",
     f"""
-    WITH ch AS (
-      SELECT doc_id, ascii(text[i]) AS v, i - 1 AS idx, length(text) AS n
-      FROM documents, UNNEST(generate_series(1, length(text))) t(i)
-      WHERE length(text) >= {multimodal.PHASH_BITS}),
+    WITH {_BYTES_CTE},
+    cb AS (
+      SELECT doc_id, v, idx, n FROM ch
+      WHERE n >= {multimodal.PHASH_BITS}),
     blk AS (
       SELECT doc_id, CAST(idx * {multimodal.PHASH_BITS} // n AS INT) AS b,
              SUM(v * v) AS ss, COUNT(*) AS cnt
-      FROM ch GROUP BY 1, 2),
+      FROM cb GROUP BY 1, 2),
     tot AS (SELECT doc_id, SUM(ss) AS ss_tot, SUM(cnt) AS n_tot
             FROM blk GROUP BY 1),
     ph AS (
@@ -213,13 +228,10 @@ def media_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate generation is a bounded equi-join shuffle, never
     all-pairs, and verification (one xor+bit_count per candidate) is
     candidate-local. The hash itself is integer-exact, so a
-    float-free cross-engine replay hash-matches.
-
-    ORACLE SCOPE: as with ``media_frame_energy``, the Spark pHash reads
-    UTF-8 *bytes* while the oracle enumerates *characters* — equal only
-    on the driver's all-ASCII documents corpus (block boundaries shift
-    for multibyte chars). The operator itself is byte-defined and
-    corpus-agnostic; only the SQL twin assumes ASCII."""
+    float-free cross-engine replay hash-matches. Like
+    ``media_frame_energy``, the oracle decodes UTF-8 BYTES from the
+    hex-encoded payload, so block boundaries agree with the Spark
+    pHash on any corpus — multibyte characters included."""
     media = multimodal.to_media(load(spark, sf_dir, "documents"))
     ph = multimodal.perceptual_hash(media)
     bands = ph.select(
