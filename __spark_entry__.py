@@ -25,6 +25,7 @@ import etl_projects_spark.queries_scale  # noqa: F401
 import etl_projects_spark.queries_sql  # noqa: F401
 import etl_projects_spark.queries_timeseries  # noqa: F401
 import etl_projects_spark.queries_tpch_ext  # noqa: F401
+import etl_projects_spark.queries_wave28  # noqa: F401
 from etl_projects_spark.queries import ORACLE, QUERIES
 from etl_projects_spark.queries import q1_pricing_summary
 
@@ -93,9 +94,19 @@ _ROUND_PRIORITY = [
     "minhash_jaccard_estimate",
     "share_of_parent_revenue",
     "embedding_norm_topk",
-    # positions 41-50: r5 catalog additions go HERE (cap 10) so every
-    # new query lands inside the same driver window and nothing
-    # escapes its CORRECTNESS row.
+    # positions 41-50: the 10 wave-28 additions (at the cap) — new
+    # queries sit inside the same driver window so nothing escapes
+    # its CORRECTNESS row.
+    "rolling_wau_daily",
+    "interval_coverage_user",
+    "pareto_frontier_parts",
+    "cusum_changepoint_daily",
+    "approx_percentile_tolerance",
+    "revenue_proration_daily",
+    "gdpr_cascade_delete_audit",
+    "rolling_corr_value_count",
+    "token_budget_allocator",
+    "asof_nearest_click",
 ]
 
 

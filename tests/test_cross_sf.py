@@ -154,6 +154,17 @@ REPRESENTATIVE = [
     "minhash_jaccard_estimate",
     "share_of_parent_revenue",
     "embedding_norm_topk",
+    # wave 28
+    "rolling_wau_daily",
+    "interval_coverage_user",
+    "pareto_frontier_parts",
+    "cusum_changepoint_daily",
+    "approx_percentile_tolerance",
+    "revenue_proration_daily",
+    "gdpr_cascade_delete_audit",
+    "rolling_corr_value_count",
+    "token_budget_allocator",
+    "asof_nearest_click",
 ]
 
 
@@ -197,6 +208,16 @@ UPSCALE = [
     "minhash_jaccard_estimate",
     "split_contamination_report",
     "packing_efficiency_report",
+    # wave 28: float terminal expressions (cusum division, correlation
+    # quotient, proration division, approx-median tolerance), micro-
+    # epoch deltas (islands, nearest-asof), remainder-rank allocation
+    "cusum_changepoint_daily",
+    "rolling_corr_value_count",
+    "approx_percentile_tolerance",
+    "revenue_proration_daily",
+    "interval_coverage_user",
+    "asof_nearest_click",
+    "token_budget_allocator",
 ]
 
 

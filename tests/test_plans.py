@@ -559,3 +559,38 @@ def test_tpch_heavies_broadcast_dims_bounded_shuffles(spark):
     for name, kw in specs.items():
         assert_plan(QS[name](spark, SF_DIR), cartesian=False,
                     python_stages=0, **kw)
+
+
+def test_wave28_single_pass_shapes(spark):
+    # The wave-28 additions were designed as single-shuffle (or
+    # all-broadcast) passes; a second fact-sized exchange appearing in
+    # any of them is a plan regression.
+    specs = {
+        # one user_id shuffle, two windows over one sort, in-partition agg
+        "interval_coverage_user": {"shuffles": ("<=", 1)},
+        # day-grain aggregate + calendar-bounded windows
+        "cusum_changepoint_daily": {"shuffles": ("<=", 1)},
+        "rolling_corr_value_count": {"shuffles": ("<=", 1)},
+        # bounded 7x explode + day-grain aggregate
+        "revenue_proration_daily": {"shuffles": ("<=", 1)},
+        # source-grain aggregate + tiny windows
+        "token_budget_allocator": {"shuffles": ("<=", 1)},
+        # union + one user_id sort; the event_type filter must push down
+        "asof_nearest_click": {"shuffles": ("<=", 1),
+                               "pushed_filters": True},
+        # frontier levels broadcast back into the part scan
+        "pareto_frontier_parts": {"shuffles": ("<=", 1),
+                                  "broadcast_joins": (">=", 1)},
+        # exact side sorts per group; sketch side broadcasts into it
+        "approx_percentile_tolerance": {"shuffles": ("<=", 2),
+                                        "broadcast_joins": (">=", 1)},
+        # user-day distinct, broadcast day-filter, two-phase distinct agg
+        "rolling_wau_daily": {"shuffles": ("<=", 4),
+                              "broadcast_joins": (">=", 1)},
+        # keylist + cascade keys broadcast: ZERO shuffles on the facts
+        "gdpr_cascade_delete_audit": {"shuffles": ("<=", 0),
+                                      "broadcast_joins": (">=", 3)},
+    }
+    for name, kw in specs.items():
+        assert_plan(QS[name](spark, SF_DIR), cartesian=False,
+                    python_stages=0, **kw)
