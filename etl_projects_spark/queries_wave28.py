@@ -394,19 +394,23 @@ def revenue_proration_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM customer
     UNION ALL
     SELECT 'orders',
-           COUNT(*) FILTER (WHERE o_custkey IN
-             (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0)),
-           COUNT(*) FILTER (WHERE o_custkey NOT IN
-             (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0))
+           COUNT(*) FILTER (WHERE EXISTS
+             (SELECT 1 FROM customer c
+              WHERE c.c_custkey = o_custkey AND c.c_custkey % 97 = 0)),
+           COUNT(*) FILTER (WHERE NOT EXISTS
+             (SELECT 1 FROM customer c
+              WHERE c.c_custkey = o_custkey AND c.c_custkey % 97 = 0))
     FROM orders
     UNION ALL
     SELECT 'lineitem',
-           COUNT(*) FILTER (WHERE l_orderkey IN
-             (SELECT o_orderkey FROM orders WHERE o_custkey IN
-               (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0))),
-           COUNT(*) FILTER (WHERE l_orderkey NOT IN
-             (SELECT o_orderkey FROM orders WHERE o_custkey IN
-               (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0)))
+           COUNT(*) FILTER (WHERE EXISTS
+             (SELECT 1 FROM orders o JOIN customer c
+                ON c.c_custkey = o.o_custkey
+              WHERE o.o_orderkey = l_orderkey AND c.c_custkey % 97 = 0)),
+           COUNT(*) FILTER (WHERE NOT EXISTS
+             (SELECT 1 FROM orders o JOIN customer c
+                ON c.c_custkey = o.o_custkey
+              WHERE o.o_orderkey = l_orderkey AND c.c_custkey % 97 = 0))
     FROM lineitem
     """,
 )

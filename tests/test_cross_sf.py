@@ -218,6 +218,9 @@ UPSCALE = [
     "interval_coverage_user",
     "asof_nearest_click",
     "token_budget_allocator",
+    "pareto_frontier_parts",
+    "rolling_wau_daily",
+    "gdpr_cascade_delete_audit",
 ]
 
 
