@@ -107,6 +107,10 @@ _ROUND_PRIORITY = [
     "rolling_corr_value_count",
     "token_budget_allocator",
     "asof_nearest_click",
+    # r6 ROTATION NOTE: media_frame_sample and media_resize_stub were
+    # reworked in r5 (byte-exact hex outputs: frame->frame_hex,
+    # resized_md5->resized_hex), so their green r4 rows are stale —
+    # queue those two FIRST in r6's window, ahead of any r6 additions.
 ]
 
 

@@ -84,7 +84,10 @@ def frame_sample(
     JVM-native: ``sequence`` generates frame offsets, ``explode``
     fans out one row per frame, ``substring`` slices the payload.
     No Python in the loop; output rows carry only the sampled slice,
-    so a 1-in-``stride`` sample moves 1/stride of the bytes.
+    so a 1-in-``stride`` sample moves 1/stride of the bytes. Frames
+    stay BINARY — byte slices of a media payload are not text, and
+    on a multibyte corpus a UTF-8 decode of an arbitrary slice would
+    be lossy.
     """
     return (
         media.select(
@@ -97,9 +100,7 @@ def frame_sample(
         .select(
             "doc_id",
             ((F.col("off") - 1) / stride).cast("long").alias("frame_no"),
-            F.decode(
-                F.expr(f"substring(payload, off, {frame_size})"), "UTF-8"
-            ).alias("frame"),
+            F.expr(f"substring(payload, off, {frame_size})").alias("frame"),
         )
     )
 
@@ -194,8 +195,10 @@ def resize_stub(media: DataFrame, stride: int = RESIZE_STRIDE) -> DataFrame:
     batches, per-row output bytes ≈ input/stride, so a fleet of
     executors streams batches without materializing whole partitions.
 
-    Output: (doc_id, orig_bytes, resized_bytes, resized_md5) — the md5
-    proves the exact output bytes, not just their count.
+    Output: (doc_id, orig_bytes, resized_bytes, resized_md5,
+    resized_hex) — md5 and hex both prove the exact output bytes, not
+    just their count (hex is what the DuckDB oracle can replay —
+    byte-for-byte — since SQL engines cannot md5 a blob).
     """
     import hashlib
 
@@ -204,19 +207,20 @@ def resize_stub(media: DataFrame, stride: int = RESIZE_STRIDE) -> DataFrame:
     def run(batches):
         for b in batches:
             rows = {"doc_id": [], "orig_bytes": [], "resized_bytes": [],
-                    "resized_md5": []}
+                    "resized_md5": [], "resized_hex": []}
             for doc_id, payload in zip(b["doc_id"], b["payload"]):
                 resized = bytes(payload)[::stride]
                 rows["doc_id"].append(doc_id)
                 rows["orig_bytes"].append(len(payload))
                 rows["resized_bytes"].append(len(resized))
                 rows["resized_md5"].append(hashlib.md5(resized).hexdigest())
+                rows["resized_hex"].append(resized.hex())
             yield pd.DataFrame(rows)
 
     return media.select("doc_id", "payload").mapInPandas(
         run,
         schema="doc_id long, orig_bytes long, resized_bytes long, "
-        "resized_md5 string",
+        "resized_md5 string, resized_hex string",
     )
 
 

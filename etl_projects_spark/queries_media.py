@@ -36,28 +36,28 @@ def media_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "media_frame_sample",
     f"""
+    WITH by AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS n
+      FROM documents)
     SELECT doc_id,
            CAST((x - 1) / {multimodal.FRAME_STRIDE} AS BIGINT) AS frame_no,
-           substring(text, CAST(x AS INTEGER), {multimodal.FRAME_SIZE}) AS frame
-    FROM (
-        SELECT doc_id, text,
-               unnest(generate_series(1, CAST(strlen(text) AS BIGINT),
-                                      {multimodal.FRAME_STRIDE})) AS x
-        FROM documents
-    )
+           substring(hx, CAST(2 * x - 1 AS INTEGER),
+                     {2 * multimodal.FRAME_SIZE}) AS frame_hex
+    FROM by, UNNEST(generate_series(1, n, {multimodal.FRAME_STRIDE})) t(x)
     """,
 )
 def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling over the video-like payload: sequence+explode+
     substring, all JVM-side; moves frame_size/stride of the bytes.
-
-    ORACLE SCOPE: the twin strides CHARACTERS (the sampled frames are
-    compared as strings), so it assumes the all-ASCII pinned corpus —
-    the only media oracle family still character-based, because DuckDB
-    cannot substring/md5 BLOBs directly; the byte-value oracles
-    (decode/histogram/energy/phash) are byte-exact via hex decode."""
+    The catalog entry hexes each BINARY frame so the DuckDB twin can
+    replay the slice from the hex-encoded payload — byte-exact on any
+    corpus (a frame boundary may split a multibyte character; binary
+    slices don't care)."""
     media = multimodal.to_media(load(spark, sf_dir, "documents"))
-    return multimodal.frame_sample(media)
+    return multimodal.frame_sample(media).select(
+        "doc_id", "frame_no", F.hex("frame").alias("frame_hex")
+    )
 
 
 # The payload is the UTF-8 encoding of `text`. DuckDB replays the
@@ -130,28 +130,36 @@ def media_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "media_resize_stub",
     f"""
+    WITH by AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS n
+      FROM documents)
     SELECT doc_id,
-           CAST(length(text) AS BIGINT) AS orig_bytes,
-           CAST(len(generate_series(1, length(text),
-                                    {multimodal.RESIZE_STRIDE})) AS BIGINT)
-             AS resized_bytes,
-           md5(array_to_string(
-             list_transform(generate_series(1, length(text),
+           CAST(n AS BIGINT) AS orig_bytes,
+           CAST(len(generate_series(1, n, {multimodal.RESIZE_STRIDE}))
+                AS BIGINT) AS resized_bytes,
+           COALESCE(lower(array_to_string(
+             list_transform(generate_series(1, n,
                                             {multimodal.RESIZE_STRIDE}),
-                            i -> text[i]), '')) AS resized_md5
-    FROM documents
+                            i -> substring(hx, CAST(2 * i - 1 AS INTEGER),
+                                           2)), '')), '') AS resized_hex
+    FROM by
     """,
 )
 def media_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RESIZE stage of the media pipeline, codec stubbed to a byte
     stride (every 4th byte survives — "quarter resolution"): binary in
     / binary out through real ``mapInPandas`` Arrow batches, and the
-    md5 of the output bytes is oracle-checked — the payload is UTF-8
-    of ASCII text, so DuckDB can replay the exact stride in SQL. Swap
-    the stub body for PIL/ffmpeg on a cluster that has them; the
-    schema, batching, and shuffle-free shape stay identical."""
+    HEX of the exact output bytes is oracle-checked — DuckDB replays
+    the stride over the hex-encoded payload, byte-exact on any corpus
+    (the md5 column stays on the operator for the numpy pytest oracle;
+    SQL engines cannot md5 a blob). Swap the stub body for PIL/ffmpeg
+    on a cluster that has them; the schema, batching, and shuffle-free
+    shape stay identical."""
     media = multimodal.to_media(load(spark, sf_dir, "documents"))
-    return multimodal.resize_stub(media)
+    return multimodal.resize_stub(media).select(
+        "doc_id", "orig_bytes", "resized_bytes", "resized_hex"
+    )
 
 
 @_q(

@@ -40,6 +40,8 @@ _BYTE_QUERIES = [
     "media_frame_energy",
     "media_phash_neardup",
     "media_fingerprint",  # sha256/md5 of the string hash UTF-8 bytes
+    "media_frame_sample",  # hex-compared binary frames
+    "media_resize_stub",  # hex-compared strided bytes
 ]
 
 

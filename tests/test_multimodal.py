@@ -69,12 +69,14 @@ def test_byte_histogram_matches_numpy(media, docs_pd):
 
 def test_frame_sample_slices(media, docs_pd, spark):
     frames = multimodal.frame_sample(media).filter("doc_id = 0").collect()
-    text = docs_pd.set_index("doc_id").loc[0, "text"]
+    raw = docs_pd.set_index("doc_id").loc[0, "text"].encode("utf-8")
     expect = [
-        text[off : off + multimodal.FRAME_SIZE]
-        for off in range(0, len(text), multimodal.FRAME_STRIDE)
+        raw[off : off + multimodal.FRAME_SIZE]
+        for off in range(0, len(raw), multimodal.FRAME_STRIDE)
     ]
-    got = [r["frame"] for r in sorted(frames, key=lambda r: r["frame_no"])]
+    got = [
+        bytes(r["frame"]) for r in sorted(frames, key=lambda r: r["frame_no"])
+    ]
     assert got == expect
 
 
@@ -86,13 +88,15 @@ def test_resize_stub_matches_python(spark):
 
     docs = load(spark, SF_DIR, "documents")
     media = multimodal.to_media(docs)
-    got = {r.doc_id: (r.orig_bytes, r.resized_bytes, r.resized_md5)
+    got = {r.doc_id: (r.orig_bytes, r.resized_bytes, r.resized_md5,
+                      r.resized_hex)
            for r in multimodal.resize_stub(media).collect()}
     for row in docs.select("doc_id", "text").collect():
         raw = row.text.encode()
         resized = raw[::multimodal.RESIZE_STRIDE]
         assert got[row.doc_id] == (
-            len(raw), len(resized), hashlib.md5(resized).hexdigest())
+            len(raw), len(resized), hashlib.md5(resized).hexdigest(),
+            resized.hex())
 
 
 def test_frame_energy_matches_numpy(spark):
