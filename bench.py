@@ -367,7 +367,8 @@ def main() -> None:
     # shrink it until the line fits — BENCH_FULL.json keeps the full
     # map either way.
     ranked = sorted(timings.items(), key=lambda kv: kv[1], reverse=True)
-    for keep in range(min(10, len(ranked)), 2, -1):
+    compact = ""
+    for keep in range(min(10, len(ranked)), -1, -1):
         compact = json.dumps(
             {
                 "metric": "catalog_total",

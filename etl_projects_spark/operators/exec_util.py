@@ -127,25 +127,36 @@ def scratch_path(kind: str, *source_files: str) -> str:
     mtime) so a source regenerated within the same second as the
     prior vintage still gets a fresh key.
 
-    Older vintages of the same ``kind`` are pruned when a new key is
-    minted, so /tmp holds at most one live artifact per kind."""
+    The name carries the PATH hash and the SNAPSHOT hash separately:
+    ``spark_graft_<kind>_<path8>_<snap8>``. Dead vintages — same kind
+    and same source paths, older snapshot — are pruned, but only once
+    the current vintage's artifact EXISTS: pruning on the first call
+    (before the caller's build) could destroy the last good artifact
+    if the build crashes, and pruning across different source paths
+    (e.g. another SF's artifact of the same kind) would delete
+    parquet out from under that SF's live DataFrames. Distinct paths
+    never collide with and are never pruned by each other."""
     import glob
     import hashlib
     import os
     import shutil
     import tempfile
 
-    key = hashlib.md5(
-        "|".join(
-            f"{os.path.abspath(s)}@{os.stat(s).st_mtime_ns}"
-            f"@{os.stat(s).st_size}"
-            for s in source_files
-        ).encode()
-    ).hexdigest()[:16]
-    path = os.path.join(tempfile.gettempdir(), f"spark_graft_{kind}_{key}")
-    if not os.path.exists(path):
+    paths = "|".join(os.path.abspath(s) for s in source_files)
+    snap = "|".join(
+        f"{os.path.abspath(s)}@{os.stat(s).st_mtime_ns}"
+        f"@{os.stat(s).st_size}"
+        for s in source_files
+    )
+    path8 = hashlib.md5(paths.encode()).hexdigest()[:8]
+    snap8 = hashlib.md5(snap.encode()).hexdigest()[:8]
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_{kind}_{path8}_{snap8}"
+    )
+    if os.path.exists(path):
         pattern = os.path.join(
-            tempfile.gettempdir(), f"spark_graft_{kind}_" + "?" * 16
+            tempfile.gettempdir(),
+            f"spark_graft_{kind}_{path8}_" + "?" * 8,
         )
         for stale in glob.glob(pattern):
             if stale != path:

@@ -16,6 +16,29 @@ from etl_projects_spark.operators import multimodal
 from etl_projects_spark.queries import _q, load
 
 
+# The payload is the UTF-8 encoding of `text`. DuckDB replays the
+# byte-level UDF arithmetic BYTE-exactly on any corpus (ASCII or not):
+# hex(encode(text)) renders the UTF-8 bytes two hex digits each, and
+# CAST('0x'||pair AS INTEGER) recovers byte i's value — no
+# character/byte conflation anywhere in these oracles. _BY_CTE is the
+# single source of truth for the hex decode; _BYTES_CTE composes the
+# per-byte enumeration on top of it.
+_BY_CTE = """
+    by AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS n
+      FROM documents)
+"""
+_BYTES_CTE = f"""
+    {_BY_CTE},
+    ch AS (
+      SELECT doc_id,
+             CAST('0x' || substring(hx, 2 * i - 1, 2) AS INTEGER) AS v,
+             i - 1 AS idx, n
+      FROM by, UNNEST(generate_series(1, n)) t(i))
+"""
+
+
 @_q(
     "media_fingerprint",
     """
@@ -36,10 +59,7 @@ def media_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "media_frame_sample",
     f"""
-    WITH by AS (
-      SELECT doc_id, hex(encode(text)) AS hx,
-             octet_length(encode(text)) AS n
-      FROM documents)
+    WITH {_BY_CTE}
     SELECT doc_id,
            CAST((x - 1) / {multimodal.FRAME_STRIDE} AS BIGINT) AS frame_no,
            substring(hx, CAST(2 * x - 1 AS INTEGER),
@@ -58,24 +78,6 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.frame_sample(media).select(
         "doc_id", "frame_no", F.hex("frame").alias("frame_hex")
     )
-
-
-# The payload is the UTF-8 encoding of `text`. DuckDB replays the
-# byte-level UDF arithmetic BYTE-exactly on any corpus (ASCII or not):
-# hex(encode(text)) renders the UTF-8 bytes two hex digits each, and
-# CAST('0x'||pair AS INTEGER) recovers byte i's value — no
-# character/byte conflation anywhere in these oracles.
-_BYTES_CTE = """
-    by AS (
-      SELECT doc_id, hex(encode(text)) AS hx,
-             octet_length(encode(text)) AS n
-      FROM documents),
-    ch AS (
-      SELECT doc_id,
-             CAST('0x' || substring(hx, 2 * i - 1, 2) AS INTEGER) AS v,
-             i - 1 AS idx, n
-      FROM by, UNNEST(generate_series(1, n)) t(i))
-"""
 
 
 @_q(
@@ -130,10 +132,7 @@ def media_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "media_resize_stub",
     f"""
-    WITH by AS (
-      SELECT doc_id, hex(encode(text)) AS hx,
-             octet_length(encode(text)) AS n
-      FROM documents)
+    WITH {_BY_CTE}
     SELECT doc_id,
            CAST(n AS BIGINT) AS orig_bytes,
            CAST(len(generate_series(1, n, {multimodal.RESIZE_STRIDE}))

@@ -424,9 +424,12 @@ def gdpr_cascade_delete_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic shortcut), so orphan keys are handled faithfully.
 
     Scale: the keylist broadcasts into each fact scan (flag join +
-    conditional count — one pass per table, no row explosion); a
-    keylist too large to broadcast degrades to a shuffled semi-join
-    or a bloom-filter probe, same shape."""
+    conditional count — one pass per table, no row explosion). The
+    broadcast is the OPTIMIZER's choice, not a forced hint: the
+    keylist and cascaded order keys grow with the data (~1/97 of
+    their tables), so past autoBroadcastJoinThreshold the plan
+    degrades to a shuffled join on its own instead of OOMing on a
+    mandatory multi-GB broadcast build."""
     customer = load(spark, sf_dir, "customer")
     orders = load(spark, sf_dir, "orders")
     lineitem = load(spark, sf_dir, "lineitem")
@@ -439,9 +442,7 @@ def gdpr_cascade_delete_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("c_custkey") % 97 == 0, 1)).alias("n_delete"),
         F.count(F.when(F.col("c_custkey") % 97 != 0, 1)).alias("n_keep"),
     )
-    ofl = orders.join(
-        F.broadcast(victims), orders.o_custkey == victims.vk, "left"
-    )
+    ofl = orders.join(victims, orders.o_custkey == victims.vk, "left")
     ord_row = ofl.agg(
         F.lit("orders").alias("tbl"),
         F.count(F.when(F.col("vk").isNotNull(), 1)).alias("n_delete"),
@@ -451,7 +452,7 @@ def gdpr_cascade_delete_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("dok")
     )
     lfl = lineitem.join(
-        F.broadcast(del_orders), lineitem.l_orderkey == F.col("dok"), "left"
+        del_orders, lineitem.l_orderkey == F.col("dok"), "left"
     )
     line_row = lfl.agg(
         F.lit("lineitem").alias("tbl"),

@@ -452,9 +452,15 @@ def foreach_batch_merge(
     # Crash recovery must also run BEFORE the stream starts: a restart
     # whose source delivers zero new files never enters write_batch, so
     # a per-batch-only check would leave the state stranded in the
-    # aside dir even though it is fully recoverable.
-    if os.path.exists(aside) and not os.path.exists(state_dir):
-        os.rename(aside, state_dir)
+    # aside dir even though it is fully recoverable. The complementary
+    # crash window (new state landed, aside not yet removed) likewise
+    # needs pre-start cleanup, or the stale copy leaks until some
+    # future batch arrives.
+    if os.path.exists(aside):
+        if not os.path.exists(state_dir):
+            os.rename(aside, state_dir)
+        else:
+            shutil.rmtree(aside)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession

@@ -42,8 +42,11 @@ def test_scratch_path_same_second_regeneration(tmp_path):
 
 
 def test_scratch_path_prunes_stale_vintages(tmp_path):
-    """Minting a new vintage key removes the older sibling artifact of
-    the same kind, so /tmp does not accumulate dead vintages."""
+    """Once the CURRENT vintage's artifact exists, older vintages of
+    the same (kind, source paths) are pruned — but never before the
+    new artifact is built (a crashed build must leave the previous
+    artifact intact), and never across different source paths (another
+    SF's live artifact of the same kind must survive)."""
     src = tmp_path / "t.parquet"
     src.write_text("v1")
     p1 = scratch_path("prunekind", str(src))
@@ -51,13 +54,25 @@ def test_scratch_path_prunes_stale_vintages(tmp_path):
     os.utime(src, ns=(2_000_000_000_000, 2_000_000_000_000))
     p2 = scratch_path("prunekind", str(src))
     assert p2 != p1
-    assert not os.path.exists(p1)  # stale vintage pruned
-    # other kinds' artifacts are untouched
-    other = scratch_path("otherkind", str(src))
+    # new artifact not built yet -> old vintage must still be there
+    assert os.path.exists(p1)
+    os.makedirs(p2, exist_ok=True)
+    scratch_path("prunekind", str(src))
+    assert not os.path.exists(p1)  # now pruned
+    assert os.path.exists(p2)
+    # a different source path (e.g. another SF) of the same kind is
+    # never pruned
+    other_src = tmp_path / "other_sf.parquet"
+    other_src.write_text("v1")
+    other = scratch_path("prunekind", str(other_src))
     os.makedirs(other, exist_ok=True)
-    os.utime(src, ns=(3_000_000_000_000, 3_000_000_000_000))
     scratch_path("prunekind", str(src))
     assert os.path.exists(other)
+    # other kinds' artifacts are untouched
+    kind_b = scratch_path("otherkind", str(src))
+    os.makedirs(kind_b, exist_ok=True)
+    scratch_path("prunekind", str(src))
+    assert os.path.exists(kind_b)
 
 
 def test_build_once_builds_exactly_once(tmp_path):

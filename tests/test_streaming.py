@@ -446,6 +446,27 @@ def test_foreach_batch_merge_recovers_without_new_files(
     assert after == before
     assert not os.path.exists(state + "._old")
 
+    # Complementary crash window on a zero-new-files restart: new state
+    # landed but the aside was never removed — the pre-start check must
+    # clear the stale copy (and keep the newer state) even though
+    # write_batch never runs.
+    import shutil
+
+    shutil.copytree(state, state + "._old")
+    jobs.foreach_batch_merge(
+        jobs.stream_from_directory(spark, events_dir),
+        state_dir=state,
+        checkpoint=ckpt,
+        keys=("user_id",),
+        order_cols=("ts", "event_id"),
+    )
+    final = {
+        r["user_id"]: (r["ts"], r["event_id"])
+        for r in spark.read.parquet(state).collect()
+    }
+    assert final == before
+    assert not os.path.exists(state + "._old")
+
 
 def test_foreach_batch_merge_replay_over_leftover_aside(
     spark, events_batch, events_dir, tmp_path
