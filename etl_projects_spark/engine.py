@@ -123,6 +123,26 @@ class LakeEngine:
             self.spark.sql(f"MSCK REPAIR TABLE {name}")
         return self.spark.table(name)
 
+    def register_existing(
+        self,
+        database: str,
+        table: str,
+        layer: Layer | str,
+        partitions: Sequence[str] = (),
+    ) -> DataFrame:
+        """(Re-)register the external-table DDL for a table whose data
+        files already sit at the engine's canonical path — the recovery
+        step after a metastore loss or a data-dir relocation (the data
+        is the source of truth; the catalog entry is derived). Pure
+        DDL, no data movement."""
+        return self._register_external(
+            database,
+            table,
+            self.writer.table_path(database, table),
+            layer,
+            partitions,
+        )
+
     def load_layer(
         self,
         queries_dir: str,
