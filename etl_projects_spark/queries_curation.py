@@ -1480,7 +1480,15 @@ def split_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: grams are md5'd scan-side; the train gram set is reached by
     a SEMI join from the (far smaller, 2%) test gram relation — the
     probe is test-sized, the train side is the big-but-linear build.
-    Nothing pairwise; the same shape as the dedup band joins."""
+    Nothing pairwise; the same shape as the dedup band joins. The
+    distinct train gram set is a PERSISTED per-vintage artifact
+    (``build_once``, like the LSH band index): in a real
+    decontamination pipeline the train index is built once at corpus
+    admission and probed by every evaluation set, so steady-state
+    cost is test-sized — the 96% train explode is not re-paid per
+    sweep."""
+    from etl_projects_spark.operators.exec_util import build_once, scratch_path
+
     docs = load(spark, sf_dir, "documents")
     u = mix_unit("doc_id")
     split = (
@@ -1495,22 +1503,37 @@ def split_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split("text", " ").alias("toks"),
         F.size(F.split("text", " ")).alias("n"),
     ).filter(F.col("n") >= CONTAM_NGRAM)
-    grams = t.select(
-        "doc_id",
-        "source",
-        "split",
-        F.explode(
-            F.array_distinct(
-                F.expr(
-                    f"transform(sequence(1, n - {CONTAM_NGRAM} + 1),"
-                    f" i -> md5(concat_ws(' ', slice(toks, i,"
-                    f" {CONTAM_NGRAM}))))"
+
+    def _grams(rel):
+        return rel.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        f"transform(sequence(1, n - {CONTAM_NGRAM} + 1),"
+                        f" i -> md5(concat_ws(' ', slice(toks, i,"
+                        f" {CONTAM_NGRAM}))))"
+                    )
                 )
-            )
-        ).alias("gram"),
+            ).alias("gram"),
+        )
+
+    scratch = scratch_path(
+        "contam_train_grams", os.path.join(sf_dir, "documents.parquet")
     )
-    tr = grams.filter(F.col("split") == "train").select("gram").distinct()
-    te = grams.filter(F.col("split") == "test")
+
+    def _build(tmp: str) -> None:
+        (
+            _grams(t.filter(F.col("split") == "train"))
+            .select("gram")
+            .distinct()
+            .write.mode("overwrite")
+            .parquet(os.path.join(tmp, "grams"))
+        )
+
+    build_once(scratch, _build, marker=os.path.join("grams", "_SUCCESS"))
+    tr = spark.read.parquet(os.path.join(scratch, "grams"))
+    te = _grams(t.filter(F.col("split") == "test"))
     hit = (
         te.join(tr, "gram", "semi")
         .select("doc_id")
