@@ -159,6 +159,17 @@ class DataFrameOps:
             for f in field_names
         }
         keep = [c for c in df.columns if c != json_column]
+        # A JSON key that (after prefix/formatting) collides with a
+        # kept top-level column would silently produce a duplicate
+        # column name — every later reference then fails with an
+        # ambiguous-column error far from the cause. Fail here, where
+        # the fix (a prefix) is obvious.
+        clashes = sorted(set(out_names.values()) & set(keep))
+        if clashes:
+            raise ValueError(
+                "explode_json_column: JSON keys collide with existing "
+                f"columns {clashes}; pass a prefix to disambiguate"
+            )
         out = parsed.select(
             *keep, *[F.col(f"__parsed__.`{f}`").alias(out_names[f]) for f in field_names]
         )

@@ -113,8 +113,10 @@ def scd2_apply(
     ``dim`` schema: keys + attrs + effective_col + end_col + current_col.
     ``updates`` schema: keys + attrs + effective_col. A batch carrying
     several rows for one key is first collapsed to its latest row per
-    key (highest ``effective_col``) — the full-outer join below would
-    otherwise fan out and mint duplicate current versions.
+    key — ordered by (``effective_col``, then every attr) so rows that
+    tie on the effective timestamp still pick one winner
+    deterministically under any shuffle order — the full-outer join
+    below would otherwise fan out and mint duplicate current versions.
 
     Semantics (per key):
     - attribute-identical current row → unchanged (idempotent re-run);
@@ -129,7 +131,7 @@ def scd2_apply(
     """
     keys = list(keys)
     attrs = list(attrs)
-    updates = latest_per_key(updates, keys, effective_col)
+    updates = latest_per_key(updates, keys, [effective_col, *attrs])
     upd = updates.select(
         *[F.col(k).alias(f"_u_{k}") for k in keys],
         *[F.col(a).alias(f"_u_{a}") for a in attrs],

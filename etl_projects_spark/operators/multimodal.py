@@ -92,8 +92,15 @@ def frame_sample(
     return (
         media.select(
             "doc_id",
+            # empty payloads yield zero frames, not an illegal
+            # sequence(1, 0) boundary error
             F.explode(
-                F.sequence(F.lit(1), F.col("meta.byte_len"), F.lit(stride))
+                F.when(
+                    F.col("meta.byte_len") >= 1,
+                    F.sequence(
+                        F.lit(1), F.col("meta.byte_len"), F.lit(stride)
+                    ),
+                ).otherwise(F.array().cast("array<bigint>"))
             ).alias("off"),
             "payload",
         )
@@ -163,9 +170,13 @@ def byte_histogram(media: DataFrame, buckets: int = HIST_BUCKETS) -> DataFrame:
 
     ``mapInPandas`` + ``np.bincount`` per payload; emits one
     ``array<long>`` of ``buckets`` counts per row — the layout a real
-    embedding/feature extractor would produce.
+    embedding/feature extractor would produce. Bucket index is
+    ``v * buckets // 256`` (identical to ``v // (256 // buckets)``
+    for power-of-two divisors, which is what the catalog oracle
+    assumes) so the top bytes still land in the last bucket when
+    ``buckets`` does not divide 256 — counts are never silently
+    dropped.
     """
-    width = 256 // buckets
 
     def run(batches):
         import numpy as np
@@ -174,8 +185,14 @@ def byte_histogram(media: DataFrame, buckets: int = HIST_BUCKETS) -> DataFrame:
         for batch in batches:
             hists = []
             for payload in batch["payload"]:
-                arr = np.frombuffer(payload, dtype=np.uint8) // width
-                hists.append(np.bincount(arr, minlength=buckets)[:buckets].tolist())
+                arr = (
+                    np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+                    * buckets
+                    // 256
+                )
+                hists.append(
+                    np.bincount(arr, minlength=buckets)[:buckets].tolist()
+                )
             yield pd.DataFrame({"doc_id": batch["doc_id"], "hist": hists})
 
     return media.select("doc_id", "payload").mapInPandas(

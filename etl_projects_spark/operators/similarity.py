@@ -159,11 +159,18 @@ def lsh_multiprobe_topk(
     gaps) and brute force: vectors near a hyperplane land on either
     side, so probing the 1-bit-flip buckets recovers most misses for
     (n_planes+1)/2^n_planes of the brute-force cost. The probe set is
-    a deterministic 5-element IN-list on the bucket column — still a
-    scan-side filter (partition-prunable when the corpus is stored
-    bucketed), never a shuffle.
+    a deterministic (n_planes+1)-element IN-list on the bucket column
+    — still a scan-side filter (partition-prunable when the corpus is
+    stored bucketed), never a shuffle. The bucket expression is built
+    from the SAME ``n_planes`` hyperplanes the probe list flips — a
+    mismatched plane count would probe buckets no vector occupies.
     """
-    with_bucket = df.withColumn("bucket", hyperplane_bucket(F.col(vec_col)))
+    with_bucket = df.withColumn(
+        "bucket",
+        hyperplane_bucket(
+            F.col(vec_col), _hyperplanes(n=n_planes)
+        ),
+    )
     q = with_bucket.filter(F.col(id_col) == query_id).select(
         F.col(vec_col).alias("qvec"), F.col("bucket").alias("qbucket")
     )
@@ -333,15 +340,15 @@ def ivf_assign(
             vn = v / np.linalg.norm(v, axis=1, keepdims=True)
             yield pd.DataFrame(
                 {
-                    "vec_id": batch[id_col],
+                    id_col: batch[id_col],
                     "cluster": np.argmax(vn @ cents.T, axis=1).astype(np.int32),
-                    "embedding": batch[vec_col],
+                    vec_col: batch[vec_col],
                 }
             )
 
     src = df.select(id_col, vec_col)
     return src.mapInPandas(
-        assign, schema=f"vec_id long, cluster int, {vec_col} array<float>"
+        assign, schema=f"{id_col} long, cluster int, {vec_col} array<float>"
     )
 
 

@@ -46,8 +46,19 @@ def choose_salt_factor(
     spreading on every corpus we benched.
     """
     parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    # A seeded Bernoulli sample + limit, NOT a bare limit: limit()
+    # takes the first rows of the first partition(s), so key-SORTED
+    # input (this repo's own bucketed sortBy layout, say) would see
+    # one run of a single key and estimate p_hot≈1 on a uniform
+    # table. The row-level sample de-clusters within every scanned
+    # partition; limit then bounds the aggregation input. Residual
+    # bias: a hot key confined to late partitions can still be
+    # under-sampled (limit short-circuits the scan) — raise
+    # sample_rows, or let AQE's runtime skew split catch what the
+    # up-front estimate missed.
     stats = (
         df.select(on)
+        .sample(withReplacement=False, fraction=0.1, seed=13)
         .limit(sample_rows)
         .groupBy(on)
         .count()

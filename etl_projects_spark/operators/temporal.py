@@ -46,35 +46,28 @@ def asof_join(
     ``merge_asof`` surface, distributed.
 
     Implementation: tag sides, union, and per key carry the last
-    non-null right value over an order of (ts, side[, tie]) — time
-    runs descending for "forward", so "last seen right row" is always
-    the nearest qualifying one; right rows sort before left rows at
-    equal ts, so ties are inclusive either way. One shuffle on the
-    key, one sort — no inequality join. ``tie_break`` (a right
-    column, e.g. its id) makes the choice among equal-ts right rows
+    non-null right ROW — one struct of every requested right column —
+    over an order of (ts, side[, tie]); time runs descending for
+    "forward", so "last seen right row" is always the nearest
+    qualifying one; right rows sort before left rows at equal ts, so
+    ties are inclusive either way. Carrying the struct (not each
+    column independently) keeps the match atomic: a right row whose
+    payload column is legitimately NULL yields NULL for that output
+    column, exactly like pandas ``merge_asof``, instead of stitching
+    in an older row's value. One shuffle on the key, one sort — no
+    inequality join. ``tie_break`` (a right column of any orderable
+    type, e.g. its id) makes the choice among equal-ts right rows
     deterministic. ``tolerance_seconds`` nulls out matches farther
     than the tolerance (both ts columns must be timestamps).
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
     lcols = left.columns
-    l_tag = left.select(
-        F.col(on).alias("_k"),
-        F.col(left_ts).alias("_ts"),
-        F.lit(1).alias("_side"),
-        F.lit(None).cast("long").alias("_tie"),
-        *[F.col(c) for c in lcols],
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_r_{c}") for c in right_cols],
-        F.lit(None).cast(dict(right.dtypes)[right_ts]).alias("_r__mts"),
-    )
-    r_tag = right.select(
-        F.col(on).alias("_k"),
-        F.col(right_ts).alias("_ts"),
-        F.lit(0).alias("_side"),
-        (F.col(tie_break).cast("long") if tie_break else F.lit(0)).alias("_tie"),
-        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in lcols],
-        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
-        F.col(right_ts).alias("_r__mts"),
+    rtypes = dict(right.dtypes)
+    tie_type = rtypes[tie_break] if tie_break else "int"
+    row_struct = F.struct(
+        *[F.col(c).alias(c) for c in right_cols],
+        F.col(right_ts).alias("_mts"),
     )
     ts_order = F.col("_ts") if direction == "backward" else F.col("_ts").desc()
     win = (
@@ -82,37 +75,50 @@ def asof_join(
         .orderBy(ts_order, "_side", "_tie")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    carry_cols = [*right_cols, "_mts"]
-    carried = l_tag.unionByName(r_tag).select(
-        "*",
-        *[
-            F.last(f"_r_{c}", ignorenulls=True).over(win).alias(f"_c_{c}")
-            for c in carry_cols
-        ],
+    l_full = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(tie_type).alias("_tie"),
+        *[F.col(c) for c in lcols],
+    ).withColumn("_r_all", F.lit(None))
+    r_full = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        (F.col(tie_break) if tie_break else F.lit(0).cast("int")).alias("_tie"),
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in lcols],
+        row_struct.alias("_r_all"),
+    )
+    # Left rows carry a NULL of the same struct type (a struct OF
+    # nulls would defeat last(ignorenulls) — it must be a null
+    # struct).
+    l_full = l_full.withColumn(
+        "_r_all",
+        F.lit(None).cast(
+            r_full.schema["_r_all"].dataType.simpleString()
+        ),
+    )
+    carried = l_full.unionByName(r_full).select(
+        "*", F.last("_r_all", ignorenulls=True).over(win).alias("_c_all")
     )
     out = carried.filter(F.col("_side") == 1)
     if tolerance_seconds is not None:
         # TIMESTAMP_NTZ (the parquet vintage Spark reads for testdata)
         # can't cast straight to double; hop through TIMESTAMP. Both
         # sides hop identically, so the difference is tz-invariant.
-        def _secs(c: str) -> F.Column:
-            return F.col(c).cast("timestamp").cast("double")
+        def _secs(c: F.Column) -> F.Column:
+            return c.cast("timestamp").cast("double")
 
-        gap = _secs("_c__mts") - _secs("_ts")
+        gap = _secs(F.col("_c_all._mts")) - _secs(F.col("_ts"))
         if direction == "backward":
             gap = -gap
         ok = gap <= F.lit(float(tolerance_seconds))
-        out = out.select(
-            *[c for c in out.columns if not c.startswith("_c_")],
-            *[
-                F.when(ok, F.col(f"_c_{c}")).alias(f"_c_{c}")
-                for c in carry_cols
-            ],
-        )
+        out = out.withColumn("_c_all", F.when(ok, F.col("_c_all")))
     return out.select(
         *[F.col(c) for c in lcols],
-        *[F.col(f"_c_{c}").alias(f"{c}_asof") for c in right_cols],
-        F.col("_c__mts").alias("matched_ts_asof"),
+        *[F.col(f"_c_all.{c}").alias(f"{c}_asof") for c in right_cols],
+        F.col("_c_all._mts").alias("matched_ts_asof"),
     )
 
 

@@ -159,3 +159,20 @@ def test_prefix_sum_matches_global_window(spark, sf_dir):
         ).collect()
     }
     assert got == exp
+
+
+def test_explode_json_collision_raises_clearly(spark):
+    """A JSON key colliding with a kept top-level column must fail at
+    the explode with an actionable message, not produce a duplicate
+    column that breaks some later reference (r5 operator review)."""
+    import pytest
+    from etl_projects_spark.operators.dataframe_ops import DataFrameOps
+
+    df = spark.createDataFrame(
+        [(1, '{"id": 7, "x": 1}')], "id long, props string"
+    )
+    with pytest.raises(ValueError, match="collide.*id.*prefix"):
+        DataFrameOps(df).explode_json_column("props")
+    # a prefix resolves it
+    out = DataFrameOps(df).explode_json_column("props", prefix="p_").df
+    assert set(out.columns) == {"id", "p_id", "p_x"}

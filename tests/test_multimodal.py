@@ -155,3 +155,34 @@ def test_perceptual_hash_matches_numpy(spark):
     assert got[0] == 0
     # a payload shorter than PHASH_BITS bytes is skipped, not hashed
     assert 2 not in got
+
+
+def test_frame_sample_empty_payload_yields_no_frames(spark):
+    """byte_len=0 must produce zero frames, not an illegal
+    sequence(1, 0) boundary error (r5 operator review)."""
+    import pandas as pd
+    from etl_projects_spark.operators import multimodal
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["", "abcd"]})
+    )
+    media = multimodal.to_media(docs)
+    rows = multimodal.frame_sample(media).collect()
+    assert {r["doc_id"] for r in rows} == {2}
+
+
+def test_byte_histogram_nondivisor_buckets_conserve_counts(spark):
+    """buckets=10 (not a divisor of 256): high byte values must land
+    in the last bucket, never be sliced off — totals equal payload
+    length (r5 operator review)."""
+    import pandas as pd
+    from etl_projects_spark.operators import multimodal
+
+    text = "".join(chr(c) for c in range(1, 128)) + "🚀" * 5  # 0xF0 lead bytes
+    docs = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "text": [text]}))
+    media = multimodal.to_media(docs)
+    hist = multimodal.byte_histogram(media, buckets=10).collect()[0]["hist"]
+    assert len(hist) == 10
+    assert sum(hist) == len(text.encode("utf-8"))
+    # the 0xF0 (240) lead bytes land in the last bucket (240*10//256=9)
+    assert hist[-1] >= 5

@@ -194,3 +194,47 @@ def test_asof_tolerance_nulls_far_matches(spark):
     }
     assert out["near"] == (100, ts("2024-01-01 09:30"))  # 30 min <= 1 h
     assert out["far"] == (None, None)                    # 8.5 h > 1 h
+
+
+def test_asof_null_payload_stays_atomic(spark):
+    """A matched right row whose payload column is legitimately NULL
+    must yield NULL — not an OLDER right row's value stitched in
+    (pandas merge_asof semantics; the per-column ignorenulls carry
+    bug found in the r5 operator review)."""
+    left = spark.createDataFrame(
+        [(1, ts("2024-01-01 12:00"), "x")],
+        "user_id long, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, ts("2024-01-01 10:00"), 10, 5),
+         (1, ts("2024-01-01 11:00"), None, 7)],
+        "user_id long, ts timestamp, price long, qty long",
+    )
+    row = temporal.asof_join(
+        left, right, on="user_id", right_cols=["price", "qty"]
+    ).collect()[0]
+    # the 11:00 row matches: its NULL price must NOT fall back to 10
+    assert row["qty_asof"] == 7
+    assert row["price_asof"] is None
+    assert row["matched_ts_asof"] == ts("2024-01-01 11:00")
+
+
+def test_asof_string_tie_break(spark):
+    """tie_break accepts any orderable type (the long-cast bug made a
+    string tie column NULL for every row)."""
+    left = spark.createDataFrame(
+        [(1, ts("2024-01-01 12:00"), "x")],
+        "user_id long, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, ts("2024-01-01 11:00"), "b", 2),
+         (1, ts("2024-01-01 11:00"), "a", 1)],
+        "user_id long, ts timestamp, rid string, v long",
+    )
+    row = temporal.asof_join(
+        left, right, on="user_id", right_cols=["rid", "v"],
+        tie_break="rid",
+    ).collect()[0]
+    # deterministic: the LAST in (ts, side, tie) order among the tied
+    # rows is rid='b'
+    assert (row["rid_asof"], row["v_asof"]) == ("b", 2)
