@@ -29,6 +29,11 @@ from etl_projects_spark.session import build_session
 from etl_projects_spark.sinks.table_writer import TableWriter
 
 
+# flattened-catalog-name ownership: name -> (database, table); guards
+# against two distinct tables flattening to the same catalog name
+_REGISTERED_NAMES: dict[str, tuple[str, str]] = {}
+
+
 class LakeEngine:
     """Owns a SparkSession + a lake root; every table build is one Spark job."""
 
@@ -73,10 +78,13 @@ class LakeEngine:
     ) -> DataFrame:
         """Build one lake table from a SQL query and register it.
 
-        ``is_incremental=True`` writes in overwrite mode with dynamic
-        partition overwrite: re-running the same ``ds`` replaces exactly
-        that batch's partitions (idempotent — the semantics the reference
-        left implicit in its missing ``load_table.py`` job).
+        ``is_incremental=True`` (requires ``partitions``) writes in
+        overwrite mode with dynamic partition overwrite: re-running
+        the same ``ds`` replaces exactly that batch's partitions
+        (idempotent — the semantics the reference left implicit in its
+        missing ``load_table.py`` job). A non-incremental partitioned
+        load pins STATIC overwrite so a full rebuild also drops
+        partitions that no longer exist in the source.
 
         After the write, the table is registered in the SPARK CATALOG as
         an external table (``CREATE TABLE ... USING <fmt> LOCATION``) —
@@ -91,11 +99,25 @@ class LakeEngine:
         if ds is not None:
             all_params["ds"] = str(ds)
         df = self.sql(query_or_path, params=all_params)
-        mode = "overwrite"  # dynamic partitionOverwriteMode makes this incremental-safe
+        write_opts: dict[str, str] = {}
         if is_incremental and not partitions:
-            mode = "append"
+            # Plain append double-counts on any retry — and
+            # PipelineRunner DOES retry failed steps — so incremental
+            # loads must name the partition columns that scope the
+            # idempotent dynamic overwrite.
+            raise ValueError(
+                "is_incremental=True requires partition columns: an "
+                "unpartitioned append is not idempotent under re-runs"
+            )
+        if partitions and not is_incremental:
+            # A FULL rebuild must also remove partitions absent from
+            # the new data; the session-global dynamic overwrite (set
+            # for the incremental path) would silently leave them in
+            # place, so pin static overwrite per write.
+            write_opts["partitionOverwriteMode"] = "static"
         path = self.writer.load_table(
-            df, database, table, layer=layer, partitions=partitions, mode=mode
+            df, database, table, layer=layer, partitions=partitions,
+            mode="overwrite", **write_opts,
         )
         return self._register_external(database, table, path, layer, partitions)
 
@@ -113,8 +135,23 @@ class LakeEngine:
         external table never touches the data files); MSCK REPAIR
         registers Hive-layout partition directories so partition
         pruning works through the catalog entry.
+
+        The flattened catalog name ``<database>_<table>`` is ambiguous
+        in principle (('sales_eu','orders') and ('sales','eu_orders')
+        both flatten to 'sales_eu_orders'), and the DROP-then-CREATE
+        would silently clobber the other table's registration — so the
+        process-wide registry below rejects a second (database, table)
+        pair claiming an already-registered name.
         """
         name = f"{database}_{table}"
+        owner = _REGISTERED_NAMES.setdefault(name, (database, table))
+        if owner != (database, table):
+            raise ValueError(
+                f"catalog name {name!r} already registered by "
+                f"database={owner[0]!r} table={owner[1]!r}; "
+                f"({database!r}, {table!r}) would clobber it — rename "
+                "one of the tables or databases"
+            )
         # a leftover temp view with the same name would shadow the table
         self.spark.catalog.dropTempView(name)
         self.spark.sql(f"DROP TABLE IF EXISTS {name}")

@@ -122,6 +122,35 @@ def minhash_signatures(shingles: DataFrame) -> DataFrame:
     return hashed.groupBy("id").agg(*aggs)
 
 
+def minhash_stage_expr(set_col: str = "sh_set") -> F.Column:
+    """The pmod staging projection shared by every MinHash producer —
+    evaluate once per row so the k permutations map a common array."""
+    return F.transform(set_col, lambda x: F.pmod(x, F.lit(HASH_PRIME)))
+
+
+def minhash_sig_cols(h_col: str = "h") -> list[F.Column]:
+    """The k=8 signature expressions (``mh0..mh7``) over a staged
+    ``h`` array. THE single definition of the signature arithmetic:
+    the batch index builder and the streaming admission probe both
+    compose these, so the two can never drift bit-wise — a stream
+    probing an index built with different coefficients would silently
+    miss every bucket."""
+    return [
+        F.array_min(
+            F.transform(h_col, lambda h: F.pmod(a * h + b, F.lit(HASH_PRIME)))
+        ).alias(f"mh{i}")
+        for i, (a, b) in enumerate(MINHASH_COEFFS)
+    ]
+
+
+def band_mh_columns(band: int) -> list[str]:
+    """The signature column names making up one LSH band key — the
+    band layout contract shared by :func:`melt_bands` (index build)
+    and the streaming probe."""
+    rows_per_band = len(MINHASH_COEFFS) // LSH_BANDS
+    return [f"mh{band * rows_per_band + r}" for r in range(rows_per_band)]
+
+
 def minhash_signatures_from_sets(sets: DataFrame) -> DataFrame:
     """k=8 MinHash signature per id from a (id, sh_set) relation —
     entirely per-row: each permutation is an ``array_min`` over a
@@ -135,16 +164,9 @@ def minhash_signatures_from_sets(sets: DataFrame) -> DataFrame:
     (parity with the grouped path, where they have no rows to group).
     """
     staged = sets.filter(F.size("sh_set") > 0).select(
-        "id",
-        F.transform("sh_set", lambda x: F.pmod(x, F.lit(HASH_PRIME))).alias("h"),
+        "id", minhash_stage_expr("sh_set").alias("h")
     )
-    cols = [
-        F.array_min(
-            F.transform("h", lambda h: F.pmod(a * h + b, F.lit(HASH_PRIME)))
-        ).alias(f"mh{i}")
-        for i, (a, b) in enumerate(MINHASH_COEFFS)
-    ]
-    return staged.select("id", *cols)
+    return staged.select("id", *minhash_sig_cols("h"))
 
 
 def melt_bands(sigs: DataFrame) -> DataFrame:
@@ -156,8 +178,7 @@ def melt_bands(sigs: DataFrame) -> DataFrame:
     rows_per_band = len(MINHASH_COEFFS) // LSH_BANDS
     stack_args = []
     for band in range(LSH_BANDS):
-        cols = [f"mh{band * rows_per_band + r}" for r in range(rows_per_band)]
-        stack_args.append(f"{band}, {', '.join(cols)}")
+        stack_args.append(f"{band}, {', '.join(band_mh_columns(band))}")
     keys = ", ".join(f"k{r}" for r in range(rows_per_band))
     return sigs.selectExpr(
         "id", f"stack({LSH_BANDS}, {', '.join(stack_args)}) AS (band, {keys})"

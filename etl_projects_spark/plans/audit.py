@@ -38,7 +38,16 @@ def audit(df: DataFrame) -> dict:
         "sortmerge_joins": plan.count("SortMergeJoin"),
         "nested_loop_joins": plan.count("BroadcastNestedLoopJoin"),
         "cartesian": "CartesianProduct" in plan,
+        # 'shuffles' counts HASH exchanges only (the keyed
+        # repartitions joins/aggs introduce). Range and
+        # single-partition exchanges are DIFFERENT regressions —
+        # a global sort sneaking in, or a relation collapsing to one
+        # task — so they get their own counters; a shuffles=0 pin
+        # alone does NOT prove exchange-free (pin the other two where
+        # that is the claim).
         "shuffles": plan.count("Exchange hashpartitioning"),
+        "range_exchanges": plan.count("Exchange rangepartitioning"),
+        "single_exchanges": plan.count("Exchange SinglePartition"),
         "scan_columns": [s.split(",") for s in read_schemas],
         "top_k_pushdown": "TakeOrderedAndProject" in plan,
         "window_group_limit": "WindowGroupLimit" in plan,

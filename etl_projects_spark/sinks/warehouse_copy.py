@@ -74,7 +74,11 @@ def stage_for_copy(df: DataFrame, path: str, fmt: str = "jsonl_gz") -> str:
         writer.option("compression", "gzip").option("header", "true").csv(path)
     else:
         writer.parquet(path)
-    parts = sorted(glob.glob(os.path.join(path, _PART_GLOBS[fmt])))
+    # glob.escape: a staging path containing glob metacharacters
+    # (e.g. a ds like 'run[2024-01-05]') would otherwise read as a
+    # character class, match nothing, and report a successful stage
+    # as a failure.
+    parts = sorted(glob.glob(os.path.join(glob.escape(path), _PART_GLOBS[fmt])))
     if not parts:
         raise RuntimeError(f"staging produced no part files under {path}")
     manifest = {

@@ -100,8 +100,15 @@ def cast_all_to_string(df: DataFrame) -> DataFrame:
 
 
 def export_jsonl_gz(df: DataFrame, path: str) -> None:
-    """Gzip JSON-lines feed export (K4, ``exporters.py:6-30``)."""
-    df.write.mode("overwrite").option("compression", "gzip").json(path)
+    """Gzip JSON-lines feed export (K4, ``exporters.py:6-30``).
+
+    Delegates to :func:`~etl_projects_spark.sinks.table_writer.
+    write_gzip_jsonl` — one implementation of the K4 format, so a
+    format change cannot silently fork between the source-side and
+    sink-side export paths."""
+    from etl_projects_spark.sinks.table_writer import write_gzip_jsonl
+
+    write_gzip_jsonl(df, path)
 
 
 def read_jsonl_gz(

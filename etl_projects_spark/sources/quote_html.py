@@ -34,45 +34,58 @@ SUMMARY_ID = "quote-summary"
 HEADER_ID = "Lead-3-QuoteHeader-Proxy"
 
 
+# Start tags that implicitly close open elements (HTML allows omitted
+# end tags): a new <td>/<th> closes the open cell AND everything
+# unclosed inside it (e.g. a dangling <p>), a new <tr> closes the
+# open row, <li> the open item. Modeled as "pop until a container
+# tag": the closing cascades through the cell's unclosed descendants,
+# which a single-level same-tag check cannot do. Without this, a
+# legal page with an unclosed <p> inside the tracked section would
+# leave the scope "open" forever and pull unrelated tables into the
+# summary dict.
+_POP_UNTIL_CONTAINER = {
+    "td": {"tr", "tbody", "thead", "tfoot", "table"},
+    "th": {"tr", "tbody", "thead", "tfoot", "table"},
+    "tr": {"tbody", "thead", "tfoot", "table"},
+    "li": {"ul", "ol", "menu"},
+    "dt": {"dl"},
+    "dd": {"dl"},
+    "option": {"select", "optgroup", "datalist"},
+}
+
+
 class _QuotePageParser(HTMLParser):
     """One pass over the page; collects summary-table rows and header
-    h1/span texts in document order."""
+    h1/span texts in document order.
+
+    Scope tracking uses an explicit OPEN-TAG STACK with implicit-close
+    recovery (``_CLOSES_BEFORE`` on start tags; pop-until-match on end
+    tags), not bare depth counters — counters desync on legal HTML
+    whose elements close implicitly, corrupting the section scope."""
 
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
         self.summary_rows: list[list[str]] = []
         self.header_h1: list[str] = []
         self.header_spans: list[str] = []
-        # depth>0 means "inside the element with that id"
-        self._summary_depth = 0
-        self._header_depth = 0
+        self._stack: list[str] = []
+        # stack index of each tracked section's element, while open
+        self._summary_at: int | None = None
+        self._header_at: int | None = None
         # current capture target: list of text chunks, or None
         self._capture: list[str] | None = None
         self._capture_tag: str | None = None
         self._row: list[str] | None = None
 
-    def handle_starttag(self, tag, attrs):
-        if tag in _VOID_TAGS:
-            return
-        attr_id = dict(attrs).get("id")
-        if self._summary_depth:
-            self._summary_depth += 1
-            if tag == "tr":
-                self._row = []
-            elif tag == "td" and self._row is not None:
-                self._capture, self._capture_tag = [], "td"
-        elif attr_id == SUMMARY_ID:
-            self._summary_depth = 1
-        if self._header_depth:
-            self._header_depth += 1
-            if tag in ("h1", "span") and self._capture is None:
-                self._capture, self._capture_tag = [], tag
-        elif attr_id == HEADER_ID:
-            self._header_depth = 1
+    def _in_summary(self) -> bool:
+        return self._summary_at is not None
 
-    def handle_endtag(self, tag):
-        if tag in _VOID_TAGS:
-            return
+    def _in_header(self) -> bool:
+        return self._header_at is not None
+
+    def _pop_one(self) -> str:
+        """Close the innermost open element with full bookkeeping."""
+        tag = self._stack.pop()
         if self._capture is not None and tag == self._capture_tag:
             text = "".join(self._capture).strip()
             if tag == "td" and self._row is not None:
@@ -86,10 +99,44 @@ class _QuotePageParser(HTMLParser):
             if len(self._row) >= 2:
                 self.summary_rows.append(self._row)
             self._row = None
-        if self._summary_depth:
-            self._summary_depth -= 1
-        if self._header_depth:
-            self._header_depth -= 1
+        if self._summary_at is not None and len(self._stack) <= self._summary_at:
+            self._summary_at = None
+        if self._header_at is not None and len(self._stack) <= self._header_at:
+            self._header_at = None
+        return tag
+
+    def handle_starttag(self, tag, attrs):
+        if tag in _VOID_TAGS:
+            return
+        containers = _POP_UNTIL_CONTAINER.get(tag)
+        if containers is not None and any(t in containers for t in self._stack):
+            while self._stack and self._stack[-1] not in containers:
+                self._pop_one()
+        elif tag == "p" and self._stack and self._stack[-1] == "p":
+            self._pop_one()
+        in_summary, in_header = self._in_summary(), self._in_header()
+        self._stack.append(tag)
+        attr_id = dict(attrs).get("id")
+        if attr_id == SUMMARY_ID and self._summary_at is None:
+            self._summary_at = len(self._stack) - 1
+        if attr_id == HEADER_ID and self._header_at is None:
+            self._header_at = len(self._stack) - 1
+        if in_summary:
+            if tag == "tr":
+                self._row = []
+            elif tag == "td" and self._row is not None:
+                self._capture, self._capture_tag = [], "td"
+        if in_header and tag in ("h1", "span") and self._capture is None:
+            self._capture, self._capture_tag = [], tag
+
+    def handle_endtag(self, tag):
+        if tag in _VOID_TAGS:
+            return
+        if tag not in self._stack:
+            return  # stray end tag: ignore
+        while self._stack:
+            if self._pop_one() == tag:
+                break
 
     def handle_data(self, data):
         if self._capture is not None:

@@ -134,6 +134,13 @@ def sessionize_stateful(
     query alive servicing timer wake-ups, so an available-now run never
     terminates (observed on Spark 4.x; batch-drain + NoTimeout is the
     bounded-run configuration).
+
+    Null-key rows are filtered before the groupBy: the schema declares
+    ``user_id`` nullable, a malformed feed record with no user lands
+    in the NULL-key group, and ``pd.array([None], dtype='int64')``
+    would crash the micro-batch — one bad record must not halt the
+    stream. Route such records to a quarantine sink upstream if they
+    need auditing.
     """
 
     def fn(
@@ -174,7 +181,9 @@ def sessionize_stateful(
         if idle_timeout_ms is not None
         else GroupStateTimeout.NoTimeout
     )
-    return events.groupBy("user_id").applyInPandasWithState(
+    return events.filter(
+        F.col("user_id").isNotNull()
+    ).groupBy("user_id").applyInPandasWithState(
         fn,
         outputStructType=SESSION_OUT_SCHEMA,
         stateStructType=SESSION_STATE_SCHEMA,
@@ -195,16 +204,37 @@ def run_to_memory(stream: DataFrame, name: str, output_mode: str = "append") -> 
     )
 
 
+def upsert_batch_writer(dest_path: str, dedup_keys: tuple[str, ...]):
+    """The idempotent per-batch writer behind
+    :func:`foreach_batch_upsert`, exposed so tests can replay a
+    batch_id directly: re-delivering the same batch overwrites its own
+    ``_batch_id`` partition, never appends a second copy."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.dropDuplicates(list(dedup_keys))
+            .withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(dest_path)
+        )
+
+    return write_batch
+
+
 def foreach_batch_upsert(
     source: DataFrame, dest_path: str, checkpoint: str, dedup_keys: tuple[str, ...]
 ) -> None:
-    """``foreachBatch`` sink: per-micro-batch dedup-then-append — the
-    pattern for idempotent sinks that aren't natively streaming-aware."""
+    """``foreachBatch`` sink: per-micro-batch dedup, written to a
+    ``_batch_id``-keyed partition with dynamic overwrite — the
+    documented foreachBatch idempotency pattern. A crash between the
+    parquet write and the checkpoint commit replays the SAME batch_id,
+    which then overwrites its own partition instead of appending a
+    duplicate copy (a bare append would double every row in the
+    replayed batch). Readers prune or drop the ``_batch_id`` column."""
 
-    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.dropDuplicates(list(dedup_keys)).write.mode("append").parquet(
-            dest_path
-        )
+    write_batch = upsert_batch_writer(dest_path, dedup_keys)
 
     (
         source.writeStream.foreachBatch(write_batch)
@@ -358,30 +388,29 @@ def incremental_dedup_stream(
     verdicts in update mode keyed by doc (each doc's bands arrive in
     one micro-batch, so its verdict finalizes immediately).
     """
-    from etl_projects_spark.operators.dedup import (
-        HASH_PRIME,
-        LSH_BANDS,
-        MINHASH_COEFFS,
-    )
+    from etl_projects_spark.operators import dedup
+    from etl_projects_spark.operators.dedup import LSH_BANDS, MINHASH_COEFFS
 
     rows_per_band = len(MINHASH_COEFFS) // LSH_BANDS
 
-    h = F.transform("sh_set", lambda x: F.pmod(x, F.lit(HASH_PRIME)))
-    staged = stream_sets.select("id", "sh_set", h.alias("h"))
-    mh = [
-        F.array_min(
-            F.transform("h", lambda v: F.pmod(a * v + b, F.lit(HASH_PRIME)))
-        ).alias(f"mh{i}")
-        for i, (a, b) in enumerate(MINHASH_COEFFS)
-    ]
-    sigs = staged.select("id", "sh_set", *mh)
+    # The signature arithmetic and band-key layout are COMPOSED from
+    # operators.dedup's single definitions (minhash_stage_expr /
+    # minhash_sig_cols / band_mh_columns): this probe joins an index
+    # built by the batch path, so the two must stay bit-identical —
+    # sharing the expression builders makes drift structurally
+    # impossible. Only the carrier shape differs here (sh_set rides
+    # along; empty-set docs survive via explode_outer).
+    staged = stream_sets.select(
+        "id", "sh_set", dedup.minhash_stage_expr("sh_set").alias("h")
+    )
+    sigs = staged.select("id", "sh_set", *dedup.minhash_sig_cols("h"))
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(band).alias("band"),
                 *[
-                    F.col(f"mh{band * rows_per_band + r}").alias(f"k{r}")
-                    for r in range(rows_per_band)
+                    F.col(c).alias(f"k{r}")
+                    for r, c in enumerate(dedup.band_mh_columns(band))
                 ],
             )
             for band in range(LSH_BANDS)

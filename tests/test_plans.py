@@ -87,7 +87,8 @@ def test_multiprobe_lsh_zero_shuffles(spark):
     # Multi-probe LSH is per-row signature compute + broadcast of the
     # 1-row query: candidate generation must not shuffle the corpus.
     assert_plan(QS["ann_lsh_multiprobe_topk"](spark, SF_DIR),
-                shuffles=0, cartesian=False, top_k_pushdown=True)
+                shuffles=0, range_exchanges=0, single_exchanges=0,
+                cartesian=False, top_k_pushdown=True)
 
 
 def test_knn_join_exactly_one_shuffle(spark):
@@ -144,13 +145,14 @@ def test_length_filter_no_corpus_shuffle(spark):
     # Percentile bounds broadcast into the scan-side filter: the
     # corpus itself never shuffles.
     assert_plan(QS["doc_length_percentile_filter"](spark, SF_DIR),
-                shuffles=0, python_stages=0)
+                shuffles=0, range_exchanges=0, python_stages=0)
 
 
 def test_higher_order_funcs_zero_shuffle_jvm_side(spark):
     # The whole audit is one codegen'd projection over the scan.
     assert_plan(QS["higher_order_array_funcs"](spark, SF_DIR),
-                python_stages=0, shuffles=0, cartesian=False)
+                python_stages=0, shuffles=0, range_exchanges=0,
+                single_exchanges=0, cartesian=False)
 
 
 def test_funnel_fertility_single_scan_single_shuffle(spark):
@@ -459,7 +461,8 @@ def test_rag_chunk_windows_shuffle_free(spark):
     # Pure per-row explode: the chunk table inherits corpus
     # partitioning — zero exchanges, zero Python.
     assert_plan(QS["rag_chunk_windows"](spark, SF_DIR),
-                shuffles=0, python_stages=0, cartesian=False)
+                shuffles=0, range_exchanges=0, single_exchanges=0,
+                python_stages=0, cartesian=False)
 
 
 def test_bpe_merge_step_topk_pushdown(spark):
@@ -494,7 +497,8 @@ def test_values_dim_join_broadcasts_literal(spark):
 def test_embedding_norm_topk_rowlocal(spark):
     # Row-local HOF norm + TakeOrderedAndProject: no exchange at all.
     assert_plan(QS["embedding_norm_topk"](spark, SF_DIR),
-                shuffles=0, python_stages=0, top_k_pushdown=True)
+                shuffles=0, range_exchanges=0, single_exchanges=0,
+                python_stages=0, top_k_pushdown=True)
 
 
 def test_contamination_semi_probe_no_pairwise(spark):

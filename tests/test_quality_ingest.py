@@ -203,3 +203,38 @@ def test_observed_monitor_counts_without_extra_job(spark):
     assert got["n_rows"] == expected_rows
     assert got["viol_type_known"] == expected_viol["a"]
     assert got["viol_value_non_negative"] == (expected_viol["b"] or 0)
+
+
+def test_parse_quote_page_survives_implicit_close_tags():
+    """Legal HTML with omitted end tags (<p>, <td>, <tr> close
+    implicitly) must not corrupt the section scope: an unclosed <p>
+    inside quote-summary previously left the scope open forever, so
+    unrelated later tables polluted the summary dict (r5 review)."""
+    from etl_projects_spark.sources.quote_html import parse_quote_page
+
+    html = """
+    <html><body>
+      <div id="quote-summary">
+        <table><tbody>
+          <tr><td><p>Previous Close<td>123.45
+          <tr><td>Open</td><td>124.00</td></tr>
+        </tbody></table>
+      </div>
+      <div id="unrelated">
+        <table><tr><td>Junk Key</td><td>JUNK</td></tr></table>
+      </div>
+      <div id="Lead-3-QuoteHeader-Proxy">
+        <h1>Acme Corp (ACME)</h1>
+        <span>Currency in USD</span><span>x</span><span>y</span>
+        <span>99.87</span>
+      </div>
+    </body></html>
+    """
+    out = parse_quote_page(html)
+    assert out["Previous Close"] == "123.45"
+    assert out["Open"] == "124.00"
+    assert "Junk Key" not in out  # scope closed with the section
+    assert out["company_name"] == "Acme Corp"
+    assert out["ticker"] == "ACME"
+    assert out["currency"] == "USD"
+    assert out["current_price"] == "99.87"

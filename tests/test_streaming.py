@@ -131,6 +131,21 @@ def test_foreach_batch_upsert_dedups(spark, events_batch, events_dir, tmp_path):
     assert out.count() == out.select("event_id").distinct().count() == N
 
 
+def test_upsert_batch_writer_replay_idempotent(spark, events_batch, tmp_path):
+    """A micro-batch replayed after a crash (same batch_id, write
+    landed but checkpoint didn't commit) must overwrite its own
+    partition, not append a duplicate copy (r5 review: the bare
+    append doubled every replayed row)."""
+    dest = str(tmp_path / "dest")
+    write_batch = jobs.upsert_batch_writer(dest, dedup_keys=("event_id",))
+    write_batch(events_batch, 0)
+    n = spark.read.parquet(dest).count()
+    write_batch(events_batch, 0)  # simulate post-crash replay
+    out = spark.read.parquet(dest)
+    assert out.count() == n
+    assert out.select("event_id").distinct().count() == n
+
+
 def test_continuous_rollup_incremental(spark, events_batch, events_dir, tmp_path):
     """Closed windows land exactly once across invocations and match
     the batch aggregate; re-runs without new data write nothing."""
