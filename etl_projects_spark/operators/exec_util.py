@@ -119,9 +119,9 @@ def build_once(path: str, build, marker: str = "_SUCCESS") -> str:
 
 def scratch_path(kind: str, *source_files: str) -> str:
     """Stable scratch-artifact path keyed on the source files' (path,
-    mtime_ns, size) — the same snapshot key
-    ``queries_llm._corpus_scratch`` uses for the dedup indexes,
-    generalized to any source table. A new corpus/sf or regenerated
+    mtime_ns, size) — THE snapshot key for every per-vintage artifact
+    in the repo (the dedup/IVF index helpers in ``queries_llm``
+    delegate here). A new corpus/sf or regenerated
     testdata changes the key, so stale artifacts are never reused
     across data vintages. Nanosecond mtime + size (not whole-second
     mtime) so a source regenerated within the same second as the

@@ -615,7 +615,7 @@ def ewma_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents),
     r AS (SELECT source, doc_id, n_chars,
                  row_number() OVER (PARTITION BY source
-                                    ORDER BY k DESC, doc_id) AS rk
+                                    ORDER BY ROUND(k, 9) DESC, doc_id) AS rk
           FROM keyed)
     SELECT source, rk, doc_id, n_chars FROM r WHERE rk <= 3
     """,
@@ -634,7 +634,12 @@ def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     u = mix_unit("doc_id")
     k = F.log((u * 1000000 + 1) / 1000001.0) / F.col("n_chars")
-    win = W.partitionBy("source").orderBy(F.desc("k"), "doc_id")
+    # Rank on the ROUNDED key: raw ln() can differ by 1 ulp between
+    # engines' libm, which would flip the rk=3 boundary; at 9 dp the
+    # near-ties collapse to exact ties broken by doc_id.
+    win = W.partitionBy("source").orderBy(
+        F.desc(F.round("k", 9)), "doc_id"
+    )
     return (
         docs.select("source", "doc_id", "n_chars", k.alias("k"))
         .withColumn("rk", F.row_number().over(win))
@@ -1370,12 +1375,26 @@ def curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
             + (F.col("n_chars") > F.col("t75")).cast("int")
         ).alias("bucket"),
     )
-    # Composite bucket-major order key (unique: doc_id < 2^40 by far);
-    # rank within bucket = global rank - docs in earlier buckets.
+    # Composite bucket-major order key for the single-column prefix
+    # sum. Field widths: bucket (1-4) in bits 60+, n_chars in bits
+    # 30-59 (exact below 2^30 ≈ 1e9 chars/doc), doc_id in bits 0-29
+    # (exact below 2^30 ≈ 1e9 docs) — 4*2^60 + 2^60 stays inside the
+    # signed-long range. A field overflowing its width would corrupt
+    # the bucket-major order silently, so the bounds are asserted at
+    # the key's construction, not assumed.
     key = (
-        F.col("bucket").cast("long") * F.lit(1 << 50)
+        F.col("bucket").cast("long") * F.lit(1 << 60)
         + F.col("n_chars").cast("long") * F.lit(1 << 30)
         + F.col("doc_id")
+    )
+    key = F.when(
+        (F.col("n_chars") < F.lit(1 << 30)) & (F.col("doc_id") < F.lit(1 << 30)),
+        key,
+    ).otherwise(
+        F.raise_error(
+            F.lit("curriculum_schedule: n_chars or doc_id exceeds the "
+                  "2^30 packing width; widen the composite key fields")
+        )
     )
     keyed = b.withColumn("_k", key).withColumn("_one", F.lit(1))
     ranked = prefix_sum(keyed, "_k", "_one", out_col="_grank")

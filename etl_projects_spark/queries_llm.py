@@ -123,20 +123,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The scale path for fuzzy dedup at 100 TB: candidate generation is
     4 equi-joins on band signatures (bounded buckets), the quadratic
-    verify only runs inside candidates.
+    verify only runs inside candidates. The body IS
+    :func:`_minhash_pairs` — the same pair list the component/
+    keep-list family consumes — so the catalog query can never fork
+    from the graph-family's edge input.
     """
-    # ONE cache barrier for the whole chain: signatures are per-row
-    # array math over the cached sets (zero shuffles), candidates one
-    # self-equi-join, and the verify re-reads the same cached sets —
-    # no exploded-shingle relation, no collect_set, anywhere.
-    sets = dedup.materialize(
-        dedup.word_shingle_sets(load(spark, sf_dir, "documents"))
-    )
-    sigs = dedup.minhash_signatures_from_sets(sets)
-    cand = dedup.materialize(dedup.lsh_candidate_pairs(sigs))
-    return dedup.jaccard_pairs(
-        None, threshold_num=1, threshold_den=2, candidates=cand, shingle_sets=sets
-    )
+    return _minhash_pairs(spark, sf_dir)
 
 
 @_q(
@@ -216,7 +208,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH ANN top-k: search only the query's sign-bit
-    bucket — the ~2^8-fold-cheaper scale path (recall < 1 by design)."""
+    bucket — with 4 hyperplanes, a ~2^4-fold-cheaper scale path (recall < 1 by design)."""
     return similarity.lsh_topk(load(spark, sf_dir, "embeddings"), query_id=0, k=10)
 
 
@@ -548,21 +540,15 @@ def _ivf_oracle() -> str | None:
 
 def ivf_index_dir(spark: SparkSession, sf_dir: str) -> str:
     """Materialized-IVF-index scratch path for ``sf_dir``'s embeddings,
-    built AT MOST ONCE per (corpus, mtime) via ``build_once`` and shared
+    built AT MOST ONCE per corpus vintage via ``build_once`` and shared
     by every cluster-local operator (``ann_ivf_topk``,
     ``semdedup_prune``) — build cost amortizes across queries exactly
-    as a persisted index would on a cluster."""
-    import hashlib
-    import tempfile
+    as a persisted index would on a cluster. Keyed through
+    ``exec_util.scratch_path`` (mtime_ns + size), so a regenerated
+    embeddings table always mints a fresh index."""
+    from etl_projects_spark.operators.exec_util import build_once, scratch_path
 
-    src = os.path.join(sf_dir, "embeddings.parquet")
-    stamp = int(os.stat(src).st_mtime)
-    key = hashlib.md5(
-        f"{os.path.abspath(src)}@{stamp}".encode()
-    ).hexdigest()[:16]
-    from etl_projects_spark.operators.exec_util import build_once
-
-    idx_dir = os.path.join(tempfile.gettempdir(), f"spark_graft_ivf_{key}")
+    idx_dir = scratch_path("ivf", os.path.join(sf_dir, "embeddings.parquet"))
     emb = load(spark, sf_dir, "embeddings")
     build_once(
         idx_dir,
@@ -697,8 +683,14 @@ def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The verified MinHash-LSH pair list (shared edge input of the
-    component/keep-list queries; same plan as dedup_minhash_lsh)."""
+    """The verified MinHash-LSH pair list — THE single implementation
+    behind both the ``dedup_minhash_lsh`` catalog query and the
+    component/keep-list graph family's edge input.
+
+    ONE cache barrier for the whole chain: signatures are per-row
+    array math over the cached sets (zero shuffles), candidates one
+    self-equi-join, and the verify re-reads the same cached sets —
+    no exploded-shingle relation, no collect_set, anywhere."""
     sets = dedup.materialize(
         dedup.word_shingle_sets(load(spark, sf_dir, "documents"))
     )
@@ -710,16 +702,13 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _corpus_scratch(sf_dir: str, kind: str) -> str:
-    """Scratch-artifact path keyed on (corpus file, mtime) — one per
-    artifact kind per corpus snapshot."""
-    import hashlib
-    import tempfile
+    """Scratch-artifact path for the documents corpus — delegates to
+    ``exec_util.scratch_path`` (nanosecond-mtime + size vintage key,
+    dead-vintage pruning), so a corpus regenerated within the same
+    second can never silently reuse a stale dedup artifact."""
+    from etl_projects_spark.operators.exec_util import scratch_path
 
-    src = os.path.join(sf_dir, "documents.parquet")
-    key = hashlib.md5(
-        f"{os.path.abspath(src)}@{int(os.stat(src).st_mtime)}".encode()
-    ).hexdigest()[:16]
-    return os.path.join(tempfile.gettempdir(), f"spark_graft_{kind}_{key}")
+    return scratch_path(kind, os.path.join(sf_dir, "documents.parquet"))
 
 
 def sets_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1225,7 +1214,8 @@ def posexplode_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
              ROUND(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS tfidf,
              ROW_NUMBER() OVER (
                PARTITION BY tf.doc_id
-               ORDER BY tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)) DESC,
+               ORDER BY ROUND(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)),
+                              6) DESC,
                         tf.term) AS rk
       FROM tf JOIN df USING (term) CROSS JOIN n)
     SELECT doc_id, term, tfidf FROM scored WHERE rk <= 3
@@ -1258,7 +1248,13 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n))
         .withColumn("_score", score)
     )
-    w = W.partitionBy("doc_id").orderBy(F.desc("_score"), "term")
+    # Rank on the ROUNDED score (the module's PMI/BM25 recipe): the
+    # raw tf*ln(...) can differ by 1 ulp between engines, which would
+    # flip the rank-3/rank-4 cut; at 6 dp the near-ties collapse to
+    # exact ties and the term tie-break decides identically.
+    w = W.partitionBy("doc_id").orderBy(
+        F.desc(F.round("_score", 6)), "term"
+    )
     return (
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 3)

@@ -613,11 +613,22 @@ def runtime_bloom_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The conf context is scoped: the join materializes to scratch while
     the bloom confs are set, then the session is restored, so the
-    returned relation is inert to later queries in the same session."""
-    import tempfile
+    returned relation is inert to later queries in the same session.
+    The scratch path is vintage-stable and OVERWRITTEN per call (the
+    bloom join itself must re-execute every invocation — it is the
+    thing measured — but a fresh mkdtemp per call would accumulate
+    dead result dirs in /tmp forever)."""
+    from etl_projects_spark.operators.exec_util import scratch_path
 
     old = {k: spark.conf.get(k, None) for k in BLOOM_CONFS}
-    out = tempfile.mkdtemp(prefix="bloom_join_") + "/result"
+    out = os.path.join(
+        scratch_path(
+            "bloom_join",
+            os.path.join(sf_dir, "lineitem.parquet"),
+            os.path.join(sf_dir, "orders.parquet"),
+        ),
+        "result",
+    )
     try:
         for k, v in BLOOM_CONFS.items():
             spark.conf.set(k, v)

@@ -52,9 +52,14 @@ def resample_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode(F.sequence("lo", "hi")).alias("day"))
     )
     types = ev.select("event_type").distinct()
-    grid = F.broadcast(cal.crossJoin(types))
+    # Hint the RIGHT side: a left-outer BroadcastHashJoin can only
+    # build the non-preserved (right) side, so a hint on the grid
+    # would be silently ignored and the join would fall back to a
+    # shuffle. Both relations are days-x-types sized; broadcasting the
+    # daily aggregate keeps the plan exchange-free on the grid side.
+    grid = cal.crossJoin(types)
     return (
-        grid.join(daily, ["day", "event_type"], "left")
+        grid.join(F.broadcast(daily), ["day", "event_type"], "left")
         # timestamp, not date: keeps the pandas representation identical
         # between Spark (datetime.date) and DuckDB (datetime64) outputs.
         .select(
@@ -685,8 +690,9 @@ def forward_fill_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     imputed and measured rows hash identically across engines.
 
     Scale: the fill window partitions by event_type over the DAILY
-    aggregate (days × types rows); the calendar grid broadcasts into
-    the left join — the fact table aggregates once and is never
+    aggregate (days × types rows); the daily aggregate broadcasts
+    into the grid-preserving left join — the fact table aggregates
+    once and is never
     re-scanned."""
     ev = load(spark, sf_dir, "events").filter(
         F.col("event_type").isin("purchase", "signup")
@@ -708,7 +714,9 @@ def forward_fill_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode(F.sequence("lo", "hi")).alias("day"), "tys")
         .select("day", F.explode("tys").alias("event_type"))
     )
-    grid = F.broadcast(grid_dim).join(daily, ["day", "event_type"], "left")
+    # Right-side hint: left-outer BHJ must build right — hinting the
+    # preserved grid side is a silent no-op (see resample_gap_fill).
+    grid = grid_dim.join(F.broadcast(daily), ["day", "event_type"], "left")
     w = (
         W.partitionBy("event_type")
         .orderBy("day")
