@@ -107,10 +107,13 @@ _ROUND_PRIORITY = [
     "rolling_corr_value_count",
     "token_budget_allocator",
     "asof_nearest_click",
-    # r6 ROTATION NOTE: media_frame_sample and media_resize_stub were
-    # reworked in r5 (byte-exact hex outputs: frame->frame_hex,
-    # resized_md5->resized_hex), so their green r4 rows are stale —
-    # queue those two FIRST in r6's window, ahead of any r6 additions.
+    # r6 ROTATION NOTE: three queries were REWORKED in r5 after the
+    # window was fixed, so their green driver rows are stale — queue
+    # them FIRST in r6's window, ahead of any r6 additions:
+    #   media_frame_sample   (frame -> frame_hex, byte-exact oracle)
+    #   media_resize_stub    (resized_md5 -> resized_hex)
+    #   mixture_weights_temperature (scaled-integer quota; weight now
+    #       the raw ratio of bit-identical integers, not round(p/tp))
 ]
 
 

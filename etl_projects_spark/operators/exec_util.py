@@ -162,3 +162,18 @@ def scratch_path(kind: str, *source_files: str) -> str:
             if stale != path:
                 shutil.rmtree(stale, ignore_errors=True)
     return path
+
+
+def fresh_scratch(kind: str, *source_files: str) -> str:
+    """A vintage-stable scratch dir WIPED on every call — for the
+    write-roundtrip queries whose writes ARE the semantics (the write
+    must re-execute per invocation, unlike ``build_once`` artifacts)
+    but whose output is disposable: one reused path per (kind,
+    source vintage) instead of a leaked mkdtemp per call."""
+    import os
+    import shutil
+
+    path = scratch_path(kind, *source_files)
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    return path

@@ -69,6 +69,15 @@ def dec(col: str | F.Column, scale: int = 2) -> F.Column:
 D = "DECIMAL(18,2)"  # oracle-side twin of dec()
 
 
+def disc_price() -> F.Column:
+    """The catalog's most load-bearing decimal expression —
+    l_extendedprice * (1 - l_discount) in exact DECIMAL — defined
+    once so the TPC-H revenue queries cannot drift from each other
+    (four hand-inlined copies previously)."""
+    one = F.lit(1).cast("decimal(18,2)")
+    return dec("l_extendedprice") * (one - dec("l_discount"))
+
+
 # =========================================================================
 # Relational surface (SURVEY §2.5) — TPC-H-style analytics
 # =========================================================================
@@ -100,15 +109,15 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load(spark, sf_dir, "lineitem")
     one = F.lit(1).cast("decimal(18,2)")
-    disc_price = dec("l_extendedprice") * (one - dec("l_discount"))
-    charge = disc_price * (one + dec("l_tax"))
+    dp = disc_price()
+    charge = dp * (one + dec("l_tax"))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
             F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
-            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(dp).cast("double").alias("sum_disc_price"),
             F.sum(charge).cast("double").alias("sum_charge"),
             (F.sum(dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
             (F.sum(dec("l_extendedprice")).cast("double") / F.count("*")).alias("avg_price"),
@@ -142,8 +151,7 @@ def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
-    one = F.lit(1).cast("decimal(18,2)")
-    revenue = dec("l_extendedprice") * (one - dec("l_discount"))
+    revenue = disc_price()
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
@@ -182,8 +190,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load(spark, sf_dir, "supplier")
     nation = load(spark, sf_dir, "nation")
     region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    one = F.lit(1).cast("decimal(18,2)")
-    revenue = dec("l_extendedprice") * (one - dec("l_discount"))
+    revenue = disc_price()
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)

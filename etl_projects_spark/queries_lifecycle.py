@@ -11,7 +11,6 @@ over the raw testdata.
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -38,8 +37,14 @@ def engine_partitioned_incremental(spark: SparkSession, sf_dir: str) -> DataFram
     parquet — any duplicate from a broken re-run fails the hash."""
     from etl_projects_spark.catalog import discover_partition_values
     from etl_projects_spark.engine import LakeEngine
+    from etl_projects_spark.operators.exec_util import fresh_scratch
 
-    eng = LakeEngine(spark, root=tempfile.mkdtemp(prefix="lake_inc_"))
+    eng = LakeEngine(
+        spark,
+        root=fresh_scratch(
+            "lake_inc", os.path.join(sf_dir, "orders.parquet")
+        ),
+    )
     eng.register_testdata(sf_dir)
     sql = (
         "SELECT o_orderkey, o_totalprice, year(o_orderdate) AS year "
@@ -69,10 +74,14 @@ def jsonl_gz_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K4 gzip JSON-lines feed: export → read back with a declared
     schema (no inference scan) → the rows must survive the round trip
     bit-exactly against the raw parquet."""
+    from etl_projects_spark.operators.exec_util import fresh_scratch
     from etl_projects_spark.sources import ingest
 
     df = load(spark, sf_dir, "nation")
-    path = os.path.join(tempfile.mkdtemp(prefix="feed_"), "nation_feed")
+    path = os.path.join(
+        fresh_scratch("feed", os.path.join(sf_dir, "nation.parquet")),
+        "nation_feed",
+    )
     ingest.export_jsonl_gz(df, path)
     back = ingest.read_jsonl_gz(
         spark, path, schema="n_nationkey INT, n_name STRING, n_regionkey INT"
@@ -98,10 +107,14 @@ def warehouse_copy_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw-parquet oracle. Mirrors the reference's stage→COPY split
     (``dw_sub_dag_builder.py:93-108``); the warehouse-side load itself
     is proven against DuckDB in ``tests/test_warehouse_copy.py``."""
+    from etl_projects_spark.operators.exec_util import fresh_scratch
     from etl_projects_spark.sinks import warehouse_copy as wc
 
     df = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
-    path = os.path.join(tempfile.mkdtemp(prefix="wh_copy_"), "orders_stage")
+    path = os.path.join(
+        fresh_scratch("wh_copy", os.path.join(sf_dir, "orders.parquet")),
+        "orders_stage",
+    )
     mpath = wc.stage_for_copy(df, path, fmt="jsonl_gz")
     parts = [e["url"] for e in wc.manifest_entries(mpath)]
     back = spark.read.schema("o_orderkey BIGINT, o_orderstatus STRING").json(parts)
@@ -492,7 +505,12 @@ def schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     proves both the row totals and that NULL back-fill applied to
     exactly the v1 rows. Scan-level schema merge, no rewrite of old
     files (at 100 TB you never rewrite history to add a column)."""
-    root = os.path.join(tempfile.mkdtemp(prefix="schema_evo_"), "orders_evo")
+    from etl_projects_spark.operators.exec_util import fresh_scratch
+
+    root = os.path.join(
+        fresh_scratch("schema_evo", os.path.join(sf_dir, "orders.parquet")),
+        "orders_evo",
+    )
     orders = load(spark, sf_dir, "orders")
     v1 = orders.filter(F.col("o_orderkey") % 2 == 0).select(
         "o_orderkey", "o_totalprice"

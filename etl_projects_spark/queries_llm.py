@@ -338,9 +338,10 @@ def q14_type_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     ECONOMY-type parts. Part dimension broadcast; decimal-exact sums."""
     li = load(spark, sf_dir, "lineitem")
     part = load(spark, sf_dir, "part")
-    one = F.lit(1).cast("decimal(18,2)")
+    from etl_projects_spark.queries import disc_price
+
     zero = F.lit(0).cast("decimal(18,2)")
-    rev = dec("l_extendedprice") * (one - dec("l_discount"))
+    rev = disc_price()
     cond = F.when(F.col("p_type") == "ECONOMY", rev).otherwise(zero)
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)

@@ -156,11 +156,14 @@ def contamination_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mixture_weights_temperature",
     """
     WITH counts AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
-    powed AS (SELECT source, n_docs, pow(CAST(n_docs AS DOUBLE), 0.7) AS p FROM counts),
-    tot AS (SELECT SUM(p) AS tp FROM powed)
+    powed AS (SELECT source, n_docs,
+                     CAST(round(round(pow(CAST(n_docs AS DOUBLE), 0.7), 6)
+                                * 1000000, 0) AS BIGINT) AS pm
+              FROM counts),
+    tot AS (SELECT CAST(SUM(pm) AS BIGINT) AS tm FROM powed)
     SELECT source, n_docs,
-           round(p / tp, 6) AS weight,
-           CAST(floor(10000 * p / tp) AS BIGINT) AS docs_per_10k
+           CAST(pm AS DOUBLE) / CAST(tm AS DOUBLE) AS weight,
+           (10000 * pm) // tm AS docs_per_10k
     FROM powed, tot
     """,
 )
@@ -170,20 +173,40 @@ def mixture_weights_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     sources) plus the per-10k-document quota each source gets. One
     sources-sized aggregate; the total joins back via a broadcast of a
     single row — nothing corpus-sized moves twice.
+
+    Determinism: pow() is the one unavoidable libm call, so its
+    result is immediately quantized to a 6-dp SCALED BIGINT (a 1-ulp
+    engine difference cannot survive the rounding except on a
+    measure-zero boundary); everything downstream — the weight ratio
+    (one float division of bit-identical integers) and the integer
+    quota (``DIV``) — is exact, so no engine-computed quotient is
+    ever rounded or floored (DETERMINISM.md rules 4 and 5).
     """
     docs = load(spark, sf_dir, "documents")
     counts = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
-    powed = counts.withColumn("p", F.pow(F.col("n_docs").cast("double"), F.lit(0.7)))
-    tot = powed.agg(F.sum("p").alias("tp"))
+    # round(...) AGAIN before the integer cast: the 6-dp double times
+    # 1e6 can land a hair below the integer, and Spark's long cast
+    # TRUNCATES where DuckDB's BIGINT cast ROUNDS — the same
+    # trunc-vs-round trap as the epoch casts. An explicit round(x, 0)
+    # on both engines lands on the same integer first.
+    powed = counts.withColumn(
+        "pm",
+        F.round(
+            F.round(F.pow(F.col("n_docs").cast("double"), F.lit(0.7)), 6)
+            * 1_000_000,
+            0,
+        ).cast("long"),
+    )
+    tot = powed.agg(F.sum("pm").cast("long").alias("tm"))
     return (
         powed.crossJoin(F.broadcast(tot))
         .select(
             "source",
             "n_docs",
-            F.round(F.col("p") / F.col("tp"), 6).alias("weight"),
-            F.floor(F.lit(10000) * F.col("p") / F.col("tp"))
-            .cast("long")
-            .alias("docs_per_10k"),
+            (F.col("pm").cast("double") / F.col("tm").cast("double")).alias(
+                "weight"
+            ),
+            F.expr("(10000 * pm) DIV tm").alias("docs_per_10k"),
         )
     )
 
@@ -279,11 +302,8 @@ def pack_token_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_projects_spark.operators.exec_util import prefix_sum
 
     docs = load(spark, sf_dir, "documents")
-    # Single-space split, matching the oracle's string_split(text, ' ')
-    # exactly (and word_shingle_sets / bm25_retrieval): text.token_count
-    # splits on \s+, which diverges on consecutive/non-space whitespace.
     dl = docs.select(
-        "doc_id", F.size(F.split("text", " ")).alias("dl")
+        "doc_id", text.token_count("text").alias("dl")
     ).filter(F.col("dl") > 0)
     pos = prefix_sum(dl, "doc_id", "dl", out_col="start")
     first = F.floor(F.col("start") / PACK_BUDGET).cast("long")
@@ -335,7 +355,6 @@ def training_shard_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus. One shuffle (shard window); the write itself is
     partition-per-shard with no extra exchange."""
     import os
-    import tempfile
 
     docs = load(spark, sf_dir, "documents").select("doc_id")
     ord1 = F.pmod(F.col("doc_id") * F.lit(_MIX_MULT), F.lit(_MIX_MOD))
@@ -348,7 +367,12 @@ def training_shard_write(spark: SparkSession, sf_dir: str) -> DataFrame:
         W.partitionBy("shard").orderBy("ord1", "doc_id")
     )
     staged = sh.withColumn("pos", pos).select("doc_id", "shard", "pos")
-    root = os.path.join(tempfile.mkdtemp(prefix="shards_"), "corpus")
+    from etl_projects_spark.operators.exec_util import fresh_scratch
+
+    root = os.path.join(
+        fresh_scratch("shards", os.path.join(sf_dir, "documents.parquet")),
+        "corpus",
+    )
     staged.write.mode("overwrite").partitionBy("shard").parquet(root)
     back = spark.read.parquet(root)
     ordered_ids = F.transform(

@@ -315,11 +315,15 @@ def intersect_repeat_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def except_lost_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXCEPT (set semantics): 1994 customers who didn't return in
-    1995 — anti-join plan shape."""
+    1995 — anti-join plan shape. ``subtract`` IS set-EXCEPT;
+    ``exceptAll().distinct()`` is NOT (a key with more 1994 than 1995
+    orders would survive the multiset difference even though it
+    appears on the right side — wrong whenever multiplicities
+    differ)."""
     orders = load(spark, sf_dir, "orders")
     y94 = orders.filter(F.year("o_orderdate") == 1994).select("o_custkey")
     y95 = orders.filter(F.year("o_orderdate") == 1995).select("o_custkey")
-    return y94.exceptAll(y95).distinct()
+    return y94.subtract(y95)
 
 
 @_q(
@@ -401,8 +405,9 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer")
     orders = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
-    one = F.lit(1).cast("decimal(18,2)")
-    rev = dec("l_extendedprice") * (one - dec("l_discount"))
+    from etl_projects_spark.queries import disc_price
+
+    rev = disc_price()
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)

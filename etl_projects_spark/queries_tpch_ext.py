@@ -29,8 +29,9 @@ _ONE = "CAST(1 AS DECIMAL(18,2))"
 
 
 def _revenue() -> F.Column:
-    one = F.lit(1).cast("decimal(18,2)")
-    return dec("l_extendedprice") * (one - dec("l_discount"))
+    from etl_projects_spark.queries import disc_price
+
+    return disc_price()
 
 
 @_q(
@@ -248,8 +249,15 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # eager barrier: the threshold broadcast and the filter side would
     # otherwise race the lazy cache and each re-aggregate lineitem
     value = materialize(value)
+    # Decimal literal, not lit(0.001): a DOUBLE multiplier would
+    # degrade the product and the > comparison to float while the
+    # oracle's SUM(part_value) * 0.001 stays exact decimal — a
+    # data-dependent boundary flip. Decimal × decimal keeps both
+    # engines comparing exactly.
     total = value.agg(
-        (F.sum("part_value") * F.lit(0.001)).alias("_threshold")
+        (F.sum("part_value") * F.lit("0.001").cast("decimal(4,3)")).alias(
+            "_threshold"
+        )
     )
     return (
         value.join(F.broadcast(total))
