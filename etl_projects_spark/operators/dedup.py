@@ -319,7 +319,11 @@ def jaccard_pairs(
     common_df = pairs.groupBy("id_a", "id_b").agg(F.count("*").alias("common"))
     na = sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a")
     nb = sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b")
-    joined = common_df.join(F.broadcast(na), "id_a").join(F.broadcast(nb), "id_b")
+    # NO broadcast hint here: ``sizes`` is one row PER DOCUMENT — at
+    # 100 TB that is a driver-killing broadcast. Left unhinted, AQE
+    # broadcasts it when (and only when) the runtime stats say it fits;
+    # at scale both sides shuffle on the pair ids instead.
+    joined = common_df.join(na, "id_a").join(nb, "id_b")
     union_sz = F.col("n_a") + F.col("n_b") - F.col("common")
     return (
         joined.filter(

@@ -194,6 +194,20 @@ def test_edit_distance_verify_stays_on_candidates(spark):
                 python_stages=0, cartesian=False, shuffles=("<=", 1))
 
 
+def test_jaccard_fallback_sizes_join_unhinted(spark):
+    # The no-candidates jaccard path joins pair counts to PER-DOCUMENT
+    # shingle sizes: that relation must never carry a broadcast HINT
+    # (one row per document = a driver-killing broadcast at 100 TB).
+    # AQE may still choose broadcast from runtime stats at test scale —
+    # that's the design — so the pin is on the hint, not the strategy.
+    spark.catalog.clearCache()
+    for name in ("dedup_ngram_jaccard", "dedup_jaccard_df_capped"):
+        df = QS[name](spark, SF_DIR)
+        opt = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "strategy=broadcast" not in opt, f"{name} hints a broadcast"
+        assert_plan(df, cartesian=False, python_stages=0)
+
+
 def test_ewma_band_join_bounded(spark):
     # Banded self-join over the pre-aggregated daily relation: no
     # cartesian, no Python, bounded shuffles.
