@@ -189,6 +189,56 @@ def lsh_multiprobe_topk(
     )
 
 
+def lsh_similarity_join(
+    left: DataFrame,
+    right: DataFrame,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = LSH_N_PLANES,
+) -> DataFrame:
+    """Approximate similarity JOIN of two corpora on embedding cosine —
+    the two-table analog of the self-join near-dup family: for every
+    (a, b) pair with cosine ≥ ``threshold`` that shares an LSH bucket,
+    one row (id_a, id_b, cosine).
+
+    Candidate generation is ONE equi-join on the hyperplane-LSH bucket
+    (both sides bucketed by the same fixed planes) — never an
+    all-pairs product; the exact-cosine verify runs only inside
+    buckets. Recall < 1 by construction (pairs split by every
+    hyperplane are missed) — the standard ANN-join trade.
+
+    Scale shape: both corpora shuffle once on the bucket key (or the
+    smaller side broadcasts under AQE), and per-bucket work is
+    |A_bucket|·|B_bucket| — bounded by raising ``n_planes`` with corpus
+    size (occupancy ~ N/2^bits), exactly the :func:`lsh_topk` knob. The
+    verify is the Arrow-batched :func:`pair_cosine` (one numpy batch op
+    per Arrow batch, no per-row Python).
+    """
+    planes = _hyperplanes(n=n_planes)
+    a = left.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    ).withColumn("bucket", hyperplane_bucket(F.col("va"), planes))
+    b = right.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    ).withColumn("bucket", hyperplane_bucket(F.col("vb"), planes))
+    # The threshold filter references the UDF output; a deterministic
+    # UDF gets CLONED into the pushed-down filter (two ArrowEvalPython
+    # stages = 2× the pair scoring and 2× the Arrow transfer of both
+    # vectors). The nondeterministic marking — the expression IS
+    # deterministic — pins one evaluation (plan-tested: 1 Python stage).
+    score_once = pair_cosine.asNondeterministic()
+    return (
+        a.join(b, "bucket")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(score_once(F.col("va"), F.col("vb")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= F.lit(float(threshold)))
+    )
+
+
 # ---- oracle-SQL generators -------------------------------------------------
 
 

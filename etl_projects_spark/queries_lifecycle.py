@@ -635,6 +635,135 @@ def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "repartition_partition_files",
+    f"""
+    SELECT o_orderpriority, CAST(1 AS BIGINT) AS n_files, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS {D})) AS DOUBLE) AS revenue
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def repartition_partition_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 driver-checked end to end: hash-repartitioning on the Hive
+    partition columns before a ``partitionBy`` write
+    (``DataFrameOps.optimize_partitions_by_partition_columns``,
+    reference ``spark_dataframe_service.py`` repartition-by-columns)
+    must yield exactly ONE file per partition value — each value lands
+    in one shuffle task, so one file per directory, instead of the
+    tasks×partitions file explosion an unrepartitioned write produces.
+    The report recounts the written table per partition: ``n_files`` is
+    a distributed ``count_distinct(input_file_name())`` (no driver
+    directory walk), which the oracle pins to the literal 1, and
+    rows/revenue come from the written files — a lost or duplicated
+    row fails the hash. The write is a ``build_once`` artifact keyed on
+    the orders vintage (reruns measure the consumer read)."""
+    from etl_projects_spark.operators.dataframe_ops import DataFrameOps
+    from etl_projects_spark.operators.exec_util import build_once, scratch_path
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    scratch = scratch_path(
+        "x2part", os.path.join(sf_dir, "orders.parquet")
+    )
+    table_dir = os.path.join(scratch, "orders_by_priority")
+
+    def _build(tmp: str) -> None:
+        (
+            DataFrameOps(orders)
+            .optimize_partitions_by_partition_columns(["o_orderpriority"])
+            .df.write.mode("overwrite")
+            .partitionBy("o_orderpriority")
+            .parquet(os.path.join(tmp, "orders_by_priority"))
+        )
+
+    build_once(
+        scratch, _build, marker=os.path.join("orders_by_priority", "_SUCCESS")
+    )
+    return (
+        spark.read.parquet(table_dir)
+        # non-deterministic exprs are illegal inside agg args: project
+        # the file name to a column first, then count-distinct it.
+        .withColumn("_file", F.input_file_name())
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count_distinct("_file").cast("long").alias("n_files"),
+            F.count("*").alias("n_rows"),
+            F.sum(dec("o_totalprice")).cast("double").alias("revenue"),
+        )
+    )
+
+
+@_q(
+    "dw_promotion_gate",
+    f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS promoted_rows,
+           CAST(SUM(CAST(o_totalprice AS {D})) AS DOUBLE) AS revenue,
+           TRUE AS gate_passed, TRUE AS bad_gate_blocked
+    FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def dw_promotion_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4/O4 driver-checked end to end: a staging view (final DW schema
+    over finished orders) is promoted with ``LakeEngine.promote_to_dw``
+    behind REAL quality gates — the Q2 min-count monitor and the Q3
+    zero-errors monitor (non-negative totals, required custkey,
+    reference ``dw_sub_dag_builder.py:55-57`` + ``monitors.py:5-34``) —
+    and the report re-aggregates the PROMOTED table, so a gate that
+    stopped gating or a promotion that lost rows fails the hash. A
+    second promotion behind an unsatisfiable min-count gate must be
+    BLOCKED (ValueError) before any write; its table must not exist."""
+    from etl_projects_spark.engine import LakeEngine
+    from etl_projects_spark.operators import quality
+    from etl_projects_spark.operators.exec_util import fresh_scratch
+
+    eng = LakeEngine(
+        spark,
+        root=fresh_scratch(
+            "dw_gate", os.path.join(sf_dir, "orders.parquet")
+        ),
+    )
+    eng.register_testdata(sf_dir)
+    spark.sql(
+        "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
+        "WHERE o_orderstatus = 'F'"
+    ).createOrReplaceTempView("staging_orders_final")
+    rules = {
+        "totalprice_non_negative": quality.non_negative("o_totalprice"),
+        "custkey_required": quality.required("o_custkey"),
+    }
+    promoted = eng.promote_to_dw(
+        "staging_orders_final",
+        "dw_q",
+        "orders_final",
+        checks=[
+            quality.min_count_monitor(1000),
+            quality.zero_errors_monitor(rules),
+        ],
+    )
+    blocked = False
+    try:
+        eng.promote_to_dw(
+            "staging_orders_final",
+            "dw_q",
+            "orders_final_blocked",
+            checks=[quality.min_count_monitor(10**9)],
+        )
+    except ValueError:
+        blocked = True
+    if os.path.exists(eng.writer.table_path("dw_q", "orders_final_blocked")):
+        raise AssertionError("blocked promotion must not write its table")
+    return promoted.agg(
+        F.count("*").alias("promoted_rows"),
+        F.sum(dec("o_totalprice")).cast("double").alias("revenue"),
+    ).select(
+        "promoted_rows",
+        "revenue",
+        F.lit(True).alias("gate_passed"),
+        F.lit(blocked).alias("bad_gate_blocked"),
+    )
+
+
+@_q(
     "scd2_point_in_time_join",
     """
     WITH dim AS (

@@ -180,6 +180,34 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "embedding_similarity_join",
+    f"""
+    WITH a AS (SELECT vec_id AS id_a, embedding AS va,
+                      {similarity.bucket_sql('embedding')} AS bucket
+               FROM embeddings WHERE vec_id % 2 = 0),
+         b AS (SELECT vec_id AS id_b, embedding AS vb,
+                      {similarity.bucket_sql('embedding')} AS bucket
+               FROM embeddings WHERE vec_id % 2 = 1)
+    SELECT id_a, id_b, round({similarity.cosine_sql('va', 'vb')}, 6) AS cosine
+    FROM a JOIN b USING (bucket)
+    WHERE round({similarity.cosine_sql('va', 'vb')}, 6) >= 0.3
+    """,
+)
+def embedding_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate similarity JOIN of two corpora (even vs odd vec_ids
+    standing in for e.g. a new batch vs a reference corpus): LSH-bucket
+    both sides with the same fixed hyperplanes, equi-join on bucket,
+    verify exact cosine ≥ 0.3 inside buckets only — the two-table
+    analog of ``dedup_embedding_cosine``, never all-pairs."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.lsh_similarity_join(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+        threshold=0.3,
+    )
+
+
+@_q(
     "ann_cosine_topk",
     f"""
     WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)

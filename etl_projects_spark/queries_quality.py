@@ -70,6 +70,52 @@ def quality_violation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "quality_monitor_gate",
+    """
+    WITH m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN NOT (event_type IS NULL
+                        OR event_type IN ('click','view','purchase'))
+                      THEN 1 ELSE 0 END) AS BIGINT) AS v_type,
+             CAST(SUM(CASE WHEN NOT (value IS NULL OR value >= 0)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS v_val,
+             CAST(SUM(CASE WHEN NOT (user_id IS NOT NULL)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS v_uid
+      FROM events)
+    SELECT 'min_count' AS check_name, n_rows AS observed,
+           n_rows >= 1000 AS passed FROM m
+    UNION ALL SELECT 'viol:event_type_known', v_type, v_type = 0 FROM m
+    UNION ALL SELECT 'viol:value_non_negative', v_val, v_val = 0 FROM m
+    UNION ALL SELECT 'viol:user_id_required', v_uid, v_uid = 0 FROM m
+    """,
+)
+def quality_monitor_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2/Q3 monitors through the zero-extra-cost ``observe`` path: the
+    batch streams through ONE action (a noop sink standing in for the
+    write the pipeline would run anyway) with an Observation node
+    carrying row count + per-rule violation counts; the gate report —
+    (check, observed, passed) per monitor — is built from those
+    metrics. No second scan, no per-rule jobs: at 100 TB monitoring
+    rides the write for free. The driver's oracle recomputes every
+    observed value and verdict from the raw table, so a broken
+    metric expression (or a silently-dropped observe node) fails the
+    hash, not just a unit test."""
+    ev = load(spark, sf_dir, "events")
+    rules = event_rules()
+    observed, obs = quality.observed_monitor(ev, rules)
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    min_rows = 1000
+    rows = [("min_count", int(m["n_rows"]), m["n_rows"] >= min_rows)] + [
+        (f"viol:{name}", int(m[f"viol_{name}"]), m[f"viol_{name}"] == 0)
+        for name in rules
+    ]
+    return spark.createDataFrame(
+        rows, "check_name string, observed long, passed boolean"
+    )
+
+
+@_q(
     "profile_orders",
     """
     SELECT col AS column, n_rows, n_null, n_distinct FROM (

@@ -194,6 +194,22 @@ def test_edit_distance_verify_stays_on_candidates(spark):
                 python_stages=0, cartesian=False, shuffles=("<=", 1))
 
 
+def test_embedding_similarity_join_bucketed_not_all_pairs(spark):
+    # Candidates come from the bucket equi-join: never a cartesian or
+    # nested-loop product of the two corpora; one Arrow stage scores
+    # candidate pairs.
+    assert_plan(QS["embedding_similarity_join"](spark, SF_DIR),
+                cartesian=False, nested_loop_joins=0,
+                python_stages=("<=", 1))
+
+
+def test_repartition_partition_files_single_file_per_value(spark):
+    # The written table reads back pruned to the 4 report columns; the
+    # report is one exchange over the partition key.
+    assert_plan(QS["repartition_partition_files"](spark, SF_DIR),
+                cartesian=False, python_stages=0, shuffles=("<=", 2))
+
+
 def test_jaccard_fallback_sizes_join_unhinted(spark):
     # The no-candidates jaccard path joins pair counts to PER-DOCUMENT
     # shingle sizes: that relation must never carry a broadcast HINT

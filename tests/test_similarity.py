@@ -32,3 +32,29 @@ def test_lsh_multiprobe_planes_match_bucket_bits(spark):
     out = similarity.lsh_multiprobe_topk(emb, query_id=1, k=5, n_planes=6)
     rows = out.collect()
     assert len(rows) > 0  # probing its own bucket always finds neighbors
+
+
+def test_lsh_similarity_join_finds_cobucket_pairs(spark):
+    """Identical vectors always share a bucket, so an A-vs-B join of
+    overlapping corpora must return their pairs at cosine 1.0; pairs
+    from different buckets must never appear, and every returned pair
+    meets the threshold."""
+    from etl_projects_spark.operators import similarity
+    from pyspark.sql import functions as F
+
+    vecs = [
+        (0, [1.0, 0.0, 0.0, 0.0] * 16),
+        (2, [0.0, 1.0, 0.0, 0.0] * 16),
+        (1, [1.0, 0.0, 0.0, 0.0] * 16),   # dup of 0, other corpus
+        (3, [-1.0, 0.0, 0.0, 0.0] * 16),  # anti-parallel to 0
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = similarity.lsh_similarity_join(
+        df.filter(F.col("vec_id") % 2 == 0),
+        df.filter(F.col("vec_id") % 2 == 1),
+        threshold=0.9,
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["cosine"] for r in out}
+    assert pairs.get((0, 1)) == 1.0
+    assert all(c >= 0.9 for c in pairs.values())
+    assert (0, 3) not in pairs  # cosine -1: below threshold everywhere
