@@ -44,76 +44,80 @@ def entry(spark: SparkSession) -> DataFrame:
 # CORRECTNESS row yet, then the previously-green remainder. Rounds
 # accumulate: r1 proved the first-50 half, r2's window covers the rest.
 #
-# r1-r4 cumulative: 191/231 driver-green. r5 applies the final
-# rotation below; after its window every catalog query has a green
-# driver row.
+# r1-r5 cumulative: 241/241 driver-green (every query has a row from
+# the round its then-current shape was last checked). From r6 on the
+# window carries three kinds of entries, in this order:
+#   1. queries REWORKED after their last driver row (stale rows);
+#   2. new additions (every addition must land inside the window);
+#   3. freshness re-checks of the OLDEST rows (r1-era first).
+# The churn rule is machine-enforced: tools/window_hashes.py records
+# the (source, oracle) hash each window proved, and
+# tests/test_window_guard.py fails if any query whose hash changed
+# since its recorded window is not in the current first 50.
 _ROUND_PRIORITY = [
-    # r5 window (final rotation): the 40 catalog entries with no
-    # current driver CORRECTNESS row after r4 — the reworked
-    # approx-distinct (stale r1 row predates its exact+tolerance
-    # shape), the 21 entries queued behind r4's window, the 14
-    # wave-27 additions, and the 4 late additions. One green window
-    # here closes the catalog at 231/231 driver-proven.
-    "approx_distinct_users_daily",
-    "mad_order_totals",
-    "window_nth_cume",
-    "bitmap_user_event_mask",
-    "orders_rfm_segmentation",
-    "grouping_id_rollup",
-    "decile_lift_table",
-    "gini_revenue_concentration",
-    "lateral_top2_orders_per_customer",
-    "rolling_7day_revenue",
-    "variant_shred_props",
-    "try_scalar_functions",
-    "percent_change_mom",
-    "shuffle_hash_join_hint",
-    "regr_trend_nation",
-    "attribution_first_touch",
-    "session_path_topk",
-    "equi_depth_histogram_stats",
-    "event_markov_transitions",
-    "session_window_builtin",
-    "forward_fill_daily_value",
-    "bollinger_bands_daily",
-    "bpe_merge_step",
-    "rag_chunk_windows",
-    "ngram_novelty_by_doc",
-    "packing_efficiency_report",
-    "user_activity_entropy",
-    "json_key_drift_daily",
-    "bag_setops_lineitem",
-    "groupby_all_revenue",
-    "values_clause_dim_join",
-    "event_cooccurrence_lift",
-    "cohort_ltv_curve",
-    "range_interval_window_user",
-    "funnel_time_to_convert",
-    "seasonal_dow_index",
-    "split_contamination_report",
-    "minhash_jaccard_estimate",
-    "share_of_parent_revenue",
-    "embedding_norm_topk",
-    # positions 41-50: the 10 wave-28 additions (at the cap) — new
-    # queries sit inside the same driver window so nothing escapes
-    # its CORRECTNESS row.
-    "rolling_wau_daily",
-    "interval_coverage_user",
-    "pareto_frontier_parts",
-    "cusum_changepoint_daily",
-    "approx_percentile_tolerance",
-    "revenue_proration_daily",
-    "gdpr_cascade_delete_audit",
-    "rolling_corr_value_count",
-    "token_budget_allocator",
-    "asof_nearest_click",
-    # r6 ROTATION NOTE: three queries were REWORKED in r5 after the
-    # window was fixed, so their green driver rows are stale — queue
-    # them FIRST in r6's window, ahead of any r6 additions:
+    # --- r6 window -------------------------------------------------
+    # 1-3: reworked in r5 AFTER the r5 window ran (stale driver rows):
     #   media_frame_sample   (frame -> frame_hex, byte-exact oracle)
     #   media_resize_stub    (resized_md5 -> resized_hex)
     #   mixture_weights_temperature (scaled-integer quota; weight now
-    #       the raw ratio of bit-identical integers, not round(p/tp))
+    #       the raw ratio of bit-identical integers)
+    "media_frame_sample",
+    "media_resize_stub",
+    "mixture_weights_temperature",
+    # 4-5: physical plan changed in r6 (jaccard fallback broadcast
+    # hints removed — results identical, but the rows must describe
+    # the shipped plan):
+    "dedup_ngram_jaccard",
+    "dedup_jaccard_df_capped",
+    # 6-9: r6 additions (inside the window, per the cap rule):
+    "embedding_similarity_join",
+    "repartition_partition_files",
+    "quality_monitor_gate",
+    "dw_promotion_gate",
+    # 10-49: freshness re-checks — every remaining query whose latest
+    # driver row is from r1 (the oldest rows in the record):
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_local_supplier_volume",
+    "join_inner",
+    "join_left_outer",
+    "join_semi",
+    "join_anti",
+    "join_full_outer",
+    "agg_count_distinct",
+    "window_dedup_latest",
+    "sort_limit_topk",
+    "union_append",
+    "pivot_status",
+    "cube_counts",
+    "date_parts",
+    "cast_all_to_string",
+    "format_column_names",
+    "literal_batch_stamp",
+    "array_to_json",
+    "struct_to_json",
+    "text_stats",
+    "text_quality_score",
+    "text_lang_id",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "tumbling_window_events",
+    "q14_type_revenue_share",
+    "streaming_tumbling_counts",
+    "text_bpe_ish_tokens",
+    "sliding_window_events",
+    "winnow_fingerprints",
+    "text_normalized_dedup",
+    "text_pii_redaction",
+    "media_fingerprint",
+    "stratified_sample_sources",
+    "shard_packing",
+    "contamination_probe",
+    # 50: the oldest r2-era row starts the next freshness cycle.
+    "json_explode_props",
 ]
 
 

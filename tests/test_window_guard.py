@@ -1,0 +1,59 @@
+"""The catalog churn rule, machine-enforced (r5 VERDICT item 2): any
+query whose (source, oracle) shape changed after the driver window
+that proved it MUST be in the current first-50 window — otherwise its
+green CORRECTNESS row describes code that no longer exists.
+
+No Spark session needed: the guard hashes function sources and oracle
+SQL strings only.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+
+import window_hashes as wh  # noqa: E402
+
+
+def test_no_changed_query_escapes_the_window():
+    assert wh.violations() == []
+
+
+def test_every_catalog_query_is_hash_tracked():
+    # A query missing from the record would never be flagged on edit.
+    recorded = set(wh.current_hashes())
+    import json
+
+    with open(wh.HASHES_PATH) as f:
+        tracked = set(json.load(f))
+    window = set(wh.window_names())
+    # out-of-window queries must all be tracked; in-window ones are
+    # (re-)recorded by --update before the round's final commit.
+    assert recorded - tracked <= window
+
+
+def test_r6_rotation_heads_the_window():
+    # The three queries reworked after their r5 window, the two whose
+    # physical plan changed in r6, and the four r6 additions must all
+    # sit inside the driver's 50-query sample.
+    window = wh.window_names()
+    must_be_in = {
+        "media_frame_sample",
+        "media_resize_stub",
+        "mixture_weights_temperature",
+        "dedup_ngram_jaccard",
+        "dedup_jaccard_df_capped",
+        "embedding_similarity_join",
+        "repartition_partition_files",
+        "quality_monitor_gate",
+        "dw_promotion_gate",
+    }
+    assert must_be_in <= set(window)
+    # The stale-row queries lead (first slots), per the VERDICT order.
+    assert window[:3] == [
+        "media_frame_sample",
+        "media_resize_stub",
+        "mixture_weights_temperature",
+    ]
