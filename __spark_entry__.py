@@ -69,12 +69,13 @@ _ROUND_PRIORITY = [
     # the shipped plan):
     "dedup_ngram_jaccard",
     "dedup_jaccard_df_capped",
-    # 6-9: r6 additions (inside the window, per the cap rule):
+    # 6-10: r6 additions (inside the window, per the cap rule):
     "embedding_similarity_join",
     "repartition_partition_files",
     "quality_monitor_gate",
     "dw_promotion_gate",
-    # 10-49: freshness re-checks — every remaining query whose latest
+    "gopher_repetition_filter",
+    # 11-50: freshness re-checks — every remaining query whose latest
     # driver row is from r1 (the oldest rows in the record):
     "q1_pricing_summary",
     "q3_top_orders",
@@ -116,8 +117,6 @@ _ROUND_PRIORITY = [
     "stratified_sample_sources",
     "shard_packing",
     "contamination_probe",
-    # 50: the oldest r2-era row starts the next freshness cycle.
-    "json_explode_props",
 ]
 
 

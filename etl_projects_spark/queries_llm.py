@@ -650,6 +650,95 @@ def dedup_jaccard_df_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "gopher_repetition_filter",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n
+      FROM documents),
+    x AS (
+      SELECT doc_id, n, toks,
+             list_transform(generate_series(1, n - 1),
+                            i -> array_to_string(toks[i:i+1], ' ')) AS bgs,
+             len(list_distinct(
+               list_transform(generate_series(1, n - 2),
+                              i -> array_to_string(toks[i:i+2], ' '))))
+               AS distinct_g
+      FROM t WHERE n >= 3),
+    m AS (SELECT doc_id, n, bgs, distinct_g,
+                 list_aggregate(bgs, 'mode') AS mode_bg
+          FROM x)
+    SELECT doc_id, CAST(n AS BIGINT) AS n_words,
+           CAST(n - 2 - distinct_g AS DOUBLE) / CAST(n - 2 AS DOUBLE)
+             AS dup_3gram_frac,
+           CAST(len(list_filter(bgs, y -> y = mode_bg)) AS DOUBLE)
+             / CAST(n - 1 AS DOUBLE) AS top_bigram_frac,
+           (CAST(n - 2 - distinct_g AS DOUBLE) / CAST(n - 2 AS DOUBLE)
+              <= 0.30
+            AND CAST(len(list_filter(bgs, y -> y = mode_bg)) AS DOUBLE)
+              / CAST(n - 1 AS DOUBLE) <= 0.18) AS keep
+    FROM m
+    """,
+)
+def gopher_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition quality filter (the Gopher rules,
+    Rae et al. 2021 §A1.1.2): per doc, the fraction of repeated
+    3-gram instances and the share of the most frequent bigram, with
+    the keep verdict at the published-style thresholds (dup-3gram ≤
+    0.30, top-bigram ≤ 0.18) — the boilerplate/degenerate-text cut
+    that corpus-level dedup cannot see.
+
+    Scale: ZERO shuffles — both statistics are row-local array HOFs
+    codegen'd into the scan (3-gram distinct count via
+    ``array_distinct``; the top-bigram count as the longest run in the
+    doc's SORTED bigram array, a single struct-accumulator fold), so
+    the filter streams with the corpus scan at any size. The oracle
+    derives the same integers per doc (max run == count of the mode);
+    the two fraction divisions are the only floats, computed by the
+    identical expression in both engines."""
+    docs = load(spark, sf_dir, "documents")
+    t = (
+        docs.select("doc_id", F.split("text", " ").alias("toks"))
+        .withColumn("n", F.size("toks"))
+        .filter(F.col("n") >= 3)
+    )
+    stats = t.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_words"),
+        F.expr(
+            "size(array_distinct(transform(sequence(1, n - 2),"
+            " i -> concat_ws(' ', slice(toks, i, 3)))))"
+        ).alias("distinct_g"),
+        F.expr(
+            "aggregate("
+            "  array_sort(transform(sequence(1, n - 1),"
+            "             i -> concat_ws(' ', slice(toks, i, 2)))),"
+            "  named_struct('best', 0, 'run', 0,"
+            "               'prev', CAST(NULL AS STRING)),"
+            "  (acc, x) -> named_struct("
+            "    'best', greatest(acc.best,"
+            "      IF(acc.prev <=> x, acc.run + 1, 1)),"
+            "    'run', IF(acc.prev <=> x, acc.run + 1, 1),"
+            "    'prev', x),"
+            "  acc -> acc.best)"
+        ).alias("top_bg"),
+        (F.col("n") - 2).alias("total_g"),
+        (F.col("n") - 1).alias("total_bg"),
+    )
+    dup3 = (F.col("total_g") - F.col("distinct_g")).cast("double") / F.col(
+        "total_g"
+    ).cast("double")
+    top2 = F.col("top_bg").cast("double") / F.col("total_bg").cast("double")
+    return stats.select(
+        "doc_id",
+        "n_words",
+        dup3.alias("dup_3gram_frac"),
+        top2.alias("top_bigram_frac"),
+        ((dup3 <= 0.30) & (top2 <= 0.18)).alias("keep"),
+    )
+
+
+@_q(
     "text_normalized_dedup",
     f"""
     SELECT md5({text.normalize_oracle_sql()}) AS norm_fingerprint,

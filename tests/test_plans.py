@@ -210,6 +210,14 @@ def test_repartition_partition_files_single_file_per_value(spark):
                 cartesian=False, python_stages=0, shuffles=("<=", 2))
 
 
+def test_gopher_repetition_row_local(spark):
+    # Both repetition statistics are row-local array HOFs: the filter
+    # must stream with the scan — zero exchanges, zero Python.
+    assert_plan(QS["gopher_repetition_filter"](spark, SF_DIR),
+                shuffles=0, range_exchanges=0, single_exchanges=0,
+                python_stages=0, cartesian=False)
+
+
 def test_jaccard_fallback_sizes_join_unhinted(spark):
     # The no-candidates jaccard path joins pair counts to PER-DOCUMENT
     # shingle sizes: that relation must never carry a broadcast HINT

@@ -49,6 +49,7 @@ def test_r6_rotation_heads_the_window():
         "repartition_partition_files",
         "quality_monitor_gate",
         "dw_promotion_gate",
+        "gopher_repetition_filter",
     }
     assert must_be_in <= set(window)
     # The stale-row queries lead (first slots), per the VERDICT order.
