@@ -64,19 +64,22 @@ _ROUND_PRIORITY = [
     "media_frame_sample",
     "media_resize_stub",
     "mixture_weights_temperature",
-    # 4-5: physical plan changed in r6 (jaccard fallback broadcast
-    # hints removed — results identical, but the rows must describe
-    # the shipped plan):
+    # 4-6: source changed in r6 (jaccard fallback broadcast hints
+    # removed; 3-gram construction extracted to the shared word_grams
+    # helper — results identical, but the rows must describe the
+    # shipped code):
     "dedup_ngram_jaccard",
     "dedup_jaccard_df_capped",
-    # 6-10: r6 additions (inside the window, per the cap rule):
+    "text_repetition_ratio",
+    # 7-11: r6 additions (inside the window, per the cap rule):
     "embedding_similarity_join",
     "repartition_partition_files",
     "quality_monitor_gate",
     "dw_promotion_gate",
     "gopher_repetition_filter",
-    # 11-50: freshness re-checks — every remaining query whose latest
-    # driver row is from r1 (the oldest rows in the record):
+    # 12-50: freshness re-checks — the remaining queries whose latest
+    # driver row is from r1 (the oldest rows in the record; one r1-era
+    # entry, contamination_probe, waits for r7 — the cap is 50):
     "q1_pricing_summary",
     "q3_top_orders",
     "q5_local_supplier_volume",
@@ -116,7 +119,6 @@ _ROUND_PRIORITY = [
     "media_fingerprint",
     "stratified_sample_sources",
     "shard_packing",
-    "contamination_probe",
 ]
 
 

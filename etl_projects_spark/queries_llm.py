@@ -18,6 +18,20 @@ from etl_projects_spark.operators import dedup, similarity, text
 from etl_projects_spark.queries import D, _q, dec, load
 
 
+def word_grams(toks: F.Column, n: int) -> F.Column:
+    """Positional word n-gram array over a token-array column — THE
+    shared gram constructor for the intra-document repetition queries
+    (``text_repetition_ratio``, ``gopher_repetition_filter``), so the
+    two statistics cannot drift. ``size(toks) - n + 1`` entries; the
+    sequence end is clamped to 1 because Spark's ``sequence(1, k)``
+    DESCENDS for k < 1 — short docs yield one degenerate gram, which
+    callers must exclude (filter or ``when`` on the token count)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, F.lit(n))),
+    )
+
+
 # =========================================================================
 # Text analysis (documents table)
 # =========================================================================
@@ -702,25 +716,32 @@ def gopher_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n", F.size("toks"))
         .filter(F.col("n") >= 3)
     )
+
+    def longest_run(acc, x):
+        run = F.when(acc["prev"].eqNullSafe(x), acc["run"] + 1).otherwise(
+            F.lit(1)
+        )
+        return F.struct(
+            F.greatest(acc["best"], run).alias("best"),
+            run.alias("run"),
+            x.alias("prev"),
+        )
+
     stats = t.select(
         "doc_id",
         F.col("n").cast("long").alias("n_words"),
-        F.expr(
-            "size(array_distinct(transform(sequence(1, n - 2),"
-            " i -> concat_ws(' ', slice(toks, i, 3)))))"
-        ).alias("distinct_g"),
-        F.expr(
-            "aggregate("
-            "  array_sort(transform(sequence(1, n - 1),"
-            "             i -> concat_ws(' ', slice(toks, i, 2)))),"
-            "  named_struct('best', 0, 'run', 0,"
-            "               'prev', CAST(NULL AS STRING)),"
-            "  (acc, x) -> named_struct("
-            "    'best', greatest(acc.best,"
-            "      IF(acc.prev <=> x, acc.run + 1, 1)),"
-            "    'run', IF(acc.prev <=> x, acc.run + 1, 1),"
-            "    'prev', x),"
-            "  acc -> acc.best)"
+        F.size(F.array_distinct(word_grams(F.col("toks"), 3))).alias(
+            "distinct_g"
+        ),
+        F.aggregate(
+            F.array_sort(word_grams(F.col("toks"), 2)),
+            F.struct(
+                F.lit(0).alias("best"),
+                F.lit(0).alias("run"),
+                F.lit(None).cast("string").alias("prev"),
+            ),
+            longest_run,
+            lambda acc: acc["best"],
         ).alias("top_bg"),
         (F.col("n") - 2).alias("total_g"),
         (F.col("n") - 1).alias("total_bg"),
@@ -1127,11 +1148,9 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference (measured 4× slower)."""
     docs = load(spark, sf_dir, "documents")
     toks = F.split("text", " ")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, F.lit(3))),
+    staged = docs.select(
+        "doc_id", F.size(toks).alias("nt"), word_grams(toks, 3).alias("g")
     )
-    staged = docs.select("doc_id", F.size(toks).alias("nt"), grams.alias("g"))
     ratio = F.round(
         F.lit(1.0)
         - F.size(F.array_distinct("g")).cast("double") / F.size("g").cast("double"),

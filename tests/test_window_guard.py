@@ -34,10 +34,34 @@ def test_every_catalog_query_is_hash_tracked():
     assert recorded - tracked <= window
 
 
+def test_catalog_and_plans_records_are_fresh():
+    # CATALOG.md / PLANS.md are regenerated records; a catalog edit
+    # without regeneration leaves them misdescribing the engine.
+    import __spark_entry__ as entrymod
+
+    names = set(entrymod.queries())
+    root = os.path.join(os.path.dirname(__file__), "..")
+    with open(os.path.join(root, "CATALOG.md")) as f:
+        catalog = f.read()
+    assert f"{len(names)} queries" in catalog.splitlines()[2], (
+        "CATALOG.md header count is stale — run tools/gen_catalog.py"
+    )
+    with open(os.path.join(root, "PLANS.md")) as f:
+        plans = f.read()
+    missing = [n for n in names if f"`{n}`" not in catalog]
+    missing_plans = [n for n in names if f"| {n} |" not in plans]
+    assert not missing, f"queries missing from CATALOG.md: {missing[:5]}"
+    assert not missing_plans, (
+        f"queries missing from PLANS.md: {missing_plans[:5]} — "
+        "run tools/gen_plans.py"
+    )
+
+
 def test_r6_rotation_heads_the_window():
-    # The three queries reworked after their r5 window, the two whose
-    # physical plan changed in r6, and the four r6 additions must all
-    # sit inside the driver's 50-query sample.
+    # The three queries reworked after their r5 window, the three whose
+    # source changed in r6 (jaccard de-hinting, word_grams extraction),
+    # and the five r6 additions must all sit inside the driver's
+    # 50-query sample.
     window = wh.window_names()
     must_be_in = {
         "media_frame_sample",
@@ -45,6 +69,7 @@ def test_r6_rotation_heads_the_window():
         "mixture_weights_temperature",
         "dedup_ngram_jaccard",
         "dedup_jaccard_df_capped",
+        "text_repetition_ratio",
         "embedding_similarity_join",
         "repartition_partition_files",
         "quality_monitor_gate",

@@ -10,11 +10,17 @@ run by ``tests/test_window_guard.py`` on every pytest run — flags any
 query whose current hash differs from its recorded one but is NOT in
 the current first-50 window.
 
-Scope note: the hash covers the query function's own source plus its
-oracle SQL (which inlines most operator constants via the f-string
-generators). A behavior change made purely inside a shared operator
-module does NOT move the hash — those must be queued by hand, as r6
-did for the two jaccard-fallback consumers.
+Scope note: the per-query hash covers the query function's own source
+plus its oracle SQL (which inlines most operator constants via the
+f-string generators). A behavior change made purely inside a shared
+operator/engine module does NOT move any query hash — consumer
+queueing stays a judgment call (per-query hashing would over-trigger:
+one operator edit would demand re-windowing every consumer, blowing
+the 50-row cap) — but it is no longer SILENT: the record also tracks
+whole-module hashes for every non-query engine module, and the check
+fails on any module change until the builder has queued the affected
+consumers and acknowledged with --update (the ack is visible in the
+checked_hashes.json diff).
 
 Usage:
     python tools/window_hashes.py            # check (exit 1 on violations)
@@ -46,7 +52,13 @@ def current_hashes() -> dict[str, str]:
         try:
             src = inspect.getsource(fn)
         except (OSError, TypeError):  # builtins / dynamically-built
-            src = getattr(fn, "__module__", "") + repr(fn)
+            # Stable across processes (repr(fn) embeds a memory address
+            # that would flip the hash on every run).
+            src = (
+                getattr(fn, "__module__", "")
+                + "."
+                + getattr(fn, "__qualname__", repr(type(fn)))
+            )
         key = src + "\x00" + osql.get(name, "")
         out[name] = hashlib.sha256(key.encode()).hexdigest()[:16]
     return out
@@ -58,6 +70,29 @@ def window_names() -> list[str]:
     return list(entrymod.queries())[:WINDOW]
 
 
+MODULES_KEY = "__modules__"
+
+
+def module_hashes() -> dict[str, str]:
+    """Whole-file hashes of every non-query engine module (operators,
+    engine, sinks, sources, streaming, config, catalog, session, plans)
+    — the coarse tripwire for behavior changes the per-query hash
+    cannot see. queries_*.py files are excluded: their functions are
+    hashed individually, and module-level oracle fragments are inlined
+    into the per-query oracle strings."""
+    pkg = os.path.join(ROOT, "etl_projects_spark")
+    out = {}
+    for dirpath, _dirs, files in os.walk(pkg):
+        for fname in sorted(files):
+            if not fname.endswith(".py") or fname.startswith("queries"):
+                continue
+            path = os.path.join(dirpath, fname)
+            rel = os.path.relpath(path, ROOT)
+            with open(path, "rb") as f:
+                out[rel] = hashlib.sha256(f.read()).hexdigest()[:16]
+    return out
+
+
 def violations() -> list[str]:
     """Queries that changed (or appeared) since their recorded window
     but are NOT in the current window — each one is a future stale row."""
@@ -65,6 +100,7 @@ def violations() -> list[str]:
         return ["tools/checked_hashes.json missing — run --update"]
     with open(HASHES_PATH) as f:
         recorded = json.load(f)
+    recorded_mods = recorded.pop(MODULES_KEY, {})
     now = current_hashes()
     window = set(window_names())
     out = []
@@ -77,6 +113,13 @@ def violations() -> list[str]:
             out.append(
                 f"{name}: source/oracle changed since its driver window "
                 f"but it is not in the current first-{WINDOW} window"
+            )
+    for mod, h in module_hashes().items():
+        if recorded_mods.get(mod) != h:
+            out.append(
+                f"{mod}: engine module changed since the last record — "
+                "hand-queue its consumer queries into the window, then "
+                "acknowledge with --update"
             )
     return out
 
@@ -93,6 +136,7 @@ def update() -> None:
     for name in window_names():
         recorded[name] = now[name]
     recorded = {n: h for n, h in recorded.items() if n in now}
+    recorded[MODULES_KEY] = module_hashes()
     with open(HASHES_PATH, "w") as f:
         json.dump(recorded, f, indent=0, sort_keys=True)
         f.write("\n")
