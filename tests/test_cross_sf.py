@@ -221,6 +221,14 @@ UPSCALE = [
     "pareto_frontier_parts",
     "rolling_wau_daily",
     "gdpr_cascade_delete_audit",
+    # r6 additions: cosine threshold boundary (rounded-to-6dp compare),
+    # repetition-fraction divisions + mode/max-run equivalence, the
+    # one-file-per-partition invariant at 10x the rows, observe-metric
+    # gate counts at a volume where violations actually occur
+    "embedding_similarity_join",
+    "gopher_repetition_filter",
+    "repartition_partition_files",
+    "quality_monitor_gate",
 ]
 
 
