@@ -328,7 +328,23 @@ def main() -> None:
     import __spark_entry__ as entrymod
 
     names = [n for n in sorted(entrymod.queries()) if n not in SKIP]
-    chunks = [names[i::N_CHUNKS] for i in range(N_CHUNKS)]
+    # Chunk assignment hashes the NAME, not the list position: with
+    # positional striding (names[i::N]) every catalog addition shifted
+    # every later query into a different JVM/neighbor set, which read
+    # as ±1.3-1.5x cross-round drift on sub-1.5 s queries (SCALE.md
+    # bench-variance log, r4-r6). A stable hash keeps each query's
+    # chunk fixed as the catalog grows, so round-over-round deltas
+    # measure the code, not the chunk lottery.
+    import hashlib
+
+    chunks = [
+        [
+            n
+            for n in names
+            if int(hashlib.md5(n.encode()).hexdigest(), 16) % N_CHUNKS == i
+        ]
+        for i in range(N_CHUNKS)
+    ]
     timings: dict[str, float] = {}
     for chunk in chunks:
         if not chunk:
