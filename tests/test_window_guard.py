@@ -83,3 +83,48 @@ def test_r6_rotation_heads_the_window():
         "media_resize_stub",
         "mixture_weights_temperature",
     ]
+
+
+def test_guard_fires_on_out_of_window_query_edit(monkeypatch):
+    """The mechanism, not just the current state: a hash drift on a
+    query OUTSIDE the window must be reported."""
+    victim = [n for n in wh.current_hashes() if n not in wh.window_names()][0]
+    _orig = wh.current_hashes
+
+    def tampered():
+        now = _orig()
+        now[victim] = "0" * 16
+        return now
+
+    monkeypatch.setattr(wh, "current_hashes", tampered)
+    bad = wh.violations()
+    assert any(victim in v for v in bad), bad
+
+
+def test_guard_fires_on_engine_module_change(monkeypatch):
+    _orig = wh.module_hashes
+
+    def tampered():
+        mods = _orig()
+        k = sorted(mods)[0]
+        mods[k] = "0" * 16
+        return mods
+
+    monkeypatch.setattr(wh, "module_hashes", tampered)
+    bad = wh.violations()
+    assert any("engine module changed" in v for v in bad), bad
+
+
+def test_guard_ignores_in_window_edit(monkeypatch):
+    """An edited query that IS queued in the window is not a violation
+    — that is the acknowledgment path."""
+    victim = wh.window_names()[0]
+    _orig = wh.current_hashes
+
+    def tampered():
+        now = _orig()
+        now[victim] = "0" * 16
+        return now
+
+    monkeypatch.setattr(wh, "current_hashes", tampered)
+    assert not [v for v in wh.violations() if victim in v]
