@@ -332,19 +332,16 @@ def main() -> None:
     # positional striding (names[i::N]) every catalog addition shifted
     # every later query into a different JVM/neighbor set, which read
     # as ±1.3-1.5x cross-round drift on sub-1.5 s queries (SCALE.md
-    # bench-variance log, r4-r6). A stable hash keeps each query's
-    # chunk fixed as the catalog grows, so round-over-round deltas
-    # measure the code, not the chunk lottery.
+    # bench-variance log, r4-r6). Hashing keeps each query's CHUNK
+    # fixed as the catalog grows; an addition still lands in one chunk
+    # and perturbs that chunk's neighbors (1/N of the catalog instead
+    # of everything after the insertion point).
     import hashlib
 
-    chunks = [
-        [
-            n
-            for n in names
-            if int(hashlib.md5(n.encode()).hexdigest(), 16) % N_CHUNKS == i
-        ]
-        for i in range(N_CHUNKS)
-    ]
+    buckets: list[list[str]] = [[] for _ in range(N_CHUNKS)]
+    for n in names:
+        buckets[int(hashlib.md5(n.encode()).hexdigest(), 16) % N_CHUNKS].append(n)
+    chunks = buckets
     timings: dict[str, float] = {}
     for chunk in chunks:
         if not chunk:

@@ -738,7 +738,9 @@ def dw_promotion_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         checks=[
             # 100, not 1000: the smallest vintage (sf0.001) has ~493
             # finished orders — the passing gate must pass at EVERY sf
-            # the repo tests, per the cross-sf no-tuning invariant.
+            # the repo tests, per the cross-sf no-tuning invariant
+            # (machine-checked: REPRESENTATIVE @ sf0.001 in
+            # tests/test_cross_sf.py).
             quality.min_count_monitor(100),
             quality.zero_errors_monitor(rules),
         ],

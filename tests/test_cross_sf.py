@@ -22,6 +22,10 @@ REPRESENTATIVE = [
     "quality_validate_events",
     "asof_click_before_purchase",
     "salted_join_lineitem_orders",
+    # r6: the promotion gate's min-count threshold must PASS at the
+    # smallest vintage (~493 finished orders at sf0.001) — this row is
+    # the machine check DETERMINISM.md recipe 26 refers to.
+    "dw_promotion_gate",
     # r2-late additions
     "dedup_incremental_batch",
     "streaming_incremental_dedup",
