@@ -77,9 +77,15 @@ _ROUND_PRIORITY = [
     "quality_monitor_gate",
     "dw_promotion_gate",
     "gopher_repetition_filter",
-    # 12-50: freshness re-checks — the remaining queries whose latest
-    # driver row is from r1 (the oldest rows in the record; one r1-era
-    # entry, contamination_probe, waits for r7 — the cap is 50):
+    # 12-13: consumers of the quote_html/quote_source engine modules
+    # hardened in the r6 review pass (nested-structure parsing, ticker
+    # rpartition, DDL derived from the one schema):
+    "source_quotes_scan",
+    "streaming_quotes_ingest",
+    # 14-50: freshness re-checks — the remaining queries whose latest
+    # driver row is from r1 (the oldest rows in the record; three
+    # r1-era entries — contamination_probe, stratified_sample_sources,
+    # shard_packing — wait for r7's window, the cap is 50):
     "q1_pricing_summary",
     "q3_top_orders",
     "q5_local_supplier_volume",
@@ -117,8 +123,6 @@ _ROUND_PRIORITY = [
     "text_normalized_dedup",
     "text_pii_redaction",
     "media_fingerprint",
-    "stratified_sample_sources",
-    "shard_packing",
 ]
 
 

@@ -72,10 +72,18 @@ class _QuotePageParser(HTMLParser):
         # stack index of each tracked section's element, while open
         self._summary_at: int | None = None
         self._header_at: int | None = None
-        # current capture target: list of text chunks, or None
+        # current capture target: list of text chunks, or None. The
+        # _at indices anchor capture/row to the stack depth of the
+        # element that OPENED them: emission happens only when that
+        # exact element pops, so nested same-name tags (a <span>
+        # inside a header <span>, a <table> inside a summary cell)
+        # concatenate into the outer capture instead of truncating it
+        # or injecting phantom rows.
         self._capture: list[str] | None = None
         self._capture_tag: str | None = None
+        self._capture_at: int | None = None
         self._row: list[str] | None = None
+        self._row_at: int | None = None
 
     def _in_summary(self) -> bool:
         return self._summary_at is not None
@@ -86,19 +94,20 @@ class _QuotePageParser(HTMLParser):
     def _pop_one(self) -> str:
         """Close the innermost open element with full bookkeeping."""
         tag = self._stack.pop()
-        if self._capture is not None and tag == self._capture_tag:
+        depth = len(self._stack)  # index the popped element occupied
+        if self._capture is not None and depth == self._capture_at:
             text = "".join(self._capture).strip()
-            if tag == "td" and self._row is not None:
+            if self._capture_tag == "td" and self._row is not None:
                 self._row.append(text)
-            elif tag == "h1":
+            elif self._capture_tag == "h1":
                 self.header_h1.append(text)
-            elif tag == "span":
+            elif self._capture_tag == "span":
                 self.header_spans.append(text)
-            self._capture = self._capture_tag = None
-        if tag == "tr" and self._row is not None:
+            self._capture = self._capture_tag = self._capture_at = None
+        if self._row is not None and depth == self._row_at:
             if len(self._row) >= 2:
                 self.summary_rows.append(self._row)
-            self._row = None
+            self._row = self._row_at = None
         if self._summary_at is not None and len(self._stack) <= self._summary_at:
             self._summary_at = None
         if self._header_at is not None and len(self._stack) <= self._header_at:
@@ -121,13 +130,18 @@ class _QuotePageParser(HTMLParser):
             self._summary_at = len(self._stack) - 1
         if attr_id == HEADER_ID and self._header_at is None:
             self._header_at = len(self._stack) - 1
-        if in_summary:
+        # While a cell capture is open, nested table structure is
+        # OPAQUE CONTENT: its text concatenates into the outer cell
+        # instead of resetting the row or starting a new capture.
+        if in_summary and self._capture is None:
             if tag == "tr":
-                self._row = []
+                self._row, self._row_at = [], len(self._stack) - 1
             elif tag == "td" and self._row is not None:
                 self._capture, self._capture_tag = [], "td"
+                self._capture_at = len(self._stack) - 1
         if in_header and tag in ("h1", "span") and self._capture is None:
             self._capture, self._capture_tag = [], tag
+            self._capture_at = len(self._stack) - 1
 
     def handle_endtag(self, tag):
         if tag in _VOID_TAGS:
@@ -158,9 +172,16 @@ def parse_quote_page(html: str) -> dict:
     for row in p.summary_rows:
         out[row[0]] = row[1]
     if p.header_h1:
-        name, _, rest = p.header_h1[0].partition("(")
-        out["company_name"] = name.strip()
-        out["ticker"] = rest.replace(")", "").strip()
+        # rpartition: the ticker is the LAST parenthesized group —
+        # company names may themselves contain parentheses
+        # ("Alphabet Inc. (Class A) (GOOGL)").
+        name, sep, rest = p.header_h1[0].rpartition("(")
+        if sep:
+            out["company_name"] = name.strip()
+            out["ticker"] = rest.replace(")", "").strip()
+        else:  # no parenthesized ticker at all
+            out["company_name"] = p.header_h1[0].strip()
+            out["ticker"] = ""
     if p.header_spans:
         out["currency"] = "USD" if "Currency in USD" in p.header_spans[0] else "CAD"
     if len(p.header_spans) > 3:

@@ -25,12 +25,16 @@ from pyspark.sql.datasource import (
     SimpleDataSourceStreamReader,
 )
 
-QUOTE_DDL = (
-    "ticker string, company_name string, currency string, "
-    "current_price double, previous_close double, market_cap string, "
-    "curr_date string"
+from etl_projects_spark.sources.ingest import QUOTE_SCHEMA
+
+# Derived from the ONE schema definition (ingest.QUOTE_SCHEMA) so the
+# registered DataSource can never drift from the ingest boundary or
+# the stub fetcher — the same no-hand-copies rule the streaming module
+# applies to its expression builders.
+QUOTE_DDL = ", ".join(
+    f"{f.name} {f.dataType.simpleString()}" for f in QUOTE_SCHEMA.fields
 )
-_COLS = [c.split()[0] for c in QUOTE_DDL.split(", ")]
+_COLS = [f.name for f in QUOTE_SCHEMA.fields]
 
 
 class QuoteDataSource(DataSource):

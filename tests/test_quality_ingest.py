@@ -238,3 +238,44 @@ def test_parse_quote_page_survives_implicit_close_tags():
     assert out["ticker"] == "ACME"
     assert out["currency"] == "USD"
     assert out["current_price"] == "99.87"
+
+
+def test_parse_quote_page_nested_structures():
+    """r6 review regressions: nested spans concatenate into the outer
+    header span (no truncation, no phantom entries), a nested table
+    inside a summary cell is opaque content (no phantom key/value, the
+    outer row survives), and the ticker comes from the LAST
+    parenthesized group."""
+    from etl_projects_spark.sources.quote_html import parse_quote_page
+
+    html = """
+    <div id="Lead-3-QuoteHeader-Proxy">
+      <h1>Alphabet Inc. (Class A) (GOOGL)</h1>
+      <span>Currency in <span>USD</span></span>
+      <span>NasdaqGS</span><span>delayed</span><span>181.58</span>
+    </div>
+    <div id="quote-summary">
+      <table><tr>
+        <td>Market Cap</td>
+        <td><table><tr><td>2.1T</td><td>note</td></tr></table></td>
+      </tr><tr>
+        <td>Previous Close</td><td>180.00</td>
+      </tr></table>
+    </div>
+    """
+    raw = parse_quote_page(html)
+    assert raw["company_name"] == "Alphabet Inc. (Class A)"
+    assert raw["ticker"] == "GOOGL"
+    assert raw["currency"] == "USD"      # nested span did not truncate
+    assert raw["current_price"] == "181.58"  # span indexing unshifted
+    assert raw["Previous Close"] == "180.00"
+    assert "2.1T" not in raw             # nested table is not a k/v row
+    assert "2.1T" in raw["Market Cap"]   # ...its text feeds the cell
+
+
+def test_quote_source_ddl_derived_from_schema():
+    from etl_projects_spark.sources.ingest import QUOTE_SCHEMA
+    from etl_projects_spark.sources.quote_source import QUOTE_DDL, _COLS
+
+    assert _COLS == [f.name for f in QUOTE_SCHEMA.fields]
+    assert "current_price double" in QUOTE_DDL
