@@ -82,10 +82,21 @@ _ROUND_PRIORITY = [
     # rpartition, DDL derived from the one schema):
     "source_quotes_scan",
     "streaming_quotes_ingest",
-    # 14-50: freshness re-checks — the remaining queries whose latest
-    # driver row is from r1 (the oldest rows in the record; three
-    # r1-era entries — contamination_probe, stratified_sample_sources,
-    # shard_packing — wait for r7's window, the cap is 50):
+    # 14-18: consumers of the engine/catalog/sinks modules fixed in the
+    # second r6 review pass (per-write dynamic-overwrite pin,
+    # discover_partition_values rewrite, promote_to_dw persist,
+    # PipelineRunner partial results, copy_statement IGNOREHEADER,
+    # table_path delegation):
+    "engine_partitioned_incremental",
+    "engine_sql_file_build",
+    "pipeline_dag_build",
+    "warehouse_copy_roundtrip",
+    "training_shard_write",
+    # 19-50: freshness re-checks — the oldest remaining r1-era rows.
+    # Eight r1-era entries wait for r7's window (the cap is 50):
+    # contamination_probe, stratified_sample_sources, shard_packing,
+    # sliding_window_events, winnow_fingerprints,
+    # text_normalized_dedup, text_pii_redaction, media_fingerprint.
     "q1_pricing_summary",
     "q3_top_orders",
     "q5_local_supplier_volume",
@@ -118,11 +129,6 @@ _ROUND_PRIORITY = [
     "q14_type_revenue_share",
     "streaming_tumbling_counts",
     "text_bpe_ish_tokens",
-    "sliding_window_events",
-    "winnow_fingerprints",
-    "text_normalized_dedup",
-    "text_pii_redaction",
-    "media_fingerprint",
 ]
 
 

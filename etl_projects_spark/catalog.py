@@ -30,18 +30,23 @@ TESTDATA_TABLES = (
 
 
 def database_name(source: str, layer: Layer | str) -> str:
-    """Lake database name for a source + layer, e.g. ``datalake_sales_raw``."""
+    """Lake database name for a source + layer, e.g. ``datalake_sales_raw``
+    (the reference's name scheme, ``datalake_metastore_service.py:10-20``).
+    The layer/source pair lives in the NAME; the storage layout below is
+    flat ``<root>/<database>`` — pass this name as the ``database``."""
     return f"datalake_{source}_{Layer(layer).value}"
 
 
-def database_location(root: str, source: str, layer: Layer | str) -> str:
-    """Storage root for a lake database (path-per-layer-per-source)."""
-    return os.path.join(root, Layer(layer).value, source)
+def database_location(root: str, database: str) -> str:
+    """Storage root for a lake database — THE layout the writer uses
+    (``TableWriter.table_path`` delegates here, so these helpers can
+    never describe a path where no data lives)."""
+    return os.path.join(root, database)
 
 
-def table_location(root: str, source: str, layer: Layer | str, table: str) -> str:
-    """Storage path for a single table inside its database location."""
-    return os.path.join(database_location(root, source, layer), table)
+def table_location(root: str, database: str, table: str) -> str:
+    """Storage path for one table inside its database location."""
+    return os.path.join(database_location(root, database), table)
 
 
 def dw_schema_name(entity: str, staging: bool = False) -> str:
@@ -76,16 +81,27 @@ def discover_partition_values(path: str, column: str | None = None) -> list[str]
     explicit control-plane variant for callers that need the values,
     e.g. to pick the latest ``ds`` batch).
 
-    Returns sorted distinct values for ``column`` (or the first
-    partition key found).
+    Returns lexicographically sorted distinct values for ``column``
+    (or, with ``column=None``, for the FIRST partition key found —
+    never a merge across keys). Values are the raw directory strings:
+    numeric callers must cast before picking min/max ('9' > '10'
+    lexicographically). Naming a column the layout doesn't have raises
+    (a typo would otherwise read as an empty table).
     """
     import os
 
-    values = []
+    by_key: dict[str, set[str]] = {}
     for entry in sorted(os.listdir(path)):
         if "=" not in entry or not os.path.isdir(os.path.join(path, entry)):
             continue
         key, value = entry.split("=", 1)
-        if column is None or key == column:
-            values.append(value)
-    return sorted(set(values))
+        by_key.setdefault(key, set()).add(value)
+    if not by_key:
+        return []
+    if column is None:
+        column = sorted(by_key)[0]
+    if column not in by_key:
+        raise ValueError(
+            f"no partition key {column!r} under {path}; found {sorted(by_key)}"
+        )
+    return sorted(by_key[column])

@@ -52,7 +52,12 @@ class LakeEngine:
         spark params into the SQL-running job).
         """
         text = query_or_path
-        if query_or_path.endswith(".sql") and os.path.exists(query_or_path):
+        if query_or_path.endswith(".sql"):
+            # A .sql argument is always a file reference: a missing
+            # path must be a FileNotFoundError here, not a downstream
+            # ParseException on the literal path string.
+            if not os.path.exists(query_or_path):
+                raise FileNotFoundError(f"SQL file not found: {query_or_path}")
             with open(query_or_path) as f:
                 text = f.read()
         if params:
@@ -115,6 +120,13 @@ class LakeEngine:
             # for the incremental path) would silently leave them in
             # place, so pin static overwrite per write.
             write_opts["partitionOverwriteMode"] = "static"
+        if partitions and is_incremental:
+            # Pin dynamic PER WRITE, symmetric with the static branch:
+            # the engine accepts ANY caller-supplied session, and under
+            # Spark's default (session-global static) an "incremental"
+            # overwrite would silently TRUNCATE every partition outside
+            # the batch — the exact loss this mode exists to prevent.
+            write_opts["partitionOverwriteMode"] = "dynamic"
         path = self.writer.load_table(
             df, database, table, layer=layer, partitions=partitions,
             mode="overwrite", **write_opts,
@@ -144,6 +156,12 @@ class LakeEngine:
         pair claiming an already-registered name.
         """
         name = f"{database}_{table}"
+        # Keyed on (database, table), deliberately NOT on path: the
+        # same logical table re-registering from a new location is the
+        # normal vintage-rebuild flow (fresh_scratch roots a new dir
+        # per corpus snapshot; register_existing re-points after a
+        # relocation) — the retarget is the feature. The guard exists
+        # only for DIFFERENT logical tables flattening to one name.
         owner = _REGISTERED_NAMES.setdefault(name, (database, table))
         if owner != (database, table):
             raise ValueError(
@@ -217,13 +235,25 @@ class LakeEngine:
 
         ``checks`` are callables ``DataFrame -> (bool, str)``; any failure
         aborts the promotion.
+
+        The staging relation is persisted for the gate-then-write
+        sequence: each check is its own action and the write another —
+        unpersisted, an expensive staging query re-executes per check
+        (3+ full scans at warehouse volume), and worse, a source that
+        changed between the check actions and the write would promote
+        rows the gates never saw. One snapshot does both.
         """
-        df = self.spark.table(staging_view)
-        for check in checks:
-            ok, msg = check(df)
-            if not ok:
-                raise ValueError(f"DW promotion blocked by quality check: {msg}")
-        path = self.writer.load_table(df, database, table, layer=Layer.DW)
+        df = self.spark.table(staging_view).persist()
+        try:
+            for check in checks:
+                ok, msg = check(df)
+                if not ok:
+                    raise ValueError(
+                        f"DW promotion blocked by quality check: {msg}"
+                    )
+            path = self.writer.load_table(df, database, table, layer=Layer.DW)
+        finally:
+            df.unpersist()
         return self._register_external(database, table, path, Layer.DW)
 
 
@@ -233,18 +263,27 @@ class PipelineRunner:
     ``base_dag.py:9-14``; Airflow itself is out of engine scope).
 
     Steps are ``(name, callable)``; a step is retried up to ``retries``
-    times before the pipeline aborts. Results (or the terminal
-    exception) are collected per step.
+    times (with linear backoff between attempts) before the pipeline
+    aborts. On abort, the completed steps' results ride on the raised
+    error as ``exc.results`` — the caller's partial-progress record.
     """
 
-    def __init__(self, retries: int = 3):
+    def __init__(self, retries: int = 3, backoff_seconds: float = 0.0):
         self.retries = retries
+        # 0 by default (tests and local builds shouldn't sleep); a
+        # production pipeline passes seconds so transient failures
+        # (throttled metastore, flaky FS) aren't retried back-to-back.
+        self.backoff_seconds = backoff_seconds
 
     def run(self, steps) -> dict:
+        import time
+
         results: dict = {}
         for name, fn in steps:
             last_err: Exception | None = None
-            for _attempt in range(self.retries + 1):
+            for attempt in range(self.retries + 1):
+                if attempt and self.backoff_seconds:
+                    time.sleep(self.backoff_seconds * attempt)
                 try:
                     results[name] = fn()
                     last_err = None
@@ -252,6 +291,10 @@ class PipelineRunner:
                 except Exception as e:  # noqa: BLE001 — retry any step failure
                     last_err = e
             if last_err is not None:
-                raise RuntimeError(f"pipeline step '{name}' failed after "
-                                   f"{self.retries + 1} attempts") from last_err
+                err = RuntimeError(
+                    f"pipeline step '{name}' failed after "
+                    f"{self.retries + 1} attempts"
+                )
+                err.results = results  # completed steps, per docstring
+                raise err from last_err
         return results

@@ -102,8 +102,29 @@ class DataFrameOps:
         return format_column_name(column_name)
 
     def format_column_names(self) -> "DataFrameOps":
-        """Snake-case every column — single ``toDF`` plan node (P3)."""
-        return DataFrameOps(self.df.toDF(*[format_column_name(c) for c in self.df.columns]))
+        """Snake-case every column — single ``toDF`` plan node (P3).
+
+        Fails FAST on a normalization collision ('Net Chg' and
+        'net.chg' both → 'net_chg') or an emptied name ('%' → ''):
+        either would otherwise surface far downstream as an
+        ambiguous-reference or invalid-column error with no hint of
+        the cause."""
+        renamed = [format_column_name(c) for c in self.df.columns]
+        empties = [o for o, n in zip(self.df.columns, renamed) if not n]
+        if empties:
+            raise ValueError(
+                f"column names normalize to empty: {empties!r}"
+            )
+        dupes = {n for n in renamed if renamed.count(n) > 1}
+        if dupes:
+            clashes = {
+                n: [o for o, r in zip(self.df.columns, renamed) if r == n]
+                for n in dupes
+            }
+            raise ValueError(
+                f"column names collide after normalization: {clashes!r}"
+            )
+        return DataFrameOps(self.df.toDF(*renamed))
 
     # ---- P4–P6: complex-type casts -----------------------------------------
 

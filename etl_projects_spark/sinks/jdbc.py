@@ -38,7 +38,12 @@ def jdbc_writer(
     """
     out = df
     if num_partitions is not None:
-        out = df.coalesce(num_partitions)
+        # repartition, NOT coalesce: coalesce(4) fuses upstream with
+        # no shuffle barrier, collapsing the whole preceding job
+        # (scans, joins, map work) onto 4 tasks — a cluster-wide stall
+        # at warehouse volume. The repartition shuffle is the price of
+        # keeping upstream parallelism while capping connections.
+        out = df.repartition(num_partitions)
     writer = (
         out.write.format("jdbc")
         .mode(mode)

@@ -40,7 +40,9 @@ class TableWriter:
         self.max_records_per_file = max_records_per_file
 
     def table_path(self, database: str, table: str) -> str:
-        return os.path.join(self.root, database, table)
+        from etl_projects_spark.catalog import table_location
+
+        return table_location(self.root, database, table)
 
     def load_table(
         self,

@@ -42,7 +42,12 @@ _PART_GLOBS = {
 
 _COPY_FORMAT_CLAUSE = {
     "jsonl_gz": "FORMAT AS JSON 'auto' GZIP",
-    "csv_gz": "FORMAT AS CSV GZIP",
+    # IGNOREHEADER 1: stage_for_copy writes header=true into EVERY csv
+    # part file; without it a real Redshift COPY loads each part's
+    # header line as a data row (or aborts on type conversion). The
+    # DuckDB double masks this — read_csv_auto sniffs headers — so the
+    # clause is the live-warehouse contract, pinned by test.
+    "csv_gz": "FORMAT AS CSV GZIP IGNOREHEADER 1",
     "parquet": "FORMAT AS PARQUET",
 }
 

@@ -274,3 +274,74 @@ def test_build_once_builds_reuses_and_survives_race(tmp_path):
     assert leftovers == []
     with open(os.path.join(path, "data")) as f:
         assert f.read() == "0"
+
+
+def test_incremental_dynamic_pinned_per_write(spark, tmp_path):
+    """r6 review: the incremental path must pin dynamic partition
+    overwrite PER WRITE — under a session-global static mode (Spark's
+    default in a caller-supplied session) an incremental batch must
+    still preserve the other partitions."""
+    key = "spark.sql.sources.partitionOverwriteMode"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, "static")
+    try:
+        eng = LakeEngine(spark, root=str(tmp_path / "lake_static"))
+        spark.createDataFrame(
+            [(1, 1992), (2, 1993)], "k long, year int"
+        ).createOrReplaceTempView("inc_src_a")
+        eng.load_table(
+            "SELECT * FROM inc_src_a", "dbps", "t",
+            partitions=["year"], is_incremental=True,
+        )
+        spark.createDataFrame(
+            [(3, 1994)], "k long, year int"
+        ).createOrReplaceTempView("inc_src_b")
+        eng.load_table(
+            "SELECT * FROM inc_src_b", "dbps", "t",
+            partitions=["year"], is_incremental=True,
+        )
+        n = spark.read.parquet(eng.writer.table_path("dbps", "t")).count()
+        assert n == 3, f"static session truncated prior partitions: {n} rows"
+    finally:
+        spark.conf.set(key, old) if old is not None else spark.conf.unset(key)
+
+
+def test_discover_partition_values_first_key_and_typo(tmp_path):
+    from etl_projects_spark.catalog import discover_partition_values
+
+    for d in ("batch=7", "batch=8", "ds=2024-01-05"):
+        (tmp_path / d).mkdir()
+    # column=None: first key ONLY (lexicographic first = 'batch'),
+    # never a merge across keys.
+    assert discover_partition_values(str(tmp_path)) == ["7", "8"]
+    assert discover_partition_values(str(tmp_path), "ds") == ["2024-01-05"]
+    with pytest.raises(ValueError, match="no partition key 'dss'"):
+        discover_partition_values(str(tmp_path), "dss")
+    # unpartitioned dir: empty, not an error
+    empty = tmp_path / "flat"
+    empty.mkdir()
+    assert discover_partition_values(str(empty)) == []
+
+
+def test_pipeline_runner_exposes_partial_results():
+    from etl_projects_spark.engine import PipelineRunner
+
+    with pytest.raises(RuntimeError) as ei:
+        PipelineRunner(retries=0).run(
+            [("ok", lambda: 42), ("dead", lambda: 1 / 0)]
+        )
+    assert ei.value.results == {"ok": 42}
+
+
+def test_sql_missing_file_raises(engine):
+    with pytest.raises(FileNotFoundError, match="no/such/query.sql"):
+        engine.sql("no/such/query.sql")
+
+
+def test_format_column_names_fails_fast_on_collision_and_empty(spark):
+    df = spark.createDataFrame([(1, 2)], ["Net Chg", "net.chg"])
+    with pytest.raises(ValueError, match="collide"):
+        DataFrameOps(df).format_column_names()
+    df2 = spark.createDataFrame([(1,)], ["%"])
+    with pytest.raises(ValueError, match="empty"):
+        DataFrameOps(df2).format_column_names()

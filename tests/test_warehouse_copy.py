@@ -56,3 +56,11 @@ def test_manifest_enforces_mandatory_parts(spark, sf_dir):
     os.remove(victim)
     with pytest.raises(FileNotFoundError):
         wc.copy_into_duckdb(duckdb.connect(), "wh_region", mpath, fmt="parquet")
+
+
+def test_csv_copy_skips_staged_headers():
+    """stage_for_copy writes header=true into every csv part, so the
+    generated Redshift COPY must carry IGNOREHEADER 1 (the DuckDB
+    double auto-sniffs headers and would mask the omission)."""
+    sql = wc.copy_statement("t", "m", "r", "csv_gz")
+    assert "FORMAT AS CSV GZIP IGNOREHEADER 1" in sql
