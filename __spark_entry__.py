@@ -92,11 +92,31 @@ _ROUND_PRIORITY = [
     "pipeline_dag_build",
     "warehouse_copy_roundtrip",
     "training_shard_write",
-    # 19-50: freshness re-checks — the oldest remaining r1-era rows.
-    # Eight r1-era entries wait for r7's window (the cap is 50):
+    # 19-25: consumers of the operator modules fixed in the third r6
+    # review pass (partition-id-mixed salts, null-safe scd2/snapshot
+    # splits, pca id_col, knn empty-probe guard, explode self-clash
+    # check, ceil partition sizing, build_once marker verification):
+    "salted_agg_order_revenue",
+    "salted_join_lineitem_orders",
+    "scd2_apply_orders",
+    "snapshot_diff_orders",
+    "embedding_pca_project",
+    "ann_knn_join",
+    "json_explode_props",
+    # 26-27: build_once gained its own completion sentinel (partitioned
+    # writes emit no top-level _SUCCESS under dynamic overwrite, so
+    # these artifacts silently rebuilt every call) — the band-index
+    # consumers re-enter:
+    "dedup_incremental_batch",
+    "streaming_incremental_dedup",
+    # 28-50: freshness re-checks — the oldest remaining r1-era rows.
+    # SEVENTEEN r1-era entries wait for r7's window (the cap is 50):
     # contamination_probe, stratified_sample_sources, shard_packing,
     # sliding_window_events, winnow_fingerprints,
-    # text_normalized_dedup, text_pii_redaction, media_fingerprint.
+    # text_normalized_dedup, text_pii_redaction, media_fingerprint,
+    # text_lang_id, dedup_exact, dedup_minhash_lsh, dedup_simhash,
+    # q14_type_revenue_share, tumbling_window_events,
+    # streaming_tumbling_counts, pivot_status, cube_counts.
     "q1_pricing_summary",
     "q3_top_orders",
     "q5_local_supplier_volume",
@@ -109,8 +129,6 @@ _ROUND_PRIORITY = [
     "window_dedup_latest",
     "sort_limit_topk",
     "union_append",
-    "pivot_status",
-    "cube_counts",
     "date_parts",
     "cast_all_to_string",
     "format_column_names",
@@ -119,15 +137,8 @@ _ROUND_PRIORITY = [
     "struct_to_json",
     "text_stats",
     "text_quality_score",
-    "text_lang_id",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
     "ann_cosine_topk",
     "ann_lsh_topk",
-    "tumbling_window_events",
-    "q14_type_revenue_share",
-    "streaming_tumbling_counts",
     "text_bpe_ish_tokens",
 ]
 

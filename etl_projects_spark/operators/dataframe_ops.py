@@ -191,6 +191,20 @@ class DataFrameOps:
                 "explode_json_column: JSON keys collide with existing "
                 f"columns {clashes}; pass a prefix to disambiguate"
             )
+        # ...and keys colliding with EACH OTHER after formatting
+        # ('Net Chg' and 'net.chg' both → 'net_chg') — a set-vs-set
+        # check can't see those because values() dedups.
+        names = list(out_names.values())
+        self_clash = {
+            n: [f for f, o in out_names.items() if o == n]
+            for n in names
+            if names.count(n) > 1
+        }
+        if self_clash:
+            raise ValueError(
+                "explode_json_column: JSON keys collide with each other "
+                f"after formatting: {self_clash!r}"
+            )
         out = parsed.select(
             *keep, *[F.col(f"__parsed__.`{f}`").alias(out_names[f]) for f in field_names]
         )
@@ -250,7 +264,9 @@ class DataFrameOps:
         ``spark.sql.adaptive.advisoryPartitionSizeInBytes``.
         """
         rows = self.df.count()
-        target = max(rows // records_by_partition, 1)
+        # ceil, not floor: 499,999 rows at a 250k cap must yield 2
+        # partitions (~250k each), not 1 double-size file.
+        target = max(-(-rows // records_by_partition), 1)
         current = self.df.rdd.getNumPartitions()
         if target > current:
             return DataFrameOps(self.df.repartition(target))

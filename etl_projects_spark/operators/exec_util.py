@@ -89,31 +89,74 @@ def prefix_sum(
     )
 
 
-def build_once(path: str, build, marker: str = "_SUCCESS") -> str:
+BUILD_ONCE_SENTINEL = ".build_once_complete"
+
+
+def build_once(path: str, build, marker: str | None = None) -> str:
     """Build a directory-shaped artifact AT MOST ONCE, concurrency-safe.
 
     ``build(tmp_path)`` materializes the artifact into a fresh sibling
-    directory, which is then renamed into ``path`` — a single atomic
-    filesystem op, so a concurrent builder (e.g. pytest and the
-    external driver hitting the same scratch index) can never expose a
-    half-written directory: one process wins the rename, the loser
-    discards its copy and reads the winner's. ``marker`` is the
-    completeness sentinel checked for the fast path (parquet writes
-    drop ``_SUCCESS``; other artifacts pass their own final file).
+    directory; build_once then writes ITS OWN completion sentinel into
+    it and renames it into ``path`` — a single atomic filesystem op, so
+    a concurrent builder (e.g. pytest and the external driver hitting
+    the same scratch index) can never expose a half-written directory:
+    one process wins the rename, the loser discards its copy and reads
+    the winner's.
+
+    The sentinel is build_once's, NOT Spark's: relying on the writer's
+    ``_SUCCESS`` was a trap — partitioned writes under dynamic
+    partition-overwrite (this engine's session default) emit no
+    top-level ``_SUCCESS``, so those artifacts never fast-pathed and
+    silently rebuilt (and discarded the rebuild) on every call.
+    ``marker`` optionally names an ADDITIONAL file the artifact must
+    contain (a caller-owned stats/sidecar file).
+
+    A directory at ``path`` that lacks the sentinel (a pre-sentinel
+    vintage, or a half-copied squatter) is replaced in place on the
+    next build. Concurrent replacement of such a legacy directory is
+    the one unprotected window — acceptable because the repo never
+    runs two Spark workloads concurrently (bench-vs-pytest rule).
     """
     import os
     import shutil
 
-    if os.path.exists(os.path.join(path, marker)):
+    def done(p: str) -> bool:
+        return os.path.exists(os.path.join(p, BUILD_ONCE_SENTINEL)) and (
+            marker is None or os.path.exists(os.path.join(p, marker))
+        )
+
+    if done(path):
         return path
     tmp = f"{path}.tmp.{os.getpid()}"
     shutil.rmtree(tmp, ignore_errors=True)
     build(tmp)
+    if marker is not None and not os.path.exists(os.path.join(tmp, marker)):
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise RuntimeError(
+            f"build_once: build completed but required marker {marker!r} "
+            f"is missing from the artifact — the builder never writes it"
+        )
+    with open(os.path.join(tmp, BUILD_ONCE_SENTINEL), "w"):
+        pass
     try:
         os.rename(tmp, path)
     except OSError:
-        # Lost the race: another process completed `path` first.
-        shutil.rmtree(tmp, ignore_errors=True)
+        if done(path):
+            # Lost the race: the winner's completed artifact is in
+            # place — discard our copy and read theirs.
+            shutil.rmtree(tmp, ignore_errors=True)
+            return path
+        # Incomplete/legacy directory squatting at `path`: replace it.
+        shutil.rmtree(path, ignore_errors=True)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not done(path):
+                raise RuntimeError(
+                    f"build_once: cannot install artifact at {path!r} — "
+                    "remove the blocking directory or fix permissions"
+                )
     return path
 
 

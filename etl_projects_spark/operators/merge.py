@@ -137,8 +137,12 @@ def scd2_apply(
         *[F.col(a).alias(f"_u_{a}") for a in attrs],
         F.col(effective_col).alias("_u_eff"),
     )
-    current = dim.filter(F.col(current_col))
-    history = dim.filter(~F.col(current_col))
+    # Null-safe split: a row whose current flag is NULL (bad upstream
+    # data) must not VANISH — plain filter(col)/filter(~col) both
+    # exclude NULL. It passes through with the history rows untouched.
+    is_current = F.col(current_col).eqNullSafe(F.lit(True))
+    current = dim.filter(is_current)
+    history = dim.filter(~is_current)
 
     cond = [current[k].eqNullSafe(F.col(f"_u_{k}")) for k in keys]
     joined = current.join(upd, cond, "full_outer")
@@ -260,9 +264,9 @@ def snapshot_diff(
     the generic diff feeding an incremental downstream load.
     """
     # Per-side presence markers: inferring insert/delete from key-column
-    # null-ness misclassifies an old-side row whose keys[0] is NULL
-    # (it never matches the null-hostile equi-join, but it *was* present
-    # on the old side — a delete, not an insert).
+    # null-ness would misclassify NULL-keyed rows (a NULL key says
+    # nothing about which side the row came from); the markers state
+    # presence explicitly.
     o = old.select(*keys, *compare_cols).withColumn("_o", F.lit(True))
     n = new.select(*keys, *compare_cols).withColumn("_n", F.lit(True))
     for c in list(keys) + list(compare_cols):
@@ -270,7 +274,11 @@ def snapshot_diff(
         n = n.withColumnRenamed(c, f"n_{c}")
     cond = None
     for k in keys:
-        eq = o[f"o_{k}"] == n[f"n_{k}"]
+        # eqNullSafe: an identical NULL-keyed row present in BOTH
+        # snapshots must match itself — a null-hostile equi-join would
+        # report it as a spurious delete + insert pair (false CDC
+        # churn into any downstream incremental load).
+        eq = o[f"o_{k}"].eqNullSafe(n[f"n_{k}"])
         cond = eq if cond is None else cond & eq
     joined = o.join(n, cond, "full_outer")
     changed = None

@@ -528,6 +528,13 @@ def knn_join(
     from etl_projects_spark.operators.exec_util import fan_out
 
     qpdf = queries.select(id_col, vec_col).toPandas()  # bounded by contract
+    if qpdf.empty:
+        # An empty probe set is an empty result, not a vstack crash on
+        # the driver (and pd.concat([]) crashes in every task).
+        spark = corpus.sparkSession
+        return spark.createDataFrame(
+            [], "qid long, nbr long, score double, rank int"
+        )
     qids_v = qpdf[id_col].to_numpy()
     Q = np.vstack(qpdf[vec_col].to_numpy()).astype(np.float64)
     Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
@@ -642,12 +649,12 @@ def pca_project(
         for b in batches:
             v = np.vstack(b[vec_col].to_numpy()).astype(np.float64)
             p = np.round((v - m) @ e, 6)
-            out = {"vec_id": b[id_col]}
+            out = {id_col: b[id_col]}
             for j in range(k):
                 out[f"p{j + 1}"] = p[:, j]
             yield pd.DataFrame(out)
 
-    schema = "vec_id long, " + ", ".join(
+    schema = f"{id_col} long, " + ", ".join(
         f"p{j + 1} double" for j in range(k)
     )
     return df.select(id_col, vec_col).mapInPandas(run, schema=schema)

@@ -90,8 +90,21 @@ def salted_groupby_sum(
     only reshapes the shuffle.
     """
     salt_cols = [F.col(salt_on)] if salt_on else [F.col(c) for c in df.columns]
-    # xxhash64 hashes the typed values directly — no string concat pass.
-    salted = df.withColumn("_salt", F.pmod(F.xxhash64(*salt_cols), F.lit(salt)))
+    # xxhash64 hashes the typed values directly — no string concat
+    # pass. spark_partition_id() is mixed in because a hot key whose
+    # rows are byte-IDENTICAL (repeated default rows, constant
+    # projections) would otherwise hash to ONE salt and defeat the
+    # spread entirely; the partition id splits such rows across scan
+    # partitions while staying deterministic under task retry (a
+    # retried map task re-reads the same split → same id → same salt
+    # — rand()/monotonically_increasing_id() here would hit the
+    # nondeterministic-repartition retry correctness trap,
+    # SPARK-23207). Residual bound: identical rows within ONE scan
+    # split still share a salt — at most a split's worth per reducer.
+    salted = df.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(*salt_cols, F.spark_partition_id()), F.lit(salt)),
+    )
     partial = salted.groupBy(*keys, "_salt").agg(
         *[F.sum(expr).alias(f"_p_{name}") for name, expr in sum_cols.items()]
     )
@@ -125,8 +138,14 @@ def salted_join(
         raise ValueError("salted_join supports inner/left (small side unique key)")
     if salt is None:
         salt = choose_salt_factor(big, on)
+    # partition id mixed in for the byte-identical-rows case; see the
+    # salt derivation note in salted_groupby_sum.
     salted_big = big.withColumn(
-        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt))
+        "_salt",
+        F.pmod(
+            F.xxhash64(*[F.col(c) for c in big.columns], F.spark_partition_id()),
+            F.lit(salt),
+        ),
     )
     replicated = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))

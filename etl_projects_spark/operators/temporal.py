@@ -192,7 +192,9 @@ def funnel_stage_times(
         ).alias("_a")
     )
     for i, stage in enumerate(stages):
-        if "'" in stage:
+        # Backslashes break the embedded SQL literal too (Spark parses
+        # escape sequences inside '...'), not just quotes.
+        if "'" in stage or "\\" in stage:
             raise ValueError(f"stage name {stage!r} is not SQL-literal-safe")
         after = f" AND x.ts >= _t{i - 1}" if i else ""
         per_user = per_user.withColumn(

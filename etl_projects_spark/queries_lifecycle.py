@@ -676,9 +676,10 @@ def repartition_partition_files(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(os.path.join(tmp, "orders_by_priority"))
         )
 
-    build_once(
-        scratch, _build, marker=os.path.join("orders_by_priority", "_SUCCESS")
-    )
+    # No marker arg: the partitionBy write emits no top-level _SUCCESS
+    # under dynamic partition overwrite — build_once's own sentinel is
+    # the completion signal.
+    build_once(scratch, _build)
     return (
         spark.read.parquet(table_dir)
         # non-deterministic exprs are illegal inside agg args: project

@@ -263,12 +263,29 @@ def test_build_once_builds_reuses_and_survives_race(tmp_path):
     build_once(path, build)
     assert len(calls) == 1
 
-    # Simulate losing the race: a second builder runs while the winner's
-    # dir already exists (marker removed so the fast path misses, final
-    # dir non-empty so os.rename fails with ENOTEMPTY).
-    os.remove(os.path.join(path, "_SUCCESS"))
-    build_once(path, build)
+    # Simulate TRULY losing the race: the winner COMPLETES `path`
+    # (build_once sentinel included) between our fast-path miss and
+    # our rename — the loser's rename fails, its tmp copy is
+    # discarded, and the winner's artifact is returned intact. (A
+    # sentinel-less directory at `path` is the squatter case and is
+    # replaced — covered in tests/test_exec_util.py.)
+    import shutil
+
+    from etl_projects_spark.operators.exec_util import BUILD_ONCE_SENTINEL
+
+    path2 = str(tmp_path / "artifact2")
+
+    def racing_build(tmp):
+        build(tmp)
+        shutil.copytree(tmp, path2)  # "other process" wins first...
+        open(os.path.join(path2, BUILD_ONCE_SENTINEL), "w").close()
+        with open(os.path.join(path2, "data"), "w") as f:
+            f.write("winner")
+
+    assert build_once(path2, racing_build) == path2
     assert len(calls) == 2
+    with open(os.path.join(path2, "data")) as f:
+        assert f.read() == "winner"  # loser did not clobber the winner
     # Loser cleaned its tmp dir; winner's payload untouched.
     leftovers = [d for d in os.listdir(tmp_path) if ".tmp." in d]
     assert leftovers == []

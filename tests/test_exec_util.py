@@ -89,3 +89,46 @@ def test_build_once_builds_exactly_once(tmp_path):
     build_once(path, build, marker="done")
     assert len(calls) == 1
     assert os.path.exists(os.path.join(path, "done"))
+
+
+def test_build_once_replaces_sentinel_less_squatter(tmp_path):
+    """r6 review: a directory at the target WITHOUT build_once's
+    completion sentinel (half-copied squatter, pre-sentinel vintage)
+    must be replaced by a fresh build — previously the stale directory
+    was silently returned while every call rebuilt and discarded its
+    own copy."""
+    import os
+
+    from etl_projects_spark.operators.exec_util import (
+        BUILD_ONCE_SENTINEL,
+        build_once,
+    )
+
+    squatter = tmp_path / "artifact"
+    (squatter / "junk").mkdir(parents=True)  # exists, no sentinel
+
+    def build(tmp):
+        os.makedirs(tmp, exist_ok=True)
+        open(os.path.join(tmp, "data"), "w").close()
+
+    assert build_once(str(squatter), build) == str(squatter)
+    assert os.path.exists(squatter / BUILD_ONCE_SENTINEL)
+    assert os.path.exists(squatter / "data")
+    assert not os.path.exists(squatter / "junk")  # squatter replaced
+
+
+def test_build_once_requires_declared_marker(tmp_path):
+    """A caller-declared marker the builder never writes must raise at
+    build time (a committer-dependent marker like a partitioned
+    write's _SUCCESS was the silent-rebuild trap)."""
+    import os
+
+    import pytest
+
+    from etl_projects_spark.operators.exec_util import build_once
+
+    def build(tmp):
+        os.makedirs(tmp, exist_ok=True)
+
+    with pytest.raises(RuntimeError, match="never writes"):
+        build_once(str(tmp_path / "a"), build, marker="stats.json")

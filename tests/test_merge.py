@@ -218,18 +218,27 @@ def test_snapshot_diff_null_safe(spark):
 
 
 def test_snapshot_diff_null_key_sides(spark):
-    """A row whose key is NULL never matches the null-hostile equi-join;
-    its side must still classify by PRESENCE (old-only → delete,
-    new-only → insert), not by key null-ness."""
+    """NULL keys join null-safely (r6 review; consistent with
+    scd2_apply): an identical NULL-keyed row present in both snapshots
+    is UNCHANGED — not a spurious delete+insert pair — a changed one
+    is an update, and a one-sided one still classifies by presence."""
     from etl_projects_spark.operators.merge import snapshot_diff
 
     old = spark.createDataFrame([(None, "gone"), (1, "a")], "k long, s string")
     new = spark.createDataFrame([(None, "born"), (1, "a")], "k long, s string")
-    rows = snapshot_diff(old, new, ["k"], ["s"]).collect()
-    got = sorted((r.k, r.change) for r in rows)
-    # the two NULL-key rows can't join to each other: one delete + one
-    # insert, both with k=None; key 1 is unchanged and drops out.
-    assert got == [(None, "delete"), (None, "insert")]
+    got = sorted(
+        (r.k, r.change)
+        for r in snapshot_diff(old, new, ["k"], ["s"]).collect()
+    )
+    assert got == [(None, "update")]  # key 1 unchanged drops out
+
+    same = spark.createDataFrame([(None, "kept")], "k long, s string")
+    assert snapshot_diff(same, same, ["k"], ["s"]).count() == 0  # no churn
+
+    one_sided = snapshot_diff(
+        same, spark.createDataFrame([], "k long, s string"), ["k"], ["s"]
+    ).collect()
+    assert [(r.k, r.change) for r in one_sided] == [(None, "delete")]
 
 
 def test_merge_upsert_random_equivalence(spark):
@@ -363,3 +372,23 @@ def test_apply_changelog_null_op_is_upsert(spark):
     got = {r["k"]: r["v"] for r in
            apply_changelog(log, keys=["k"], order_cols=["seq"]).collect()}
     assert got == {1: 11.0, 3: 7.0}
+
+
+def test_scd2_apply_preserves_null_current_flag_rows(spark):
+    """A dim row with is_current=NULL (bad upstream data) must pass
+    through with history, never silently vanish (r6 review: plain
+    filter(col)/filter(~col) both drop NULL)."""
+    from etl_projects_spark.operators.merge import scd2_apply
+
+    dim = spark.createDataFrame(
+        [(1, "a", "2024-01-01", "9999-12-31", True),
+         (2, "z", "2024-01-01", "9999-12-31", None)],
+        "k long, attr string, eff string, end string, is_current boolean",
+    )
+    upd = spark.createDataFrame(
+        [(1, "b", "2024-02-01")], "k long, attr string, eff string"
+    )
+    out = scd2_apply(dim, upd, keys=["k"], attrs=["attr"],
+                     effective_col="eff", end_col="end",
+                     current_col="is_current").collect()
+    assert any(r.k == 2 for r in out), "NULL-flag row vanished"

@@ -58,3 +58,29 @@ def test_lsh_similarity_join_finds_cobucket_pairs(spark):
     assert pairs.get((0, 1)) == 1.0
     assert all(c >= 0.9 for c in pairs.values())
     assert (0, 3) not in pairs  # cosine -1: below threshold everywhere
+
+
+def test_pca_project_honors_id_col(spark):
+    import numpy as np
+    from etl_projects_spark.operators import similarity
+
+    df = spark.createDataFrame(
+        [(7, [1.0, 0.0]), (8, [0.0, 1.0])], "doc_id long, feat array<float>"
+    )
+    mu = np.array([0.5, 0.5])
+    basis = np.array([[1.0], [0.0]])
+    out = similarity.pca_project(df, mu, basis, vec_col="feat", id_col="doc_id")
+    assert out.columns == ["doc_id", "p1"]
+    assert {r.doc_id for r in out.collect()} == {7, 8}
+
+
+def test_knn_join_empty_queries_yields_empty(spark):
+    from etl_projects_spark.operators import similarity
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    empty = corpus.filter("vec_id < 0")
+    out = similarity.knn_join(corpus, empty, k=3)
+    assert out.count() == 0
+    assert out.columns == ["qid", "nbr", "score", "rank"]

@@ -110,3 +110,22 @@ def test_salted_join_auto_salt_80pct_hot_key_matches_unsalted(spark):
         assert got.exceptAll(want).count() == 0
         assert want.exceptAll(got).count() == 0
     assert choose_salt_factor(big, "k") > 1
+
+
+def test_salt_spreads_byte_identical_rows_across_partitions(spark):
+    """r6 review: a hot key of byte-identical rows must not collapse to
+    ONE salt — the partition-id mix spreads rows that sit in different
+    scan partitions (bounded residual: identical rows within a split)."""
+    from etl_projects_spark.operators import skew
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("hot", 1.0)] * 400, "k string, v double").repartition(8)
+    salted = df.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(F.col("k"), F.col("v"), F.spark_partition_id()), F.lit(16)),
+    )
+    n_salts = salted.select("_salt").distinct().count()
+    assert n_salts > 1, "identical rows all landed on one salt"
+    # and the operator's results stay exact
+    out = skew.salted_groupby_sum(df, ["k"], {"s": F.col("v")}, salt=16).collect()
+    assert len(out) == 1 and out[0]["s"] == 400.0
