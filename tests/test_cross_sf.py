@@ -169,6 +169,20 @@ REPRESENTATIVE = [
     "rolling_corr_value_count",
     "token_budget_allocator",
     "asof_nearest_click",
+    # r6 window rows with no prior cross-sf coverage: the reworked
+    # media sampler (byte-exact hex frames), the re-quantized mixture
+    # quota, the engine/catalog consumers (scratch-table builds keyed
+    # on the corpus, so they must work at every vintage), and the
+    # operator-module consumers fixed in the r6 review passes.
+    # (embedding_pca_project excluded: like semdedup_prune its oracle
+    # inlines the sf0.01 twin basis; sf0.001 parity is covered by
+    # tests/test_curation.py::test_pca_projection_matches_numpy)
+    "media_frame_sample",
+    "mixture_weights_temperature",
+    "engine_partitioned_incremental",
+    "engine_sql_file_build",
+    "salted_agg_order_revenue",
+    "json_explode_props",
 ]
 
 
@@ -233,6 +247,16 @@ UPSCALE = [
     "gopher_repetition_filter",
     "repartition_partition_files",
     "quality_monitor_gate",
+    # r6 window rows whose r6 source changes (de-hinted jaccard
+    # fallback, shared word_grams helper) deserve proof at 10× the
+    # driver gate's volume, where the df-cap actually binds and the
+    # integer threshold arithmetic sees real collision counts; the
+    # mixture quota's remainder allocation is likewise only stressed
+    # where many sources compete for the 10k slots.
+    "dedup_ngram_jaccard",
+    "dedup_jaccard_df_capped",
+    "text_repetition_ratio",
+    "mixture_weights_temperature",
 ]
 
 
