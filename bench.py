@@ -316,6 +316,33 @@ def run_chunk(names: list[str]) -> dict[str, float]:
     return timings
 
 
+def host_calibration() -> dict[str, float]:
+    """Fixed, Spark-free CPU workloads that price the BOX, not the
+    code: a single-thread pure-Python xorshift loop (interpreter +
+    single-core speed) and an all-core BLAS matmul (parallel FP
+    throughput). Recorded into BENCH_FULL.json so a uniform shift in
+    query timings can be attributed — same-code full-catalog runs
+    measured 181→249 s across one day (SCALE.md bench-variance log,
+    r6 end): when calib moves with the catalog total it is the
+    machine; when the total moves alone it is a code regression."""
+    import numpy as np
+
+    x = 88172645463325252
+    t0 = time.perf_counter()
+    for _ in range(2_000_000):
+        x ^= (x << 13) & 0xFFFFFFFFFFFFFFFF
+        x ^= x >> 7
+        x ^= (x << 17) & 0xFFFFFFFFFFFFFFFF
+    py_st = time.perf_counter() - t0
+    a = np.random.default_rng(0).standard_normal((2048, 2048))
+    a @ a  # warm the BLAS thread pool outside the timed region
+    t0 = time.perf_counter()
+    for _ in range(8):
+        a @ a
+    blas_mt = time.perf_counter() - t0
+    return {"py_st_s": round(py_st, 3), "blas_mt_s": round(blas_mt, 3)}
+
+
 def main() -> None:
     import subprocess
     import sys
@@ -365,7 +392,11 @@ def main() -> None:
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"),
         "w",
     ) as f:
-        json.dump({"sf": sf, "queries": timings}, f, sort_keys=True)
+        json.dump(
+            {"sf": sf, "queries": timings, "calib": host_calibration()},
+            f,
+            sort_keys=True,
+        )
 
     # Human-facing detail first (may be clipped by the driver's capture
     # window — that's fine, BENCH_FULL.json is the durable record) …
