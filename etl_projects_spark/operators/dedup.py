@@ -246,6 +246,15 @@ def jaccard_pairs(
             raise ValueError("need shingles or shingle_sets")
         shingles = shingle_sets.select("id", F.explode("sh_set").alias("shingle"))
     if max_doc_freq is not None:
+        # Count-then-filter-then-collect, deliberately TWO passes over
+        # the exploded relation: the first is a constant-memory partial
+        # count (safe on any skew), and only groups that survived the
+        # cap ever reach a collect_list. A single-pass
+        # groupBy.collect_list.filter(size<=cap) would be one shuffle
+        # cheaper but builds the FULL id array for ubiquitous shingles
+        # before filtering — unbounded executor memory on exactly the
+        # skewed groups the cap exists to guard (measured: no local win
+        # either, the count agg is far lighter than the list shuffle).
         freq = shingles.groupBy("shingle").agg(F.count("*").alias("df_"))
         # materialized: the capped relation feeds multiple plan
         # branches — left lazy, the doc-freq aggregate and cap join
@@ -373,7 +382,9 @@ def incremental_neardup(
         .join(F.broadcast(new_bands.alias("new")), key_cols)
         .filter(F.col("old.id") != F.col("new.id"))
         .select(F.col("old.id").alias("id_a"), F.col("new.id").alias("id_b"))
-        .distinct()
+        # no .distinct() here: multi-band duplicate hits ride into the
+        # union below, whose single distinct dedupes both sources in
+        # one exchange instead of two.
     )
     internal = lsh_candidate_pairs(new_sigs)
     # Materialized: candidates feed BOTH the id-set build and the pair
