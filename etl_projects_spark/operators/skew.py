@@ -133,6 +133,11 @@ def salted_join(
     spread across enough reducers automatically.
 
     Result equals ``big.join(small, on, how)`` exactly.
+
+    Project the big side down to the columns the consumer needs BEFORE
+    calling: the salt hashes every column of ``big``, so an unpruned
+    table both defeats parquet column pruning (the scan must read all
+    columns to hash them) and pays the hash over the full row width.
     """
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports inner/left (small side unique key)")

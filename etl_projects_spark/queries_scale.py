@@ -62,7 +62,12 @@ def salted_join_lineitem_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     join — the aggregate on top makes the oracle compact. (Salt factor
     sizes to observed skew: replication cost is |dim|·salt, so use the
     smallest salt that flattens the hot keys.)"""
-    li = load(spark, sf_dir, "lineitem")
+    # Project BEFORE salting: the salt hashes every column of the big
+    # side, so handing salted_join the full table forces a 16-column
+    # lineitem scan for a 2-column query (ReadSchema showed the whole
+    # struct). Pruned here, the scan reads 2 columns and the row hash
+    # prices 2 values instead of 16.
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
     orders = load(spark, sf_dir, "orders").withColumnRenamed(
         "o_orderkey", "l_orderkey"
     )
