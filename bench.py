@@ -327,20 +327,31 @@ def host_calibration() -> dict[str, float]:
     machine; when the total moves alone it is a code regression."""
     import numpy as np
 
-    x = 88172645463325252
-    t0 = time.perf_counter()
-    for _ in range(2_000_000):
-        x ^= (x << 13) & 0xFFFFFFFFFFFFFFFF
-        x ^= x >> 7
-        x ^= (x << 17) & 0xFFFFFFFFFFFFFFFF
-    py_st = time.perf_counter() - t0
+    def py_loop() -> float:
+        x = 88172645463325252
+        t0 = time.perf_counter()
+        for _ in range(2_000_000):
+            x ^= (x << 13) & 0xFFFFFFFFFFFFFFFF
+            x ^= x >> 7
+            x ^= (x << 17) & 0xFFFFFFFFFFFFFFFF
+        return time.perf_counter() - t0
+
     a = np.random.default_rng(0).standard_normal((2048, 2048))
     a @ a  # warm the BLAS thread pool outside the timed region
-    t0 = time.perf_counter()
-    for _ in range(8):
-        a @ a
-    blas_mt = time.perf_counter() - t0
-    return {"py_st_s": round(py_st, 3), "blas_mt_s": round(blas_mt, 3)}
+
+    def blas_loop() -> float:
+        t0 = time.perf_counter()
+        for _ in range(8):
+            a @ a
+        return time.perf_counter() - t0
+
+    # min-of-2: a single shot of the parallel matmul swings ~±40%
+    # (scheduler placement), wider than the 20-30% host shifts this
+    # exists to detect; the min is the box's actual capability.
+    return {
+        "py_st_s": round(min(py_loop(), py_loop()), 3),
+        "blas_mt_s": round(min(blas_loop(), blas_loop()), 3),
+    }
 
 
 def main() -> None:
@@ -388,15 +399,19 @@ def main() -> None:
         timings.update(json.loads(out[-1][len("CHUNK_RESULT "):]))
 
     sf = _sf()
-    with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"),
-        "w",
-    ) as f:
-        json.dump(
-            {"sf": sf, "queries": timings, "calib": host_calibration()},
-            f,
-            sort_keys=True,
-        )
+    # Calibrate BEFORE touching the durable record, and write via
+    # temp-file + rename: a calibration failure (or any crash mid-dump)
+    # must not truncate BENCH_FULL.json after 200+ s of measured work.
+    record = json.dumps(
+        {"sf": sf, "queries": timings, "calib": host_calibration()},
+        sort_keys=True,
+    )
+    dest = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+    )
+    with open(dest + ".tmp", "w") as f:
+        f.write(record)
+    os.replace(dest + ".tmp", dest)
 
     # Human-facing detail first (may be clipped by the driver's capture
     # window — that's fine, BENCH_FULL.json is the durable record) …

@@ -185,7 +185,7 @@ def melt_bands(sigs: DataFrame) -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
+def lsh_candidate_pairs(sigs: DataFrame, dedupe: bool = True) -> DataFrame:
     """Candidate pairs: ids agreeing on all rows of any LSH band.
 
     The signature table is melted to (id, band, k1, k2) rows — one
@@ -193,6 +193,11 @@ def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
     SINGLE self-equi-join keyed on (band, k1, k2). One shuffle of
     bands×N rows instead of one join per band; bucket sizes stay
     bounded, so the join is linear and skew-safe under AQE.
+
+    ``dedupe=False`` skips the trailing distinct (pairs agreeing on
+    several bands then appear once per band) — for callers that feed
+    the result into their own distinct/aggregate anyway, so the same
+    rows aren't exchanged twice.
     """
     rows_per_band = len(MINHASH_COEFFS) // LSH_BANDS
     melted = melt_bands(sigs)
@@ -200,11 +205,10 @@ def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
     cond = F.col("a.id") < F.col("b.id")
     for c in ["band"] + [f"k{r}" for r in range(rows_per_band)]:
         cond = (F.col(f"a.{c}") == F.col(f"b.{c}")) & cond
-    return (
-        a.join(b, cond)
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
+    pairs = a.join(b, cond).select(
+        F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
     )
+    return pairs.distinct() if dedupe else pairs
 
 
 def jaccard_pairs(
@@ -386,7 +390,7 @@ def incremental_neardup(
         # union below, whose single distinct dedupes both sources in
         # one exchange instead of two.
     )
-    internal = lsh_candidate_pairs(new_sigs)
+    internal = lsh_candidate_pairs(new_sigs, dedupe=False)
     # Materialized: candidates feed BOTH the id-set build and the pair
     # join inside jaccard_pairs — left lazy, each branch recomputes the
     # index probe + in-batch self-join (measured ~2× the candidate

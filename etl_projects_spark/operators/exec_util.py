@@ -66,8 +66,22 @@ def prefix_sum(
     from pyspark.sql import Window as W
 
     n = n_parts or df.sparkSession.sparkContext.defaultParallelism
-    d = df.repartitionByRange(n, F.col(order_col)).withColumn(
-        "_pid", F.spark_partition_id()
+    # MATERIALIZED, not lazy — correctness, not caching: the local-sum
+    # branch and the offset branch below both descend from this node,
+    # and an unpersisted range exchange is re-executed PER BRANCH with
+    # a fresh RDD id. RangePartitioner seeds its boundary sampling from
+    # that id, so the two executions can draw DIFFERENT range
+    # boundaries — each branch's _pid then labels a different row→
+    # partition map and the stitched offsets are silently wrong
+    # (caught at sf0.1: 4356/5000 ranks off after a boundary shifted
+    # 26 rows between branches; smaller corpora matched by luck).
+    # Persisting pins ONE evaluation — both branches read the same
+    # partitioning, and an evicted block recomputes the same plan with
+    # the same RDD id, so the boundaries cannot drift.
+    d = materialize(
+        df.repartitionByRange(n, F.col(order_col)).withColumn(
+            "_pid", F.spark_partition_id()
+        )
     )
     wloc = (
         W.partitionBy("_pid")

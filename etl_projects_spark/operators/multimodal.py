@@ -145,8 +145,15 @@ def decode_stats(media: DataFrame, fake: bool = True) -> DataFrame:
             stats = []
             for payload in batch["payload"]:
                 arr = np.frombuffer(payload, dtype=np.uint8)
+                # RAW double mean (exact integer sum, one IEEE divide)
+                # — never round engine-side: round(x, 6) lands on
+                # exactly-representable halves (e.g. 93.7265625) where
+                # numpy rounds half-even and DuckDB half-away, and the
+                # two engines disagree at the 6th decimal. The raw
+                # quotient is bit-identical on both engines and the
+                # comparator rounds at 9 dp.
                 stats.append(
-                    (round(float(arr.mean()), 6) if arr.size else 0.0, arr.size)
+                    (int(arr.sum()) / arr.size if arr.size else 0.0, arr.size)
                 )
             yield pd.DataFrame(
                 {

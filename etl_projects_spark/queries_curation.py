@@ -1319,11 +1319,16 @@ def data_card_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "curriculum_schedule",
     """
-    WITH t AS (
-      SELECT quantile_disc(n_chars, 0.25) AS t25,
-             quantile_disc(n_chars, 0.50) AS t50,
-             quantile_disc(n_chars, 0.75) AS t75
-      FROM documents),
+    WITH c AS (
+      SELECT n_chars, COUNT(*) AS cnt FROM documents GROUP BY n_chars),
+    cum AS (
+      SELECT n_chars, SUM(cnt) OVER (ORDER BY n_chars) AS rc FROM c),
+    tot AS (SELECT MAX(rc) AS n FROM cum),
+    t AS (
+      SELECT MIN(CASE WHEN 4 * rc >= n THEN n_chars END) AS t25,
+             MIN(CASE WHEN 2 * rc >= n THEN n_chars END) AS t50,
+             MIN(CASE WHEN 4 * rc >= 3 * n THEN n_chars END) AS t75
+      FROM cum, tot),
     b AS (
       SELECT doc_id, n_chars,
              1 + CAST(n_chars > t25 AS INT) + CAST(n_chars > t50 AS INT)
@@ -1342,8 +1347,8 @@ def data_card_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 def curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curriculum-learning emission order: docs bucketed into 4
     difficulty quartiles (length as the difficulty proxy; thresholds
-    are exact ``percentile_disc`` values broadcast from ONE tiny
-    aggregate — no global ntile sort), then interleaved round-robin
+    are exact data values from integer cume-count arithmetic broadcast
+    from ONE tiny aggregate — no global ntile sort), then interleaved round-robin
     across buckets so training sees a difficulty mix at every step:
     emit_pos = rank_within_bucket·4 + bucket. The within-bucket rank
     uses the two-phase distributed prefix sum (``exec_util.prefix_sum``
@@ -1354,15 +1359,39 @@ def curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_projects_spark.operators.exec_util import prefix_sum
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    t = docs.agg(
-        F.expr(
-            "percentile_disc(0.25) WITHIN GROUP (ORDER BY n_chars)"
+    # Discrete quartiles via EXPLICIT integer cume-count arithmetic
+    # (smallest value whose running count rc satisfies k*rc >= m*n) —
+    # NOT percentile_disc: Spark's percentile_disc and DuckDB's
+    # quantile_disc disagree on which element a quantile picks when
+    # the boundary lands on a run of ties (observed at sf0.1: one
+    # engine's t25 was one tie-run lower, shifting 60 docs' buckets).
+    # The k*rc >= m*n form is Spark percentile_disc's own definition
+    # (cume_dist >= p) in exact integers, so both engines now compute
+    # it from the same arithmetic. The distinct-lengths relation is
+    # bounded by max doc length, so its single-task running-sum
+    # window is safe at any corpus size.
+    cum = (
+        docs.groupBy("n_chars")
+        .agg(F.count("*").alias("_cnt"))
+        .withColumn(
+            "_rc",
+            F.sum("_cnt").over(
+                W.orderBy("n_chars").rowsBetween(W.unboundedPreceding, 0)
+            ),
+        )
+    )
+    t = cum.crossJoin(F.broadcast(cum.agg(F.max("_rc").alias("_n")))).agg(
+        F.min(
+            F.when(F.lit(4) * F.col("_rc") >= F.col("_n"), F.col("n_chars"))
         ).alias("t25"),
-        F.expr(
-            "percentile_disc(0.50) WITHIN GROUP (ORDER BY n_chars)"
+        F.min(
+            F.when(F.lit(2) * F.col("_rc") >= F.col("_n"), F.col("n_chars"))
         ).alias("t50"),
-        F.expr(
-            "percentile_disc(0.75) WITHIN GROUP (ORDER BY n_chars)"
+        F.min(
+            F.when(
+                F.lit(4) * F.col("_rc") >= F.lit(3) * F.col("_n"),
+                F.col("n_chars"),
+            )
         ).alias("t75"),
     )
     b = docs.crossJoin(F.broadcast(t)).select(

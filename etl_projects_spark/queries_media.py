@@ -87,7 +87,7 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(doc_id % 16 + 16 AS INTEGER) AS width,
            CAST(doc_id % 9 + 9 AS INTEGER) AS height,
-           round(AVG(CAST(v AS DOUBLE)), 6) AS mean_byte,
+           CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean_byte,
            CAST(COUNT(*) AS BIGINT) AS n_bytes
     FROM ch
     GROUP BY doc_id

@@ -257,6 +257,14 @@ UPSCALE = [
     "dedup_jaccard_df_capped",
     "text_repetition_ratio",
     "mixture_weights_temperature",
+    # r6-late sweep finds (DETERMINISM.md recipes 28-30): the three
+    # queries whose defects were ONLY visible at sf0.1 — discrete-
+    # quantile tie runs, round-at-compare-precision halves, and the
+    # prefix_sum branch-divergent range boundaries. Permanent rows so
+    # they can never regress to gate-SF-only proof.
+    "curriculum_schedule",
+    "media_decode_stats",
+    "pack_token_spans",
 ]
 
 
