@@ -109,16 +109,17 @@ _ROUND_PRIORITY = [
     # consumers re-enter:
     "dedup_incremental_batch",
     "streaming_incremental_dedup",
-    # 28-47: freshness re-checks — the oldest remaining r1-era rows.
-    # TWENTY entries wait for r7's window (the cap is 50): the
+    # 28-46: freshness re-checks — the oldest remaining r1-era rows.
+    # TWENTY-ONE entries wait for r7's window (the cap is 50): the
     # seventeen r1-era rows contamination_probe,
     # stratified_sample_sources, shard_packing, sliding_window_events,
     # winnow_fingerprints, text_normalized_dedup, text_pii_redaction,
     # media_fingerprint, text_lang_id, dedup_exact, dedup_minhash_lsh,
     # dedup_simhash, q14_type_revenue_share, tumbling_window_events,
     # streaming_tumbling_counts, pivot_status, cube_counts — plus the
-    # three freshness rows displaced by the late-r6 sweep fixes:
-    # ann_cosine_topk, ann_lsh_topk, text_bpe_ish_tokens.
+    # four freshness rows displaced by the late-r6 sweep fixes and the
+    # stream-stream addition: ann_cosine_topk, ann_lsh_topk,
+    # text_bpe_ish_tokens, text_quality_score.
     "q1_pricing_summary",
     "q3_top_orders",
     "q5_local_supplier_volume",
@@ -138,8 +139,7 @@ _ROUND_PRIORITY = [
     "array_to_json",
     "struct_to_json",
     "text_stats",
-    "text_quality_score",
-    # 48-50: REWORKED LATE IN r6 after a full-catalog sf0.1 oracle
+    # 47-50: REWORKED LATE IN r6 after a full-catalog sf0.1 oracle
     # sweep caught two cross-engine determinism defects invisible at
     # the sf0.01 gate (discrete-quantile tie-break divergence; round-6
     # half-even vs half-away on exact halves) plus a prefix_sum
@@ -148,10 +148,13 @@ _ROUND_PRIORITY = [
     # is the other prefix_sum consumer). The fixes must be
     # driver-proven this round, so they displace the last three
     # freshness re-checks (ann_cosine_topk, ann_lsh_topk,
-    # text_bpe_ish_tokens → r7).
+    # text_bpe_ish_tokens → r7) — plus streaming_interval_join, the
+    # stream-stream surface added late in r6 (displaces
+    # text_quality_score → r7).
     "curriculum_schedule",
     "media_decode_stats",
     "pack_token_spans",
+    "streaming_interval_join",
 ]
 
 

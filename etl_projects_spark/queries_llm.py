@@ -469,6 +469,72 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "streaming_interval_join",
+    """
+    SELECT c.user_id AS user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           epoch_us(p.ts) - epoch_us(c.ts) AS wait_us,
+           p.value AS purchase_value
+    FROM events c JOIN events p
+      ON p.user_id = c.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 2 HOUR
+    """,
+)
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM interval join, end to end: clicks and purchases
+    consumed as two file-source streams, each watermarked, joined on
+    user within [click_ts, click_ts + 2h] — the click→conversion
+    attribution shape — and drained with availableNow into a memory
+    sink. This is the stateful equi-join on the key where the
+    time-range predicate + both watermarks bound how long either
+    side's rows wait in the join state store (jobs.interval_join);
+    without them a stream-stream join buffers both streams forever.
+
+    Deterministic because the inner join emits exactly the predicate's
+    match set once all data is drained (state eviction only trims rows
+    the watermark has proven unmatchable — it can never drop a true
+    match). The output carries the WAIT (purchase epoch − click epoch,
+    exact integer micros) rather than absolute timestamps, so the
+    comparison is immune to session-timezone rendering of the NTZ
+    vintage."""
+    from etl_projects_spark.streaming import jobs
+
+    raw_l = _read_events_stream(spark, sf_dir)
+    raw_r = _read_events_stream(spark, sf_dir)
+    clicks = raw_l.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("l_ts"),
+    )
+    purchases = raw_r.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("r_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    joined = jobs.interval_join(
+        clicks, purchases, key="user", within="2 hours", watermark="12 hours"
+    ).select(
+        F.col("user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        (F.unix_micros("r_ts") - F.unix_micros("l_ts")).alias("wait_us"),
+        "purchase_value",
+    )
+    (
+        joined.writeStream.format("memory")
+        .queryName("streaming_interval_join_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.table("streaming_interval_join_sink")
+
+
+@_q(
     "vocab_top_terms",
     """
     SELECT term, COUNT(*) AS doc_freq, CAST(SUM(tf) AS BIGINT) AS total_freq

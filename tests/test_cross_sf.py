@@ -183,6 +183,9 @@ REPRESENTATIVE = [
     "engine_sql_file_build",
     "salted_agg_order_revenue",
     "json_explode_props",
+    # r6-late addition: the stream-stream interval join (two
+    # watermarked file streams, stateful equi-join, availableNow drain)
+    "streaming_interval_join",
 ]
 
 
@@ -265,6 +268,7 @@ UPSCALE = [
     "curriculum_schedule",
     "media_decode_stats",
     "pack_token_spans",
+    "streaming_interval_join",
 ]
 
 
