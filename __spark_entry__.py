@@ -109,17 +109,17 @@ _ROUND_PRIORITY = [
     # consumers re-enter:
     "dedup_incremental_batch",
     "streaming_incremental_dedup",
-    # 28-46: freshness re-checks — the oldest remaining r1-era rows.
-    # TWENTY-ONE entries wait for r7's window (the cap is 50): the
+    # 28-45: freshness re-checks — the oldest remaining r1-era rows.
+    # TWENTY-TWO entries wait for r7's window (the cap is 50): the
     # seventeen r1-era rows contamination_probe,
     # stratified_sample_sources, shard_packing, sliding_window_events,
     # winnow_fingerprints, text_normalized_dedup, text_pii_redaction,
     # media_fingerprint, text_lang_id, dedup_exact, dedup_minhash_lsh,
     # dedup_simhash, q14_type_revenue_share, tumbling_window_events,
     # streaming_tumbling_counts, pivot_status, cube_counts — plus the
-    # four freshness rows displaced by the late-r6 sweep fixes and the
-    # stream-stream addition: ann_cosine_topk, ann_lsh_topk,
-    # text_bpe_ish_tokens, text_quality_score.
+    # five freshness rows displaced by the late-r6 sweep fixes and the
+    # streaming additions: ann_cosine_topk, ann_lsh_topk,
+    # text_bpe_ish_tokens, text_quality_score, sort_limit_topk.
     "q1_pricing_summary",
     "q3_top_orders",
     "q5_local_supplier_volume",
@@ -130,7 +130,6 @@ _ROUND_PRIORITY = [
     "join_full_outer",
     "agg_count_distinct",
     "window_dedup_latest",
-    "sort_limit_topk",
     "union_append",
     "date_parts",
     "cast_all_to_string",
@@ -155,6 +154,9 @@ _ROUND_PRIORITY = [
     "media_decode_stats",
     "pack_token_spans",
     "streaming_interval_join",
+    # + streaming_stateful_running_totals, the applyInPandasWithState
+    # surface's driver row (displaces sort_limit_topk → r7).
+    "streaming_stateful_running_totals",
 ]
 
 

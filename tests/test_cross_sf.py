@@ -183,9 +183,11 @@ REPRESENTATIVE = [
     "engine_sql_file_build",
     "salted_agg_order_revenue",
     "json_explode_props",
-    # r6-late addition: the stream-stream interval join (two
-    # watermarked file streams, stateful equi-join, availableNow drain)
+    # r6-late additions: the stream-stream interval join (two
+    # watermarked file streams, stateful equi-join, availableNow
+    # drain) and the applyInPandasWithState custom-stateful surface
     "streaming_interval_join",
+    "streaming_stateful_running_totals",
 ]
 
 
@@ -269,6 +271,7 @@ UPSCALE = [
     "media_decode_stats",
     "pack_token_spans",
     "streaming_interval_join",
+    "streaming_stateful_running_totals",
 ]
 
 
