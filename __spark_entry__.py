@@ -138,7 +138,7 @@ _ROUND_PRIORITY = [
     "array_to_json",
     "struct_to_json",
     "text_stats",
-    # 47-50: REWORKED LATE IN r6 after a full-catalog sf0.1 oracle
+    # 46-50: REWORKED LATE IN r6 after a full-catalog sf0.1 oracle
     # sweep caught two cross-engine determinism defects invisible at
     # the sf0.01 gate (discrete-quantile tie-break divergence; round-6
     # half-even vs half-away on exact halves) plus a prefix_sum

@@ -55,34 +55,41 @@ def prefix_sum(
 
     ``Window.orderBy(x)`` with no partitionBy collapses the whole
     relation into ONE task; this is the classic two-phase scan
-    instead: range-partition on the order key (sorted partitions),
-    take a local running sum inside each, and add each partition's
-    offset — the exclusive cumsum of the per-partition totals, a
-    relation of ``n_parts`` rows that computes in one tiny single-task
-    window and broadcasts back. Exact at any scale; requires
-    ``order_col`` to be unique (ties make "exclusive of self"
-    ambiguous).
+    instead: bucket rows on the order key, take a local running sum
+    inside each bucket (a partitionBy window — each bucket is its own
+    task), and add each bucket's offset — the exclusive cumsum of the
+    per-bucket totals, a relation of ``n_parts`` rows that computes in
+    one tiny single-task window and broadcasts back. Exact at any
+    scale; requires ``order_col`` to be unique (ties make "exclusive
+    of self" ambiguous).
+
+    The bucket id is a PURE EXPRESSION over driver-collected quantile
+    boundaries — deliberately NOT ``repartitionByRange`` +
+    ``spark_partition_id()``: the local-sum branch and the offset
+    branch both descend from the bucketed node, each branch re-executes
+    it with a fresh RDD id, and RangePartitioner seeds its boundary
+    sampling from that id — the two executions can draw DIFFERENT
+    boundaries, silently mislabeling rows between branches (caught at
+    sf0.1: 4356/5000 ranks wrong after a boundary shifted 26 rows;
+    smaller corpora matched by luck — DETERMINISM.md recipe 30).
+    ``approxQuantile`` is sketch-based and RNG-free, so the collected
+    boundaries are a deterministic function of the data, the driver
+    pulls only ``n_parts - 1`` numbers (bounded at any corpus size),
+    and every re-execution of either branch computes identical bucket
+    ids from the same literals — no persist, no cache lifetime, no
+    recompute hazard.
     """
     from pyspark.sql import Window as W
 
     n = n_parts or df.sparkSession.sparkContext.defaultParallelism
-    # MATERIALIZED, not lazy — correctness, not caching: the local-sum
-    # branch and the offset branch below both descend from this node,
-    # and an unpersisted range exchange is re-executed PER BRANCH with
-    # a fresh RDD id. RangePartitioner seeds its boundary sampling from
-    # that id, so the two executions can draw DIFFERENT range
-    # boundaries — each branch's _pid then labels a different row→
-    # partition map and the stitched offsets are silently wrong
-    # (caught at sf0.1: 4356/5000 ranks off after a boundary shifted
-    # 26 rows between branches; smaller corpora matched by luck).
-    # Persisting pins ONE evaluation — both branches read the same
-    # partitioning, and an evicted block recomputes the same plan with
-    # the same RDD id, so the boundaries cannot drift.
-    d = materialize(
-        df.repartitionByRange(n, F.col(order_col)).withColumn(
-            "_pid", F.spark_partition_id()
-        )
-    )
+    probs = [i / n for i in range(1, n)]
+    bounds = sorted(set(df.stat.approxQuantile(order_col, probs, 0.001)))
+    if bounds:
+        barr = F.array(*[F.lit(b) for b in bounds])
+        pid = F.size(F.filter(barr, lambda b: b < F.col(order_col)))
+    else:
+        pid = F.lit(0)
+    d = df.withColumn("_pid", pid)
     wloc = (
         W.partitionBy("_pid")
         .orderBy(order_col)

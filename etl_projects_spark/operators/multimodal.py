@@ -142,6 +142,17 @@ def decode_stats(media: DataFrame, fake: bool = True) -> DataFrame:
         for batch in batches:
             if not fake:
                 decode_image(b"")  # raises NotImplementedError
+            # Zero-byte payloads are SKIPPED, not emitted as (0.0, 0):
+            # a mean over no bytes is undefined, and the byte-level
+            # twin (GROUP BY over the exploded bytes) naturally has no
+            # row for such a doc — emitting one here would diverge.
+            keep = [
+                i for i, payload in enumerate(batch["payload"])
+                if len(payload)
+            ]
+            if not keep:
+                continue
+            batch = batch.iloc[keep]
             stats = []
             for payload in batch["payload"]:
                 arr = np.frombuffer(payload, dtype=np.uint8)
@@ -152,14 +163,12 @@ def decode_stats(media: DataFrame, fake: bool = True) -> DataFrame:
                 # two engines disagree at the 6th decimal. The raw
                 # quotient is bit-identical on both engines and the
                 # comparator rounds at 9 dp.
-                stats.append(
-                    (int(arr.sum()) / arr.size if arr.size else 0.0, arr.size)
-                )
+                stats.append((int(arr.sum()) / arr.size, arr.size))
             yield pd.DataFrame(
                 {
-                    "doc_id": batch["doc_id"],
-                    "width": batch["width"],
-                    "height": batch["height"],
+                    "doc_id": batch["doc_id"].to_numpy(),
+                    "width": batch["width"].to_numpy(),
+                    "height": batch["height"].to_numpy(),
                     "mean_byte": [s[0] for s in stats],
                     "n_bytes": [s[1] for s in stats],
                 }

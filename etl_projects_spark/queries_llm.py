@@ -423,6 +423,9 @@ def _stream_state_partitions(spark: SparkSession, n: int = 8):
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
+_EVENTS_TS_IS_NANOS: dict = {}
+
+
 def _read_events_stream(spark: SparkSession, sf_dir: str):
     """File-source stream over the events parquet with the
     timestamp-vintage handling both streaming entries need: the feed
@@ -434,11 +437,17 @@ def _read_events_stream(spark: SparkSession, sf_dir: str):
     import os
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ts_is_nanos = (
-        dict(spark.read.parquet(os.path.join(sf_dir, "events.parquet")).dtypes)
-        .get("ts")
-        == "bigint"
-    )
+    path = os.path.join(sf_dir, "events.parquet")
+    # Footer probe cached per (path, mtime): a stream-stream query
+    # builds TWO streams from this helper, and the vintage of a given
+    # file cannot change under one mtime — no reason to re-read the
+    # footer per side.
+    probe_key = (path, os.stat(path).st_mtime_ns)
+    if probe_key not in _EVENTS_TS_IS_NANOS:
+        _EVENTS_TS_IS_NANOS[probe_key] = (
+            dict(spark.read.parquet(path).dtypes).get("ts") == "bigint"
+        )
+    ts_is_nanos = _EVENTS_TS_IS_NANOS[probe_key]
     ts_decl = "ts long" if ts_is_nanos else "ts timestamp"
     raw = (
         spark.readStream.schema(
@@ -547,14 +556,7 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_value",
     )
     with _stream_state_partitions(spark):
-        (
-            joined.writeStream.format("memory")
-            .queryName("streaming_interval_join_sink")
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-            .awaitTermination()
-        )
+        jobs.run_to_memory(joined, "streaming_interval_join_sink")
     return spark.table("streaming_interval_join_sink")
 
 
@@ -582,21 +584,22 @@ def streaming_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataF
     summation order); the float running total stays operator-internal
     (its pandas per-batch summation order is not a cross-engine
     contract — pytest covers it; DETERMINISM.md 'Approximate
-    operators' has the policy)."""
+    operators' has the policy). Update mode emits a RUNNING row per
+    user per micro-batch it appears in, so the sink is reduced to each
+    user's final (max) count — the result is then independent of how
+    availableNow happens to split the feed into batches (today one
+    file = one batch, but that is a source detail, not a contract)."""
     from etl_projects_spark.streaming import jobs
 
     raw = _read_events_stream(spark, sf_dir)
     out = jobs.sessionize_stateful(raw).select("user_id", "n_events", "closed")
     with _stream_state_partitions(spark):
-        (
-            out.writeStream.format("memory")
-            .queryName("streaming_stateful_totals_sink")
-            .outputMode("update")
-            .trigger(availableNow=True)
-            .start()
-            .awaitTermination()
-        )
-    return spark.table("streaming_stateful_totals_sink")
+        jobs.run_to_memory(out, "streaming_stateful_totals_sink", "update")
+    return (
+        spark.table("streaming_stateful_totals_sink")
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"), F.max("closed").alias("closed"))
+    )
 
 
 @_q(

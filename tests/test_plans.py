@@ -70,11 +70,15 @@ def test_incremental_dedup_broadcasts_batch(spark):
 def test_pack_token_spans_no_global_window(spark):
     from etl_projects_spark.plans.audit import plan_string
     df = QS["pack_token_spans"](spark, SF_DIR)
-    # The two-phase prefix sum range-partitions; a naive global-window
-    # implementation would show an Exchange SinglePartition feeding
-    # the full corpus window.
+    # The two-phase prefix sum buckets rows by a pure expression over
+    # driver-collected quantile boundaries (_pid) and windows within
+    # each bucket — the plan must show the bucket-keyed hash exchange,
+    # NOT a single-partition corpus window (and since the r6-late
+    # redesign, no range exchange either: repartitionByRange re-samples
+    # its boundaries per plan branch, DETERMINISM.md recipe 30).
     plan = plan_string(df)
-    assert "rangepartitioning" in plan, "expected the range-partitioned scan phase"
+    assert "hashpartitioning(_pid" in plan, plan[:800]
+    assert "rangepartitioning" not in plan, plan[:800]
     # Exactly one Exchange SinglePartition is the DESIGN: the offset
     # table (n_parts rows, post-aggregate) runs its cumsum in one tiny
     # task. The corpus itself must never collapse — a second
