@@ -143,8 +143,10 @@ _ROUND_PRIORITY = [
     # the sf0.01 gate (discrete-quantile tie-break divergence; round-6
     # half-even vs half-away on exact halves) plus a prefix_sum
     # double-evaluation defect (range boundaries re-sampled per plan
-    # branch — exec_util.py now pins one evaluation; pack_token_spans
-    # is the other prefix_sum consumer). The fixes must be
+    # branch — exec_util.py now buckets by a pure expression over
+    # driver-collected quantile literals, so every branch computes
+    # identical ids; pack_token_spans is the other prefix_sum
+    # consumer). The fixes must be
     # driver-proven this round, so they displace the last three
     # freshness re-checks (ann_cosine_topk, ann_lsh_topk,
     # text_bpe_ish_tokens → r7) — plus streaming_interval_join, the

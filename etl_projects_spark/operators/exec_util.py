@@ -61,7 +61,9 @@ def prefix_sum(
     per-bucket totals, a relation of ``n_parts`` rows that computes in
     one tiny single-task window and broadcasts back. Exact at any
     scale; requires ``order_col`` to be unique (ties make "exclusive
-    of self" ambiguous).
+    of self" ambiguous) and NUMERIC (``approxQuantile`` below rejects
+    strings/dates — encode such keys to a long first, as
+    ``curriculum_schedule`` does with its composite key).
 
     The bucket id is a PURE EXPRESSION over driver-collected quantile
     boundaries — deliberately NOT ``repartitionByRange`` +
