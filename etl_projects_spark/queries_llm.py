@@ -1155,14 +1155,12 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stream_sets = dedup.word_shingle_sets(stream_docs)
     verdicts = jobs.incremental_dedup_stream(stream_sets, index, static_sets)
-    (
-        verdicts.writeStream.format("memory")
-        .queryName("streaming_incremental_dedup_sink")
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    # Stateful complete-mode drain: right-size the state stores to the
+    # drained batch volume (see _stream_state_partitions).
+    with _stream_state_partitions(spark):
+        jobs.run_to_memory(
+            verdicts, "streaming_incremental_dedup_sink", "complete"
+        )
     return spark.table("streaming_incremental_dedup_sink")
 
 
