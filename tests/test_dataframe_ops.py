@@ -176,3 +176,31 @@ def test_explode_json_collision_raises_clearly(spark):
     # a prefix resolves it
     out = DataFrameOps(df).explode_json_column("props", prefix="p_").df
     assert set(out.columns) == {"id", "p_id", "p_x"}
+
+
+def test_prefix_sum_accepts_precomputed_bounds(spark, sf_dir):
+    """r6 ADVICE: hot callers can skip prefix_sum's eager
+    approxQuantile pass by supplying boundary values; results must be
+    identical to the self-computed path for any valid boundary set."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_projects_spark.operators.exec_util import prefix_sum
+
+    df = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
+        "o_orderkey", F.col("o_custkey").alias("v")
+    )
+    auto = {
+        r.o_orderkey: r.c
+        for r in prefix_sum(df, "o_orderkey", "v", out_col="c").collect()
+    }
+    lo, hi = df.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    supplied = {
+        r.o_orderkey: r.c
+        for r in prefix_sum(
+            df, "o_orderkey", "v", out_col="c",
+            bounds=[lo + (hi - lo) * i / 4 for i in range(1, 4)],
+        ).collect()
+    }
+    assert supplied == auto

@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import os
 
+import pytest
+
 from etl_projects_spark.operators.exec_util import build_once, scratch_path
 
 
@@ -132,3 +134,33 @@ def test_build_once_requires_declared_marker(tmp_path):
 
     with pytest.raises(RuntimeError, match="never writes"):
         build_once(str(tmp_path / "a"), build, marker="stats.json")
+
+
+def test_build_once_reraises_non_dest_exists_oserror(tmp_path, monkeypatch):
+    """r6 ADVICE: a transient rename failure (EACCES etc.) must NOT
+    trigger the destructive replace branch — it could rmtree a
+    directory this process never created. Only dest-exists errnos
+    (ENOTEMPTY/EEXIST/ENOTDIR) may replace; everything else re-raises."""
+    import errno
+    import os as _os
+
+    from etl_projects_spark.operators.exec_util import build_once
+
+    victim = tmp_path / "artifact"
+    (victim / "precious").mkdir(parents=True)  # exists, no sentinel
+
+    def build(tmp):
+        _os.makedirs(tmp, exist_ok=True)
+
+    real_rename = _os.rename
+
+    def flaky_rename(src, dst):
+        if dst == str(victim):
+            raise OSError(errno.EACCES, "transient denial", dst)
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(_os, "rename", flaky_rename)
+    with pytest.raises(OSError) as exc:
+        build_once(str(victim), build)
+    assert exc.value.errno == errno.EACCES
+    assert (victim / "precious").exists()  # nothing was destroyed

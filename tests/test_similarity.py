@@ -84,3 +84,24 @@ def test_knn_join_empty_queries_yields_empty(spark):
     out = similarity.knn_join(corpus, empty, k=3)
     assert out.count() == 0
     assert out.columns == ["qid", "nbr", "score", "rank"]
+
+
+def test_similarity_join_leaves_shared_udf_deterministic(spark):
+    """r6 ADVICE: lsh_similarity_join pins one Arrow stage via a
+    PRIVATE nondeterministic UDF twin — the shared pair_cosine must
+    stay deterministic after the join builds (asNondeterministic
+    mutates in place, so the old shared-UDF call flipped every later
+    consumer's plan shape for the rest of the process)."""
+    from pyspark.sql import functions as F
+
+    from etl_projects_spark.operators import similarity
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0] * 32), (1, [1.0, 0.0] * 32)],
+        "vec_id long, embedding array<float>",
+    )
+    similarity.lsh_similarity_join(
+        df.filter(F.col("vec_id") == 0), df.filter(F.col("vec_id") == 1), 0.9
+    ).collect()
+    assert similarity.pair_cosine.deterministic is True
+    assert similarity.pair_cosine_once.deterministic is False

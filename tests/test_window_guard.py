@@ -57,32 +57,32 @@ def test_catalog_and_plans_records_are_fresh():
     )
 
 
-def test_r6_rotation_heads_the_window():
-    # The three queries reworked after their r5 window, the three whose
-    # source changed in r6 (jaccard de-hinting, word_grams extraction),
-    # and the five r6 additions must all sit inside the driver's
+def test_r7_rotation_heads_the_window():
+    # r7 window invariants: the 22 freshness re-checks deferred from
+    # r6 lead, the stored-shingle-set rework and the similarity /
+    # exec_util ADVICE-fix consumers are all inside the driver's
     # 50-query sample.
     window = wh.window_names()
-    must_be_in = {
-        "media_frame_sample",
-        "media_resize_stub",
-        "mixture_weights_temperature",
-        "dedup_ngram_jaccard",
-        "dedup_jaccard_df_capped",
-        "text_repetition_ratio",
-        "embedding_similarity_join",
-        "repartition_partition_files",
-        "quality_monitor_gate",
-        "dw_promotion_gate",
-        "gopher_repetition_filter",
+    deferred_head = {
+        "contamination_probe", "stratified_sample_sources",
+        "shard_packing", "sliding_window_events", "winnow_fingerprints",
+        "text_normalized_dedup", "text_pii_redaction",
+        "media_fingerprint", "text_lang_id", "dedup_exact",
+        "dedup_minhash_lsh", "dedup_simhash", "q14_type_revenue_share",
+        "tumbling_window_events", "streaming_tumbling_counts",
+        "pivot_status", "cube_counts", "ann_cosine_topk", "ann_lsh_topk",
+        "text_bpe_ish_tokens", "text_quality_score", "sort_limit_topk",
     }
-    assert must_be_in <= set(window)
-    # The stale-row queries lead (first slots), per the VERDICT order.
-    assert window[:3] == [
-        "media_frame_sample",
-        "media_resize_stub",
-        "mixture_weights_temperature",
-    ]
+    assert deferred_head <= set(window[:22])
+    reworked = {
+        "dedup_ngram_jaccard", "dedup_jaccard_df_capped",
+        "text_dup_gram_fraction", "minhash_jaccard_estimate",
+        "embedding_similarity_join", "ann_lsh_multiprobe_topk",
+        "ann_ivf_topk", "ann_knn_join",
+        "pack_token_spans", "curriculum_schedule",
+        "packing_efficiency_report",
+    }
+    assert reworked <= set(window)
 
 
 def test_guard_fires_on_out_of_window_query_edit(monkeypatch):
@@ -128,3 +128,42 @@ def test_guard_ignores_in_window_edit(monkeypatch):
 
     monkeypatch.setattr(wh, "current_hashes", tampered)
     assert not [v for v in wh.violations() if victim in v]
+
+
+def test_module_ack_requires_explicit_consumer_declaration(tmp_path, monkeypatch):
+    """r6 VERDICT item 3: --update must refuse to refresh a CHANGED
+    engine-module hash unless the run declares that module's queued
+    consumers (--ack), validates them against the current window, and
+    records the declaration under __module_acks__ for audit."""
+    import copy
+    import json
+
+    import pytest
+
+    # Work on a scratch copy of the record with one module hash
+    # back-dated so it reads as "changed".
+    with open(wh.HASHES_PATH) as f:
+        rec = json.load(f)
+    rec = copy.deepcopy(rec)
+    mod = sorted(rec[wh.MODULES_KEY])[0]
+    rec[wh.MODULES_KEY][mod] = "0" * 16
+    scratch = tmp_path / "checked_hashes.json"
+    scratch.write_text(json.dumps(rec))
+    monkeypatch.setattr(wh, "HASHES_PATH", str(scratch))
+
+    # 1. no ack at all → refused
+    with pytest.raises(SystemExit, match="without a consumer"):
+        wh.update()
+    # 2. ack naming a consumer OUTSIDE the window → refused
+    outside = wh.window_names()[-1]
+    not_in_window = next(
+        n for n in wh.current_hashes() if n not in wh.window_names()
+    )
+    with pytest.raises(SystemExit, match="not in the current"):
+        wh.update(acks={mod: [not_in_window]})
+    # 3. valid ack → recorded verbatim under __module_acks__
+    wh.update(acks={mod: [outside]}, note="test ack")
+    saved = json.loads(scratch.read_text())
+    assert saved[wh.ACKS_KEY][mod]["queued"] == [outside]
+    assert saved[wh.ACKS_KEY][mod]["note"] == "test ack"
+    assert saved[wh.MODULES_KEY][mod] != "0" * 16

@@ -19,12 +19,25 @@ one operator edit would demand re-windowing every consumer, blowing
 the 50-row cap) — but it is no longer SILENT: the record also tracks
 whole-module hashes for every non-query engine module, and the check
 fails on any module change until the builder has queued the affected
-consumers and acknowledged with --update (the ack is visible in the
-checked_hashes.json diff).
+consumers and acknowledged with --update.
+
+The ack itself is AUDITABLE (r6 VERDICT item 3): --update refuses to
+refresh a changed module hash unless the run names that module's
+queued consumers via --ack, every named consumer is verified to be in
+the current window, and the declaration is recorded permanently under
+``__module_acks__`` in checked_hashes.json — so a judge can read, per
+module change, exactly which consumer queries the builder queued (and,
+via --note, why others were deemed unaffected) instead of trusting an
+invisible judgment call.
 
 Usage:
     python tools/window_hashes.py            # check (exit 1 on violations)
-    python tools/window_hashes.py --update   # refresh in-window entries
+    python tools/window_hashes.py --update \
+        --ack "etl_projects_spark/operators/foo.py=query_a,query_b" \
+        --ack "etl_projects_spark/bar.py=-" \
+        --note "bar.py change is comment-only"
+    # "-" declares NO consumers need re-proof (docstring/comment-only
+    # or error-path-only changes) — the note should say why.
 """
 
 from __future__ import annotations
@@ -124,19 +137,68 @@ def violations() -> list[str]:
     return out
 
 
-def update() -> None:
+ACKS_KEY = "__module_acks__"
+
+
+def update(acks: dict[str, list[str]] | None = None, note: str = "") -> None:
     """Record the current hash for every IN-WINDOW query (they are the
     ones this round's driver run will prove); keep out-of-window
-    entries untouched; drop entries for deleted queries."""
+    entries untouched; drop entries for deleted queries.
+
+    A module whose hash CHANGED since the record is only refreshed if
+    ``acks`` names its queued consumer queries (or declares none with
+    ``[]`` via the CLI's ``mod=-`` form); every named consumer must be
+    in the current window. The declaration is stored permanently under
+    ``__module_acks__`` so the consumer-queueing judgment is auditable.
+    """
+    acks = acks or {}
     recorded = {}
     if os.path.exists(HASHES_PATH):
         with open(HASHES_PATH) as f:
             recorded = json.load(f)
     now = current_hashes()
-    for name in window_names():
+    window = window_names()
+    old_mods = recorded.get(MODULES_KEY, {})
+    new_mods = module_hashes()
+    ack_record = recorded.get(ACKS_KEY, {})
+    changed = sorted(
+        m for m, h in new_mods.items() if old_mods.get(m) != h
+    )
+    unacked = [m for m in changed if m not in acks]
+    if unacked:
+        raise SystemExit(
+            "refusing to ack changed engine module(s) without a consumer "
+            "declaration — re-run with, for each:\n"
+            + "\n".join(f'  --ack "{m}=<consumer,consumer,...>" (or "{m}=-")'
+                        for m in unacked)
+        )
+    for m, consumers in acks.items():
+        if m not in new_mods:
+            raise SystemExit(f"--ack names unknown module {m!r}")
+        missing = [c for c in consumers if c not in window]
+        if missing:
+            raise SystemExit(
+                f"--ack for {m}: consumer(s) {missing} are not in the "
+                f"current first-{WINDOW} window — queue them in "
+                "_ROUND_PRIORITY first"
+            )
+        unknown = [c for c in consumers if c not in now]
+        if unknown:
+            raise SystemExit(f"--ack for {m}: unknown query name(s) {unknown}")
+        ack_record[m] = {
+            "hash": new_mods[m],
+            "queued": sorted(consumers),
+            "note": note,
+        }
+    for name in window:
         recorded[name] = now[name]
-    recorded = {n: h for n, h in recorded.items() if n in now}
-    recorded[MODULES_KEY] = module_hashes()
+    recorded = {
+        n: h
+        for n, h in recorded.items()
+        if n in now or n in (MODULES_KEY, ACKS_KEY)
+    }
+    recorded[MODULES_KEY] = new_mods
+    recorded[ACKS_KEY] = ack_record
     with open(HASHES_PATH, "w") as f:
         json.dump(recorded, f, indent=0, sort_keys=True)
         f.write("\n")
@@ -145,9 +207,25 @@ def update() -> None:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--update", action="store_true")
+    ap.add_argument(
+        "--ack",
+        action="append",
+        default=[],
+        metavar="MODULE=CONSUMERS",
+        help='e.g. --ack "etl_projects_spark/operators/foo.py=qa,qb"; '
+        'use "=-" to declare no consumers need re-proof',
+    )
+    ap.add_argument("--note", default="", help="why the ack set is right")
     args = ap.parse_args()
     if args.update:
-        update()
+        acks = {}
+        for spec in args.ack:
+            mod, _, consumers = spec.partition("=")
+            acks[mod.strip()] = (
+                [] if consumers.strip() in ("-", "")
+                else [c.strip() for c in consumers.split(",") if c.strip()]
+            )
+        update(acks=acks, note=args.note)
         print(f"recorded {len(window_names())} in-window hashes")
         return 0
     bad = violations()
