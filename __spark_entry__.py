@@ -115,16 +115,26 @@ _ROUND_PRIORITY = [
     "pack_token_spans",
     "curriculum_schedule",
     "packing_efficiency_report",
-    # 34-35: r7 additions (inside the window, per the cap rule):
+    # 34-36: r7 additions (inside the window, per the cap rule) and
+    # their one refactor casualty:
     #   control_file_roundtrip — S6's driver row (put JSON control
-    #     manifest → read back → project; r6 VERDICT item 4);
+    #     manifest → get-side spot check → distributed read-back;
+    #     r6 VERDICT item 4);
     #   decontaminate_eval_join — cross-corpus decontamination JOIN
-    #     against the persisted train-gram index (r6 VERDICT item 5).
+    #     probing the persisted train-gram index via broadcast
+    #     (r6 VERDICT item 5);
+    #   split_contamination_report — re-enters because the train-gram
+    #     index build was factored into the shared train_gram_index
+    #     helper both decontamination queries call (ONE builder per
+    #     artifact path; results identical, source hash moved).
     "control_file_roundtrip",
     "decontaminate_eval_join",
-    # 36-50: freshness re-checks of the oldest remaining (r2-era) rows;
+    "split_contamination_report",
+    # 37-50: freshness re-checks of the oldest remaining (r2-era) rows;
     # dedup_embedding_cosine leads as the one similarity.py consumer
-    # in the r2 cohort. THIRTY-ONE r2-era rows remain for r8's window.
+    # in the r2 cohort (grouping_sets_status_priority was displaced by
+    # the split_contamination_report re-proof). THIRTY-TWO r2-era rows
+    # remain for r8's window.
     "dedup_embedding_cosine",
     "quality_validate_events",
     "media_byte_histogram",
@@ -139,7 +149,6 @@ _ROUND_PRIORITY = [
     "window_running_order_total",
     "window_top_suppliers_per_nation",
     "percentiles_order_value",
-    "grouping_sets_status_priority",
 ]
 
 

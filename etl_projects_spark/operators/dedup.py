@@ -411,6 +411,38 @@ def incremental_neardup(
     )
 
 
+def decontaminate_against_index(
+    eval_grams: DataFrame, gram_index: DataFrame
+) -> DataFrame:
+    """Per-eval-document contamination hit counts against a persisted
+    train-gram index — the cross-corpus analog of
+    :func:`incremental_neardup` (broadcast the small arriving side,
+    never reshuffle the big stored side), keyed on content n-grams
+    instead of LSH bands.
+
+    ``eval_grams``: (doc_id, gram), DISTINCT per document (the
+    caller's contract) — the eval suite. Eval suites are small by
+    definition (benchmarks are MBs; the train corpus is the 100 TB
+    side), so this side broadcasts.
+    ``gram_index``: (gram), distinct — the stored train-gram index (a
+    ``build_once`` parquet artifact), scanned in place.
+
+    Returns (doc_id, n_hit): how many of the doc's grams occur in the
+    index. Zero-hit docs don't appear — an INNER broadcast join keeps
+    the index side exchange-free (an outer join could never broadcast
+    its preserved side, the same shape note as ``contamination_probe``);
+    the caller restores them with an eval-sized left join.
+
+    Scale: the index is NEVER reshuffled (the broadcast hash join
+    streams its scan, partition-prunable if the index is stored
+    bucketed by gram); only eval-sized matched rows reach the
+    aggregation. Probe cost is one linear index scan + an eval-sized
+    shuffle, independent of how the train corpus grows.
+    """
+    hits = gram_index.join(F.broadcast(eval_grams), "gram")
+    return hits.groupBy("doc_id").agg(F.count("*").alias("n_hit"))
+
+
 def simhash_signatures(
     df: DataFrame | None,
     text_col: str = "text",

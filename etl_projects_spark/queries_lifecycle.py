@@ -123,6 +123,53 @@ def warehouse_copy_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "control_file_roundtrip",
+    """
+    SELECT 'orders' AS table_name, o_orderstatus AS status,
+           COUNT(*) AS n_rows
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def control_file_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 driver-checked end to end: per-status batch manifests are
+    PUT as small JSON control objects (``ingest.put_json_object`` —
+    the reference uploads a dict as an S3 object,
+    ``s3_loader.py:43-50``), spot-checked with the symmetric
+    ``get_json_object``, then read back DISTRIBUTED with a schema'd
+    ``spark.read.json`` over the control directory. The report is the
+    control files' own contents, hash-compared against re-counting the
+    raw table — a manifest that went missing, stale, or corrupt fails
+    the row-count or value hash. The driver-side loop is bounded by
+    contract: one control file per order status (3 values)."""
+    from etl_projects_spark.operators.exec_util import fresh_scratch
+    from etl_projects_spark.sources import ingest
+
+    counts = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .count()
+        .collect()
+    )
+    base = fresh_scratch("ctrlfile", os.path.join(sf_dir, "orders.parquet"))
+    for r in counts:
+        path = os.path.join(base, f"batch_{r['o_orderstatus']}.json")
+        ingest.put_json_object(
+            {
+                "table_name": "orders",
+                "status": r["o_orderstatus"],
+                "n_rows": r["count"],
+            },
+            path,
+        )
+        got = ingest.get_json_object(path)
+        if got["n_rows"] != r["count"]:  # S6 get-side parity check
+            raise RuntimeError(f"control-file roundtrip mismatch at {path}")
+    return spark.read.schema(
+        "table_name STRING, status STRING, n_rows BIGINT"
+    ).json(base)
+
+
 def _policy_values_sql() -> str:
     rows = ", ".join(
         f"('{layer.value}', '{config.layer_storage_format(layer).format}', "

@@ -23,3 +23,18 @@ def test_positional_and_set_shingles_stay_in_sync(spark):
     for doc_id, s in sets.items():
         if not s:
             assert doc_id not in pos
+
+
+def test_decontaminate_against_index_counts_hits(spark):
+    """Cross-corpus probe: per eval doc, the count of its grams found
+    in the index; zero-hit docs are absent (caller restores them)."""
+    from etl_projects_spark.operators import dedup
+
+    idx = spark.createDataFrame([("g1",), ("g2",), ("g3",)], "gram string")
+    ev = spark.createDataFrame(
+        [(1, "g1"), (1, "g2"), (1, "gX"), (2, "gY"), (3, "g3")],
+        "doc_id long, gram string",
+    )
+    got = {r.doc_id: r.n_hit for r in
+           dedup.decontaminate_against_index(ev, idx).collect()}
+    assert got == {1: 2, 3: 1}  # doc 2 has no hits -> absent

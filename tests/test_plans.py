@@ -640,3 +640,24 @@ def test_wave28_single_pass_shapes(spark):
     for name, kw in specs.items():
         assert_plan(QS[name](spark, SF_DIR), cartesian=False,
                     python_stages=0, **kw)
+
+
+def test_decontaminate_eval_join_broadcasts_eval_side(spark):
+    # The eval suite probes the stored train-gram index via broadcast:
+    # the index side must never shuffle (no exchange between the index
+    # parquet scan and the probe join), and nothing runs in Python.
+    df = QS["decontaminate_eval_join"](spark, SF_DIR)
+    assert_plan(df, broadcast_joins=(">=", 1), cartesian=False,
+                python_stages=0)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "contam_train_grams" in plan, "index scan missing from plan"
+    # The gram-keyed probe must be a broadcast join (index side
+    # streamed in place) — a shuffle-based join on the gram key would
+    # mean the stored index gets reshuffled on every eval probe.
+    shuffle_joins = [
+        ln
+        for ln in plan.splitlines()
+        if ("SortMergeJoin" in ln or "ShuffledHashJoin" in ln)
+        and "gram" in ln
+    ]
+    assert not shuffle_joins, shuffle_joins
