@@ -240,6 +240,15 @@ def run_chunk(names: list[str]) -> dict[str, float]:
         .mode("overwrite")
         .save()
     )
+    # … and the createDataFrame local-relation path: the FIRST
+    # createDataFrame in a JVM pays ~1.5 s of one-time conversion +
+    # codegen setup (measured 1.9 s first-run vs 0.4 s steady-state on
+    # layer_format_policy — the r6 "3.7x drift" advisory was exactly
+    # this cost, billed to whichever such query runs first in its
+    # chunk after the r6 switch to name-hash chunk assignment).
+    spark.createDataFrame([(1, "warm")], "i int, s string").write.format(
+        "noop"
+    ).mode("overwrite").save()
     if any(
         n.startswith(SHINGLE_FAMILY_PREFIX) or n in SHINGLE_FAMILY for n in names
     ):
