@@ -275,14 +275,16 @@ def run_chunk(names: list[str]) -> dict[str, float]:
     # The family-shared shingle-set artifact (r7: built once per corpus
     # vintage, read by the jaccard/minhash/simhash queries). The raw
     # text→shingle chain stays timed via dedup_ngram_jaccard, which
-    # deliberately computes sets inline.
-    STORED_SET_CONSUMERS = {
-        "dedup_jaccard_df_capped", "dedup_simhash", "dedup_minhash_lsh",
-        "text_dup_gram_fraction", "minhash_jaccard_estimate",
-    }
-    if STORED_SET_CONSUMERS & set(names):
-        from etl_projects_spark.queries_llm import sets_cached
+    # deliberately computes sets inline. The consumer list lives next
+    # to sets_cached itself (single source of truth, tripwire-tested)
+    # so a future consumer can't silently miss the warm-up and get the
+    # one-time build billed to its timed window.
+    from etl_projects_spark.queries_llm import (
+        STORED_SET_CONSUMERS,
+        sets_cached,
+    )
 
+    if STORED_SET_CONSUMERS & set(names):
         sets_cached(spark, SF_DIR).limit(1).write.format("noop").mode(
             "overwrite"
         ).save()

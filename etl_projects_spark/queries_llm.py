@@ -986,6 +986,26 @@ def _corpus_scratch(sf_dir: str, kind: str) -> str:
     return scratch_path(kind, os.path.join(sf_dir, "documents.parquet"))
 
 
+# Catalog queries that read the stored shingle-set artifact instead of
+# computing sets inline — THE single source of truth for bench.py's
+# untimed artifact warm-up (a consumer missing from this list gets the
+# one-time build billed to its timed window after a corpus
+# regeneration; tripwire-tested against the actual sets_cached call
+# sites in tests/test_window_guard.py). dedup_minhash_lsh consumes via
+# _minhash_pairs; dedup_ngram_jaccard deliberately stays inline.
+STORED_SET_CONSUMERS = frozenset(
+    {
+        "dedup_jaccard_df_capped",
+        "dedup_simhash",
+        "dedup_minhash_lsh",
+        "text_dup_gram_fraction",
+        "minhash_jaccard_estimate",
+        "dedup_incremental_batch",
+        "streaming_incremental_dedup",
+    }
+)
+
+
 def sets_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document shingle SETS (id, sh_set array<long>), persisted
     AT MOST ONCE per (corpus, mtime) — the verification-side stored

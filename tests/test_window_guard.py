@@ -155,15 +155,64 @@ def test_module_ack_requires_explicit_consumer_declaration(tmp_path, monkeypatch
     with pytest.raises(SystemExit, match="without a consumer"):
         wh.update()
     # 2. ack naming a consumer OUTSIDE the window → refused
-    outside = wh.window_names()[-1]
+    in_window = wh.window_names()[-1]
     not_in_window = next(
         n for n in wh.current_hashes() if n not in wh.window_names()
     )
     with pytest.raises(SystemExit, match="not in the current"):
-        wh.update(acks={mod: [not_in_window]})
-    # 3. valid ack → recorded verbatim under __module_acks__
-    wh.update(acks={mod: [outside]}, note="test ack")
+        wh.update(acks={mod: ([not_in_window], "")})
+    # 3. valid ack (with its own per-module note) → recorded verbatim
+    wh.update(acks={mod: ([in_window], "test ack")}, note="fallback")
     saved = json.loads(scratch.read_text())
-    assert saved[wh.ACKS_KEY][mod]["queued"] == [outside]
+    assert saved[wh.ACKS_KEY][mod]["queued"] == [in_window]
     assert saved[wh.ACKS_KEY][mod]["note"] == "test ack"
     assert saved[wh.MODULES_KEY][mod] != "0" * 16
+
+
+def test_queries_module_helper_edit_trips_the_guard():
+    """r7 review finding: shared helpers living at queries_*.py module
+    level (sets_cached, _contam_grams, oracle generators) must be
+    covered by the module tripwire — the RESIDUAL hash (file minus
+    registered query sources) changes when a helper changes, while a
+    pure query-body edit leaves the residue untouched."""
+    mods = wh.module_hashes()
+    qmods = [m for m in mods if os.path.basename(m).startswith("queries")]
+    assert qmods, "queries modules missing from the module tripwire"
+    # the residual hash must NOT equal the whole-file hash (query
+    # sources really are subtracted)
+    import hashlib
+
+    target = os.path.join(wh.ROOT, "etl_projects_spark", "queries_llm.py")
+    rel = os.path.relpath(target, wh.ROOT)
+    with open(target, "rb") as f:
+        whole = hashlib.sha256(f.read()).hexdigest()[:16]
+    assert mods[rel] != whole
+
+
+def test_stored_set_consumer_list_matches_call_sites():
+    """r7 review finding: bench.py warms the shingle-set artifact for
+    STORED_SET_CONSUMERS — the list must track the ACTUAL sets_cached
+    call sites in the catalog, or a new consumer gets the one-time
+    build billed to its timed window."""
+    import inspect
+
+    import __spark_entry__ as entrymod
+    from etl_projects_spark.queries_llm import (
+        STORED_SET_CONSUMERS,
+        _minhash_pairs,
+    )
+
+    callers = set()
+    for name, fn in entrymod.queries().items():
+        try:
+            src = inspect.getsource(fn)
+        except (OSError, TypeError):
+            continue
+        if "sets_cached(" in src or "_minhash_pairs(" in src:
+            callers.add(name)
+    # dedup_ngram_jaccard deliberately computes sets inline (the timed
+    # raw-chain query); everything that touches the artifact must be
+    # in the warm list.
+    assert callers == set(STORED_SET_CONSUMERS), (
+        callers ^ set(STORED_SET_CONSUMERS)
+    )

@@ -33,11 +33,11 @@ invisible judgment call.
 Usage:
     python tools/window_hashes.py            # check (exit 1 on violations)
     python tools/window_hashes.py --update \
-        --ack "etl_projects_spark/operators/foo.py=query_a,query_b" \
-        --ack "etl_projects_spark/bar.py=-" \
-        --note "bar.py change is comment-only"
-    # "-" declares NO consumers need re-proof (docstring/comment-only
-    # or error-path-only changes) — the note should say why.
+        --ack "etl_projects_spark/operators/foo.py=query_a,query_b@why" \
+        --ack "etl_projects_spark/bar.py=-@change is comment-only"
+    # "-" (explicit) declares NO consumers need re-proof (docstring/
+    # comment-only or error-path-only changes) — the @note says why;
+    # an empty consumer list is rejected as a malformed ack.
 """
 
 from __future__ import annotations
@@ -87,22 +87,50 @@ MODULES_KEY = "__modules__"
 
 
 def module_hashes() -> dict[str, str]:
-    """Whole-file hashes of every non-query engine module (operators,
-    engine, sinks, sources, streaming, config, catalog, session, plans)
-    — the coarse tripwire for behavior changes the per-query hash
-    cannot see. queries_*.py files are excluded: their functions are
-    hashed individually, and module-level oracle fragments are inlined
-    into the per-query oracle strings."""
+    """Per-module tripwire hashes for behavior changes the per-query
+    hash cannot see.
+
+    - Non-query engine modules (operators, engine, sinks, sources,
+      streaming, config, catalog, session, plans): whole-file hash.
+    - queries_*.py modules: RESIDUAL hash — the file content with
+      every registered query function's own source removed (those are
+      hashed individually per query). This covers the module-level
+      shared helpers (``sets_cached``, ``_minhash_pairs``,
+      ``_contam_grams``, oracle-fragment generators, …): an edit to
+      one changes consumer behavior without moving any query hash, so
+      it must trip the same queue-consumers-and-ack flow as an
+      operator-module edit (r7 review finding). Window rotations edit
+      only ``__spark_entry__.py`` (not hashed — it is pure ordering),
+      so routine re-windowing does NOT fire this tripwire.
+    """
+    import __spark_entry__ as entrymod
+
+    qsources: dict[str, list[str]] = {}
+    for fn in entrymod.queries().values():
+        try:
+            src = inspect.getsource(fn)
+            path = inspect.getsourcefile(fn)
+        except (OSError, TypeError):
+            continue
+        if path:
+            qsources.setdefault(os.path.abspath(path), []).append(src)
     pkg = os.path.join(ROOT, "etl_projects_spark")
     out = {}
     for dirpath, _dirs, files in os.walk(pkg):
         for fname in sorted(files):
-            if not fname.endswith(".py") or fname.startswith("queries"):
+            if not fname.endswith(".py"):
                 continue
             path = os.path.join(dirpath, fname)
             rel = os.path.relpath(path, ROOT)
             with open(path, "rb") as f:
-                out[rel] = hashlib.sha256(f.read()).hexdigest()[:16]
+                raw = f.read()
+            if fname.startswith("queries"):
+                text = raw.decode()
+                for src in qsources.get(os.path.abspath(path), []):
+                    text = text.replace(src, "")
+                out[rel] = hashlib.sha256(text.encode()).hexdigest()[:16]
+            else:
+                out[rel] = hashlib.sha256(raw).hexdigest()[:16]
     return out
 
 
@@ -140,16 +168,21 @@ def violations() -> list[str]:
 ACKS_KEY = "__module_acks__"
 
 
-def update(acks: dict[str, list[str]] | None = None, note: str = "") -> None:
+def update(
+    acks: dict[str, tuple[list[str], str]] | None = None, note: str = ""
+) -> None:
     """Record the current hash for every IN-WINDOW query (they are the
     ones this round's driver run will prove); keep out-of-window
     entries untouched; drop entries for deleted queries.
 
     A module whose hash CHANGED since the record is only refreshed if
     ``acks`` names its queued consumer queries (or declares none with
-    ``[]`` via the CLI's ``mod=-`` form); every named consumer must be
-    in the current window. The declaration is stored permanently under
-    ``__module_acks__`` so the consumer-queueing judgment is auditable.
+    ``[]`` via the CLI's explicit ``mod=-`` form — an EMPTY consumer
+    string is rejected as a malformed ack, r7 review finding); every
+    named consumer must be in the current window. Each ack carries its
+    own note (``mod=consumers@note``; the global ``--note`` is the
+    fallback) so multi-module updates stay per-module auditable. The
+    declaration is stored permanently under ``__module_acks__``.
     """
     acks = acks or {}
     recorded = {}
@@ -172,7 +205,7 @@ def update(acks: dict[str, list[str]] | None = None, note: str = "") -> None:
             + "\n".join(f'  --ack "{m}=<consumer,consumer,...>" (or "{m}=-")'
                         for m in unacked)
         )
-    for m, consumers in acks.items():
+    for m, (consumers, mod_note) in acks.items():
         if m not in new_mods:
             raise SystemExit(f"--ack names unknown module {m!r}")
         missing = [c for c in consumers if c not in window]
@@ -188,7 +221,7 @@ def update(acks: dict[str, list[str]] | None = None, note: str = "") -> None:
         ack_record[m] = {
             "hash": new_mods[m],
             "queued": sorted(consumers),
-            "note": note,
+            "note": mod_note or note,
         }
     for name in window:
         recorded[name] = now[name]
@@ -211,19 +244,32 @@ def main() -> int:
         "--ack",
         action="append",
         default=[],
-        metavar="MODULE=CONSUMERS",
-        help='e.g. --ack "etl_projects_spark/operators/foo.py=qa,qb"; '
-        'use "=-" to declare no consumers need re-proof',
+        metavar="MODULE=CONSUMERS[@NOTE]",
+        help='e.g. --ack "etl_projects_spark/operators/foo.py=qa,qb@why"; '
+        'use "=-" (explicitly) to declare no consumers need re-proof',
     )
-    ap.add_argument("--note", default="", help="why the ack set is right")
+    ap.add_argument(
+        "--note", default="", help="fallback note for acks without their own"
+    )
     args = ap.parse_args()
     if args.update:
         acks = {}
         for spec in args.ack:
-            mod, _, consumers = spec.partition("=")
+            mod, eq, rest = spec.partition("=")
+            consumers, _, mod_note = rest.partition("@")
+            if not eq or not consumers.strip():
+                # A missing '=' or an empty consumer list is a typo,
+                # not an opt-out: the explicit '-' is the only way to
+                # declare "no consumers need re-proof".
+                raise SystemExit(
+                    f"malformed --ack {spec!r}: use MODULE=q1,q2[@note] "
+                    "or MODULE=-[@note]"
+                )
             acks[mod.strip()] = (
-                [] if consumers.strip() in ("-", "")
-                else [c.strip() for c in consumers.split(",") if c.strip()]
+                []
+                if consumers.strip() == "-"
+                else [c.strip() for c in consumers.split(",") if c.strip()],
+                mod_note.strip(),
             )
         update(acks=acks, note=args.note)
         print(f"recorded {len(window_names())} in-window hashes")
