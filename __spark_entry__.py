@@ -61,8 +61,9 @@ _ROUND_PRIORITY = [
     # sweep fixes and streaming additions. Hash-guard-verified
     # unchanged, but their proofs predate the r3+ oracle-harness
     # hardening — after this window no row in the record is older
-    # than r2. (dedup_minhash_lsh and dedup_simhash double as
-    # consumers of the r7 stored-shingle-set rework below.)
+    # than r2. (contamination_probe, dedup_minhash_lsh and
+    # dedup_simhash double as consumers of the r7 stored-shingle-set
+    # rework below.)
     "contamination_probe",
     "stratified_sample_sources",
     "shard_packing",
@@ -94,6 +95,7 @@ _ROUND_PRIORITY = [
     "dedup_jaccard_df_capped",
     "text_dup_gram_fraction",
     "minhash_jaccard_estimate",
+    "dedup_edit_distance",
     # 27-30: consumers of operators/similarity.py, reworked per r6
     # ADVICE (pair_cosine_once twin replaces the in-place
     # asNondeterministic mutation — plan shapes of every pair_cosine
@@ -133,8 +135,9 @@ _ROUND_PRIORITY = [
     # 37-50: freshness re-checks of the oldest remaining (r2-era) rows;
     # dedup_embedding_cosine leads as the one similarity.py consumer
     # in the r2 cohort (grouping_sets_status_priority was displaced by
-    # the split_contamination_report re-proof). THIRTY-TWO r2-era rows
-    # remain for r8's window.
+    # the split_contamination_report re-proof;
+    # percentiles_order_value by the dedup_edit_distance stored-set
+    # rework). THIRTY-THREE r2-era rows remain for r8's window.
     "dedup_embedding_cosine",
     "quality_validate_events",
     "media_byte_histogram",
@@ -148,7 +151,6 @@ _ROUND_PRIORITY = [
     "q10_returned_revenue",
     "window_running_order_total",
     "window_top_suppliers_per_nation",
-    "percentiles_order_value",
 ]
 
 

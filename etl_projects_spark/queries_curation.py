@@ -512,9 +512,12 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     list (bounded band buckets — sub-quadratic), never corpus×corpus;
     the two text lookups are equi-joins on doc_id. Candidate
     generation is shared code (and shared oracle CTEs) with
-    ``dedup_minhash_lsh``."""
+    ``dedup_minhash_lsh``, reading the family-shared stored shingle
+    sets (``sets_cached``, r7)."""
+    from etl_projects_spark.queries_llm import sets_cached
+
     docs = load(spark, sf_dir, "documents")
-    sets = dedup.materialize(dedup.word_shingle_sets(docs))
+    sets = sets_cached(spark, sf_dir)
     sigs = dedup.minhash_signatures_from_sets(sets)
     cand = dedup.lsh_candidate_pairs(sigs)
     a = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("ta"))

@@ -1002,6 +1002,8 @@ STORED_SET_CONSUMERS = frozenset(
         "minhash_jaccard_estimate",
         "dedup_incremental_batch",
         "streaming_incremental_dedup",
+        "contamination_probe",
+        "dedup_edit_distance",
     }
 )
 

@@ -130,10 +130,13 @@ def contamination_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     nothing shuffles but matched rows — and zero-match probes are
     restored by a probes-sized left join on the aggregated counts.
     """
-    docs = load(spark, sf_dir, "documents")
-    # Cached sets → cheap explode (the uncached exploded view inlines
+    # Family-shared STORED sets (``sets_cached``, r7): built once per
+    # corpus vintage, read as parquet — the explode is a cheap
+    # array-unnest of precomputed longs (the raw exploded view inlines
     # the md5 transform into its generator; measured 10×+ slower).
-    sets = dedup.materialize(dedup.word_shingle_sets(docs))
+    from etl_projects_spark.queries_llm import sets_cached
+
+    sets = sets_cached(spark, sf_dir)
     sh = sets.select("id", F.explode("sh_set").alias("shingle"))
     probes = spark.createDataFrame(
         [("the quick brown",), ("lorem ipsum dolor",), ("data lake platform",)],

@@ -77,6 +77,7 @@ def test_r7_rotation_heads_the_window():
     reworked = {
         "dedup_ngram_jaccard", "dedup_jaccard_df_capped",
         "text_dup_gram_fraction", "minhash_jaccard_estimate",
+        "dedup_edit_distance",
         "embedding_similarity_join", "ann_lsh_multiprobe_topk",
         "ann_ivf_topk", "ann_knn_join",
         "pack_token_spans", "curriculum_schedule",
@@ -161,11 +162,17 @@ def test_module_ack_requires_explicit_consumer_declaration(tmp_path, monkeypatch
     )
     with pytest.raises(SystemExit, match="not in the current"):
         wh.update(acks={mod: ([not_in_window], "")})
-    # 3. valid ack (with its own per-module note) → recorded verbatim
+    # 3. valid ack (with its own per-module note) → APPENDED to the
+    # module's ack history (overwriting would erase the audit trail
+    # when a module is acked twice in one round)
+    before = len(json.loads(scratch.read_text())
+                 .get(wh.ACKS_KEY, {}).get(mod, []) or [])
     wh.update(acks={mod: ([in_window], "test ack")}, note="fallback")
     saved = json.loads(scratch.read_text())
-    assert saved[wh.ACKS_KEY][mod]["queued"] == [in_window]
-    assert saved[wh.ACKS_KEY][mod]["note"] == "test ack"
+    history = saved[wh.ACKS_KEY][mod]
+    assert isinstance(history, list) and len(history) == before + 1
+    assert history[-1]["queued"] == [in_window]
+    assert history[-1]["note"] == "test ack"
     assert saved[wh.MODULES_KEY][mod] != "0" * 16
 
 

@@ -218,11 +218,19 @@ def update(
         unknown = [c for c in consumers if c not in now]
         if unknown:
             raise SystemExit(f"--ack for {m}: unknown query name(s) {unknown}")
-        ack_record[m] = {
+        # Append-only history: overwriting would erase the audit trail
+        # when a module is acked twice in one round (r7 review-of-review
+        # finding — the second ack for queries_curation.py silently
+        # dropped the first's consumer declaration).
+        entry = {
             "hash": new_mods[m],
             "queued": sorted(consumers),
             "note": mod_note or note,
         }
+        prior = ack_record.get(m, [])
+        if isinstance(prior, dict):  # pre-history single-entry format
+            prior = [prior]
+        ack_record[m] = prior + [entry]
     for name in window:
         recorded[name] = now[name]
     recorded = {
