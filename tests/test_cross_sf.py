@@ -272,6 +272,13 @@ UPSCALE = [
     "pack_token_spans",
     "streaming_interval_join",
     "streaming_stateful_running_totals",
+    # r7 additions: the cross-corpus decontamination join's gram
+    # overlap only produces non-trivial mixed verdicts at a volume
+    # where eval docs straddle the train/valid/test split, and the
+    # control-file roundtrip should prove at the volume where orders
+    # spans many part files per status.
+    "decontaminate_eval_join",
+    "control_file_roundtrip",
 ]
 
 
