@@ -561,3 +561,63 @@ def test_mixture_weights_normalized(spark):
     assert sum(r["docs_per_10k"] for r in rows) <= 10000
     for r in rows:
         assert r["weight"] > 0 and r["docs_per_10k"] >= 0
+
+
+def test_decontamination_verdicts_internally_consistent(spark):
+    """Cross-corpus decontamination invariants (r7): every eval doc
+    reports 0 <= n_hit <= n_grams; any eval doc whose split is 'train'
+    is contaminated by construction (its own grams ARE the index); and
+    the contaminated flag is exactly n_hit > 0."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from etl_projects_spark.queries_curation import _contam_split_relation
+
+    sf = "/root/testdata/sf0.001"
+    out = entrymod.queries()["decontaminate_eval_join"](spark, sf)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows, "eval suite selected no documents"
+    for r in rows.values():
+        assert 0 <= r.n_hit <= r.n_grams, r
+        assert r.contaminated == (r.n_hit > 0), r
+    train_ids = {
+        r.doc_id
+        for r in _contam_split_relation(spark, sf)
+        .filter(
+            (F.col("split") == "train") & (F.col("doc_id") % 101 == 0)
+        )
+        .select("doc_id")
+        .collect()
+    }
+    assert train_ids, "no train-split eval docs at this SF"
+    for did in train_ids:
+        assert rows[did].contaminated, (
+            f"train-split eval doc {did} must self-contaminate"
+        )
+
+
+def test_prefix_sum_invariant_to_bound_choice(spark):
+    """prefix_sum's result must be IDENTICAL for any supplied boundary
+    set (r7 bounds param): boundaries only choose the physical
+    bucketing, never the arithmetic. Exercised with empty, single,
+    duplicate-heavy, and out-of-range boundary sets."""
+    from pyspark.sql import functions as F
+
+    from etl_projects_spark.operators.exec_util import prefix_sum
+
+    df = (
+        spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .select("o_orderkey", F.col("o_custkey").alias("v"))
+        .limit(500)
+    )
+    base = None
+    for bounds in ([], [3.0], [10.0, 10.0, 2.0], [-1e18, 0.5, 1e18]):
+        got = {
+            r.o_orderkey: r.c
+            for r in prefix_sum(
+                df, "o_orderkey", "v", out_col="c", bounds=bounds
+            ).collect()
+        }
+        if base is None:
+            base = got
+        assert got == base, f"bounds={bounds} changed the result"
