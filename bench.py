@@ -265,12 +265,11 @@ def run_chunk(names: list[str]) -> dict[str, float]:
     # the timed run measures the steady-state consumer path — the
     # chain itself is measured by the chain queries
     # (dedup_minhash_lsh / dedup_jaccard_df_capped etc.), and the
-    # one-time build is the documented stored-index lifecycle.
-    PAIR_GRAPH_CONSUMERS = {
-        "dedup_graph_triangles", "dedup_minhash_components",
-        "dedup_keep_list", "dedup_component_size_histogram",
-        "neardup_rate_by_source",
-    }
+    # one-time build is the documented stored-index lifecycle. Both
+    # consumer lists live next to their artifacts in queries_llm
+    # (single source of truth, tripwire-tested against call sites).
+    from etl_projects_spark.queries_llm import PAIR_GRAPH_CONSUMERS
+
     warmed = False
     # The family-shared shingle-set artifact (r7: built once per corpus
     # vintage, read by the jaccard/minhash/simhash queries). The raw

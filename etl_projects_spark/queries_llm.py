@@ -1029,6 +1029,25 @@ def sets_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+# Catalog queries that read the stored pair-list / component-label
+# artifacts (directly or via _components_cached) — the single source
+# of truth for bench.py's untimed pair/component warm-up, tripwire-
+# tested against the actual call sites like STORED_SET_CONSUMERS.
+# r7 review find: the bench-local copy of this list had silently
+# missed dedup_keep_best_quality, which therefore billed the full
+# pairs+components build to its own timed window on a cold corpus.
+PAIR_GRAPH_CONSUMERS = frozenset(
+    {
+        "dedup_minhash_components",
+        "dedup_keep_list",
+        "dedup_keep_best_quality",
+        "neardup_rate_by_source",
+        "dedup_component_size_histogram",
+        "dedup_graph_triangles",
+    }
+)
+
+
 def pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The verified MinHash-LSH pair list, persisted AT MOST ONCE per
     (corpus, mtime) as a scratch parquet — the EDGE TABLE of the dedup

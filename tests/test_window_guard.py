@@ -162,11 +162,21 @@ def test_module_ack_requires_explicit_consumer_declaration(tmp_path, monkeypatch
     )
     with pytest.raises(SystemExit, match="not in the current"):
         wh.update(acks={mod: ([not_in_window], "")})
-    # 3. valid ack (with its own per-module note) → APPENDED to the
+    # 3. an ack for an UNCHANGED module is a stale declaration → refused
+    unchanged = sorted(rec[wh.MODULES_KEY])[1]
+    with pytest.raises(SystemExit, match="UNCHANGED"):
+        wh.update(
+            acks={
+                mod: ([in_window], ""),
+                unchanged: ([in_window], "stale copy-paste"),
+            }
+        )
+    # 4. valid ack (with its own per-module note) → APPENDED to the
     # module's ack history (overwriting would erase the audit trail
-    # when a module is acked twice in one round)
-    before = len(json.loads(scratch.read_text())
-                 .get(wh.ACKS_KEY, {}).get(mod, []) or [])
+    # when a module is acked twice in one round). Normalize the
+    # pre-history single-dict format when counting.
+    prior = json.loads(scratch.read_text()).get(wh.ACKS_KEY, {}).get(mod, [])
+    before = 1 if isinstance(prior, dict) else len(prior)
     wh.update(acks={mod: ([in_window], "test ack")}, note="fallback")
     saved = json.loads(scratch.read_text())
     history = saved[wh.ACKS_KEY][mod]
@@ -196,30 +206,90 @@ def test_queries_module_helper_edit_trips_the_guard():
     assert mods[rel] != whole
 
 
-def test_stored_set_consumer_list_matches_call_sites():
-    """r7 review finding: bench.py warms the shingle-set artifact for
-    STORED_SET_CONSUMERS — the list must track the ACTUAL sets_cached
-    call sites in the catalog, or a new consumer gets the one-time
-    build billed to its timed window."""
+def _artifact_consumers(roots: set[str]) -> set[str]:
+    """Registered catalog queries that reach any of the ``roots``
+    artifact readers, DIRECTLY OR THROUGH MODULE-LEVEL HELPERS
+    (transitive closure over the queries modules' functions — a query
+    calling a wrapper like _minhash_pairs counts; r7 review finding:
+    a literal-substring scan missed helper-mediated consumers).
+    Docstrings are stripped before scanning so prose mentions don't
+    false-positive."""
     import inspect
+    import re
+    import types
 
     import __spark_entry__ as entrymod
-    from etl_projects_spark.queries_llm import (
-        STORED_SET_CONSUMERS,
-        _minhash_pairs,
+    from etl_projects_spark import (
+        queries_curation,
+        queries_llm,
+        queries_mixing,
     )
 
-    callers = set()
-    for name, fn in entrymod.queries().items():
+    def calls(fn) -> set[str]:
         try:
             src = inspect.getsource(fn)
         except (OSError, TypeError):
-            continue
-        if "sets_cached(" in src or "_minhash_pairs(" in src:
-            callers.add(name)
+            return set()
+        src = re.sub(r'""".*?"""', "", src, flags=re.S)
+        src = re.sub(r"'''.*?'''", "", src, flags=re.S)
+        src = "\n".join(
+            ln for ln in src.splitlines() if not ln.lstrip().startswith("#")
+        )
+        return set(re.findall(r"\b(\w+)\s*\(", src))
+
+    # Close the root set over module-level helpers in the modules that
+    # host the artifacts (a helper whose body calls a root becomes a
+    # root itself).
+    helpers = {}
+    for mod in (queries_llm, queries_curation, queries_mixing):
+        for hname, obj in vars(mod).items():
+            if isinstance(obj, types.FunctionType) and obj.__module__ == mod.__name__:
+                helpers[hname] = calls(obj)
+    closed = set(roots)
+    changed = True
+    while changed:
+        changed = False
+        for hname, callees in helpers.items():
+            if hname not in closed and callees & closed:
+                closed.add(hname)
+                changed = True
+    return {
+        name
+        for name, fn in entrymod.queries().items()
+        if calls(fn) & closed
+    }
+
+
+def test_stored_set_consumer_list_matches_call_sites():
+    """bench.py warms the shingle-set artifact for STORED_SET_CONSUMERS
+    — the list must track the ACTUAL (transitive) sets_cached call
+    sites, or a new consumer gets the one-time build billed to its
+    timed window. Pair-graph queries reach sets_cached through the
+    pairs/components chain and are covered by their own warm-up."""
+    from etl_projects_spark.queries_llm import (
+        PAIR_GRAPH_CONSUMERS,
+        STORED_SET_CONSUMERS,
+    )
+
+    callers = _artifact_consumers({"sets_cached"})
+    assert set(PAIR_GRAPH_CONSUMERS) <= callers  # chain reaches sets
+    direct = callers - set(PAIR_GRAPH_CONSUMERS)
     # dedup_ngram_jaccard deliberately computes sets inline (the timed
-    # raw-chain query); everything that touches the artifact must be
-    # in the warm list.
-    assert callers == set(STORED_SET_CONSUMERS), (
-        callers ^ set(STORED_SET_CONSUMERS)
+    # raw-chain query); everything else that touches the artifact must
+    # be in the warm list.
+    assert direct == set(STORED_SET_CONSUMERS), (
+        direct ^ set(STORED_SET_CONSUMERS)
+    )
+
+
+def test_pair_graph_consumer_list_matches_call_sites():
+    """Same single-source-of-truth rule for the pair/component
+    artifacts: bench.py's warm list (PAIR_GRAPH_CONSUMERS, now
+    exported next to pairs_cached) must equal the transitive callers —
+    the bench-local copy had silently missed dedup_keep_best_quality."""
+    from etl_projects_spark.queries_llm import PAIR_GRAPH_CONSUMERS
+
+    callers = _artifact_consumers({"pairs_cached", "_components_cached"})
+    assert callers == set(PAIR_GRAPH_CONSUMERS), (
+        callers ^ set(PAIR_GRAPH_CONSUMERS)
     )

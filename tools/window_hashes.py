@@ -208,6 +208,14 @@ def update(
     for m, (consumers, mod_note) in acks.items():
         if m not in new_mods:
             raise SystemExit(f"--ack names unknown module {m!r}")
+        if m not in changed:
+            # A permanent audit entry for a change that never happened
+            # (copy-pasted ack, wrong path) would leave the judge a
+            # declaration that maps to no module edit (r7 review).
+            raise SystemExit(
+                f"--ack for {m}: module hash is UNCHANGED since the "
+                "record — drop the stale ack"
+            )
         missing = [c for c in consumers if c not in window]
         if missing:
             raise SystemExit(
