@@ -661,3 +661,29 @@ def test_decontaminate_eval_join_broadcasts_eval_side(spark):
         and "gram" in ln
     ]
     assert not shuffle_joins, shuffle_joins
+
+
+def test_salted_join_plan_shape(spark):
+    # Skew rewrite: the replicated dimension broadcasts (1 broadcast
+    # join), the big side shuffles at most once for the final agg, and
+    # nothing falls back to sort-merge, Python, or a cartesian.
+    assert_plan(QS["salted_join_lineitem_orders"](spark, SF_DIR),
+                broadcast_joins=(">=", 1), sortmerge_joins=0,
+                shuffles=("<=", 1), cartesian=False, python_stages=0)
+
+
+def test_minhash_lsh_chain_plan_shape(spark):
+    # The full shingle→signature→band-join→verify chain: banded
+    # candidate generation is equi-joins (no cartesian), the verify's
+    # set lookups broadcast (candidate-bounded), everything JVM-side.
+    assert_plan(QS["dedup_minhash_lsh"](spark, SF_DIR),
+                cartesian=False, python_stages=0,
+                nested_loop_joins=0, range_exchanges=0)
+
+
+def test_text_repetition_ratio_exchange_free(spark):
+    # Pure per-row array HOFs: the whole query must stream with the
+    # scan — zero exchanges of ANY kind, zero Python.
+    assert_plan(QS["text_repetition_ratio"](spark, SF_DIR),
+                shuffles=0, range_exchanges=0, single_exchanges=0,
+                python_stages=0, cartesian=False)
