@@ -293,3 +293,27 @@ def test_pair_graph_consumer_list_matches_call_sites():
     assert callers == set(PAIR_GRAPH_CONSUMERS), (
         callers ^ set(PAIR_GRAPH_CONSUMERS)
     )
+
+
+def test_freshness_report_matches_correctness_records():
+    """tools/freshness_report.py is the window-composition input: every
+    catalog query appears, no proof round exceeds the newest record,
+    and queries absent from every record report round 0 (which the
+    guard separately forces into the current window)."""
+    import freshness_report as fr
+
+    import __spark_entry__ as entrymod
+
+    latest = fr.latest_proof_rounds()
+    assert set(latest) == set(entrymod.queries())
+    import glob
+    import re
+
+    rounds = [
+        int(re.search(r"_r(\d+)\.json$", p).group(1))
+        for p in glob.glob(os.path.join(wh.ROOT, "CORRECTNESS_r*.json"))
+    ]
+    assert max(latest.values()) <= max(rounds)
+    # r7 additions have no row yet -> 0, and they are in the window
+    zero = {n for n, r in latest.items() if r == 0}
+    assert zero <= set(wh.window_names())
