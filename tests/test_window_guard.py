@@ -209,42 +209,47 @@ def test_queries_module_helper_edit_trips_the_guard():
 def _artifact_consumers(roots: set[str]) -> set[str]:
     """Registered catalog queries that reach any of the ``roots``
     artifact readers, DIRECTLY OR THROUGH MODULE-LEVEL HELPERS
-    (transitive closure over the queries modules' functions — a query
-    calling a wrapper like _minhash_pairs counts; r7 review finding:
-    a literal-substring scan missed helper-mediated consumers).
-    Docstrings are stripped before scanning so prose mentions don't
-    false-positive."""
+    (transitive closure over EVERY queries module's functions — a
+    query calling a wrapper like _minhash_pairs counts; r7 review
+    findings: a literal-substring scan missed helper-mediated
+    consumers, a hardcoded three-module list would miss a wrapper in
+    any other queries module, and regex stripping both erased calls
+    inside triple-quoted f-strings and kept prose in inline comments).
+    Call names are collected from the AST (comments and docstrings are
+    invisible, calls inside f-strings are real Call nodes)."""
+    import ast
     import inspect
-    import re
+    import sys
+    import textwrap
     import types
 
     import __spark_entry__ as entrymod
-    from etl_projects_spark import (
-        queries_curation,
-        queries_llm,
-        queries_mixing,
-    )
 
     def calls(fn) -> set[str]:
         try:
-            src = inspect.getsource(fn)
-        except (OSError, TypeError):
+            src = textwrap.dedent(inspect.getsource(fn))
+            tree = ast.parse(src)
+        except (OSError, TypeError, SyntaxError):
             return set()
-        src = re.sub(r'""".*?"""', "", src, flags=re.S)
-        src = re.sub(r"'''.*?'''", "", src, flags=re.S)
-        src = "\n".join(
-            ln for ln in src.splitlines() if not ln.lstrip().startswith("#")
-        )
-        return set(re.findall(r"\b(\w+)\s*\(", src))
+        out = set()
+        for node in ast.walk(tree):
+            if isinstance(node, ast.Call):
+                f = node.func
+                if isinstance(f, ast.Name):
+                    out.add(f.id)
+                elif isinstance(f, ast.Attribute):
+                    out.add(f.attr)
+        return out
 
-    # Close the root set over module-level helpers in the modules that
-    # host the artifacts (a helper whose body calls a root becomes a
-    # root itself).
+    # Close the root set over module-level helpers in EVERY loaded
+    # queries module (a helper whose body calls a root becomes a root).
     helpers = {}
-    for mod in (queries_llm, queries_curation, queries_mixing):
+    for modname, mod in list(sys.modules.items()):
+        if not modname.startswith("etl_projects_spark.queries"):
+            continue
         for hname, obj in vars(mod).items():
-            if isinstance(obj, types.FunctionType) and obj.__module__ == mod.__name__:
-                helpers[hname] = calls(obj)
+            if isinstance(obj, types.FunctionType) and obj.__module__ == modname:
+                helpers.setdefault(hname, set()).update(calls(obj))
     closed = set(roots)
     changed = True
     while changed:

@@ -28,6 +28,22 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
 
+def _row_is_green(row) -> bool:
+    """Only a PASSING driver row is a proof — a failed row in a record
+    must NOT bump freshness, or the rotation rule would never re-queue
+    the query and the stale-green-row problem recurs (r7 review; the
+    r01/r03 records really do contain failed rows). ``hash_match`` may
+    be absent for rows-only checks; only an explicit False fails."""
+    if not isinstance(row, dict):
+        return False
+    return (
+        row.get("rows_match") is True
+        and row.get("schema_match") is True
+        and row.get("err") in (None, "")
+        and row.get("hash_match") is not False
+    )
+
+
 def latest_proof_rounds() -> dict[str, int]:
     import __spark_entry__ as entrymod
 
@@ -38,8 +54,8 @@ def latest_proof_rounds() -> dict[str, int]:
             continue
         rnd = int(m.group(1))
         with open(path) as f:
-            for name in json.load(f):
-                if name in latest:
+            for name, row in json.load(f).items():
+                if name in latest and _row_is_green(row):
                     latest[name] = max(latest[name], rnd)
     return latest
 
@@ -53,7 +69,11 @@ def main() -> int:
     if args.counts:
         from collections import Counter
 
-        for rnd, n in sorted(Counter(latest.values()).items()):
+        counted = [
+            r for r in latest.values()
+            if args.round is None or r == args.round
+        ]
+        for rnd, n in sorted(Counter(counted).items()):
             print(f"r{rnd}: {n} queries")
         return 0
     rows = sorted(latest.items(), key=lambda kv: (kv[1], kv[0]))
