@@ -55,102 +55,89 @@ def entry(spark: SparkSession) -> DataFrame:
 # tests/test_window_guard.py fails if any query whose hash changed
 # since its recorded window is not in the current first 50.
 _ROUND_PRIORITY = [
-    # --- r7 window -------------------------------------------------
-    # 1-22: the freshness re-checks deferred from r6 (cap overflow):
-    # seventeen r1-era rows plus the five displaced by the late-r6
-    # sweep fixes and streaming additions. Hash-guard-verified
-    # unchanged, but their proofs predate the r3+ oracle-harness
-    # hardening — after this window no row in the record is older
-    # than r2. (contamination_probe, dedup_minhash_lsh and
-    # dedup_simhash double as consumers of the r7 stored-shingle-set
-    # rework below.)
-    "contamination_probe",
-    "stratified_sample_sources",
-    "shard_packing",
-    "sliding_window_events",
-    "winnow_fingerprints",
-    "text_normalized_dedup",
-    "text_pii_redaction",
-    "media_fingerprint",
-    "text_lang_id",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "q14_type_revenue_share",
-    "tumbling_window_events",
-    "streaming_tumbling_counts",
-    "pivot_status",
-    "cube_counts",
-    "ann_cosine_topk",
-    "ann_lsh_topk",
-    "text_bpe_ish_tokens",
-    "text_quality_score",
-    "sort_limit_topk",
-    # 23-26: r7 rework — the jaccard/minhash family now reads the
-    # family-shared build_once shingle-set artifact (sets_cached)
-    # instead of privately recomputing + caching word_shingle_sets per
-    # query (r6 VERDICT drift item); dedup_ngram_jaccard keeps the
-    # inline chain on purpose (comment-only source change re-proves):
-    "dedup_ngram_jaccard",
-    "dedup_jaccard_df_capped",
-    "text_dup_gram_fraction",
-    "minhash_jaccard_estimate",
-    "dedup_edit_distance",
-    # 27-30: consumers of operators/similarity.py, reworked per r6
-    # ADVICE (pair_cosine_once twin replaces the in-place
-    # asNondeterministic mutation — plan shapes of every pair_cosine
-    # consumer are now execution-order-independent). ann_cosine_topk /
-    # ann_lsh_topk are already in slots 18-19; embedding_pca_project /
-    # dedup_embedding_cosine touch no pair_cosine path (PCA projection
-    # / JVM column cosine) — dedup_embedding_cosine still re-enters at
-    # slot 37 as an r2 freshness row:
-    "embedding_similarity_join",
-    "ann_lsh_multiprobe_topk",
-    "ann_ivf_topk",
-    "ann_knn_join",
-    # 31-33: consumers of operators/exec_util.py, reworked per r6
-    # ADVICE (prefix_sum optional precomputed bounds — default path
-    # identical; build_once errno-restricted destructive branch —
-    # error path only). The success-path semantics are unchanged, so
-    # the other build_once consumers (band index, IVF dir, lake
-    # fixtures) are declared unaffected in the --ack note:
-    "pack_token_spans",
+    # --- r8 window -------------------------------------------------
+    # 1-33: the ENTIRE remaining r2-era vintage (r7 VERDICT item 1 —
+    # the 33 oldest rows in the record, tools/freshness_report.py
+    # order). Hash-guard-verified unchanged since their r2 proofs, but
+    # those predate the r3+ oracle-harness hardening; after this
+    # window no row in the record is older than r3.
+    "array_agg_customer_priorities",
+    "conditional_agg_priority_matrix",
+    "date_functions_orders",
+    "except_lost_customers",
+    "exists_big_lineitem_orders",
+    "grouping_sets_status_priority",
+    "intersect_repeat_customers",
+    "join_right_outer",
+    "math_functions_balance",
+    "ntile_customer_quartiles",
+    "null_handling_functions",
+    "percentiles_order_value",
+    "q11_important_parts",
+    "q12_shipmode_priority",
+    "q13_order_count_distribution",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q20_part_promotion_suppliers",
+    "q21_sole_returning_supplier",
+    "q22_dormant_customers",
+    "q2_min_acctbal_supplier",
+    "q8_market_share",
+    "q9_product_profit",
+    "rollup_revenue",
+    "scalar_subquery_pricey_parts",
+    "string_functions_customer",
+    "unpivot_part_measures",
+    "vocab_top_terms",
+    "window_rank_metrics",
+    "window_user_value_delta",
+    # 34-36: r8 reworks.
+    #   curriculum_schedule — exchange cut (r7 VERDICT item 3): the
+    #     quartile thresholds, per-bucket rank offsets, and prefix-sum
+    #     boundaries now fold into ONE collected aggregate over the
+    #     bounded cume-count relation; in-plan exchanges 9 → 3 (pinned
+    #     in tests/test_plans.py), and the prefix sum's separate
+    #     approxQuantile corpus pass is gone.
+    #   decontaminate_eval_join / split_contamination_report — the
+    #     train-gram index is now stored partitioned on
+    #     pmod(xxhash64(gram), 64) and the eval probe statically
+    #     prunes to its grams' buckets (r7 VERDICT item 4; plan-pinned
+    #     PartitionFilters). Same grams, new layout + artifact key —
+    #     both consumers re-prove on the bucketed artifact.
     "curriculum_schedule",
-    "packing_efficiency_report",
-    # 34-36: r7 additions (inside the window, per the cap rule) and
-    # their one refactor casualty:
-    #   control_file_roundtrip — S6's driver row (put JSON control
-    #     manifest → get-side spot check → distributed read-back;
-    #     r6 VERDICT item 4);
-    #   decontaminate_eval_join — cross-corpus decontamination JOIN
-    #     probing the persisted train-gram index via broadcast
-    #     (r6 VERDICT item 5);
-    #   split_contamination_report — re-enters because the train-gram
-    #     index build was factored into the shared train_gram_index
-    #     helper both decontamination queries call (ONE builder per
-    #     artifact path; results identical, source hash moved).
-    "control_file_roundtrip",
     "decontaminate_eval_join",
     "split_contamination_report",
-    # 37-50: freshness re-checks of the oldest remaining (r2-era) rows;
-    # dedup_embedding_cosine leads as the one similarity.py consumer
-    # in the r2 cohort (grouping_sets_status_priority was displaced by
-    # the split_contamination_report re-proof;
-    # percentiles_order_value by the dedup_edit_distance stored-set
-    # rework). THIRTY-THREE r2-era rows remain for r8's window.
-    "dedup_embedding_cosine",
-    "quality_validate_events",
-    "media_byte_histogram",
-    "events_sessionize",
-    "asof_click_before_purchase",
-    "range_join_daily_windows",
-    "resample_gap_fill",
-    "q4_order_priority",
-    "q6_selective_revenue",
-    "q7_nation_trade_volume",
-    "q10_returned_revenue",
-    "window_running_order_total",
-    "window_top_suppliers_per_nation",
+    # 37: r8 addition (inside the window, per the cap rule):
+    #   decontaminate_train_prune — the train-side keep-list (the
+    #     corpus-pruning deliverable; linear train scan + broadcast
+    #     eval gram set, the mirror shape of the eval-side probe).
+    "decontaminate_train_prune",
+    # 38-50: freshness re-checks of the NOW-oldest (r3-era) rows — the
+    # first 13 of the 32 in tools/freshness_report.py order. The
+    # remaining 19 queue for r9: jsonl_gz_roundtrip,
+    # layer_format_policy, map_functions_props, merge_upsert_orders,
+    # neardup_rate_by_source, ngram_bigram_topk, ohlc_hourly_events,
+    # pipeline_training_corpus, posexplode_doc_tokens, profile_orders,
+    # quality_violation_counts, retention_cohorts, struct_to_string,
+    # text_token_entropy, tfidf_top_terms, union_distinct_keys,
+    # window_first_last_order, window_percent_rank,
+    # zorder_cluster_events.
+    "anomaly_zscore_daily",
+    "bm25_retrieval",
+    "bucketed_join_revenue",
+    "cooccurrence_pmi_topk",
+    "dedup_keep_best_quality",
+    "dedup_keep_list",
+    "dedup_minhash_components",
+    "doc_length_percentile_filter",
+    "embedding_centroids_by_label",
+    "embedding_quantize_int8",
+    "exact_distinct_users_daily",
+    "funnel_user_conversion",
+    "histogram_order_totals",
 ]
 
 

@@ -301,13 +301,46 @@ def run_chunk(names: list[str]) -> dict[str, float]:
             "overwrite"
         ).save()
         warmed = True
+    # The decontamination family's persisted train-gram index: same
+    # steady-state policy as the stored-set/pair-graph artifacts above
+    # (the one-time 96%-train gram explode+distinct+write is corpus-
+    # admission cost, not the probe's). The consumer list lives next to
+    # the builder and is tripwire-tested against the transitive call
+    # sites (r7 ADVICE: on a cold corpus, whichever consumer ran first
+    # in its chunk was billed the full index build).
+    from etl_projects_spark.queries_curation import (
+        CONTAM_INDEX_CONSUMERS,
+        train_gram_index,
+    )
+
+    if CONTAM_INDEX_CONSUMERS & set(names):
+        train_gram_index(spark, SF_DIR).limit(1).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        warmed = True
+    notes: dict[str, float] = {}
     if "dedup_incremental_batch" in names:
-        # Builds only its own artifacts (shingle sets + LSH band index)
-        # via build_once inside the query; the pair/component artifacts
-        # above are NOT inputs to it.
-        qs["dedup_incremental_batch"](spark, SF_DIR).limit(1).write.format(
+        # Two-phase timing (r7 VERDICT item 6): split the one-time band
+        # index BUILD from the steady-state PROBE the timed window
+        # records. The private lsh artifact is dropped so the first run
+        # is a true cold build+probe (the shared shingle-set artifact
+        # stays — it was warmed above and belongs to the whole family);
+        # the cold number lands in BENCH_FULL's "notes", the timed
+        # window then measures the amortized probe path, as the
+        # stored-index lifecycle prescribes. The pair/component
+        # artifacts above are NOT inputs to it.
+        import shutil
+
+        from etl_projects_spark.queries_llm import _corpus_scratch
+
+        shutil.rmtree(_corpus_scratch(SF_DIR, "lsh"), ignore_errors=True)
+        t0 = time.perf_counter()
+        qs["dedup_incremental_batch"](spark, SF_DIR).write.format(
             "noop"
         ).mode("overwrite").save()
+        notes["dedup_incremental_batch_cold_build_probe_s"] = round(
+            time.perf_counter() - t0, 3
+        )
         warmed = True
     if warmed:
         spark.catalog.clearCache()
@@ -347,7 +380,15 @@ def run_chunk(names: list[str]) -> dict[str, float]:
     # steady state — so verdicts stop chasing one-shot noise. Chunks
     # run before main() rewrites the record, so this reads the PRIOR
     # round's timings.
+    #
+    # The comparison scales the recorded timings by the calibration
+    # ratio (this box's blas stamp / the record's — r7 ADVICE): raw
+    # seconds on a slower box would re-measure nearly every sub-1.5 s
+    # query for nothing, and on a faster one would never pin real
+    # prior-round noise. main() measures the current stamp once and
+    # hands it to each chunk subprocess via the env var.
     prior: dict[str, float] = {}
+    ratio = 1.0
     try:
         with open(
             os.path.join(
@@ -357,11 +398,19 @@ def run_chunk(names: list[str]) -> dict[str, float]:
             rec = json.load(f)
         if rec.get("sf") == _sf():
             prior = rec.get("queries", {})
+            cur_blas = float(
+                os.environ.get("SPARK_GRAFT_BENCH_CALIB_BLAS", "0") or 0
+            )
+            rec_blas = rec.get("calib", {}).get("blas_mt_s", 0)
+            if cur_blas > 0 and rec_blas:
+                ratio = cur_blas / rec_blas
     except (OSError, ValueError):
         pass
     for name, t in list(timings.items()):
-        if t <= 1.5 and t > 1.4 * prior.get(name, float("inf")):
+        if t <= 1.5 and t > 1.4 * ratio * prior.get(name, float("inf")):
             timings[name] = min(t, timed(name))
+    if notes:
+        timings["__notes__"] = notes  # split out by main(), never summed
     return timings
 
 
@@ -429,7 +478,15 @@ def main() -> None:
     for n in names:
         buckets[int(hashlib.md5(n.encode()).hexdigest(), 16) % N_CHUNKS].append(n)
     chunks = buckets
+    # Calibrate ONCE, before the chunks: each chunk scales the prior
+    # record's timings by this box's stamp for drift pinning, and the
+    # same stamp lands in the new record (so it prices the box the
+    # chunks actually ran on).
+    calib = host_calibration()
+    env = dict(os.environ)
+    env["SPARK_GRAFT_BENCH_CALIB_BLAS"] = str(calib["blas_mt_s"])
     timings: dict[str, float] = {}
+    notes: dict[str, float] = {}
     for chunk in chunks:
         if not chunk:
             continue
@@ -437,6 +494,7 @@ def main() -> None:
             [sys.executable, os.path.abspath(__file__), "--chunk", ",".join(chunk)],
             capture_output=True,
             text=True,
+            env=env,
         )
         out = [
             line for line in proc.stdout.splitlines()
@@ -445,14 +503,15 @@ def main() -> None:
         if proc.returncode != 0 or not out:
             sys.stderr.write(proc.stderr[-2000:] + "\n")
             raise RuntimeError(f"bench chunk failed (rc={proc.returncode})")
-        timings.update(json.loads(out[-1][len("CHUNK_RESULT "):]))
+        got = json.loads(out[-1][len("CHUNK_RESULT "):])
+        notes.update(got.pop("__notes__", {}))
+        timings.update(got)
 
     sf = _sf()
-    # Calibrate BEFORE touching the durable record, and write via
-    # temp-file + rename: a calibration failure (or any crash mid-dump)
-    # must not truncate BENCH_FULL.json after 200+ s of measured work.
+    # Write via temp-file + rename: a crash mid-dump must not truncate
+    # BENCH_FULL.json after 200+ s of measured work.
     record = json.dumps(
-        {"sf": sf, "queries": timings, "calib": host_calibration()},
+        {"sf": sf, "queries": timings, "calib": calib, "notes": notes},
         sort_keys=True,
     )
     dest = os.path.join(

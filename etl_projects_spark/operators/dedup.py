@@ -411,6 +411,24 @@ def incremental_neardup(
     )
 
 
+# Gram-bucket fan-out of the persisted train-gram index: the index is
+# written partitioned on pmod(xxhash64(gram), GRAM_INDEX_BUCKETS), so a
+# probe statically prunes to the directories its own grams can hash
+# into. 64 keeps directory counts trivial while already giving a small
+# eval suite (whose distinct grams rarely cover every bucket) a real
+# scan cut; at 100 TB the same layout holds — raise the constant with
+# corpus size (it only changes which vintage-keyed artifact is built,
+# never results).
+GRAM_INDEX_BUCKETS = 64
+
+
+def gram_bucket(col: str | Column) -> Column:
+    """The ONE bucket function shared by the index builder and every
+    prober — both sides must hash identically or pruning would drop
+    true hits. xxhash64 is a deterministic JVM expression."""
+    return F.pmod(F.xxhash64(col), F.lit(GRAM_INDEX_BUCKETS))
+
+
 def decontaminate_against_index(
     eval_grams: DataFrame, gram_index: DataFrame
 ) -> DataFrame:
@@ -423,9 +441,17 @@ def decontaminate_against_index(
     ``eval_grams``: (doc_id, gram), DISTINCT per document (the
     caller's contract) — the eval suite. Eval suites are small by
     definition (benchmarks are MBs; the train corpus is the 100 TB
-    side), so this side broadcasts.
+    side), so this side broadcasts. MATERIALIZED by the caller: the
+    bucket-pruning collect below is an extra action over it.
     ``gram_index``: (gram), distinct — the stored train-gram index (a
-    ``build_once`` parquet artifact), scanned in place.
+    ``build_once`` parquet artifact), scanned in place. When it
+    carries the ``gbucket`` partition column (written via
+    :func:`gram_bucket`), the probe statically prunes the scan to the
+    buckets the eval grams actually hash into: the collected bucket
+    set is bounded by GRAM_INDEX_BUCKETS values by pigeonhole —
+    bounded driver traffic at any eval size — and lands in the scan's
+    ``PartitionFilters`` (plan-pinned), so only matching directories
+    are ever listed or read.
 
     Returns (doc_id, n_hit): how many of the doc's grams occur in the
     index. Zero-hit docs don't appear — an INNER broadcast join keeps
@@ -434,11 +460,20 @@ def decontaminate_against_index(
     the caller restores them with an eval-sized left join.
 
     Scale: the index is NEVER reshuffled (the broadcast hash join
-    streams its scan, partition-prunable if the index is stored
-    bucketed by gram); only eval-sized matched rows reach the
-    aggregation. Probe cost is one linear index scan + an eval-sized
+    streams its pruned scan); only eval-sized matched rows reach the
+    aggregation. Probe cost is one pruned index scan + an eval-sized
     shuffle, independent of how the train corpus grows.
     """
+    if "gbucket" in gram_index.columns:
+        buckets = [
+            r[0]
+            for r in eval_grams.select(gram_bucket("gram"))
+            .distinct()
+            .collect()
+        ]
+        gram_index = gram_index.filter(
+            F.col("gbucket").isin(buckets) if buckets else F.lit(False)
+        )
     hits = gram_index.join(F.broadcast(eval_grams), "gram")
     return hits.groupBy("doc_id").agg(F.count("*").alias("n_hit"))
 

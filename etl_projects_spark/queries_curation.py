@@ -1350,15 +1350,30 @@ def data_card_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 def curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curriculum-learning emission order: docs bucketed into 4
     difficulty quartiles (length as the difficulty proxy; thresholds
-    are exact data values from integer cume-count arithmetic broadcast
-    from ONE tiny aggregate — no global ntile sort), then interleaved round-robin
-    across buckets so training sees a difficulty mix at every step:
-    emit_pos = rank_within_bucket·4 + bucket. The within-bucket rank
-    uses the two-phase distributed prefix sum (``exec_util.prefix_sum``
-    over a composite bucket-major key), NOT a 4-partition window —
-    the per-bucket single-task collapse is exactly what kills
-    curriculum assignment at corpus scale. Fully deterministic:
-    thresholds are data values, ranks tie-break on doc_id."""
+    are exact data values from integer cume-count arithmetic), then
+    interleaved round-robin across buckets so training sees a
+    difficulty mix at every step: emit_pos = rank_within_bucket·4 +
+    bucket. The within-bucket rank uses the two-phase distributed
+    prefix sum (``exec_util.prefix_sum`` over a composite bucket-major
+    key), NOT a 4-partition window — the per-bucket single-task
+    collapse is exactly what kills curriculum assignment at corpus
+    scale. Fully deterministic: thresholds are data values, ranks
+    tie-break on doc_id.
+
+    Exchange budget (r7 VERDICT item 3 — this was the most
+    shuffle-heavy catalog row at 9 exchanges): the quartile
+    thresholds, the per-bucket rank offsets, AND the prefix-sum bucket
+    boundaries all fold into ONE aggregate over the distinct-lengths
+    cume-count relation, collected as a single driver row (bounded:
+    one output row however large the corpus). The cume-count relation
+    already determines all three — rc(t_q) IS the count of docs at or
+    below the q-th threshold, so the per-bucket emit offsets need no
+    second pass over the corpus, and equal-frequency prefix-sum
+    boundaries are the same smallest-value-crossing-a-count-fraction
+    arithmetic at fractions i/n_parts. Everything downstream is
+    literal-driven: the corpus pays exactly ONE doc-scale exchange
+    (the prefix sum's bucket-keyed window partitioning; plan-pinned in
+    tests/test_plans.py)."""
     from etl_projects_spark.operators.exec_util import prefix_sum
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
@@ -1383,30 +1398,43 @@ def curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    t = cum.crossJoin(F.broadcast(cum.agg(F.max("_rc").alias("_n")))).agg(
-        F.min(
-            F.when(F.lit(4) * F.col("_rc") >= F.col("_n"), F.col("n_chars"))
-        ).alias("t25"),
-        F.min(
-            F.when(F.lit(2) * F.col("_rc") >= F.col("_n"), F.col("n_chars"))
-        ).alias("t50"),
-        F.min(
+
+    def _crossing(num: int, den: int, col: str):
+        # Smallest `col` value on the cume-count row where den*rc >= num*n.
+        # _rc strictly increases with n_chars, so min() lands on the
+        # crossing row for n_chars and rc alike.
+        return F.min(
             F.when(
-                F.lit(4) * F.col("_rc") >= F.lit(3) * F.col("_n"),
-                F.col("n_chars"),
+                F.lit(den) * F.col("_rc") >= F.lit(num) * F.col("_n"),
+                F.col(col),
             )
-        ).alias("t75"),
+        )
+
+    n_parts = spark.sparkContext.defaultParallelism
+    aggs = [
+        _crossing(q, 4, "n_chars").alias(f"t{q}") for q in (1, 2, 3)
+    ] + [
+        _crossing(q, 4, "_rc").alias(f"c{q}") for q in (1, 2, 3)
+    ] + [
+        _crossing(i, n_parts, "n_chars").alias(f"b{i}")
+        for i in range(1, n_parts)
+    ]
+    stats = (
+        cum.crossJoin(F.broadcast(cum.agg(F.max("_rc").alias("_n"))))
+        .agg(*aggs)
+        .collect()[0]  # exactly one row, by construction
     )
-    b = docs.crossJoin(F.broadcast(t)).select(
-        "doc_id",
-        "n_chars",
-        (
-            F.lit(1)
-            + (F.col("n_chars") > F.col("t25")).cast("int")
-            + (F.col("n_chars") > F.col("t50")).cast("int")
-            + (F.col("n_chars") > F.col("t75")).cast("int")
-        ).alias("bucket"),
+    # Empty corpus: every aggregate is NULL — zero literals keep the
+    # downstream expressions well-typed; the result is empty anyway.
+    t25, t50, t75 = (stats[f"t{q}"] or 0 for q in (1, 2, 3))
+    c25, c50, c75 = (stats[f"c{q}"] or 0 for q in (1, 2, 3))
+    bucket = (
+        F.lit(1)
+        + (F.col("n_chars") > F.lit(t25)).cast("int")
+        + (F.col("n_chars") > F.lit(t50)).cast("int")
+        + (F.col("n_chars") > F.lit(t75)).cast("int")
     )
+    b = docs.select("doc_id", "n_chars", bucket.alias("bucket"))
     # Composite bucket-major order key for the single-column prefix
     # sum. Field widths: bucket (1-4) in bits 60+, n_chars in bits
     # 30-59 (exact below 2^30 ≈ 1e9 chars/doc), doc_id in bits 0-29
@@ -1429,31 +1457,35 @@ def curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     keyed = b.withColumn("_k", key).withColumn("_one", F.lit(1))
-    ranked = prefix_sum(keyed, "_k", "_one", out_col="_grank")
-    offsets = (
-        b.groupBy("bucket")
-        .agg(F.count("*").alias("_n"))
-        .withColumn(
-            "_boff",
-            F.coalesce(
-                F.sum("_n").over(
-                    W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
-                ),
-                F.lit(0),
-            ),
-        )
-        .select("bucket", "_boff")
+
+    def _key_at(v: int) -> int:
+        bv = 1 + (v > t25) + (v > t50) + (v > t75)
+        return (bv << 60) + (v << 30)
+
+    # Equal-frequency boundaries in composite-key space: passing them
+    # skips prefix_sum's approxQuantile — that call was a second full
+    # pass over the corpus per run.
+    bounds = [
+        _key_at(stats[f"b{i}"])
+        for i in range(1, n_parts)
+        if stats[f"b{i}"] is not None
+    ]
+    ranked = prefix_sum(keyed, "_k", "_one", out_col="_grank", bounds=bounds)
+    # rc(t_q) is exactly the number of docs in buckets 1..q, so the
+    # per-bucket exclusive offsets are the collected literals — no
+    # second corpus aggregation, no offsets join.
+    boff = (
+        F.when(F.col("bucket") == 1, F.lit(0))
+        .when(F.col("bucket") == 2, F.lit(c25))
+        .when(F.col("bucket") == 3, F.lit(c50))
+        .otherwise(F.lit(c75))
     )
-    return (
-        ranked.join(F.broadcast(offsets), "bucket")
-        .select(
-            "doc_id",
-            "bucket",
-            (
-                (F.col("_grank") - F.col("_boff")) * 4
-                + (F.col("bucket") - 1)
-            ).cast("long").alias("emit_pos"),
-        )
+    return ranked.select(
+        "doc_id",
+        "bucket",
+        ((F.col("_grank") - boff) * 4 + (F.col("bucket") - 1))
+        .cast("long")
+        .alias("emit_pos"),
     )
 
 
@@ -1526,11 +1558,23 @@ def train_gram_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus vintage (``build_once``, like the LSH band index) and read
     as parquet by every decontamination consumer — in a real pipeline
     the train index is built at corpus admission and probed by every
-    evaluation set, so steady-state cost is eval-sized."""
+    evaluation set, so steady-state cost is eval-sized.
+
+    Layout (r7 VERDICT item 4): partitioned on
+    ``gbucket = pmod(xxhash64(gram), dedup.GRAM_INDEX_BUCKETS)`` — the
+    100 TB layout SCALE.md names for the decontamination family. A
+    probe computes its own grams' buckets with the SAME function
+    (``dedup.gram_bucket``) and statically prunes the scan to those
+    directories (plan-pinned in tests/test_plans.py), so a small eval
+    suite reads only the index slices it can possibly hit instead of
+    the full gram table."""
     from etl_projects_spark.operators.exec_util import build_once, scratch_path
 
+    # Kind carries the layout: bumping it retires the pre-bucketed
+    # artifact (same sentinel, different directory shape) instead of
+    # silently reusing it.
     scratch = scratch_path(
-        "contam_train_grams", os.path.join(sf_dir, "documents.parquet")
+        "contam_train_grams_g64", os.path.join(sf_dir, "documents.parquet")
     )
 
     def _build(tmp: str) -> None:
@@ -1539,12 +1583,28 @@ def train_gram_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             _contam_grams(t.filter(F.col("split") == "train"))
             .select("gram")
             .distinct()
+            .withColumn("gbucket", dedup.gram_bucket("gram"))
             .write.mode("overwrite")
+            .partitionBy("gbucket")
             .parquet(os.path.join(tmp, "grams"))
         )
 
-    build_once(scratch, _build, marker=os.path.join("grams", "_SUCCESS"))
+    # No marker arg: partitioned writes emit no top-level _SUCCESS
+    # under dynamic partition overwrite — build_once's own sentinel is
+    # the completion signal.
+    build_once(scratch, _build)
     return spark.read.parquet(os.path.join(scratch, "grams"))
+
+
+# bench.py warms this artifact untimed when a consumer is in the chunk
+# (the one-time 96%-train gram explode+distinct+write is the documented
+# corpus-admission cost, not the probe's); the list lives next to the
+# artifact builder and is tripwire-tested against the actual transitive
+# call sites in tests/test_window_guard.py, same as
+# STORED_SET_CONSUMERS / PAIR_GRAPH_CONSUMERS (r7 ADVICE).
+CONTAM_INDEX_CONSUMERS = frozenset(
+    {"decontaminate_eval_join", "split_contamination_report"}
+)
 
 
 @_q(
@@ -1701,5 +1761,80 @@ def decontaminate_eval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_grams",
             F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
             (F.coalesce("n_hit", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+@_q(
+    "decontaminate_train_prune",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n,
+             CASE WHEN {mix_unit_sql("doc_id")} < 0.96 THEN 'train'
+                  WHEN {mix_unit_sql("doc_id")} < 0.98 THEN 'valid'
+                  ELSE 'test' END AS split
+      FROM documents),
+    g AS (
+      SELECT DISTINCT doc_id, split,
+             md5(array_to_string(
+               list_slice(toks, CAST(i AS BIGINT),
+                          CAST(i + {CONTAM_NGRAM} - 1 AS BIGINT)),
+               ' ')) AS gram
+      FROM t, UNNEST(generate_series(1, n - {CONTAM_NGRAM} + 1)) s(i)
+      WHERE n >= {CONTAM_NGRAM}),
+    ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 101 = 0),
+    trd AS (SELECT doc_id, source FROM t
+            WHERE split = 'train' AND n >= {CONTAM_NGRAM}
+              AND doc_id % 101 <> 0),
+    hit AS (
+      SELECT g.doc_id, COUNT(*) AS n_hit
+      FROM g JOIN ev USING (gram)
+      WHERE g.split = 'train' AND g.doc_id % 101 <> 0
+      GROUP BY g.doc_id)
+    SELECT trd.doc_id, trd.source,
+           CAST(COALESCE(hit.n_hit, 0) AS BIGINT) AS n_hit,
+           COALESCE(hit.n_hit, 0) = 0 AS keep
+    FROM trd LEFT JOIN hit USING (doc_id)
+    """,
+)
+def decontaminate_train_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decontamination pipeline's actual DELIVERABLE: the
+    train-corpus keep-list. Every train document sharing any
+    {CONTAM_NGRAM}-gram with the arriving evaluation suite (the same
+    every-101st-doc stand-in as ``decontaminate_eval_join``; eval
+    members are excluded from the train side — a benchmark trivially
+    'contaminates' itself) is flagged for removal before training:
+    one (doc_id, source, n_hit, keep) verdict per train doc.
+
+    Scale shape — the mirror image of the eval-side probe: here the
+    TRAIN side is the 100 TB relation, so it is scanned LINEARLY
+    exactly once (gram explode is scan-side array math) while the
+    eval gram set — MBs by definition — broadcasts into the inner
+    probe join; only hit-sized rows reach the per-doc aggregation and
+    the keep verdict rejoins on the train doc key. Nothing pairwise,
+    no index required (the persisted train-gram index has no doc_id —
+    pruning needs per-doc attribution), and the broadcast side is the
+    small one by construction at any corpus size."""
+    t = _contam_split_relation(spark, sf_dir)
+    is_eval = F.col("doc_id") % 101 == 0
+    ev_grams = (
+        _contam_grams(t.filter(is_eval)).select("gram").distinct()
+    )
+    train = t.filter((F.col("split") == "train") & ~is_eval)
+    hits = (
+        _contam_grams(train)
+        .join(F.broadcast(ev_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    return (
+        train.select("doc_id", "source")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+            (F.coalesce("n_hit", F.lit(0)) == 0).alias("keep"),
         )
     )

@@ -38,3 +38,49 @@ def test_decontaminate_against_index_counts_hits(spark):
     got = {r.doc_id: r.n_hit for r in
            dedup.decontaminate_against_index(ev, idx).collect()}
     assert got == {1: 2, 3: 1}  # doc 2 has no hits -> absent
+
+
+def test_decontaminate_prunes_to_probed_buckets(spark, tmp_path):
+    """With a gbucket-partitioned index, the probe must (a) return the
+    same hit counts as the unpartitioned path and (b) statically prune
+    the index scan to exactly the buckets the eval grams hash into —
+    never list the full gram table."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from etl_projects_spark.operators import dedup
+    from etl_projects_spark.plans.audit import plan_string
+
+    grams = [(f"g{i}",) for i in range(200)]
+    path = str(tmp_path / "gram_index")
+    (
+        spark.createDataFrame(grams, "gram string")
+        .withColumn("gbucket", dedup.gram_bucket("gram"))
+        .write.partitionBy("gbucket")
+        .parquet(path)
+    )
+    idx = spark.read.parquet(path)
+    ev = spark.createDataFrame(
+        [(1, "g1"), (1, "g2"), (1, "gX"), (2, "gY"), (3, "g3")],
+        "doc_id long, gram string",
+    )
+    out = dedup.decontaminate_against_index(ev, idx)
+    got = {r.doc_id: r.n_hit for r in out.collect()}
+    assert got == {1: 2, 3: 1}
+    # Small sets print as `IN (a,b,...)`, larger ones as `INSET a, b, …`
+    # — accept either spelling, then compare the pruned bucket set to
+    # the eval grams' own buckets: 5 grams hash into at most 5 of the
+    # 64 buckets, so equality proves the scan skips the rest.
+    m = re.search(
+        r"PartitionFilters: \[gbucket#\d+ IN(?:SET)?\s*\(?([^)\]]*)",
+        plan_string(out),
+    )
+    assert m, "no static gbucket pruning in the probe plan"
+    values = {int(v) for v in re.findall(r"\d+", m.group(1))}
+    want = {
+        r[0]
+        for r in ev.select(dedup.gram_bucket("gram")).distinct().collect()
+    }
+    assert len(want) <= 5
+    assert values == want, (values, want)

@@ -413,10 +413,16 @@ def test_lm_surprise_filter_bounded_shuffles(spark):
 
 
 def test_curriculum_no_corpus_single_partition(spark):
-    # Thresholds broadcast from one tiny agg; ranks via the two-phase
-    # prefix sum — the corpus never collapses into one task.
+    # Thresholds, per-bucket offsets, AND prefix-sum boundaries fold
+    # into ONE tiny collected aggregate (r7 VERDICT item 3: down from
+    # 9 exchanges): the returned plan carries exactly the prefix sum's
+    # bucket-keyed window exchange + its tiny offset aggregate, and
+    # the single-partition cumsum runs only over that n_parts-row
+    # offset table — the corpus never collapses into one task.
     assert_plan(QS["curriculum_schedule"](spark, SF_DIR),
-                cartesian=False, python_stages=0)
+                cartesian=False, python_stages=0,
+                shuffles=("<=", 2), range_exchanges=0,
+                single_exchanges=("<=", 1))
 
 
 def test_lateral_decorrelates_to_window_group_limit(spark):
@@ -651,6 +657,15 @@ def test_decontaminate_eval_join_broadcasts_eval_side(spark):
                 python_stages=0)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "contam_train_grams" in plan, "index scan missing from plan"
+    # The gram-bucketed layout must actually prune: the index scan
+    # carries a static gbucket partition filter computed from the eval
+    # grams' own buckets (r7 VERDICT item 4) — losing it means every
+    # probe lists and reads the full 100 TB-side gram table again.
+    import re
+
+    assert re.search(r"PartitionFilters: \[gbucket[^\]]*IN", plan), (
+        "gbucket partition filter missing from the index scan"
+    )
     # The gram-keyed probe must be a broadcast join (index side
     # streamed in place) — a shuffle-based join on the gram key would
     # mean the stored index gets reshuffled on every eval probe.

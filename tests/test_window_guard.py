@@ -57,31 +57,36 @@ def test_catalog_and_plans_records_are_fresh():
     )
 
 
-def test_r7_rotation_heads_the_window():
-    # r7 window invariants: the 22 freshness re-checks deferred from
-    # r6 lead, the stored-shingle-set rework and the similarity /
-    # exec_util ADVICE-fix consumers are all inside the driver's
-    # 50-query sample.
+def test_r8_rotation_heads_the_window():
+    # r8 window invariants: the ENTIRE r2-era vintage (33 rows, r7
+    # VERDICT item 1) leads, the r8 reworks (curriculum exchange cut,
+    # gram-bucketed decontamination index) and the one addition are
+    # inside the driver's 50-query sample.
     window = wh.window_names()
-    deferred_head = {
-        "contamination_probe", "stratified_sample_sources",
-        "shard_packing", "sliding_window_events", "winnow_fingerprints",
-        "text_normalized_dedup", "text_pii_redaction",
-        "media_fingerprint", "text_lang_id", "dedup_exact",
-        "dedup_minhash_lsh", "dedup_simhash", "q14_type_revenue_share",
-        "tumbling_window_events", "streaming_tumbling_counts",
-        "pivot_status", "cube_counts", "ann_cosine_topk", "ann_lsh_topk",
-        "text_bpe_ish_tokens", "text_quality_score", "sort_limit_topk",
+    r2_vintage = {
+        "array_agg_customer_priorities", "conditional_agg_priority_matrix",
+        "date_functions_orders", "except_lost_customers",
+        "exists_big_lineitem_orders", "grouping_sets_status_priority",
+        "intersect_repeat_customers", "join_right_outer",
+        "math_functions_balance", "ntile_customer_quartiles",
+        "null_handling_functions", "percentiles_order_value",
+        "q11_important_parts", "q12_shipmode_priority",
+        "q13_order_count_distribution", "q15_top_supplier",
+        "q16_supplier_part_counts", "q17_small_quantity_revenue",
+        "q18_large_orders", "q19_disjunctive_revenue",
+        "q20_part_promotion_suppliers", "q21_sole_returning_supplier",
+        "q22_dormant_customers", "q2_min_acctbal_supplier",
+        "q8_market_share", "q9_product_profit", "rollup_revenue",
+        "scalar_subquery_pricey_parts", "string_functions_customer",
+        "unpivot_part_measures", "vocab_top_terms",
+        "window_rank_metrics", "window_user_value_delta",
     }
-    assert deferred_head <= set(window[:22])
+    assert r2_vintage <= set(window[:33])
     reworked = {
-        "dedup_ngram_jaccard", "dedup_jaccard_df_capped",
-        "text_dup_gram_fraction", "minhash_jaccard_estimate",
-        "dedup_edit_distance",
-        "embedding_similarity_join", "ann_lsh_multiprobe_topk",
-        "ann_ivf_topk", "ann_knn_join",
-        "pack_token_spans", "curriculum_schedule",
-        "packing_efficiency_report",
+        "curriculum_schedule",
+        "decontaminate_eval_join",
+        "split_contamination_report",
+        "decontaminate_train_prune",  # r8 addition
     }
     assert reworked <= set(window)
 
@@ -322,3 +327,38 @@ def test_freshness_report_matches_correctness_records():
     # r7 additions have no row yet -> 0, and they are in the window
     zero = {n for n, r in latest.items() if r == 0}
     assert zero <= set(wh.window_names())
+
+
+def test_ack_history_hashes_are_real_module_hashes():
+    """Every ack-history entry must carry the 16-hex module hash
+    captured at ack time — the audit trail exists to map each consumer
+    declaration to an exact module state. A hand-edit had replaced two
+    entries' hashes with the literal "(superseded)" (r7 ADVICE);
+    provenance belongs in the note field, never over the hash."""
+    import json
+    import re
+
+    import window_hashes as wh
+
+    with open(wh.HASHES_PATH) as f:
+        rec = json.load(f)
+    for mod, entries in rec.get(wh.ACKS_KEY, {}).items():
+        if isinstance(entries, dict):
+            entries = [entries]
+        for e in entries:
+            assert re.fullmatch(r"[0-9a-f]{16}", e["hash"]), (mod, e["hash"])
+
+
+def test_contam_index_consumer_list_matches_call_sites():
+    """Same single-source-of-truth rule for the train-gram index:
+    bench.py's warm list (CONTAM_INDEX_CONSUMERS, exported next to
+    train_gram_index) must equal the transitive callers — otherwise a
+    new decontamination consumer gets the one-time 96%-train gram
+    explode+distinct+write billed to its timed window on a cold corpus
+    (r7 ADVICE)."""
+    from etl_projects_spark.queries_curation import CONTAM_INDEX_CONSUMERS
+
+    callers = _artifact_consumers({"train_gram_index"})
+    assert callers == set(CONTAM_INDEX_CONSUMERS), (
+        callers ^ set(CONTAM_INDEX_CONSUMERS)
+    )
