@@ -62,9 +62,23 @@ def test_knn_join_single_python_stage(spark):
 
 def test_incremental_dedup_broadcasts_batch(spark):
     # The batch probes the stored index via broadcast: the index side
-    # must never shuffle.
-    assert_plan(QS["dedup_incremental_batch"](spark, SF_DIR),
-                broadcast_joins=(">=", 1), cartesian=False)
+    # must never shuffle, the verify stays JVM-side, and the ONLY
+    # sort-merge join allowed is the final batch-sized verdict join on
+    # doc ids — a band-keyed SMJ would mean the stored index gets
+    # reshuffled on every arriving batch (r7 VERDICT item 5: this is
+    # a bench-top-10 query; its load-bearing shape was unpinned).
+    from etl_projects_spark.plans.audit import plan_string
+
+    df = QS["dedup_incremental_batch"](spark, SF_DIR)
+    assert_plan(df, broadcast_joins=(">=", 1), cartesian=False,
+                python_stages=0, nested_loop_joins=0,
+                sortmerge_joins=("<=", 1), shuffles=("<=", 14))
+    plan = plan_string(df)
+    assert "spark_graft_lsh_" in plan, "persisted band index not scanned"
+    assert "spark_graft_sets_" in plan, "persisted shingle sets not scanned"
+    band_smj = [ln for ln in plan.splitlines()
+                if "SortMergeJoin" in ln and "band" in ln]
+    assert not band_smj, band_smj
 
 
 def test_pack_token_spans_no_global_window(spark):
@@ -676,6 +690,23 @@ def test_decontaminate_eval_join_broadcasts_eval_side(spark):
         and "gram" in ln
     ]
     assert not shuffle_joins, shuffle_joins
+
+
+def test_dw_promotion_gate_reports_from_promoted_table(spark):
+    # The returned report must re-aggregate the PROMOTED warehouse
+    # table (the write happened eagerly behind the gates), in one tiny
+    # single-partition combine — no re-read of the staging view, no
+    # Python, no join machinery in the report path (r7 VERDICT item 5:
+    # bench top-10, previously unpinned).
+    from etl_projects_spark.plans.audit import plan_string
+
+    df = QS["dw_promotion_gate"](spark, SF_DIR)
+    assert_plan(df, shuffles=0, range_exchanges=0,
+                single_exchanges=("<=", 1), python_stages=0,
+                cartesian=False)
+    assert "spark_graft_dw_gate" in plan_string(df), (
+        "report does not scan the promoted table"
+    )
 
 
 def test_salted_join_plan_shape(spark):

@@ -549,3 +549,49 @@ def test_foreach_batch_merge_replay_over_leftover_aside(
     }
     assert got == want
     assert not os.path.exists(state + "._old")
+
+
+def test_interval_join_plan_is_watermarked_symmetric_hash(spark, events_dir):
+    """Plan pin (r7 VERDICT item 5 — bench top-10, previously
+    unpinned): the stream-stream interval join must execute as a
+    StreamingSymmetricHashJoin with BOTH inputs watermarked and a
+    state-eviction predicate derived from the watermarks — losing
+    either silently turns the join into buffer-both-streams-forever,
+    the one failure mode that kills this shape at 100 TB."""
+    def split(df, lp, rp):
+        clicks = df.filter(F.col("event_type") == "click").select(
+            F.col("user_id").alias("user"),
+            F.col("ts").alias(lp),
+            F.col("event_id").alias("click_id"),
+        )
+        purchases = df.filter(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("user"),
+            F.col("ts").alias(rp),
+            F.col("event_id").alias("purchase_id"),
+        )
+        return clicks, purchases
+
+    src = jobs.stream_from_directory(spark, events_dir)
+    sl, sr = split(src, "l_ts", "r_ts")
+    joined = jobs.interval_join(
+        sl, sr, key="user", within="6 hours", watermark="12 hours"
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("interval_join_plan_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    plan = q._jsq.explainInternal(True)
+    assert "StreamingSymmetricHashJoin" in plan, plan[:800]
+    # Both inputs watermarked (the analyzed section retains the nodes).
+    assert plan.count("EventTimeWatermark") >= 2, plan[:800]
+    # The executed join must carry the derived eviction predicates on
+    # BOTH sides' state ("state cleanup [ left value predicate: …,
+    # right value predicate: … ]") — that is the condition under which
+    # state stays bounded; an empty cleanup spec would mean rows are
+    # retained forever even though the inputs are watermarked.
+    assert "left value predicate: (l_ts" in plan, plan[:800]
+    assert "right value predicate: (r_ts" in plan, plan[:800]
