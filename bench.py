@@ -182,6 +182,9 @@ HEADLINE = (
     "minhash_jaccard_estimate",
     "share_of_parent_revenue",
     "embedding_norm_topk",
+    # r7-r8 decontamination family
+    "decontaminate_eval_join",
+    "decontaminate_train_prune",
 )
 
 SKIP: set[str] = set()

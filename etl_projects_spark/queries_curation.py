@@ -1584,6 +1584,12 @@ def train_gram_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("gram")
             .distinct()
             .withColumn("gbucket", dedup.gram_bucket("gram"))
+            # One shuffle task per bucket → ONE file per directory
+            # (the lsh band index's pattern): without it every
+            # distinct task writes a sliver into every bucket dir —
+            # tasks×buckets tiny files, measured +0.5 s per probe at
+            # sf0.1 from listing/open overhead alone.
+            .repartition(dedup.GRAM_INDEX_BUCKETS, "gbucket")
             .write.mode("overwrite")
             .partitionBy("gbucket")
             .parquet(os.path.join(tmp, "grams"))
