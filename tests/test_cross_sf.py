@@ -188,6 +188,11 @@ REPRESENTATIVE = [
     # drain) and the applyInPandasWithState custom-stateful surface
     "streaming_interval_join",
     "streaming_stateful_running_totals",
+    # r7-r8 decontamination family: gram-index build + pruned probe and
+    # the train-side keep-list must work at every corpus vintage (the
+    # bucketed artifact is rebuilt per snapshot key).
+    "decontaminate_eval_join",
+    "decontaminate_train_prune",
 ]
 
 
@@ -279,6 +284,10 @@ UPSCALE = [
     # spans many part files per status.
     "decontaminate_eval_join",
     "control_file_roundtrip",
+    # r8 addition: the train-side keep-list only flags a meaningful
+    # contaminated fraction at a volume where many train docs share
+    # grams with the eval sample; proved here at 10× the gate SF.
+    "decontaminate_train_prune",
 ]
 
 
