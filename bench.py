@@ -311,17 +311,32 @@ def run_chunk(names: list[str]) -> dict[str, float]:
     # the builder and is tripwire-tested against the transitive call
     # sites (r7 ADVICE: on a cold corpus, whichever consumer ran first
     # in its chunk was billed the full index build).
+    from etl_projects_spark.operators.exec_util import scratch_path
     from etl_projects_spark.queries_curation import (
         CONTAM_INDEX_CONSUMERS,
+        CONTAM_INDEX_KIND,
         train_gram_index,
     )
 
+    notes: dict[str, float] = {}
     if CONTAM_INDEX_CONSUMERS & set(names):
+        # When the artifact is absent this warm-up IS the one-time
+        # corpus-admission build — record that cost in the notes
+        # (same honesty split as dedup_incremental_batch below) so the
+        # "steady-state cost is eval-sized" framing stays auditable.
+        idx_path = scratch_path(
+            CONTAM_INDEX_KIND, os.path.join(SF_DIR, "documents.parquet")
+        )
+        cold = not os.path.exists(idx_path)
+        t0 = time.perf_counter()
         train_gram_index(spark, SF_DIR).limit(1).write.format("noop").mode(
             "overwrite"
         ).save()
+        if cold:
+            notes["train_gram_index_cold_build_s"] = round(
+                time.perf_counter() - t0, 3
+            )
         warmed = True
-    notes: dict[str, float] = {}
     if "dedup_incremental_batch" in names:
         # Two-phase timing (r7 VERDICT item 6): split the one-time band
         # index BUILD from the steady-state PROBE the timed window

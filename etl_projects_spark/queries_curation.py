@@ -1553,6 +1553,14 @@ def _contam_grams(rel: DataFrame) -> DataFrame:
     )
 
 
+# Kind carries the layout (g64 = gbucket-partitioned, 64 buckets):
+# bumping it retires a differently-shaped artifact (same sentinel)
+# instead of silently reusing it. Exported so bench.py can locate the
+# artifact to attribute its cold-build cost without duplicating the
+# string (a drifted copy would silently probe the wrong path).
+CONTAM_INDEX_KIND = "contam_train_grams_g64"
+
+
 def train_gram_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The persisted distinct train-gram index: built AT MOST ONCE per
     corpus vintage (``build_once``, like the LSH band index) and read
@@ -1570,11 +1578,8 @@ def train_gram_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     the full gram table."""
     from etl_projects_spark.operators.exec_util import build_once, scratch_path
 
-    # Kind carries the layout: bumping it retires the pre-bucketed
-    # artifact (same sentinel, different directory shape) instead of
-    # silently reusing it.
     scratch = scratch_path(
-        "contam_train_grams_g64", os.path.join(sf_dir, "documents.parquet")
+        CONTAM_INDEX_KIND, os.path.join(sf_dir, "documents.parquet")
     )
 
     def _build(tmp: str) -> None:
