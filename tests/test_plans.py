@@ -733,3 +733,39 @@ def test_text_repetition_ratio_exchange_free(spark):
     assert_plan(QS["text_repetition_ratio"](spark, SF_DIR),
                 shuffles=0, range_exchanges=0, single_exchanges=0,
                 python_stages=0, cartesian=False)
+
+
+def test_remaining_bench_heavies_pinned(spark):
+    # r8 extension of the r7 top-10 pin work: every remaining ~2 s
+    # bench heavy gets its load-bearing shape locked so a silent plan
+    # fallback (lost broadcast, SMJ on a banded key, a Python stage
+    # sneaking in, a corpus re-shuffle) fails the suite instead of
+    # surfacing as an unexplained bench drift two rounds later.
+    spark.catalog.clearCache()
+    specs = {
+        # SimHash chain: per-row signatures over the stored sets, ONE
+        # banded self-equi-join, Hamming verify on candidates — all
+        # JVM, bounded exchanges, nothing pairwise-global.
+        "dedup_simhash": {"shuffles": ("<=", 4), "python_stages": 0,
+                          "cartesian": False, "nested_loop_joins": 0,
+                          "range_exchanges": 0},
+        # Raw shingle chain (deliberately inline): candidates from the
+        # grouped-pairs expansion, sizes join unhinted (AQE decides) —
+        # two bounded exchanges end to end.
+        "dedup_ngram_jaccard": {"shuffles": ("<=", 2),
+                                "python_stages": 0, "cartesian": False,
+                                "sortmerge_joins": 0},
+        # Lifecycle report paths: the returned relation re-reads the
+        # table the engine just wrote — one partition-key exchange at
+        # most, zero Python, no joins.
+        "engine_partitioned_incremental": {"shuffles": ("<=", 1),
+                                           "python_stages": 0,
+                                           "cartesian": False},
+        # Streaming drain result: the memory-sink table scan must stay
+        # a bare local scan (all the work happened in the micro-batch).
+        "streaming_quotes_ingest": {"shuffles": 0, "python_stages": 0,
+                                    "single_exchanges": 0,
+                                    "cartesian": False},
+    }
+    for name, kw in specs.items():
+        assert_plan(QS[name](spark, SF_DIR), **kw)
