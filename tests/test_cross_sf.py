@@ -296,3 +296,27 @@ def test_matches_oracle_at_sf01(spark, name):
     qs, osql = entrymod.queries(), entrymod.oracle_sql()
     problems = compare(qs[name](spark, SF_UP), osql[name], SF_UP)
     assert not problems, f"{name}@sf0.1: " + "; ".join(problems)
+
+
+def test_new_catalog_additions_have_cross_sf_rows():
+    """Discipline tripwire (r8): every brand-new catalog query (no
+    green driver CORRECTNESS row in any committed record yet) must
+    already be covered by BOTH cross-SF suites before it ships — the
+    r6-late lesson was that gate-SF-only proofs hide defects that only
+    a different vintage exposes. Exemptions: queries whose oracle
+    inlines a gate-SF twin derivation (they carry their own named
+    exclusion comments in the lists above)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import freshness_report as fr
+
+    new = {n for n, rnd in fr.latest_proof_rounds().items() if rnd == 0}
+    osql = entrymod.oracle_sql()
+    covered = set(REPRESENTATIVE) | set(UPSCALE)
+    missing = [n for n in new if n in osql and n not in covered]
+    assert not missing, (
+        f"new queries without cross-SF coverage: {missing} — add them "
+        "to REPRESENTATIVE (sf0.001) and/or UPSCALE (sf0.1)"
+    )
