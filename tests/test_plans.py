@@ -709,6 +709,17 @@ def test_dw_promotion_gate_reports_from_promoted_table(spark):
     )
 
 
+def test_train_prune_linear_scan_broadcast_eval(spark):
+    # The 100 TB (train) side is scanned linearly and never pairwise:
+    # the eval gram set broadcasts into the probe, the only exchanges
+    # are the eval-distinct and the per-doc hit aggregation, nothing
+    # sort-merges, nothing runs in Python.
+    assert_plan(QS["decontaminate_train_prune"](spark, SF_DIR),
+                broadcast_joins=(">=", 2), sortmerge_joins=0,
+                shuffles=("<=", 2), cartesian=False, python_stages=0,
+                nested_loop_joins=0)
+
+
 def test_salted_join_plan_shape(spark):
     # Skew rewrite: the replicated dimension broadcasts (1 broadcast
     # join), the big side shuffles at most once for the final agg, and
