@@ -55,89 +55,93 @@ def entry(spark: SparkSession) -> DataFrame:
 # tests/test_window_guard.py fails if any query whose hash changed
 # since its recorded window is not in the current first 50.
 _ROUND_PRIORITY = [
-    # --- r8 window -------------------------------------------------
-    # 1-33: the ENTIRE remaining r2-era vintage (r7 VERDICT item 1 —
-    # the 33 oldest rows in the record, tools/freshness_report.py
-    # order). Hash-guard-verified unchanged since their r2 proofs, but
-    # those predate the r3+ oracle-harness hardening; after this
-    # window no row in the record is older than r3.
-    "array_agg_customer_priorities",
-    "conditional_agg_priority_matrix",
-    "date_functions_orders",
-    "except_lost_customers",
-    "exists_big_lineitem_orders",
-    "grouping_sets_status_priority",
-    "intersect_repeat_customers",
-    "join_right_outer",
-    "math_functions_balance",
-    "ntile_customer_quartiles",
-    "null_handling_functions",
-    "percentiles_order_value",
-    "q11_important_parts",
-    "q12_shipmode_priority",
-    "q13_order_count_distribution",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "q20_part_promotion_suppliers",
-    "q21_sole_returning_supplier",
-    "q22_dormant_customers",
-    "q2_min_acctbal_supplier",
-    "q8_market_share",
-    "q9_product_profit",
-    "rollup_revenue",
-    "scalar_subquery_pricey_parts",
-    "string_functions_customer",
-    "unpivot_part_measures",
-    "vocab_top_terms",
-    "window_rank_metrics",
-    "window_user_value_delta",
-    # 34-36: r8 reworks.
-    #   curriculum_schedule — exchange cut (r7 VERDICT item 3): the
-    #     quartile thresholds, per-bucket rank offsets, and prefix-sum
-    #     boundaries now fold into ONE collected aggregate over the
-    #     bounded cume-count relation; in-plan exchanges 9 → 3 (pinned
-    #     in tests/test_plans.py), and the prefix sum's separate
-    #     approxQuantile corpus pass is gone.
-    #   decontaminate_eval_join / split_contamination_report — the
-    #     train-gram index is now stored partitioned on
-    #     pmod(xxhash64(gram), 64) and the eval probe statically
-    #     prunes to its grams' buckets (r7 VERDICT item 4; plan-pinned
-    #     PartitionFilters). Same grams, new layout + artifact key —
-    #     both consumers re-prove on the bucketed artifact.
-    "curriculum_schedule",
+    # --- r9 window -------------------------------------------------
+    # 1-19: the ENTIRE remaining r3-era vintage (r8 VERDICT item 1 —
+    # the 19 oldest rows in the record, tools/freshness_report.py
+    # order). After this window no row in the record is older than r4.
+    # zorder_cluster_events doubles as VERDICT item 5 (the only query
+    # >2x nominal vs its earliest record; calib-normalized ~1.37x).
+    "jsonl_gz_roundtrip",
+    "layer_format_policy",
+    "map_functions_props",
+    "merge_upsert_orders",
+    "neardup_rate_by_source",
+    "ngram_bigram_topk",
+    "ohlc_hourly_events",
+    "pipeline_training_corpus",
+    "posexplode_doc_tokens",
+    "profile_orders",
+    "quality_violation_counts",
+    "retention_cohorts",
+    "struct_to_string",
+    "text_token_entropy",
+    "tfidf_top_terms",
+    "union_distinct_keys",
+    "window_first_last_order",
+    "window_percent_rank",
+    "zorder_cluster_events",
+    # 20: r9 rework-adjacent re-proof. operators/dedup.py changed this
+    # round (r8 ADVICE: decontaminate_against_index now materializes
+    # eval_grams itself before the bucket-pruning collect) —
+    # decontaminate_eval_join is that function's only catalog consumer,
+    # so it re-proves on the changed path. (The CONTAM_INDEX_KIND
+    # derivation in queries_curation.py produces the byte-identical
+    # artifact key "contam_train_grams_g64", so no other consumer's
+    # behavior moved.)
     "decontaminate_eval_join",
-    "split_contamination_report",
-    # 37: r8 addition (inside the window, per the cap rule):
-    #   decontaminate_train_prune — the train-side keep-list (the
-    #     corpus-pruning deliverable; linear train scan + broadcast
-    #     eval gram set, the mirror shape of the eval-side probe).
-    "decontaminate_train_prune",
-    # 38-50: freshness re-checks of the NOW-oldest (r3-era) rows — the
-    # first 13 of the 32 in tools/freshness_report.py order. The
-    # remaining 19 queue for r9: jsonl_gz_roundtrip,
-    # layer_format_policy, map_functions_props, merge_upsert_orders,
-    # neardup_rate_by_source, ngram_bigram_topk, ohlc_hourly_events,
-    # pipeline_training_corpus, posexplode_doc_tokens, profile_orders,
-    # quality_violation_counts, retention_cohorts, struct_to_string,
-    # text_token_entropy, tfidf_top_terms, union_distinct_keys,
-    # window_first_last_order, window_percent_rank,
-    # zorder_cluster_events.
-    "anomaly_zscore_daily",
-    "bm25_retrieval",
-    "bucketed_join_revenue",
-    "cooccurrence_pmi_topk",
-    "dedup_keep_best_quality",
-    "dedup_keep_list",
-    "dedup_minhash_components",
-    "doc_length_percentile_filter",
-    "embedding_centroids_by_label",
-    "embedding_quantize_int8",
-    "exact_distinct_users_daily",
-    "funnel_user_conversion",
-    "histogram_order_totals",
+    # 21-22: r9 rework-adjacent re-proofs. operators/similarity.py
+    # changed (r8 VERDICT item 6 sliver-file audit: ivf_write_index now
+    # repartitions on cluster before its partitionBy write) — these two
+    # are the materialized IVF index's only catalog consumers, so both
+    # re-prove on the new layout. semdedup_prune doubles as an r4-era
+    # freshness retire.
+    "ann_ivf_topk",
+    "semdedup_prune",
+    # 23: sinks/table_writer.py changed (same audit):
+    # one_file_per_partition now defaults ON in TableWriter.load_table —
+    # engine_partitioned_incremental is the only catalog query whose
+    # TableWriter write names partition columns (pipeline_dag_build /
+    # engine_sql_file_build / dw_promotion_gate write unpartitioned),
+    # so it re-proves the engine's partitioned path on the new default.
+    "engine_partitioned_incremental",
+    # 24-50: freshness re-checks of the NOW-oldest (r4-era) rows — the
+    # first 27 of the 44 in tools/freshness_report.py order (plus
+    # semdedup_prune above = 28 of the vintage retired). The remaining
+    # 16 queue for r10: referential_integrity_report,
+    # runtime_bloom_join_revenue, scd2_point_in_time_join,
+    # schema_evolution_union, skew_key_report,
+    # streaming_dedup_within_watermark, streaming_scd1_user_state,
+    # train_split_assign, value_drift_report, vocab_id_assign,
+    # vocab_oov_rate, weighted_median_price, weighted_sample_topk,
+    # zipf_frequency_report, zonemap_pruning_report,
+    # zscore_doc_length_by_source.
+    "asof_forward_purchase_window",
+    "cdc_changelog_apply",
+    "chi_square_type_by_dow",
+    "chunk_dedup_rewrite",
+    "compact_small_files",
+    "correlation_matrix_lineitem",
+    "data_card_report",
+    "dedup_component_size_histogram",
+    "dedup_graph_triangles",
+    "dedup_prefix_containment",
+    "events_debounce",
+    "ewma_daily_value",
+    "fertility_by_source",
+    "filter_funnel_report",
+    "fixed_size_per_group_sample",
+    "higher_order_array_funcs",
+    "incremental_agg_maintenance",
+    "k_anonymity_audit",
+    "kmv_jaccard_event_types",
+    "lm_surprise_filter",
+    "media_frame_energy",
+    "media_phash_neardup",
+    "mlm_token_masking",
+    "mode_priority_by_segment",
+    "partition_checksums",
+    "phrase_search_positions",
+    "pivot_multi_agg_daily",
 ]
 
 

@@ -324,18 +324,25 @@ def run_chunk(names: list[str]) -> dict[str, float]:
         # corpus-admission build — record that cost in the notes
         # (same honesty split as dedup_incremental_batch below) so the
         # "steady-state cost is eval-sized" framing stays auditable.
+        # Drop the artifact first so EVERY bench run records a true
+        # cold build (r8 VERDICT item 4: when a prior run's artifact
+        # survived on disk, the note silently vanished from the final
+        # BENCH_FULL re-run and the corpus-admission cost went
+        # unrecorded). The rebuild is untimed w.r.t. the query window —
+        # same two-phase honesty split as dedup_incremental_batch.
+        import shutil
+
         idx_path = scratch_path(
             CONTAM_INDEX_KIND, os.path.join(SF_DIR, "documents.parquet")
         )
-        cold = not os.path.exists(idx_path)
+        shutil.rmtree(idx_path, ignore_errors=True)
         t0 = time.perf_counter()
         train_gram_index(spark, SF_DIR).limit(1).write.format("noop").mode(
             "overwrite"
         ).save()
-        if cold:
-            notes["train_gram_index_cold_build_s"] = round(
-                time.perf_counter() - t0, 3
-            )
+        notes["train_gram_index_cold_build_s"] = round(
+            time.perf_counter() - t0, 3
+        )
         warmed = True
     if "dedup_incremental_batch" in names:
         # Two-phase timing (r7 VERDICT item 6): split the one-time band
@@ -424,8 +431,14 @@ def run_chunk(names: list[str]) -> dict[str, float]:
                 ratio = cur_blas / rec_blas
     except (OSError, ValueError):
         pass
+    # The absolute cutoff scales with the calibration ratio too (r8
+    # ADVICE): unscaled, a query recorded near 1.0-1.1 s measures above
+    # 1.5 s on a ~1.5x-slower box and silently falls out of drift
+    # pinning — the exact same-code spread the gate exists to absorb.
     for name, t in list(timings.items()):
-        if t <= 1.5 and t > 1.4 * ratio * prior.get(name, float("inf")):
+        if t <= 1.5 * ratio and t > 1.4 * ratio * prior.get(
+            name, float("inf")
+        ):
             timings[name] = min(t, timed(name))
     if notes:
         timings["__notes__"] = notes  # split out by main(), never summed

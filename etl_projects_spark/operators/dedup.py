@@ -417,8 +417,11 @@ def incremental_neardup(
 # into. 64 keeps directory counts trivial while already giving a small
 # eval suite (whose distinct grams rarely cover every bucket) a real
 # scan cut; at 100 TB the same layout holds — raise the constant with
-# corpus size (it only changes which vintage-keyed artifact is built,
-# never results).
+# corpus size. Safe to raise (r8 ADVICE): the artifact kind is DERIVED
+# from this constant (queries_curation.CONTAM_INDEX_KIND embeds it), so
+# a bump retires the old artifact key instead of probing a stale
+# 64-bucket layout with new-modulus bucket ids — which would silently
+# prune away true contamination hits.
 GRAM_INDEX_BUCKETS = 64
 
 
@@ -441,8 +444,9 @@ def decontaminate_against_index(
     ``eval_grams``: (doc_id, gram), DISTINCT per document (the
     caller's contract) — the eval suite. Eval suites are small by
     definition (benchmarks are MBs; the train corpus is the 100 TB
-    side), so this side broadcasts. MATERIALIZED by the caller: the
-    bucket-pruning collect below is an extra action over it.
+    side), so this side broadcasts. Materialized HERE before the
+    bucket-pruning collect (an extra action over it); callers that
+    already pinned it pay nothing.
     ``gram_index``: (gram), distinct — the stored train-gram index (a
     ``build_once`` parquet artifact), scanned in place. When it
     carries the ``gbucket`` partition column (written via
@@ -465,6 +469,16 @@ def decontaminate_against_index(
     shuffle, independent of how the train corpus grows.
     """
     if "gbucket" in gram_index.columns:
+        # Pin eval_grams BEFORE the bucket collect (r8 ADVICE): the
+        # collect and the broadcast probe below are two separate
+        # actions over the same relation — were it lazy over a
+        # nondeterministic source, its grams could hash to different
+        # buckets between the two, and the static PartitionFilter
+        # would silently drop true hits. Idempotent when the caller
+        # already materialized (persist on a persisted plan is a
+        # no-op and the count reads the populated cache), so the
+        # docstring contract is now enforced, not just documented.
+        eval_grams = materialize(eval_grams)
         buckets = [
             r[0]
             for r in eval_grams.select(gram_bucket("gram"))

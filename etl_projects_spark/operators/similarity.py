@@ -432,7 +432,22 @@ def ivf_write_index(
 
     cents = ivf_centroids(df, n_centroids, vec_col=vec_col, id_col=id_col)
     assigned = ivf_assign(df, cents, vec_col=vec_col, id_col=id_col)
-    assigned.write.mode("overwrite").partitionBy("cluster").parquet(path)
+    (
+        # Repartition on the partition key before partitionBy (the r8
+        # sliver-file audit, same fix as the train-gram index): the
+        # assignment keeps the scan's partitioning, so a direct write
+        # sprays every task into every cluster directory —
+        # tasks×clusters tiny files that each probe then pays to list
+        # and open. Hash-repartitioning on cluster lands each cluster
+        # wholly in one task → one file per directory; at corpus sizes
+        # where one file per cluster is too coarse, maxRecordsPerFile
+        # (not more write tasks per cluster) is the splitting knob
+        # that keeps directories prunable.
+        assigned.repartition("cluster")
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(path)
+    )
     with open(os.path.join(path, "_ivf_centroids.json"), "w") as f:
         json.dump(cents.tolist(), f)
     return cents

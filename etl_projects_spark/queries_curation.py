@@ -1553,12 +1553,16 @@ def _contam_grams(rel: DataFrame) -> DataFrame:
     )
 
 
-# Kind carries the layout (g64 = gbucket-partitioned, 64 buckets):
-# bumping it retires a differently-shaped artifact (same sentinel)
-# instead of silently reusing it. Exported so bench.py can locate the
-# artifact to attribute its cold-build cost without duplicating the
-# string (a drifted copy would silently probe the wrong path).
-CONTAM_INDEX_KIND = "contam_train_grams_g64"
+# Kind carries the layout (g{N} = gbucket-partitioned, N buckets),
+# DERIVED from the one bucket constant (r8 ADVICE): a literal here let
+# someone raise dedup.GRAM_INDEX_BUCKETS while build_once kept serving
+# the stale 64-bucket artifact — probes would hash grams mod the new
+# count and the static gbucket PartitionFilter would silently drop
+# true contamination hits. Deriving the key means a bucket bump
+# retires the old artifact by construction. Exported so bench.py can
+# locate the artifact to attribute its cold-build cost without
+# duplicating the string.
+CONTAM_INDEX_KIND = f"contam_train_grams_g{dedup.GRAM_INDEX_BUCKETS}"
 
 
 def train_gram_index(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -53,7 +53,7 @@ class TableWriter:
         partitions: Sequence[str] = (),
         mode: str = "overwrite",
         storage: StorageFormat | None = None,
-        one_file_per_partition: bool = False,
+        one_file_per_partition: bool = True,
         cluster_by: Sequence[str] = (),
         **options: str,
     ) -> str:
@@ -73,7 +73,14 @@ class TableWriter:
         path = self.table_path(database, table)
         if partitions and one_file_per_partition:
             # One shuffle keyed by the Hive partition columns → exactly one
-            # task (and so one file) per output partition.
+            # task (and so one file) per output partition. Default-ON
+            # (r8 VERDICT item 6, the sliver-file audit): without it a
+            # partitioned write keeps the upstream partitioning and
+            # every task sprays a file into every partition directory —
+            # tasks×partitions tiny files at cluster scale. A partition
+            # too big for one task splits by maxRecordsPerFile below
+            # (files stay prunable); callers with a pre-co-located df
+            # can opt out to skip the redundant exchange.
             df = df.repartition(*partitions)
         if cluster_by:
             df = df.sortWithinPartitions(*cluster_by)

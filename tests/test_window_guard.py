@@ -55,38 +55,54 @@ def test_catalog_and_plans_records_are_fresh():
         f"queries missing from PLANS.md: {missing_plans[:5]} — "
         "run tools/gen_plans.py"
     )
+    # The catalog's plan columns must AGREE with PLANS.md (r8 ADVICE:
+    # a hand-edited CATALOG.md shipped '?' plan columns and a stale
+    # shuffle count for a file whose header says it is generated).
+    import re as _re
+
+    plan_cols: dict[str, tuple[str, str]] = {}
+    for line in plans.splitlines():
+        m = _re.match(
+            r"\| (\S+) \| (\d+) \| (\d+) \| (\d+) \| (\S+) \| (\d+) \|", line
+        )
+        if m:
+            plan_cols[m.group(1)] = (m.group(4), m.group(6))
+    stale = []
+    for line in catalog.splitlines():
+        m = _re.match(r"\| \S+ \| `(\S+)` \| .* \| (\S+) \| (\S+) \|$", line)
+        if m and m.group(1) in plan_cols:
+            if (m.group(2), m.group(3)) != plan_cols[m.group(1)]:
+                stale.append(m.group(1))
+    assert not stale, (
+        f"CATALOG.md plan columns disagree with PLANS.md: {stale[:5]} — "
+        "run tools/gen_catalog.py after tools/gen_plans.py"
+    )
 
 
-def test_r8_rotation_heads_the_window():
-    # r8 window invariants: the ENTIRE r2-era vintage (33 rows, r7
-    # VERDICT item 1) leads, the r8 reworks (curriculum exchange cut,
-    # gram-bucketed decontamination index) and the one addition are
-    # inside the driver's 50-query sample.
+def test_r9_rotation_heads_the_window():
+    # r9 window invariants: the ENTIRE r3-era vintage (19 rows, r8
+    # VERDICT item 1) leads, and every query whose execution path was
+    # touched this round (dedup.py eval-gram materialize,
+    # similarity.py IVF-index repartition-first, table_writer.py
+    # one_file_per_partition default) is inside the driver's 50-query
+    # sample.
     window = wh.window_names()
-    r2_vintage = {
-        "array_agg_customer_priorities", "conditional_agg_priority_matrix",
-        "date_functions_orders", "except_lost_customers",
-        "exists_big_lineitem_orders", "grouping_sets_status_priority",
-        "intersect_repeat_customers", "join_right_outer",
-        "math_functions_balance", "ntile_customer_quartiles",
-        "null_handling_functions", "percentiles_order_value",
-        "q11_important_parts", "q12_shipmode_priority",
-        "q13_order_count_distribution", "q15_top_supplier",
-        "q16_supplier_part_counts", "q17_small_quantity_revenue",
-        "q18_large_orders", "q19_disjunctive_revenue",
-        "q20_part_promotion_suppliers", "q21_sole_returning_supplier",
-        "q22_dormant_customers", "q2_min_acctbal_supplier",
-        "q8_market_share", "q9_product_profit", "rollup_revenue",
-        "scalar_subquery_pricey_parts", "string_functions_customer",
-        "unpivot_part_measures", "vocab_top_terms",
-        "window_rank_metrics", "window_user_value_delta",
+    r3_vintage = {
+        "jsonl_gz_roundtrip", "layer_format_policy", "map_functions_props",
+        "merge_upsert_orders", "neardup_rate_by_source",
+        "ngram_bigram_topk", "ohlc_hourly_events",
+        "pipeline_training_corpus", "posexplode_doc_tokens",
+        "profile_orders", "quality_violation_counts", "retention_cohorts",
+        "struct_to_string", "text_token_entropy", "tfidf_top_terms",
+        "union_distinct_keys", "window_first_last_order",
+        "window_percent_rank", "zorder_cluster_events",
     }
-    assert r2_vintage <= set(window[:33])
+    assert r3_vintage <= set(window[:19])
     reworked = {
-        "curriculum_schedule",
         "decontaminate_eval_join",
-        "split_contamination_report",
-        "decontaminate_train_prune",  # r8 addition
+        "ann_ivf_topk",
+        "semdedup_prune",
+        "engine_partitioned_incremental",
     }
     assert reworked <= set(window)
 
