@@ -70,6 +70,15 @@ def test_partitioned_write_and_pruning(engine):
     df = engine.spark.read.parquet(path).filter(F.col("year") == 1995)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan or df.count() > 0
+    # One data file per partition directory (r9: one_file_per_partition
+    # defaults ON — without the repartition every task sprays a file
+    # into every year dir, tasks x years slivers at cluster scale).
+    for d in years:
+        files = [
+            f for f in os.listdir(os.path.join(path, d))
+            if f.endswith(".parquet")
+        ]
+        assert len(files) == 1, f"{d}: {len(files)} files (sliver write)"
 
 
 def test_incremental_rerun_idempotent(engine):

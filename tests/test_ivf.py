@@ -60,6 +60,17 @@ def test_ivf_partitioned_index_prunes_and_matches(spark, tmp_path):
 
     scan_dirs = [d for d in os.listdir(path) if d.startswith("cluster=")]
     assert len(scan_dirs) == similarity.IVF_CENTROIDS
+    # One data file per cluster directory (the r9 sliver-file fix:
+    # the write repartitions on cluster first — without it every scan
+    # task sprays a file into every directory, tasks x clusters tiny
+    # files that each probe pays to list and open).
+    for d in scan_dirs:
+        files = [
+            f
+            for f in os.listdir(os.path.join(path, d))
+            if f.endswith(".parquet")
+        ]
+        assert len(files) == 1, f"{d}: {len(files)} files (sliver write)"
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "cluster" in plan
     assert "cluster#" in plan.split("PartitionFilters", 1)[1][:200]
