@@ -1,0 +1,144 @@
+"""Mechanical guards for SCALE.md's held-everywhere invariants.
+
+`tests/test_plans.py` pins the physical plans of specific queries;
+these guards pin the SOURCE-LEVEL invariants across the whole engine,
+so a future edit can't quietly add a driver-side materialization, a
+row-at-a-time UDF, or an RDD hop without consciously updating the
+documented allowlist here (and its justification in SCALE.md). AST,
+not grep: comments and docstrings that merely mention an API don't
+count as call sites.
+"""
+
+from __future__ import annotations
+
+import ast
+import os
+
+ROOT = os.path.join(os.path.dirname(__file__), "..", "etl_projects_spark")
+
+
+def _engine_sources():
+    for dirpath, _dirs, files in os.walk(ROOT):
+        if "__pycache__" in dirpath:
+            continue
+        for fname in sorted(files):
+            if not fname.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, fname)
+            rel = os.path.relpath(path, ROOT).replace(os.sep, "/")
+            yield rel, ast.parse(open(path).read())
+
+
+def _method_call_sites(method_names: set[str]) -> dict[str, int]:
+    """Per-file count of ``<expr>.<name>(...)`` call sites."""
+    out: dict[str, int] = {}
+    for rel, tree in _engine_sources():
+        n = sum(
+            1
+            for node in ast.walk(tree)
+            if isinstance(node, ast.Call)
+            and isinstance(node.func, ast.Attribute)
+            and node.func.attr in method_names
+        )
+        if n:
+            out[rel] = n
+    return out
+
+
+def test_driver_side_materialization_allowlist():
+    """SCALE.md invariant 1: every collect()/toPandas() pulls a BOUNDED
+    artifact documented as a contract. A new site must be justified in
+    SCALE.md ('Known bounded-driver contracts') and added here."""
+    allowed = {
+        # JSON key-name collect + bounded type sample (P7 inference).
+        "operators/dataframe_ops.py": 2,
+        # gbucket pruning: distinct buckets of the (materialized) eval
+        # gram relation — ≤ GRAM_INDEX_BUCKETS rows by pigeonhole.
+        "operators/dedup.py": 1,
+        # IVF codebook sample (bounded rows), single probe vectors,
+        # bounded query batch (contract), PCA basis sample.
+        "operators/similarity.py": 4,
+        # 1-row skew-stats aggregate.
+        "operators/skew.py": 1,
+        # S6 control-file roundtrip: a handful of control rows.
+        "queries_lifecycle.py": 1,
+        # curriculum_schedule's ONE collected aggregate row (the r8
+        # exchange cut folded thresholds/offsets/boundaries into it).
+        "queries_curation.py": 1,
+        # ann_ivf_topk's single probe vector.
+        "queries_llm.py": 1,
+    }
+    got = _method_call_sites({"collect", "toPandas"})
+    assert got == allowed, (
+        f"driver-side materialization sites changed: {got} != {allowed} — "
+        "if the new site pulls a bounded artifact, document it in "
+        "SCALE.md 'Known bounded-driver contracts' and update this "
+        "allowlist; if it can grow with the data, redesign it."
+    )
+
+
+def test_no_row_at_a_time_python_udfs():
+    """SCALE.md invariant 4: Python only in Arrow batches. Row-at-a-time
+    ``udf(...)`` is 10-100x slower and has no place in the engine
+    (pandas_udf / mapInPandas / applyInPandas are the sanctioned
+    Python surfaces)."""
+    got = _method_call_sites({"udf"})
+    for rel, tree in _engine_sources():
+        n = sum(
+            1
+            for node in ast.walk(tree)
+            if isinstance(node, ast.Call)
+            and isinstance(node.func, ast.Name)
+            and node.func.id == "udf"
+        )
+        if n:
+            got[rel] = got.get(rel, 0) + n
+    assert got == {}, f"row-at-a-time Python UDFs introduced: {got}"
+
+
+def test_rdd_surface_is_partition_introspection_only():
+    """DataFrame-first: the only .rdd uses are getNumPartitions reads
+    (adaptive repartition / fan_out), never RDD compute hops."""
+    bad: dict[str, int] = {}
+    for rel, tree in _engine_sources():
+        for node in ast.walk(tree):
+            if not (isinstance(node, ast.Attribute) and node.attr == "rdd"):
+                continue
+            # benign shape: <df>.rdd.getNumPartitions() — the parent
+            # Call is matched separately below; here flag any .rdd
+            # whose enclosing expression is not that exact chain.
+            bad[rel] = bad.get(rel, 0) + 1
+        for node in ast.walk(tree):
+            if (
+                isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Attribute)
+                and node.func.attr == "getNumPartitions"
+                and isinstance(node.func.value, ast.Attribute)
+                and node.func.value.attr == "rdd"
+            ):
+                bad[rel] -= 1
+                if not bad[rel]:
+                    del bad[rel]
+    assert bad == {}, f"RDD compute surface introduced: {bad}"
+
+
+def test_cross_join_sites_are_broadcast_bounded_relations():
+    """SCALE.md invariant 2: crossJoin only ever broadcasts tiny
+    bounded relations (corpus totals, thresholds, codebooks). Pin the
+    count per file so a new cartesian must be consciously justified
+    (test_plans.py separately pins cartesian=False on executed
+    plans)."""
+    got = _method_call_sites({"crossJoin"})
+    allowed = {
+        "queries_curation.py": 2,
+        "queries_llm.py": 7,
+        "queries_mixing.py": 1,
+        "queries_quality.py": 1,
+        "queries_sql.py": 2,
+        "queries_timeseries.py": 2,
+    }
+    assert got == allowed, (
+        f"crossJoin sites changed: {got} != {allowed} — a new site must "
+        "broadcast a bounded (usually 1-row) relation; update the "
+        "allowlist with why."
+    )
