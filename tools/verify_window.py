@@ -33,7 +33,23 @@ def main() -> int:
     ap.add_argument(
         "--names", default="", help="comma-separated subset (overrides --n)"
     )
+    ap.add_argument(
+        "--cold",
+        action="store_true",
+        help="clear this repo's /tmp scratch artifacts (spark_graft_*) "
+        "first, emulating the driver's fresh box: every build_once "
+        "index (LSH bands, IVF clusters, train grams, stored sets) is "
+        "rebuilt by the queries themselves — catches first-build and "
+        "artifact-layout defects that warm local runs mask (r9 gate)",
+    )
     args = ap.parse_args()
+
+    if args.cold:
+        import glob
+        import shutil
+
+        for d in glob.glob("/tmp/spark_graft_*"):
+            shutil.rmtree(d, ignore_errors=True)
 
     from pyspark.sql import SparkSession
 
