@@ -433,17 +433,18 @@ def ivf_write_index(
     cents = ivf_centroids(df, n_centroids, vec_col=vec_col, id_col=id_col)
     assigned = ivf_assign(df, cents, vec_col=vec_col, id_col=id_col)
     (
-        # Repartition on the partition key before partitionBy (the r8
+        # Rebalance on the partition key before partitionBy (the r8
         # sliver-file audit, same fix as the train-gram index): the
         # assignment keeps the scan's partitioning, so a direct write
         # sprays every task into every cluster directory —
         # tasks×clusters tiny files that each probe then pays to list
-        # and open. Hash-repartitioning on cluster lands each cluster
-        # wholly in one task → one file per directory; at corpus sizes
-        # where one file per cluster is too coarse, maxRecordsPerFile
-        # (not more write tasks per cluster) is the splitting knob
-        # that keeps directories prunable.
-        assigned.repartition("cluster")
+        # and open. The REBALANCE hint lands each small cluster wholly
+        # in one task (one file per directory) while AQE splits a
+        # giant cluster across tasks at the advisory size — at 100 TB
+        # a hot IVF cell never funnels through one writer the way
+        # plain repartition("cluster") would, and its directory stays
+        # prunable (several advisory-sized files, not one huge one).
+        assigned.hint("rebalance", "cluster")
         .write.mode("overwrite")
         .partitionBy("cluster")
         .parquet(path)

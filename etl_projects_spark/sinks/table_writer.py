@@ -72,16 +72,24 @@ class TableWriter:
         fmt = storage or layer_storage_format(layer)
         path = self.table_path(database, table)
         if partitions and one_file_per_partition:
-            # One shuffle keyed by the Hive partition columns → exactly one
-            # task (and so one file) per output partition. Default-ON
-            # (r8 VERDICT item 6, the sliver-file audit): without it a
-            # partitioned write keeps the upstream partitioning and
-            # every task sprays a file into every partition directory —
-            # tasks×partitions tiny files at cluster scale. A partition
-            # too big for one task splits by maxRecordsPerFile below
-            # (files stay prunable); callers with a pre-co-located df
-            # can opt out to skip the redundant exchange.
-            df = df.repartition(*partitions)
+            # REBALANCE (not plain repartition) keyed by the Hive
+            # partition columns. Default-ON (r8 VERDICT item 6, the
+            # sliver-file audit): without the shuffle a partitioned
+            # write keeps the upstream partitioning and every task
+            # sprays a file into every partition directory —
+            # tasks×partitions tiny files at cluster scale. The
+            # rebalance hint beats repartition(*partitions) at BOTH
+            # ends (measured, SCALE.md invariant 7): small partition
+            # values still land wholly in one task → one file per
+            # directory, while AQE splits an oversized value across
+            # tasks at the advisory partition size (verified: a 98%
+            # skewed key wrote 4 advisory-sized files while the tiny
+            # keys kept 1 each) — plain repartition would funnel a
+            # 100 TB-table's single hot partition through ONE task.
+            # Without AQE the hint degrades to the plain hash shuffle,
+            # never to the sliver shape. Callers with a pre-co-located
+            # df can opt out to skip the redundant exchange.
+            df = df.hint("rebalance", *partitions)
         if cluster_by:
             df = df.sortWithinPartitions(*cluster_by)
         writer = (
