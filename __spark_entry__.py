@@ -104,12 +104,19 @@ _ROUND_PRIORITY = [
     # engine_sql_file_build / dw_promotion_gate write unpartitioned),
     # so it re-proves the engine's partitioned path on the new default.
     "engine_partitioned_incremental",
-    # 24-50: freshness re-checks of the NOW-oldest (r4-era) rows — the
-    # first 27 of the 44 in tools/freshness_report.py order (plus
-    # semdedup_prune above = 28 of the vintage retired). The remaining
-    # 16 queue for r10: referential_integrity_report,
-    # runtime_bloom_join_revenue, scd2_point_in_time_join,
-    # schema_evolution_union, skew_key_report,
+    # 24: dedup_incremental_batch — its persisted LSH band-index build
+    # moved from repartition(LSH_BANDS, "band") to the REBALANCE hint
+    # (the last fixed-width partitioned write; 4 writer tasks can't
+    # build a 100 TB index). Re-proves cold on the new layout.
+    # (streaming_incremental_dedup builds its index IN-MEMORY from the
+    # static sets — it never reads this artifact, so it is unaffected.)
+    "dedup_incremental_batch",
+    # 25-50: freshness re-checks of the NOW-oldest (r4-era) rows — the
+    # first 26 of the 44 in tools/freshness_report.py order (plus
+    # semdedup_prune above = 27 of the vintage retired). The remaining
+    # 17 queue for r10: pivot_multi_agg_daily,
+    # referential_integrity_report, runtime_bloom_join_revenue,
+    # scd2_point_in_time_join, schema_evolution_union, skew_key_report,
     # streaming_dedup_within_watermark, streaming_scd1_user_state,
     # train_split_assign, value_drift_report, vocab_id_assign,
     # vocab_oov_rate, weighted_median_price, weighted_sample_topk,
@@ -141,7 +148,6 @@ _ROUND_PRIORITY = [
     "mode_priority_by_segment",
     "partition_checksums",
     "phrase_search_positions",
-    "pivot_multi_agg_daily",
 ]
 
 

@@ -1154,10 +1154,17 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         existing_sigs = dedup.minhash_signatures_from_sets(sets.filter(~is_new))
         # Band-partitioned layout: at scale each probe prunes to its
         # band's partition; here it also keeps the write at one file
-        # per band.
+        # per band. REBALANCE, not repartition(LSH_BANDS, "band")
+        # (r9, the last fixed-width partitioned write): with only
+        # LSH_BANDS=4 distinct values a plain repartition builds the
+        # whole 100 TB-corpus index through 4 writer tasks — the hint
+        # keeps each band in one task (one file per directory) at this
+        # scale and lets AQE split a band across tasks at the advisory
+        # size when the corpus outgrows it, so the one-time build
+        # parallelizes while the directories stay prunable.
         (
             dedup.melt_bands(existing_sigs)
-            .repartition(dedup.LSH_BANDS, "band")
+            .hint("rebalance", "band")
             .write.mode("overwrite")
             .partitionBy("band")
             .parquet(tmp)

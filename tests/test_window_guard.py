@@ -103,6 +103,7 @@ def test_r9_rotation_heads_the_window():
         "ann_ivf_topk",
         "semdedup_prune",
         "engine_partitioned_incremental",
+        "dedup_incremental_batch",
     }
     assert reworked <= set(window)
 
