@@ -1,0 +1,76 @@
+"""Repeat-run determinism gate: execute each catalog query TWICE in one
+vanilla session and require IDENTICAL canonical value sets.
+
+The oracle compare (tools/verify_window.py) proves Spark == DuckDB on
+one execution; it can only catch WITHIN-SPARK nondeterminism when the
+flaky run happens to be the one compared. This check targets that
+class directly — the traps DETERMINISM.md records (RangePartitioner
+boundary re-sampling between plan branches, raced lazy caches, rand()
+anywhere, first()/limit() without a total order) all show up as two
+executions of the same plan disagreeing with each other, no oracle
+needed. Artifact-backed queries (build_once) get their build on run 1
+and a pure read on run 2, so a builder that writes different content
+than steady-state reads also fails here.
+
+Usage:
+    python tools/repeat_check.py             # first 50 (driver window)
+    python tools/repeat_check.py --n 251     # whole catalog
+    python tools/repeat_check.py --names a,b
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+sys.path.insert(0, os.path.join(ROOT, "tests"))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=50)
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--names", default="")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.master("local[8]").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+    from oracle_check import canonical_pdf
+
+    qs = entrymod.queries()
+    names = (
+        [n for n in args.names.split(",") if n]
+        if args.names
+        else list(qs)[: args.n]
+    )
+    bad = 0
+    for name in names:
+        try:
+            a = canonical_pdf(qs[name](spark, args.sf_dir).toPandas())
+            b = canonical_pdf(qs[name](spark, args.sf_dir).toPandas())
+            if a != b:
+                bad += 1
+                diff = [
+                    (x, y) for x, y in zip(a[1], b[1]) if x != y
+                ][:3]
+                print(
+                    f"{name}: NONDETERMINISTIC "
+                    f"(cols {a[0] == b[0]}, rows {len(a[1])}/{len(b[1])}, "
+                    f"first diffs {diff})"
+                )
+        except Exception as ex:
+            bad += 1
+            print(f"{name}: ERROR {str(ex).splitlines()[0][:200]}")
+    print(f"repeat check: {len(names) - bad}/{len(names)} STABLE")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
