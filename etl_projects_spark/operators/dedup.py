@@ -444,9 +444,10 @@ def decontaminate_against_index(
     ``eval_grams``: (doc_id, gram), DISTINCT per document (the
     caller's contract) — the eval suite. Eval suites are small by
     definition (benchmarks are MBs; the train corpus is the 100 TB
-    side), so this side broadcasts. Materialized HERE before the
-    bucket-pruning collect (an extra action over it); callers that
-    already pinned it pay nothing.
+    side), so this side broadcasts. Snapshotted HERE to a driver-local
+    relation before the bucket-pruning collect, so the collect and the
+    probe are guaranteed to see the same grams without pinning a
+    persisted relation for the session.
     ``gram_index``: (gram), distinct — the stored train-gram index (a
     ``build_once`` parquet artifact), scanned in place. When it
     carries the ``gbucket`` partition column (written via
@@ -469,16 +470,24 @@ def decontaminate_against_index(
     shuffle, independent of how the train corpus grows.
     """
     if "gbucket" in gram_index.columns:
-        # Pin eval_grams BEFORE the bucket collect (r8 ADVICE): the
-        # collect and the broadcast probe below are two separate
-        # actions over the same relation — were it lazy over a
-        # nondeterministic source, its grams could hash to different
-        # buckets between the two, and the static PartitionFilter
-        # would silently drop true hits. Idempotent when the caller
-        # already materialized (persist on a persisted plan is a
-        # no-op and the count reads the populated cache), so the
-        # docstring contract is now enforced, not just documented.
-        eval_grams = materialize(eval_grams)
+        # Snapshot eval_grams to a driver-local relation BEFORE the
+        # bucket collect (r8 ADVICE lineage): the collect and the
+        # broadcast probe below are two separate actions over the same
+        # relation — were it lazy over a nondeterministic source, its
+        # grams could hash to different buckets between the two, and
+        # the static PartitionFilter would silently drop true hits.
+        # A LOCAL snapshot (not persist+count, the r8 shape) makes
+        # both actions read byte-identical grams BY CONSTRUCTION and
+        # pins nothing in the executor cache for the session (r9
+        # ADVICE: the persist here leaked one pinned relation per
+        # invocation with no handle to release it). Driver traffic is
+        # unchanged: the eval side is small by contract and the
+        # F.broadcast below already ships the whole relation through
+        # the driver — the snapshot is the same bytes, once.
+        spark = eval_grams.sparkSession
+        eval_grams = spark.createDataFrame(
+            eval_grams.toPandas(), schema=eval_grams.schema
+        )
         buckets = [
             r[0]
             for r in eval_grams.select(gram_bucket("gram"))

@@ -52,9 +52,11 @@ def test_driver_side_materialization_allowlist():
     allowed = {
         # JSON key-name collect + bounded type sample (P7 inference).
         "operators/dataframe_ops.py": 2,
-        # gbucket pruning: distinct buckets of the (materialized) eval
-        # gram relation — ≤ GRAM_INDEX_BUCKETS rows by pigeonhole.
-        "operators/dedup.py": 1,
+        # gbucket pruning: (a) the eval-gram snapshot — small by the
+        # decontamination contract, and the same bytes the F.broadcast
+        # ships through the driver anyway; (b) distinct buckets of that
+        # snapshot — ≤ GRAM_INDEX_BUCKETS rows by pigeonhole.
+        "operators/dedup.py": 2,
         # IVF codebook sample (bounded rows), single probe vectors,
         # bounded query batch (contract), PCA basis sample.
         "operators/similarity.py": 4,

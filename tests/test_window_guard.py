@@ -68,14 +68,30 @@ def test_catalog_and_plans_records_are_fresh():
         if m:
             plan_cols[m.group(1)] = (m.group(4), m.group(6))
     stale = []
+    compared = 0
     for line in catalog.splitlines():
         m = _re.match(r"\| \S+ \| `(\S+)` \| .* \| (\S+) \| (\S+) \|$", line)
         if m and m.group(1) in plan_cols:
+            compared += 1
             if (m.group(2), m.group(3)) != plan_cols[m.group(1)]:
                 stale.append(m.group(1))
     assert not stale, (
         f"CATALOG.md plan columns disagree with PLANS.md: {stale[:5]} — "
         "run tools/gen_catalog.py after tools/gen_plans.py"
+    )
+    # The cross-check itself must not rot (r9 ADVICE): if either
+    # table's row format drifts, both regexes stop matching and the
+    # stale list above stays empty VACUOUSLY. Pin that every catalog
+    # query was actually parsed out of both files and compared.
+    assert len(plan_cols) >= len(names), (
+        f"PLANS.md row regex matched only {len(plan_cols)} of "
+        f"{len(names)} queries — the table format drifted and the "
+        "plan-column cross-check went vacuous"
+    )
+    assert compared >= len(names), (
+        f"CATALOG.md row regex matched only {compared} of {len(names)} "
+        "queries — the table format drifted and the plan-column "
+        "cross-check went vacuous"
     )
 
 

@@ -68,6 +68,20 @@ def main() -> int:
         except Exception as ex:
             bad += 1
             print(f"{name}: ERROR {str(ex).splitlines()[0][:200]}")
+            # A failed run can leave a partially-built build_once
+            # artifact on disk; later queries sharing it would then
+            # read a half-built index and fail (or pass) for unrelated
+            # reasons (r9 ADVICE). Clear ALL scratch artifacts so every
+            # subsequent query starts clean — rebuild cost is only paid
+            # on the already-failing path.
+            import glob
+            import shutil
+            import tempfile
+
+            for d in glob.glob(
+                os.path.join(tempfile.gettempdir(), "spark_graft_*")
+            ):
+                shutil.rmtree(d, ignore_errors=True)
     print(f"repeat check: {len(names) - bad}/{len(names)} STABLE")
     return 1 if bad else 0
 

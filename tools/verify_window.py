@@ -36,7 +36,7 @@ def main() -> int:
     ap.add_argument(
         "--cold",
         action="store_true",
-        help="clear this repo's /tmp scratch artifacts (spark_graft_*) "
+        help="clear this repo's scratch artifacts (spark_graft_*) "
         "first, emulating the driver's fresh box: every build_once "
         "index (LSH bands, IVF clusters, train grams, stored sets) is "
         "rebuilt by the queries themselves — catches first-build and "
@@ -47,9 +47,17 @@ def main() -> int:
     if args.cold:
         import glob
         import shutil
+        import tempfile
 
-        for d in glob.glob("/tmp/spark_graft_*"):
+        # Same root scratch_path() builds under (r9 ADVICE: a literal
+        # /tmp glob deletes nothing when TMPDIR points elsewhere, and
+        # a 'cold' run is then silently warm).
+        pattern = os.path.join(tempfile.gettempdir(), "spark_graft_*")
+        cleared = 0
+        for d in glob.glob(pattern):
             shutil.rmtree(d, ignore_errors=True)
+            cleared += 1
+        print(f"cold: cleared {cleared} scratch artifact(s) under {pattern}")
 
     from pyspark.sql import SparkSession
 
