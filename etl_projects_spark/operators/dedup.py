@@ -76,6 +76,75 @@ def word_shingle_sets(
     return base.select("id", F.array_distinct(grams).alias("sh_set"))
 
 
+def word_shingle_sets_arrow(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = NGRAM_N
+) -> DataFrame:
+    """Arrow-batched twin of :func:`word_shingle_sets` — same (id,
+    sh_set) contract, byte-identical output (md5-derived 60-bit longs,
+    array_distinct's first-occurrence order), computed in a
+    ``mapInPandas`` Python loop instead of the interpreted
+    higher-order-expression chain.
+
+    Built to settle SCALE.md invariant 4's IOU (the HOF chain measured
+    ~2.7x slower than a bare Python hashing loop): MEASURED r10 at
+    sf0.1 via ``tools/compare_udf_paths.py`` (workload
+    ``shingle_sets_full``), and NOT ADOPTED — on the full contract the
+    expression path wins (0.91 s vs 0.97 s, repeat 1.04 s vs 1.28 s):
+    the bare-loop advantage existed only while the arrays were sized
+    away JVM-side; carrying the real (id, sh_set) payload back through
+    Arrow serialization erases it entirely. The production path stays
+    :func:`word_shingle_sets` (no Python workers on the dedup hot
+    path at 1000 executors, same md5 oracle contract, and now also
+    simply faster); this twin stays as the measured evidence and the
+    ready candidate should cluster profiling ever disagree.
+
+    Bit-exactness (pinned by the compare tool's cross-check and
+    ``tests/test_dedup.py``): the loop hashes each n-gram with
+    hashlib.md5 — equal to ``hex60(concat_ws(' ', …))`` because both
+    take the first 15 hex digits (60 bits) of the UTF-8 md5 and both
+    join tokens with a single space — and first-occurrence dedup
+    (dict, insertion-ordered) reproduces ``array_distinct`` exactly,
+    so even the stored `sets` artifact would be byte-identical
+    whichever path built it.
+    """
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("id", df.schema[id_col].dataType),
+            StructField("sh_set", ArrayType(LongType())),
+        ]
+    )
+    win = n  # bind locally: the closure must not capture the DataFrame
+
+    def shingle_batches(batches):
+        import hashlib
+
+        for pdf in batches:
+            sets_col = []
+            for text in pdf["text"]:
+                if not isinstance(text, str):  # null text → empty set
+                    sets_col.append([])
+                    continue
+                toks = text.split(" ")
+                seen: dict[int, None] = {}
+                for i in range(len(toks) - (win - 1)):
+                    gram = " ".join(toks[i:i + win])
+                    h = int(
+                        hashlib.md5(gram.encode()).hexdigest()[:15], 16
+                    )
+                    if h not in seen:
+                        seen[h] = None
+                sets_col.append(list(seen))
+            yield pd.DataFrame({"id": pdf["id"], "sh_set": sets_col})
+
+    base = fan_out(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    )
+    return base.mapInPandas(shingle_batches, out_schema)
+
+
 def word_shingles(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = NGRAM_N
 ) -> DataFrame:

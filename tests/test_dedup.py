@@ -25,6 +25,38 @@ def test_positional_and_set_shingles_stay_in_sync(spark):
             assert doc_id not in pos
 
 
+def test_arrow_shingle_twin_is_byte_identical(spark):
+    """The measured-but-not-adopted mapInPandas shingle twin (SCALE.md
+    invariant 4 IOU, closed r10) must stay byte-identical to the
+    production expression path — ARRAY ORDER INCLUDED, since the
+    stored `sets` artifact persists the array and array_distinct's
+    first-occurrence order is the contract. If this drifts, the twin
+    is no longer a valid swap-in candidate and the compare tool's
+    timings compare different work."""
+    from etl_projects_spark.operators import dedup
+    from etl_projects_spark.queries import load
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents").limit(50)
+    expr = {r["id"]: r["sh_set"]
+            for r in dedup.word_shingle_sets(docs).collect()}
+    arrow = {r["id"]: r["sh_set"]
+             for r in dedup.word_shingle_sets_arrow(docs).collect()}
+    assert expr == arrow
+    # edge rows the corpus may not cover: null text, short text, runs
+    # of spaces (empty tokens are real tokens to split(' ') — both
+    # paths must agree on that too)
+    edge = spark.createDataFrame(
+        [(1, None), (2, "a b"), (3, "a  b   c d e"), (4, "x y z x y z")],
+        "doc_id long, text string",
+    )
+    e1 = {r["id"]: r["sh_set"]
+          for r in dedup.word_shingle_sets(edge).collect()}
+    e2 = {r["id"]: r["sh_set"]
+          for r in dedup.word_shingle_sets_arrow(edge).collect()}
+    assert e1 == e2
+    assert e1[1] == [] and e1[2] == []
+
+
 def test_decontaminate_against_index_counts_hits(spark):
     """Cross-corpus probe: per eval doc, the count of its grams found
     in the index; zero-hit docs are absent (caller restores them)."""

@@ -92,6 +92,18 @@ def main() -> None:
     b_arrow = udf(ArrayType(LongType()), useArrow=True)(py_shingles)
     b_legacy = udf(ArrayType(LongType()), useArrow=False)(py_shingles)
 
+    # ---- workload C: the FULL shingle-stage contract ------------------
+    # (id, sh_set) with array_distinct's first-occurrence order — what
+    # word_shingle_sets actually returns and what the stored `sets`
+    # artifact persists. Workload B sizes the arrays away; this one
+    # carries them, so it measures the real candidate swap (r9 VERDICT
+    # item 6: Arrow-batched mapInPandas vs the interpreted HOF chain).
+    def c_builtin(df):
+        return dedup.word_shingle_sets(df)
+
+    def c_map_in_pandas(df):
+        return dedup.word_shingle_sets_arrow(df)
+
     workloads = {
         "flat_scoring": {
             "builtin": a_builtin,
@@ -104,6 +116,10 @@ def main() -> None:
                 F.size(b_arrow("text")).alias("n")),
             "legacy_udf": lambda df: df.select(
                 F.size(b_legacy("text")).alias("n")),
+        },
+        "shingle_sets_full": {
+            "builtin": c_builtin,
+            "map_in_pandas": c_map_in_pandas,
         },
     }
 
