@@ -55,99 +55,80 @@ def entry(spark: SparkSession) -> DataFrame:
 # tests/test_window_guard.py fails if any query whose hash changed
 # since its recorded window is not in the current first 50.
 _ROUND_PRIORITY = [
-    # --- r9 window -------------------------------------------------
-    # 1-19: the ENTIRE remaining r3-era vintage (r8 VERDICT item 1 —
-    # the 19 oldest rows in the record, tools/freshness_report.py
-    # order). After this window no row in the record is older than r4.
-    # zorder_cluster_events doubles as VERDICT item 5 (the only query
-    # >2x nominal vs its earliest record; calib-normalized ~1.37x).
-    "jsonl_gz_roundtrip",
-    "layer_format_policy",
-    "map_functions_props",
-    "merge_upsert_orders",
-    "neardup_rate_by_source",
-    "ngram_bigram_topk",
-    "ohlc_hourly_events",
-    "pipeline_training_corpus",
-    "posexplode_doc_tokens",
-    "profile_orders",
-    "quality_violation_counts",
-    "retention_cohorts",
-    "struct_to_string",
-    "text_token_entropy",
-    "tfidf_top_terms",
-    "union_distinct_keys",
-    "window_first_last_order",
-    "window_percent_rank",
-    "zorder_cluster_events",
-    # 20: r9 rework-adjacent re-proof. operators/dedup.py changed this
-    # round (r8 ADVICE: decontaminate_against_index now materializes
-    # eval_grams itself before the bucket-pruning collect) —
-    # decontaminate_eval_join is that function's only catalog consumer,
-    # so it re-proves on the changed path. (The CONTAM_INDEX_KIND
-    # derivation in queries_curation.py produces the byte-identical
-    # artifact key "contam_train_grams_g64", so no other consumer's
-    # behavior moved.)
+    # --- r10 window ------------------------------------------------
+    # 1-17: the ENTIRE remaining r4-era vintage (r9 VERDICT item 1 —
+    # the 17 oldest rows in the record, tools/freshness_report.py
+    # order; the judge's own sweep re-ran all 17 at r9 end, 17/17
+    # MATCH, so this is record hygiene). After this window no row in
+    # the durable record is older than r5.
+    "pivot_multi_agg_daily",
+    "referential_integrity_report",
+    "runtime_bloom_join_revenue",
+    "scd2_point_in_time_join",
+    "schema_evolution_union",
+    "skew_key_report",
+    "streaming_dedup_within_watermark",
+    "streaming_scd1_user_state",
+    "train_split_assign",
+    "value_drift_report",
+    "vocab_id_assign",
+    "vocab_oov_rate",
+    "weighted_median_price",
+    "weighted_sample_topk",
+    "zipf_frequency_report",
+    "zonemap_pruning_report",
+    "zscore_doc_length_by_source",
+    # 18: r10 rework-adjacent re-proof. operators/dedup.py changed
+    # this round (r9 ADVICE: decontaminate_against_index now snapshots
+    # eval_grams to a driver-local relation instead of pinning a
+    # persisted one for the session) — decontaminate_eval_join is that
+    # function's only catalog consumer, so it re-proves on the changed
+    # path. (The round's other dedup.py change, the measured-not-
+    # adopted word_shingle_sets_arrow prototype, is additive and
+    # unused by any catalog query — acked "-" in checked_hashes.)
     "decontaminate_eval_join",
-    # 21-22: r9 rework-adjacent re-proofs. operators/similarity.py
-    # changed (r8 VERDICT item 6 sliver-file audit: ivf_write_index now
-    # repartitions on cluster before its partitionBy write) — these two
-    # are the materialized IVF index's only catalog consumers, so both
-    # re-prove on the new layout. semdedup_prune doubles as an r4-era
-    # freshness retire.
-    "ann_ivf_topk",
-    "semdedup_prune",
-    # 23: sinks/table_writer.py changed (same audit):
-    # one_file_per_partition now defaults ON in TableWriter.load_table —
-    # engine_partitioned_incremental is the only catalog query whose
-    # TableWriter write names partition columns (pipeline_dag_build /
-    # engine_sql_file_build / dw_promotion_gate write unpartitioned),
-    # so it re-proves the engine's partitioned path on the new default.
-    "engine_partitioned_incremental",
-    # 24: dedup_incremental_batch — its persisted LSH band-index build
-    # moved from repartition(LSH_BANDS, "band") to the REBALANCE hint
-    # (the last fixed-width partitioned write; 4 writer tasks can't
-    # build a 100 TB index). Re-proves cold on the new layout.
-    # (streaming_incremental_dedup builds its index IN-MEMORY from the
-    # static sets — it never reads this artifact, so it is unaffected.)
-    "dedup_incremental_batch",
-    # 25-50: freshness re-checks of the NOW-oldest (r4-era) rows — the
-    # first 26 of the 44 in tools/freshness_report.py order (plus
-    # semdedup_prune above = 27 of the vintage retired). The remaining
-    # 17 queue for r10: pivot_multi_agg_daily,
-    # referential_integrity_report, runtime_bloom_join_revenue,
-    # scd2_point_in_time_join, schema_evolution_union, skew_key_report,
-    # streaming_dedup_within_watermark, streaming_scd1_user_state,
-    # train_split_assign, value_drift_report, vocab_id_assign,
-    # vocab_oov_rate, weighted_median_price, weighted_sample_topk,
-    # zipf_frequency_report, zonemap_pruning_report,
-    # zscore_doc_length_by_source.
-    "asof_forward_purchase_window",
-    "cdc_changelog_apply",
-    "chi_square_type_by_dow",
-    "chunk_dedup_rewrite",
-    "compact_small_files",
-    "correlation_matrix_lineitem",
-    "data_card_report",
-    "dedup_component_size_histogram",
-    "dedup_graph_triangles",
-    "dedup_prefix_containment",
-    "events_debounce",
-    "ewma_daily_value",
-    "fertility_by_source",
-    "filter_funnel_report",
-    "fixed_size_per_group_sample",
-    "higher_order_array_funcs",
-    "incremental_agg_maintenance",
-    "k_anonymity_audit",
-    "kmv_jaccard_event_types",
-    "lm_surprise_filter",
-    "media_frame_energy",
-    "media_phash_neardup",
-    "mlm_token_masking",
-    "mode_priority_by_segment",
-    "partition_checksums",
-    "phrase_search_positions",
+    # 19-50: freshness re-checks of the NOW-oldest (r5-era) rows — the
+    # first 32 of the 47 in tools/freshness_report.py order (r9
+    # VERDICT item 3: start retiring the r5 vintage). The remaining 15
+    # queue for r11: revenue_proration_daily, rolling_7day_revenue,
+    # rolling_corr_value_count, rolling_wau_daily, seasonal_dow_index,
+    # session_path_topk, session_window_builtin,
+    # share_of_parent_revenue, shuffle_hash_join_hint,
+    # token_budget_allocator, try_scalar_functions,
+    # user_activity_entropy, values_clause_dim_join,
+    # variant_shred_props, window_nth_cume.
+    "approx_distinct_users_daily",
+    "approx_percentile_tolerance",
+    "asof_nearest_click",
+    "attribution_first_touch",
+    "bag_setops_lineitem",
+    "bitmap_user_event_mask",
+    "bollinger_bands_daily",
+    "bpe_merge_step",
+    "cohort_ltv_curve",
+    "cusum_changepoint_daily",
+    "decile_lift_table",
+    "embedding_norm_topk",
+    "equi_depth_histogram_stats",
+    "event_cooccurrence_lift",
+    "event_markov_transitions",
+    "forward_fill_daily_value",
+    "funnel_time_to_convert",
+    "gdpr_cascade_delete_audit",
+    "gini_revenue_concentration",
+    "groupby_all_revenue",
+    "grouping_id_rollup",
+    "interval_coverage_user",
+    "json_key_drift_daily",
+    "lateral_top2_orders_per_customer",
+    "mad_order_totals",
+    "ngram_novelty_by_doc",
+    "orders_rfm_segmentation",
+    "pareto_frontier_parts",
+    "percent_change_mom",
+    "rag_chunk_windows",
+    "range_interval_window_user",
+    "regr_trend_nation",
 ]
 
 

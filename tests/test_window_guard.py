@@ -95,33 +95,32 @@ def test_catalog_and_plans_records_are_fresh():
     )
 
 
-def test_r9_rotation_heads_the_window():
-    # r9 window invariants: the ENTIRE r3-era vintage (19 rows, r8
-    # VERDICT item 1) leads, and every query whose execution path was
-    # touched this round (dedup.py eval-gram materialize,
-    # similarity.py IVF-index repartition-first, table_writer.py
-    # one_file_per_partition default) is inside the driver's 50-query
-    # sample.
+def test_r10_rotation_heads_the_window():
+    # r10 window invariants: the ENTIRE r4-era vintage (17 rows, r9
+    # VERDICT item 1) leads, the one query whose execution path was
+    # touched this round (dedup.py eval-gram snapshot —
+    # decontaminate_eval_join is decontaminate_against_index's only
+    # catalog consumer) is inside the driver's 50-query sample, and
+    # the rest of the window retires the oldest r5-era rows (r9
+    # VERDICT item 3).
     window = wh.window_names()
-    r3_vintage = {
-        "jsonl_gz_roundtrip", "layer_format_policy", "map_functions_props",
-        "merge_upsert_orders", "neardup_rate_by_source",
-        "ngram_bigram_topk", "ohlc_hourly_events",
-        "pipeline_training_corpus", "posexplode_doc_tokens",
-        "profile_orders", "quality_violation_counts", "retention_cohorts",
-        "struct_to_string", "text_token_entropy", "tfidf_top_terms",
-        "union_distinct_keys", "window_first_last_order",
-        "window_percent_rank", "zorder_cluster_events",
+    r4_vintage = {
+        "pivot_multi_agg_daily", "referential_integrity_report",
+        "runtime_bloom_join_revenue", "scd2_point_in_time_join",
+        "schema_evolution_union", "skew_key_report",
+        "streaming_dedup_within_watermark", "streaming_scd1_user_state",
+        "train_split_assign", "value_drift_report", "vocab_id_assign",
+        "vocab_oov_rate", "weighted_median_price", "weighted_sample_topk",
+        "zipf_frequency_report", "zonemap_pruning_report",
+        "zscore_doc_length_by_source",
     }
-    assert r3_vintage <= set(window[:19])
-    reworked = {
-        "decontaminate_eval_join",
-        "ann_ivf_topk",
-        "semdedup_prune",
-        "engine_partitioned_incremental",
-        "dedup_incremental_batch",
+    assert r4_vintage <= set(window[:17])
+    assert "decontaminate_eval_join" in set(window)
+    r5_head = {
+        "approx_distinct_users_daily", "approx_percentile_tolerance",
+        "asof_nearest_click", "regr_trend_nation",
     }
-    assert reworked <= set(window)
+    assert r5_head <= set(window)
 
 
 def test_guard_fires_on_out_of_window_query_edit(monkeypatch):
