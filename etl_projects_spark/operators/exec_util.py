@@ -248,6 +248,22 @@ def scratch_path(kind: str, *source_files: str) -> str:
     return path
 
 
+def scratch_glob_pattern() -> str:
+    """The glob matching EVERY scratch artifact this module can have
+    built — completed ``scratch_path`` dirs AND ``build_once``'s
+    in-flight ``.tmp.<pid>`` siblings — under the SAME temp root
+    ``scratch_path`` resolves (``tempfile.gettempdir()``, so TMPDIR is
+    honored). The single source of truth for the cold-gate and
+    failure-cleanup sweepers in ``tools/``: a literal "/tmp" there
+    silently swept nothing under a non-default TMPDIR and left 'cold'
+    runs warm (r9 ADVICE; pinned by ``tests/test_tools_scratch.py``).
+    """
+    import os
+    import tempfile
+
+    return os.path.join(tempfile.gettempdir(), "spark_graft_*")
+
+
 def fresh_scratch(kind: str, *source_files: str) -> str:
     """A vintage-stable scratch dir WIPED on every call — for the
     write-roundtrip queries whose writes ARE the semantics (the write

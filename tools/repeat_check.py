@@ -76,11 +76,12 @@ def main() -> int:
             # on the already-failing path.
             import glob
             import shutil
-            import tempfile
 
-            for d in glob.glob(
-                os.path.join(tempfile.gettempdir(), "spark_graft_*")
-            ):
+            from etl_projects_spark.operators.exec_util import (
+                scratch_glob_pattern,
+            )
+
+            for d in glob.glob(scratch_glob_pattern()):
                 shutil.rmtree(d, ignore_errors=True)
     print(f"repeat check: {len(names) - bad}/{len(names)} STABLE")
     return 1 if bad else 0

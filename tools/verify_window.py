@@ -47,12 +47,15 @@ def main() -> int:
     if args.cold:
         import glob
         import shutil
-        import tempfile
 
         # Same root scratch_path() builds under (r9 ADVICE: a literal
         # /tmp glob deletes nothing when TMPDIR points elsewhere, and
         # a 'cold' run is then silently warm).
-        pattern = os.path.join(tempfile.gettempdir(), "spark_graft_*")
+        from etl_projects_spark.operators.exec_util import (
+            scratch_glob_pattern,
+        )
+
+        pattern = scratch_glob_pattern()
         cleared = 0
         for d in glob.glob(pattern):
             shutil.rmtree(d, ignore_errors=True)
