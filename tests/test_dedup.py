@@ -44,9 +44,28 @@ def test_arrow_shingle_twin_is_byte_identical(spark):
     assert expr == arrow
     # edge rows the corpus may not cover: null text, short text, runs
     # of spaces (empty tokens are real tokens to split(' ') — both
-    # paths must agree on that too)
+    # paths must agree on that too), token-count boundaries around
+    # n=3, non-space whitespace (NOT a delimiter to split(' ')),
+    # multi-byte unicode (md5 is over UTF-8 bytes on both sides), and
+    # duplicate shingles in mixed positions (first-occurrence order)
     edge = spark.createDataFrame(
-        [(1, None), (2, "a b"), (3, "a  b   c d e"), (4, "x y z x y z")],
+        [
+            (1, None),
+            (2, "a b"),
+            (3, "a  b   c d e"),
+            (4, "x y z x y z"),
+            (5, ""),
+            (6, " "),
+            (7, "a b c"),          # exactly n tokens → 1 shingle
+            (8, " a b c "),        # leading/trailing empty tokens
+            (9, "a\tb c d"),       # tab is NOT a split(' ') delimiter
+            (10, "a\nb c d"),      # newline neither
+            (11, "héllo wörld über straße ok"),
+            (12, "日本 語 テスト 数 据"),
+            (13, "emoji 🎉 mid 🎉 token 🎉 run"),
+            (14, "a b c d e"),  # NBSP inside a token
+            (15, "z y x w z y x w v"),  # dup shingles, late first-new
+        ],
         "doc_id long, text string",
     )
     e1 = {r["id"]: r["sh_set"]
