@@ -26,6 +26,7 @@ import etl_projects_spark.queries_sql  # noqa: F401
 import etl_projects_spark.queries_timeseries  # noqa: F401
 import etl_projects_spark.queries_tpch_ext  # noqa: F401
 import etl_projects_spark.queries_wave28  # noqa: F401
+import etl_projects_spark.queries_wave29  # noqa: F401
 from etl_projects_spark.queries import ORACLE, QUERIES
 from etl_projects_spark.queries import q1_pricing_summary
 
@@ -87,16 +88,20 @@ _ROUND_PRIORITY = [
     # adopted word_shingle_sets_arrow prototype, is additive and
     # unused by any catalog query — acked "-" in checked_hashes.)
     "decontaminate_eval_join",
-    # 19-50: freshness re-checks of the NOW-oldest (r5-era) rows — the
-    # first 32 of the 47 in tools/freshness_report.py order (r9
-    # VERDICT item 3: start retiring the r5 vintage). The remaining 15
-    # queue for r11: revenue_proration_daily, rolling_7day_revenue,
-    # rolling_corr_value_count, rolling_wau_daily, seasonal_dow_index,
-    # session_path_topk, session_window_builtin,
-    # share_of_parent_revenue, shuffle_hash_join_hint,
-    # token_budget_allocator, try_scalar_functions,
-    # user_activity_entropy, values_clause_dim_join,
-    # variant_shred_props, window_nth_cume.
+    # 19: r10 addition (every addition lands inside the window):
+    # exact-substring span report — the word-level Lee-et-al
+    # exact-substring dedup metric, per source (queries_wave29.py).
+    "substring_span_report",
+    # 20-50: freshness re-checks of the NOW-oldest (r5-era) rows — the
+    # first 31 of the 47 in tools/freshness_report.py order (r9
+    # VERDICT item 3: start retiring the r5 vintage). The remaining 16
+    # queue for r11: regr_trend_nation, revenue_proration_daily,
+    # rolling_7day_revenue, rolling_corr_value_count,
+    # rolling_wau_daily, seasonal_dow_index, session_path_topk,
+    # session_window_builtin, share_of_parent_revenue,
+    # shuffle_hash_join_hint, token_budget_allocator,
+    # try_scalar_functions, user_activity_entropy,
+    # values_clause_dim_join, variant_shred_props, window_nth_cume.
     "approx_distinct_users_daily",
     "approx_percentile_tolerance",
     "asof_nearest_click",
@@ -128,7 +133,6 @@ _ROUND_PRIORITY = [
     "percent_change_mom",
     "rag_chunk_windows",
     "range_interval_window_user",
-    "regr_trend_nation",
 ]
 
 

@@ -18,6 +18,9 @@ REPRESENTATIVE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "winnow_fingerprints",
+    # r10 addition: exact-substring span report (20-token spans are
+    # rarer at the small SF — the zero/low-signal edge lives here)
+    "substring_span_report",
     "media_fingerprint",
     "quality_validate_events",
     "asof_click_before_purchase",
@@ -225,6 +228,8 @@ UPSCALE = [
     "ngram_novelty_by_doc",
     "event_cooccurrence_lift",
     "seasonal_dow_index",
+    # r10 addition: 10× the spans, integer-quotient terminal double
+    "substring_span_report",
     # the rest of the r5 driver-window entries with float/epoch/prefix
     # determinism surface: micro-epoch deltas + percentile_disc,
     # DECIMAL cumsums, gram-hash semi joins, signature agreement,
