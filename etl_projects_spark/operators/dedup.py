@@ -63,16 +63,22 @@ def word_shingle_sets(
     ``hash(distinct(x))`` as a set (collisions included — identical in
     both engines), and downstream shuffles then move 8-byte longs
     instead of ~25-char strings.
+
+    The shingle string is ``array_join(slice(toks, i, n), ' ')`` — 2
+    interpreted expression nodes per shingle instead of the previous
+    n ``element_at`` + ``concat_ws`` chain whose cost grew LINEARLY
+    with n (r10 profile at sf0.1: 2× faster at n=3, 10× at n=20 where
+    the 20-node chain took 19 s; byte-identical output, same
+    ``concat_ws`` semantics since split() never yields nulls).
     """
     toks = F.split(F.col(text_col), " ")
     base = fan_out(df.select(F.col(id_col).alias("id"), toks.alias("toks")))
     offsets = F.when(
         F.size("toks") >= n, F.sequence(F.lit(1), F.size("toks") - (n - 1))
     ).otherwise(F.expr("array()"))
-    shingle_of = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(F.col("toks"), (i + j).cast("int")) for j in range(n)]
+    grams = F.transform(
+        offsets, lambda i: hex60(F.array_join(F.slice("toks", i, n), " "))
     )
-    grams = F.transform(offsets, lambda i: hex60(shingle_of(i)))
     return base.select("id", F.array_distinct(grams).alias("sh_set"))
 
 
@@ -1008,9 +1014,9 @@ def positional_shingle_hashes(
         F.size("toks") >= n, F.sequence(F.lit(1), F.size("toks") - (n - 1))
     ).otherwise(F.expr("array()"))
     pos = base.select("id", "toks", F.explode(offsets).alias("i"))
-    shingle = F.concat_ws(
-        " ", *[F.element_at(F.col("toks"), (F.col("i") + j).cast("int")) for j in range(n)]
-    )
+    # same slice+array_join construction as word_shingle_sets (the
+    # bit-sync contract the oracles and test_properties pin)
+    shingle = F.array_join(F.slice("toks", F.col("i"), n), " ")
     return pos.select("id", "i", hex60(shingle).alias("h"))
 
 
