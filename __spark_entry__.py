@@ -88,20 +88,23 @@ _ROUND_PRIORITY = [
     # adopted word_shingle_sets_arrow prototype, is additive and
     # unused by any catalog query — acked "-" in checked_hashes.)
     "decontaminate_eval_join",
-    # 19: r10 addition (every addition lands inside the window):
-    # exact-substring span report — the word-level Lee-et-al
-    # exact-substring dedup metric, per source (queries_wave29.py).
+    # 19-20: r10 additions (every addition lands inside the window):
+    # the exact-substring span family — per-source contamination
+    # report and top-pair evidence, the word-level Lee-et-al
+    # exact-substring dedup metrics (queries_wave29.py).
     "substring_span_report",
-    # 20-50: freshness re-checks of the NOW-oldest (r5-era) rows — the
-    # first 31 of the 47 in tools/freshness_report.py order (r9
-    # VERDICT item 3: start retiring the r5 vintage). The remaining 16
-    # queue for r11: regr_trend_nation, revenue_proration_daily,
-    # rolling_7day_revenue, rolling_corr_value_count,
-    # rolling_wau_daily, seasonal_dow_index, session_path_topk,
-    # session_window_builtin, share_of_parent_revenue,
-    # shuffle_hash_join_hint, token_budget_allocator,
-    # try_scalar_functions, user_activity_entropy,
-    # values_clause_dim_join, variant_shred_props, window_nth_cume.
+    "substring_span_pairs",
+    # 21-50: freshness re-checks of the NOW-oldest (r5-era) rows — the
+    # first 30 of the 47 in tools/freshness_report.py order (r9
+    # VERDICT item 3: start retiring the r5 vintage). The remaining 17
+    # queue for r11: range_interval_window_user, regr_trend_nation,
+    # revenue_proration_daily, rolling_7day_revenue,
+    # rolling_corr_value_count, rolling_wau_daily, seasonal_dow_index,
+    # session_path_topk, session_window_builtin,
+    # share_of_parent_revenue, shuffle_hash_join_hint,
+    # token_budget_allocator, try_scalar_functions,
+    # user_activity_entropy, values_clause_dim_join,
+    # variant_shred_props, window_nth_cume.
     "approx_distinct_users_daily",
     "approx_percentile_tolerance",
     "asof_nearest_click",
@@ -132,7 +135,6 @@ _ROUND_PRIORITY = [
     "pareto_frontier_parts",
     "percent_change_mom",
     "rag_chunk_windows",
-    "range_interval_window_user",
 ]
 
 

@@ -28,6 +28,13 @@ from etl_projects_spark.queries import _q, load
 # (dedup.word_shingles / dedup.shingles_cte), so the cross-engine hash
 # contract is inherited, not re-proved.
 SPAN_N = 20
+# Doc-frequency cap for the pair query (the family's max_doc_freq
+# pattern): a span in more than this many documents is boilerplate —
+# pairing inside its group would cost df² rows; the cap bounds every
+# group's expansion at a constant. Never binds on this corpus
+# (measured max span df is well under it at every SF), so it is purely
+# the 100 TB guard.
+SPAN_MAX_DF = 8
 
 
 @_q(
@@ -113,4 +120,63 @@ def substring_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.col("n_spans").cast("double"),
             ).otherwise(F.lit(0.0)),
         )
+    )
+
+
+@_q(
+    "substring_span_pairs",
+    f"""
+    WITH {dedup.shingles_cte(SPAN_N)},
+    freq AS (SELECT shingle, count(*) AS df_ FROM shingles GROUP BY shingle),
+    capped AS (SELECT id, shingle FROM shingles JOIN freq USING (shingle)
+               WHERE df_ BETWEEN 2 AND {SPAN_MAX_DF}),
+    pairs AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_shared_spans
+              FROM capped a JOIN capped b
+                ON a.shingle = b.shingle AND a.id < b.id
+              GROUP BY 1, 2)
+    SELECT id_a, id_b, n_shared_spans
+    FROM pairs
+    ORDER BY n_shared_spans DESC, id_a, id_b
+    LIMIT 50
+    """,
+)
+def substring_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 document pairs by count of shared verbatim SPAN_N(=20)-
+    token spans — the pair-level EVIDENCE view of exact-substring
+    dedup (which near-dup pair actually contains duplicated text, and
+    how much of it), complementing ``substring_span_report``'s
+    per-source rollup. Distinct from the Jaccard/MinHash pair lists:
+    two documents can share a memorizable verbatim run while their
+    full shingle sets sit far below any similarity threshold.
+
+    Scale shape is the family's candidates-through-a-bounded-key
+    pattern (SCALE.md invariant 3): span doc-frequency via one window
+    over the span hash, a doc-frequency cap (SPAN_MAX_DF) that bounds
+    every span group's pair expansion at a constant df² — boilerplate
+    spans above the cap are dropped, exactly like
+    ``dedup.jaccard_pairs``'s max_doc_freq — then a self-equi-join ON
+    the span hash (never all-pairs) and a per-pair count. The capped
+    relation is materialized once (two join branches would otherwise
+    recompute the md5 window subtree, the documented cache-worthy
+    class). Final order is fully tie-broken (count DESC, id_a, id_b),
+    so the top-50 SET is deterministic in both engines.
+    """
+    docs = load(spark, sf_dir, "documents")
+    sh = dedup.word_shingles(docs, n=SPAN_N)
+    capped = dedup.materialize(
+        sh.withColumn(
+            "df_", F.count("*").over(W.partitionBy("shingle"))
+        )
+        .filter((F.col("df_") >= 2) & (F.col("df_") <= SPAN_MAX_DF))
+        .select("id", "shingle")
+    )
+    a = capped.select(F.col("id").alias("id_a"), "shingle")
+    b = capped.select(F.col("id").alias("id_b"), "shingle")
+    return (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared_spans"))
+        .orderBy(F.desc("n_shared_spans"), "id_a", "id_b")
+        .limit(50)
     )

@@ -18,9 +18,10 @@ REPRESENTATIVE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "winnow_fingerprints",
-    # r10 addition: exact-substring span report (20-token spans are
+    # r10 additions: exact-substring span family (20-token spans are
     # rarer at the small SF — the zero/low-signal edge lives here)
     "substring_span_report",
+    "substring_span_pairs",
     "media_fingerprint",
     "quality_validate_events",
     "asof_click_before_purchase",
@@ -228,8 +229,10 @@ UPSCALE = [
     "ngram_novelty_by_doc",
     "event_cooccurrence_lift",
     "seasonal_dow_index",
-    # r10 addition: 10× the spans, integer-quotient terminal double
+    # r10 additions: 10× the spans, integer-quotient terminal double;
+    # the pair query's tie-broken top-50 boundary under 10× the pairs
     "substring_span_report",
+    "substring_span_pairs",
     # the rest of the r5 driver-window entries with float/epoch/prefix
     # determinism surface: micro-epoch deltas + percentile_disc,
     # DECIMAL cumsums, gram-hash semi joins, signature agreement,

@@ -116,11 +116,11 @@ def test_r10_rotation_heads_the_window():
     }
     assert r4_vintage <= set(window[:17])
     assert "decontaminate_eval_join" in set(window)
-    # the round's one addition must land inside the window
-    assert "substring_span_report" in set(window)
+    # the round's additions must land inside the window
+    assert {"substring_span_report", "substring_span_pairs"} <= set(window)
     r5_head = {
         "approx_distinct_users_daily", "approx_percentile_tolerance",
-        "asof_nearest_click", "range_interval_window_user",
+        "asof_nearest_click", "rag_chunk_windows",
     }
     assert r5_head <= set(window)
 
