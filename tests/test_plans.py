@@ -780,3 +780,20 @@ def test_remaining_bench_heavies_pinned(spark):
     }
     for name, kw in specs.items():
         assert_plan(QS[name](spark, SF_DIR), **kw)
+
+
+def test_substring_span_family_plans(spark):
+    # r10 additions: the exact-substring span family must stay on its
+    # tuned shapes — all-JVM (no Python stage despite living next to
+    # the Arrow twin), no cartesian, bounded exchanges. The report is
+    # window(span)→agg(id)→agg(source): ≤4 exchanges incl. fan_out.
+    # The pair query adds the df-capped self-equi-join and the
+    # tie-broken top-50 (global sort is a single-partition exchange
+    # over ≤50 pre-limited rows, not a corpus sort).
+    spark.catalog.clearCache()
+    assert_plan(QS["substring_span_report"](spark, SF_DIR),
+                python_stages=0, cartesian=False, nested_loop_joins=0,
+                shuffles=("<=", 4))
+    assert_plan(QS["substring_span_pairs"](spark, SF_DIR),
+                python_stages=0, cartesian=False, nested_loop_joins=0,
+                shuffles=("<=", 6))
