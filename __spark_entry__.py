@@ -56,85 +56,83 @@ def entry(spark: SparkSession) -> DataFrame:
 # tests/test_window_guard.py fails if any query whose hash changed
 # since its recorded window is not in the current first 50.
 _ROUND_PRIORITY = [
-    # --- r10 window ------------------------------------------------
-    # 1-17: the ENTIRE remaining r4-era vintage (r9 VERDICT item 1 —
-    # the 17 oldest rows in the record, tools/freshness_report.py
-    # order; the judge's own sweep re-ran all 17 at r9 end, 17/17
-    # MATCH, so this is record hygiene). After this window no row in
-    # the durable record is older than r5.
-    "pivot_multi_agg_daily",
-    "referential_integrity_report",
-    "runtime_bloom_join_revenue",
-    "scd2_point_in_time_join",
-    "schema_evolution_union",
-    "skew_key_report",
-    "streaming_dedup_within_watermark",
-    "streaming_scd1_user_state",
-    "train_split_assign",
-    "value_drift_report",
-    "vocab_id_assign",
-    "vocab_oov_rate",
-    "weighted_median_price",
-    "weighted_sample_topk",
-    "zipf_frequency_report",
-    "zonemap_pruning_report",
-    "zscore_doc_length_by_source",
-    # 18: r10 rework-adjacent re-proof. operators/dedup.py changed
-    # this round (r9 ADVICE: decontaminate_against_index now snapshots
-    # eval_grams to a driver-local relation instead of pinning a
-    # persisted one for the session) — decontaminate_eval_join is that
-    # function's only catalog consumer, so it re-proves on the changed
-    # path. (The round's other dedup.py change, the measured-not-
-    # adopted word_shingle_sets_arrow prototype, is additive and
-    # unused by any catalog query — acked "-" in checked_hashes.)
-    "decontaminate_eval_join",
-    # 19-20: r10 additions (every addition lands inside the window):
-    # the exact-substring span family — per-source contamination
-    # report and top-pair evidence, the word-level Lee-et-al
-    # exact-substring dedup metrics (queries_wave29.py).
-    "substring_span_report",
+    # --- r11 window ------------------------------------------------
+    # 1-2: r11 reworks. substring_span_pairs dropped its per-invocation
+    # persist (r10 ADVICE leaked-pin class; the self-join now rides
+    # AQE stage reuse — plan-pinned in tests/test_plans.py), so its
+    # source hash changed and it re-proves here. operators/dedup.py
+    # changed (r10 ADVICE: the eval-gram snapshot now collect()s Rows
+    # instead of round-tripping toPandas(), closing the
+    # nullable-long→float64 corruption window, and enforces the
+    # small-eval contract with EVAL_SNAPSHOT_MAX_ROWS) —
+    # decontaminate_eval_join is that function's only catalog
+    # consumer, so it re-proves on the changed path.
     "substring_span_pairs",
-    # 21-50: freshness re-checks of the NOW-oldest (r5-era) rows — the
-    # first 30 of the 47 in tools/freshness_report.py order (r9
-    # VERDICT item 3: start retiring the r5 vintage). The remaining 17
-    # queue for r11: range_interval_window_user, regr_trend_nation,
-    # revenue_proration_daily, rolling_7day_revenue,
-    # rolling_corr_value_count, rolling_wau_daily, seasonal_dow_index,
-    # session_path_topk, session_window_builtin,
-    # share_of_parent_revenue, shuffle_hash_join_hint,
-    # token_budget_allocator, try_scalar_functions,
-    # user_activity_entropy, values_clause_dim_join,
-    # variant_shred_props, window_nth_cume.
-    "approx_distinct_users_daily",
-    "approx_percentile_tolerance",
-    "asof_nearest_click",
-    "attribution_first_touch",
-    "bag_setops_lineitem",
-    "bitmap_user_event_mask",
-    "bollinger_bands_daily",
-    "bpe_merge_step",
-    "cohort_ltv_curve",
-    "cusum_changepoint_daily",
-    "decile_lift_table",
-    "embedding_norm_topk",
-    "equi_depth_histogram_stats",
-    "event_cooccurrence_lift",
-    "event_markov_transitions",
-    "forward_fill_daily_value",
-    "funnel_time_to_convert",
-    "gdpr_cascade_delete_audit",
-    "gini_revenue_concentration",
-    "groupby_all_revenue",
-    "grouping_id_rollup",
-    "interval_coverage_user",
-    "json_key_drift_daily",
-    "lateral_top2_orders_per_customer",
-    "mad_order_totals",
-    "ngram_novelty_by_doc",
-    "orders_rfm_segmentation",
-    "pareto_frontier_parts",
-    "percent_change_mom",
-    "rag_chunk_windows",
+    "decontaminate_eval_join",
+    # 3: r11 addition (every addition lands inside the window):
+    # substring_span_prune — the exact-substring family's ACTION query
+    # (per-doc keep verdict, min-doc_id canonical holder per span
+    # group), completing report → pairs → prune (r10 VERDICT item 3).
+    "substring_span_prune",
+    # 4-20: the ENTIRE remaining r5-era vintage (r10 VERDICT item 1 —
+    # the 17 oldest rows in the record, tools/freshness_report.py
+    # order). After this window no row in the durable record is older
+    # than r6.
+    "range_interval_window_user",
+    "regr_trend_nation",
+    "revenue_proration_daily",
+    "rolling_7day_revenue",
+    "rolling_corr_value_count",
+    "rolling_wau_daily",
+    "seasonal_dow_index",
+    "session_path_topk",
+    "session_window_builtin",
+    "share_of_parent_revenue",
+    "shuffle_hash_join_hint",
+    "token_budget_allocator",
+    "try_scalar_functions",
+    "user_activity_entropy",
+    "values_clause_dim_join",
+    "variant_shred_props",
+    "window_nth_cume",
+    # 21-50: freshness re-checks of the NOW-oldest (r6-era) rows — the
+    # first 30 of the 42 in tools/freshness_report.py order (r10
+    # VERDICT item 1: retire the r6 vintage next). The remaining 12
+    # queue for r12: source_quotes_scan, streaming_incremental_dedup,
+    # streaming_interval_join, streaming_quotes_ingest,
+    # streaming_stateful_running_totals, struct_to_json,
+    # text_repetition_ratio, text_stats, training_shard_write,
+    # union_append, warehouse_copy_roundtrip, window_dedup_latest.
+    "agg_count_distinct",
+    "array_to_json",
+    "cast_all_to_string",
+    "date_parts",
+    "dw_promotion_gate",
+    "embedding_pca_project",
+    "engine_sql_file_build",
+    "format_column_names",
+    "gopher_repetition_filter",
+    "join_anti",
+    "join_full_outer",
+    "join_inner",
+    "join_left_outer",
+    "join_semi",
+    "json_explode_props",
+    "literal_batch_stamp",
+    "media_decode_stats",
+    "media_frame_sample",
+    "media_resize_stub",
+    "mixture_weights_temperature",
+    "pipeline_dag_build",
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_local_supplier_volume",
+    "quality_monitor_gate",
+    "repartition_partition_files",
+    "salted_agg_order_revenue",
+    "salted_join_lineitem_orders",
+    "scd2_apply_orders",
+    "snapshot_diff_orders",
 ]
 
 

@@ -581,6 +581,11 @@ def main() -> None:
                 "n_queries": len(timings),
                 "queries": {n: round(t, 3) for n, t in ranked[:keep]},
                 "sf": sf,
+                # The calib pair rides in the ROUND artifact itself
+                # (parsed.calib in BENCH_r{N}.json), not only in
+                # BENCH_FULL.json — r10 VERDICT item 7: drift closures
+                # required archaeology to find which box recorded what.
+                "calib": calib,
             }
         )
         if len(compact) < 1000:

@@ -499,6 +499,14 @@ def incremental_neardup(
 # prune away true contamination hits.
 GRAM_INDEX_BUCKETS = 64
 
+# Hard ceiling for the eval-gram driver snapshot in
+# decontaminate_against_index: the eval side is collected AND broadcast,
+# so it must stay driver-sized. 5M (gram, doc_id) rows is ~hundreds of
+# MB — far above any real eval suite, far below what would OOM a
+# driver; the bound exists to fail LOUDLY if a caller ever routes a
+# train-sized relation through the small side.
+EVAL_SNAPSHOT_MAX_ROWS = 5_000_000
+
 
 def gram_bucket(col: str | Column) -> Column:
     """The ONE bucket function shared by the index builder and every
@@ -558,11 +566,22 @@ def decontaminate_against_index(
         # invocation with no handle to release it). Driver traffic is
         # unchanged: the eval side is small by contract and the
         # F.broadcast below already ships the whole relation through
-        # the driver — the snapshot is the same bytes, once.
+        # the driver — the snapshot is the same bytes, once. Snapshot
+        # via collect()+Rows, NOT toPandas(): pandas coerces a nullable
+        # LongType to float64 (NaN for null), and the unchecked cast
+        # back to long (convertToArrowArraySafely=false default) can
+        # silently corrupt ids (r10 ADVICE).
         spark = eval_grams.sparkSession
-        eval_grams = spark.createDataFrame(
-            eval_grams.toPandas(), schema=eval_grams.schema
-        )
+        rows = eval_grams.collect()
+        # The "eval side is small" contract, enforced rather than
+        # documented: broadcast-sized by definition, so well under this.
+        if len(rows) > EVAL_SNAPSHOT_MAX_ROWS:
+            raise ValueError(
+                f"decontaminate_against_index: eval_grams has {len(rows)} "
+                f"rows (> {EVAL_SNAPSHOT_MAX_ROWS}); the eval side must be "
+                "small (it is collected AND broadcast). Index the big side."
+            )
+        eval_grams = spark.createDataFrame(rows, schema=eval_grams.schema)
         buckets = [
             r[0]
             for r in eval_grams.select(gram_bucket("gram"))

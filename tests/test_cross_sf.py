@@ -22,6 +22,9 @@ REPRESENTATIVE = [
     # rarer at the small SF — the zero/low-signal edge lives here)
     "substring_span_report",
     "substring_span_pairs",
+    # r11: the family's action query — the all-kept edge (few shared
+    # spans at the small SF) must still emit one verdict per document
+    "substring_span_prune",
     "media_fingerprint",
     "quality_validate_events",
     "asof_click_before_purchase",
@@ -233,6 +236,9 @@ UPSCALE = [
     # the pair query's tie-broken top-50 boundary under 10× the pairs
     "substring_span_report",
     "substring_span_pairs",
+    # r11: the prune verdict where shared spans actually occur — the
+    # integer cross-multiplied keep threshold sees real foreign counts
+    "substring_span_prune",
     # the rest of the r5 driver-window entries with float/epoch/prefix
     # determinism surface: micro-epoch deltas + percentile_disc,
     # DECIMAL cumsums, gram-hash semi joins, signature agreement,

@@ -135,3 +135,33 @@ def test_decontaminate_prunes_to_probed_buckets(spark, tmp_path):
     }
     assert len(want) <= 5
     assert values == want, (values, want)
+
+
+def test_span_max_df_cap_never_binds(spark):
+    """`substring_span_pairs`'s SPAN_MAX_DF cap is designed as a PURE
+    100 TB guard — on this corpus it must drop nothing (r10 VERDICT
+    item 4: the claim lived in a comment; a corpus or tokenizer change
+    that started silently dropping pairs would have passed every
+    gate). Measure the actual max span doc-frequency at every SF and
+    fail loudly with the value if it ever approaches the cap."""
+    import pyspark.sql.functions as F
+
+    from etl_projects_spark.operators import dedup
+    from etl_projects_spark.queries import load
+    from etl_projects_spark.queries_wave29 import SPAN_MAX_DF, SPAN_N
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        docs = load(spark, f"/root/testdata/{sf}", "documents")
+        row = (
+            dedup.word_shingles(docs, n=SPAN_N)
+            .groupBy("shingle")
+            .agg(F.count("*").alias("df_"))
+            .agg(F.max("df_").alias("max_df"))
+            .collect()[0]
+        )
+        assert row["max_df"] < SPAN_MAX_DF, (
+            f"{sf}: measured max span doc-frequency {row['max_df']} >= "
+            f"SPAN_MAX_DF={SPAN_MAX_DF} — the pair query's cap now BINDS "
+            "on this corpus (silently dropping pairs); re-measure and "
+            "either raise the cap or document the dropped boilerplate."
+        )

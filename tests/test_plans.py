@@ -794,6 +794,26 @@ def test_substring_span_family_plans(spark):
     assert_plan(QS["substring_span_report"](spark, SF_DIR),
                 python_stages=0, cartesian=False, nested_loop_joins=0,
                 shuffles=("<=", 4))
-    assert_plan(QS["substring_span_pairs"](spark, SF_DIR),
+    pairs = QS["substring_span_pairs"](spark, SF_DIR)
+    assert_plan(pairs, python_stages=0, cartesian=False,
+                nested_loop_joins=0, shuffles=("<=", 6))
+    # r11 addition: the prune verdict is linear like the report — one
+    # span-hash window exchange (computing df AND the group's min
+    # holder in a single Window node), one per-doc agg exchange, the
+    # doc-key join (broadcast at this SF; SMJ-at-scale headroom +1).
+    assert_plan(QS["substring_span_prune"](spark, SF_DIR),
                 python_stages=0, cartesian=False, nested_loop_joins=0,
-                shuffles=("<=", 6))
+                shuffles=("<=", 3))
+    # r11: the pair query dropped its persist (r10 ADVICE leaked-pin
+    # class); the replacement load-bearing shape is AQE stage reuse —
+    # both self-join branches share one byte-identical
+    # Exchange hashpartitioning(shingle) subtree, so the md5/window
+    # shuffle must compute ONCE and the second branch must read it as
+    # a ReusedExchange in the executed plan. If this pin breaks, the
+    # corpus-scale md5 subtree is being computed twice per invocation.
+    pairs.collect()
+    executed = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in executed, executed[:1200]
+    # ... and nothing may be left pinned in the cache by the query.
+    jcat = spark._jsparkSession.sharedState().cacheManager()
+    assert jcat.isEmpty(), "substring_span_pairs left a cached relation pinned"

@@ -95,34 +95,35 @@ def test_catalog_and_plans_records_are_fresh():
     )
 
 
-def test_r10_rotation_heads_the_window():
-    # r10 window invariants: the ENTIRE r4-era vintage (17 rows, r9
-    # VERDICT item 1) leads, the one query whose execution path was
-    # touched this round (dedup.py eval-gram snapshot —
-    # decontaminate_eval_join is decontaminate_against_index's only
-    # catalog consumer) is inside the driver's 50-query sample, and
-    # the rest of the window retires the oldest r5-era rows (r9
-    # VERDICT item 3).
+def test_r11_rotation_heads_the_window():
+    # r11 window invariants: the round's reworks lead (the pair query
+    # whose persist was removed, and decontaminate_eval_join — the
+    # only catalog consumer of the changed dedup.py snapshot), the
+    # round's addition (substring_span_prune) lands inside the window,
+    # the ENTIRE remaining r5-era vintage (17 rows, r10 VERDICT item
+    # 1) rides along, and the rest retires the oldest r6-era rows.
     window = wh.window_names()
-    r4_vintage = {
-        "pivot_multi_agg_daily", "referential_integrity_report",
-        "runtime_bloom_join_revenue", "scd2_point_in_time_join",
-        "schema_evolution_union", "skew_key_report",
-        "streaming_dedup_within_watermark", "streaming_scd1_user_state",
-        "train_split_assign", "value_drift_report", "vocab_id_assign",
-        "vocab_oov_rate", "weighted_median_price", "weighted_sample_topk",
-        "zipf_frequency_report", "zonemap_pruning_report",
-        "zscore_doc_length_by_source",
+    assert {"substring_span_pairs", "decontaminate_eval_join"} <= set(
+        window[:3]
+    )
+    assert "substring_span_prune" in set(window[:3])
+    r5_vintage = {
+        "range_interval_window_user", "regr_trend_nation",
+        "revenue_proration_daily", "rolling_7day_revenue",
+        "rolling_corr_value_count", "rolling_wau_daily",
+        "seasonal_dow_index", "session_path_topk",
+        "session_window_builtin", "share_of_parent_revenue",
+        "shuffle_hash_join_hint", "token_budget_allocator",
+        "try_scalar_functions", "user_activity_entropy",
+        "values_clause_dim_join", "variant_shred_props",
+        "window_nth_cume",
     }
-    assert r4_vintage <= set(window[:17])
-    assert "decontaminate_eval_join" in set(window)
-    # the round's additions must land inside the window
-    assert {"substring_span_report", "substring_span_pairs"} <= set(window)
-    r5_head = {
-        "approx_distinct_users_daily", "approx_percentile_tolerance",
-        "asof_nearest_click", "rag_chunk_windows",
+    assert r5_vintage <= set(window[:20])
+    r6_head = {
+        "agg_count_distinct", "array_to_json", "cast_all_to_string",
+        "snapshot_diff_orders",
     }
-    assert r5_head <= set(window)
+    assert r6_head <= set(window)
 
 
 def test_guard_fires_on_out_of_window_query_edit(monkeypatch):

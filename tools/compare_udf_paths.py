@@ -121,7 +121,21 @@ def main() -> None:
             "builtin": c_builtin,
             "map_in_pandas": c_map_in_pandas,
         },
+        # ---- workload D: span-width sets on the REAL corpus ----------
+        # n=20, straight off the parquet scan — no REPEAT explode, no
+        # persist: the exact shape the substring_span_* family runs
+        # (r10 VERDICT item 6: the twin was measured at n=3 parity and
+        # on the synthetic 32×-repeated relation; the adoption decision
+        # needs the production shape, scan cost included).
+        "span_sets_real_n20": {
+            "builtin": lambda df: dedup.word_shingle_sets(df, n=20),
+            "map_in_pandas": lambda df: dedup.word_shingle_sets_arrow(
+                df, n=20
+            ),
+        },
     }
+    # Workloads timed on the RAW scan instead of the cached 32× blow-up.
+    raw_input_workloads = {"span_sets_real_n20"}
 
     # Cross-check each workload's paths agree on the small relation.
     for wname, paths in workloads.items():
@@ -137,11 +151,12 @@ def main() -> None:
     results = {}
     for wname, paths in workloads.items():
         results[wname] = {}
+        rel = docs if wname in raw_input_workloads else big
         for pname, fn in paths.items():
             best = float("inf")
             for _ in range(2):
                 t0 = time.perf_counter()
-                fn(big).write.format("noop").mode("overwrite").save()
+                fn(rel).write.format("noop").mode("overwrite").save()
                 best = min(best, time.perf_counter() - t0)
             results[wname][pname] = round(best, 3)
 

@@ -72,9 +72,12 @@ def main() -> int:
             # artifact on disk; later queries sharing it would then
             # read a half-built index and fail (or pass) for unrelated
             # reasons (r9 ADVICE). Clear ALL scratch artifacts so every
-            # subsequent query starts clean — rebuild cost is only paid
-            # on the already-failing path.
+            # subsequent query starts clean. r10 ADVICE: the guarantee
+            # must be CHECKED, not best-effort — a file-shaped leftover
+            # (e.g. a stray .tmp) needs os.remove, and any path that
+            # survives deletion is reported instead of swallowed.
             import glob
+            import os
             import shutil
 
             from etl_projects_spark.operators.exec_util import (
@@ -82,7 +85,15 @@ def main() -> int:
             )
 
             for d in glob.glob(scratch_glob_pattern()):
-                shutil.rmtree(d, ignore_errors=True)
+                try:
+                    if os.path.isdir(d) and not os.path.islink(d):
+                        shutil.rmtree(d)
+                    else:
+                        os.remove(d)
+                except OSError as rmex:
+                    print(f"  cleanup: FAILED to delete {d}: {rmex}")
+                if os.path.exists(d):
+                    print(f"  cleanup: {d} still present after delete")
     print(f"repeat check: {len(names) - bad}/{len(names)} STABLE")
     return 1 if bad else 0
 
