@@ -69,11 +69,15 @@ _ROUND_PRIORITY = [
     # consumer, so it re-proves on the changed path.
     "substring_span_pairs",
     "decontaminate_eval_join",
-    # 3: r11 addition (every addition lands inside the window):
+    # 3-4: r11 additions (every addition lands inside the window):
     # substring_span_prune — the exact-substring family's ACTION query
     # (per-doc keep verdict, min-doc_id canonical holder per span
-    # group), completing report → pairs → prune (r10 VERDICT item 3).
+    # group), completing report → pairs → prune (r10 VERDICT item 3) —
+    # and substring_span_trim, the SPAN-level removal accounting
+    # (merged-interval token coverage of foreign spans, the Lee et al.
+    # remove-the-substring mode prune's docstring scoped out).
     "substring_span_prune",
+    "substring_span_trim",
     # 4-20: the ENTIRE remaining r5-era vintage (r10 VERDICT item 1 —
     # the 17 oldest rows in the record, tools/freshness_report.py
     # order). After this window no row in the durable record is older
@@ -95,14 +99,15 @@ _ROUND_PRIORITY = [
     "values_clause_dim_join",
     "variant_shred_props",
     "window_nth_cume",
-    # 21-50: freshness re-checks of the NOW-oldest (r6-era) rows — the
-    # first 30 of the 42 in tools/freshness_report.py order (r10
-    # VERDICT item 1: retire the r6 vintage next). The remaining 12
-    # queue for r12: source_quotes_scan, streaming_incremental_dedup,
-    # streaming_interval_join, streaming_quotes_ingest,
-    # streaming_stateful_running_totals, struct_to_json,
-    # text_repetition_ratio, text_stats, training_shard_write,
-    # union_append, warehouse_copy_roundtrip, window_dedup_latest.
+    # 22-50: freshness re-checks of the NOW-oldest (r6-era) rows — the
+    # first 29 of the 42 in tools/freshness_report.py order (r10
+    # VERDICT item 1: retire the r6 vintage next). The remaining 13
+    # queue for r12: snapshot_diff_orders, source_quotes_scan,
+    # streaming_incremental_dedup, streaming_interval_join,
+    # streaming_quotes_ingest, streaming_stateful_running_totals,
+    # struct_to_json, text_repetition_ratio, text_stats,
+    # training_shard_write, union_append, warehouse_copy_roundtrip,
+    # window_dedup_latest.
     "agg_count_distinct",
     "array_to_json",
     "cast_all_to_string",
@@ -132,7 +137,6 @@ _ROUND_PRIORITY = [
     "salted_agg_order_revenue",
     "salted_join_lineitem_orders",
     "scd2_apply_orders",
-    "snapshot_diff_orders",
 ]
 
 

@@ -1,9 +1,12 @@
-"""Wave-29 catalog entries (round 10): exact-substring span dedup
-reporting — the word-level analog of exact-substring training-data
+"""Wave-29 catalog entries (rounds 10-11): the exact-substring span
+dedup family — the word-level analog of exact-substring training-data
 dedup (Lee et al., "Deduplicating Training Data Makes Language Models
 Better"), which removes verbatim runs above a fixed token width that
 n-gram Jaccard and MinHash both under-count (no single pair need clear
 a similarity threshold for a verbatim 20-token span to be memorizable).
+Four views, one shared hash contract: per-source REPORT, top-pair
+EVIDENCE, doc-level PRUNE (keep-list), and span-level TRIM accounting
+(merged-interval token coverage).
 
 Keeps the catalog's determinism contract: exact BIGINT counting
 everywhere upstream, one identical terminal integer-quotient double
@@ -284,5 +287,162 @@ def substring_span_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(SPAN_PRUNE_DEN) * n_foreign
                 <= F.lit(SPAN_PRUNE_NUM) * n_spans
             ).alias("keep"),
+        )
+    )
+
+
+def _span_pos_cte(n: int) -> str:
+    """DuckDB CTE `pos` producing POSITIONAL hashed n-token spans
+    (id, i, h) from documents — the bit-exact twin of
+    ``dedup.positional_shingle_hashes`` (same slice/join/md5 contract
+    as ``dedup.shingles_cte``, position kept instead of distinct-ed)."""
+    parts = " || ' ' || ".join(f"toks[i+{j}]" for j in range(n))
+    return f"""
+    toks AS (SELECT doc_id AS id, string_split(text, ' ') AS toks FROM documents),
+    idx AS (SELECT id, toks, unnest(generate_series(1, len(toks)-{n - 1})) AS i FROM toks),
+    pos AS (SELECT id, i, {dedup.hex60_sql(f"({parts})")} AS h FROM idx)
+    """
+
+
+@_q(
+    "substring_span_trim",
+    f"""
+    WITH {_span_pos_cte(SPAN_N)},
+    docdist AS (SELECT DISTINCT id, h FROM pos),
+    keyed AS (SELECT id, h,
+                     count(*) OVER (PARTITION BY h) AS df_,
+                     min(id) OVER (PARTITION BY h) AS min_id
+              FROM docdist),
+    foreign_keys AS (SELECT id, h FROM keyed WHERE df_ >= 2 AND id <> min_id),
+    occ AS (SELECT p.id, p.i FROM pos p
+            JOIN foreign_keys f ON p.id = f.id AND p.h = f.h),
+    isl AS (SELECT id, i,
+                   CASE WHEN i > coalesce(max(i + {SPAN_N - 1}) OVER (
+                          PARTITION BY id ORDER BY i
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        -1)
+                        THEN 1 ELSE 0 END AS new_island
+            FROM occ),
+    grp AS (SELECT id, i, sum(new_island) OVER (
+                  PARTITION BY id ORDER BY i
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+            FROM isl),
+    cov AS (SELECT id, g, max(i) + {SPAN_N - 1} - min(i) + 1 AS covered
+            FROM grp GROUP BY id, g),
+    per_doc AS (SELECT id, sum(covered) AS removed FROM cov GROUP BY id),
+    sized AS (SELECT doc_id, source,
+                     len(string_split(text, ' ')) AS n_toks FROM documents)
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN coalesce(removed, 0) > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_docs_trimmed,
+           CAST(sum(n_toks) AS BIGINT) AS tokens_total,
+           CAST(sum(coalesce(removed, 0)) AS BIGINT) AS tokens_removed,
+           CASE WHEN sum(n_toks) > 0
+                THEN CAST(sum(coalesce(removed, 0)) AS DOUBLE)
+                     / CAST(sum(n_toks) AS DOUBLE)
+                ELSE 0.0 END AS removed_frac
+    FROM sized LEFT JOIN per_doc ON sized.doc_id = per_doc.id
+    GROUP BY source
+    """,
+)
+def substring_span_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-level trim accounting — the SPAN-LEVEL removal mode of
+    exact-substring dedup (Lee et al. remove the duplicated substring
+    and keep the rest of the document; ``substring_span_prune`` is the
+    doc-level mode): per source, how many TOKENS would be cut if every
+    foreign verbatim span were excised. A span occurrence is foreign
+    exactly as in the prune query — its hash occurs in ≥2 documents
+    and this document is not the span group's min-doc_id canonical
+    holder — so trim and prune share one canonicality definition.
+
+    Overlapping foreign spans must not double-count tokens (two
+    adjacent 20-token spans shifted by one cover 21 tokens, not 40),
+    so per document the POSITIONAL occurrences ([i, i+19] intervals)
+    are merged with the classic gaps-and-islands pass: order by start,
+    new island when the start clears the running max end (windows over
+    the doc key — unique start positions make the order total), then
+    island coverage = max_start + 19 - min_start + 1, summed per doc.
+    All integer math to one terminal double quotient.
+
+    Scale shape: linear like the rest of the family — the span-hash
+    window (df + canonical holder, one exchange on the 8-byte hash)
+    runs on the doc-distinct relation, rejoins the positional stream
+    on (id, h) (both sides hash-bucketed, never pairwise), and every
+    later window keys on the doc id. No pairwise expansion, no
+    unbounded state; the doc-key windows are bounded by document
+    length. Uses ``positional_shingle_hashes`` (the winnowing
+    family's ordered stream) — same md5 slice/array_join pipeline the
+    oracles pin bit-exactly.
+    """
+    docs = load(spark, sf_dir, "documents")
+    pos = dedup.positional_shingle_hashes(docs, n=SPAN_N)  # (id, i, h)
+    wh = W.partitionBy("h")
+    docdist = pos.select("id", "h").distinct()
+    foreign_keys = (
+        docdist.select(
+            "id",
+            "h",
+            F.count("*").over(wh).alias("df_"),
+            F.min("id").over(wh).alias("min_id"),
+        )
+        .filter((F.col("df_") >= 2) & (F.col("id") != F.col("min_id")))
+        .select("id", "h")
+    )
+    occ = pos.join(foreign_keys, ["id", "h"]).select("id", "i")
+    prev = (
+        W.partitionBy("id")
+        .orderBy("i")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    run = (
+        W.partitionBy("id")
+        .orderBy("i")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    grp = occ.select(
+        "id",
+        "i",
+        F.sum(
+            (
+                F.col("i")
+                > F.coalesce(
+                    F.max(F.col("i") + (SPAN_N - 1)).over(prev), F.lit(-1)
+                )
+            ).cast("int")
+        )
+        .over(run)
+        .alias("g"),
+    )
+    per_doc = (
+        grp.groupBy("id", "g")
+        .agg((F.max("i") + (SPAN_N - 1) - F.min("i") + 1).alias("covered"))
+        .groupBy("id")
+        .agg(F.sum("covered").alias("removed"))
+    )
+    sized = docs.select(
+        F.col("doc_id").alias("id"),
+        "source",
+        F.size(F.split("text", " ")).alias("n_toks"),
+    )
+    removed = F.coalesce(F.col("removed"), F.lit(0))
+    return (
+        sized.join(per_doc, "id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(removed > 0, 1).otherwise(0)).alias(
+                "n_docs_trimmed"
+            ),
+            F.sum("n_toks").alias("tokens_total"),
+            F.sum(removed).alias("tokens_removed"),
+        )
+        .withColumn(
+            "removed_frac",
+            F.when(
+                F.col("tokens_total") > 0,
+                F.col("tokens_removed").cast("double")
+                / F.col("tokens_total").cast("double"),
+            ).otherwise(F.lit(0.0)),
         )
     )

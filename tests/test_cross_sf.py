@@ -25,6 +25,9 @@ REPRESENTATIVE = [
     # r11: the family's action query — the all-kept edge (few shared
     # spans at the small SF) must still emit one verdict per document
     "substring_span_prune",
+    # r11: trim accounting at the SF where most sources trim nothing —
+    # zero-island docs must still roll up through the left join
+    "substring_span_trim",
     "media_fingerprint",
     "quality_validate_events",
     "asof_click_before_purchase",
@@ -239,6 +242,9 @@ UPSCALE = [
     # r11: the prune verdict where shared spans actually occur — the
     # integer cross-multiplied keep threshold sees real foreign counts
     "substring_span_prune",
+    # r11: trim at 10× — overlapping foreign spans actually occur, so
+    # the gaps-and-islands interval merge is exercised for real
+    "substring_span_trim",
     # the rest of the r5 driver-window entries with float/epoch/prefix
     # determinism surface: micro-epoch deltas + percentile_disc,
     # DECIMAL cumsums, gram-hash semi joins, signature agreement,

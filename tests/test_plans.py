@@ -804,6 +804,14 @@ def test_substring_span_family_plans(spark):
     assert_plan(QS["substring_span_prune"](spark, SF_DIR),
                 python_stages=0, cartesian=False, nested_loop_joins=0,
                 shuffles=("<=", 3))
+    # r11 addition: trim accounting stays linear too — positional
+    # stream distinct (id,h), span-hash window, the (id,h) equi-join
+    # back to positions (broadcast here; +2 exchange headroom for the
+    # SMJ shape at scale), then doc-key windows/aggs that reuse the id
+    # partitioning. Never pairwise, no single-partition collapse.
+    assert_plan(QS["substring_span_trim"](spark, SF_DIR),
+                python_stages=0, cartesian=False, nested_loop_joins=0,
+                single_exchanges=0, shuffles=("<=", 8))
     # r11: the pair query dropped its persist (r10 ADVICE leaked-pin
     # class); the replacement load-bearing shape is AQE stage reuse —
     # both self-join branches share one byte-identical

@@ -104,9 +104,9 @@ def test_r11_rotation_heads_the_window():
     # 1) rides along, and the rest retires the oldest r6-era rows.
     window = wh.window_names()
     assert {"substring_span_pairs", "decontaminate_eval_join"} <= set(
-        window[:3]
+        window[:4]
     )
-    assert "substring_span_prune" in set(window[:3])
+    assert {"substring_span_prune", "substring_span_trim"} <= set(window[:4])
     r5_vintage = {
         "range_interval_window_user", "regr_trend_nation",
         "revenue_proration_daily", "rolling_7day_revenue",
@@ -118,10 +118,10 @@ def test_r11_rotation_heads_the_window():
         "values_clause_dim_join", "variant_shred_props",
         "window_nth_cume",
     }
-    assert r5_vintage <= set(window[:20])
+    assert r5_vintage <= set(window[:21])
     r6_head = {
         "agg_count_distinct", "array_to_json", "cast_all_to_string",
-        "snapshot_diff_orders",
+        "scd2_apply_orders",
     }
     assert r6_head <= set(window)
 
