@@ -27,6 +27,7 @@ import etl_projects_spark.queries_timeseries  # noqa: F401
 import etl_projects_spark.queries_tpch_ext  # noqa: F401
 import etl_projects_spark.queries_wave28  # noqa: F401
 import etl_projects_spark.queries_wave29  # noqa: F401
+import etl_projects_spark.queries_wave30  # noqa: F401
 from etl_projects_spark.queries import ORACLE, QUERIES
 from etl_projects_spark.queries import q1_pricing_summary
 
@@ -78,6 +79,10 @@ _ROUND_PRIORITY = [
     # remove-the-substring mode prune's docstring scoped out).
     "substring_span_prune",
     "substring_span_trim",
+    # 5: r11 addition — lsh_recall_report (queries_wave30.py), the
+    # banded-LSH candidate-stage recall/efficiency audit against exact
+    # df-capped ground truth on the shared sets artifact.
+    "lsh_recall_report",
     # 4-20: the ENTIRE remaining r5-era vintage (r10 VERDICT item 1 —
     # the 17 oldest rows in the record, tools/freshness_report.py
     # order). After this window no row in the durable record is older
@@ -99,15 +104,15 @@ _ROUND_PRIORITY = [
     "values_clause_dim_join",
     "variant_shred_props",
     "window_nth_cume",
-    # 22-50: freshness re-checks of the NOW-oldest (r6-era) rows — the
-    # first 29 of the 42 in tools/freshness_report.py order (r10
-    # VERDICT item 1: retire the r6 vintage next). The remaining 13
-    # queue for r12: snapshot_diff_orders, source_quotes_scan,
-    # streaming_incremental_dedup, streaming_interval_join,
-    # streaming_quotes_ingest, streaming_stateful_running_totals,
-    # struct_to_json, text_repetition_ratio, text_stats,
-    # training_shard_write, union_append, warehouse_copy_roundtrip,
-    # window_dedup_latest.
+    # 23-50: freshness re-checks of the NOW-oldest (r6-era) rows — the
+    # first 28 of the 42 in tools/freshness_report.py order (r10
+    # VERDICT item 1: retire the r6 vintage next). The remaining 14
+    # queue for r12: scd2_apply_orders, snapshot_diff_orders,
+    # source_quotes_scan, streaming_incremental_dedup,
+    # streaming_interval_join, streaming_quotes_ingest,
+    # streaming_stateful_running_totals, struct_to_json,
+    # text_repetition_ratio, text_stats, training_shard_write,
+    # union_append, warehouse_copy_roundtrip, window_dedup_latest.
     "agg_count_distinct",
     "array_to_json",
     "cast_all_to_string",
@@ -136,7 +141,6 @@ _ROUND_PRIORITY = [
     "repartition_partition_files",
     "salted_agg_order_revenue",
     "salted_join_lineitem_orders",
-    "scd2_apply_orders",
 ]
 
 

@@ -1004,6 +1004,9 @@ STORED_SET_CONSUMERS = frozenset(
         "streaming_incremental_dedup",
         "contamination_probe",
         "dedup_edit_distance",
+        # r11: the LSH recall audit reads the same stored sets for both
+        # its exact and candidate sides (queries_wave30.py).
+        "lsh_recall_report",
     }
 )
 

@@ -28,6 +28,9 @@ REPRESENTATIVE = [
     # r11: trim accounting at the SF where most sources trim nothing —
     # zero-island docs must still roll up through the left join
     "substring_span_trim",
+    # r11: the LSH recall audit at the low-signal SF (few true pairs —
+    # the zero-guard branches of both terminal quotients live here)
+    "lsh_recall_report",
     "media_fingerprint",
     "quality_validate_events",
     "asof_click_before_purchase",
@@ -245,6 +248,9 @@ UPSCALE = [
     # r11: trim at 10× — overlapping foreign spans actually occur, so
     # the gaps-and-islands interval merge is exercised for real
     "substring_span_trim",
+    # r11: recall audit at 10× — candidate efficiency actually departs
+    # from 1.0 (756 candidates / 256 true pairs), both quotients real
+    "lsh_recall_report",
     # the rest of the r5 driver-window entries with float/epoch/prefix
     # determinism surface: micro-epoch deltas + percentile_disc,
     # DECIMAL cumsums, gram-hash semi joins, signature agreement,

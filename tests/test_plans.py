@@ -825,3 +825,14 @@ def test_substring_span_family_plans(spark):
     # ... and nothing may be left pinned in the cache by the query.
     jcat = spark._jsparkSession.sharedState().cacheManager()
     assert jcat.isEmpty(), "substring_span_pairs left a cached relation pinned"
+
+
+def test_lsh_recall_report_plan(spark):
+    # r11 audit query: exact df-capped pairs + banded LSH candidates,
+    # both the family's bounded-key patterns off the shared sets
+    # artifact — no cartesian, no Python stage, and exactly ONE
+    # single-partition exchange (the terminal 1-row aggregate; the
+    # pair relations themselves must never collapse to one task).
+    assert_plan(QS["lsh_recall_report"](spark, SF_DIR),
+                python_stages=0, cartesian=False, nested_loop_joins=0,
+                single_exchanges=("<=", 1), shuffles=("<=", 12))
