@@ -79,11 +79,15 @@ _ROUND_PRIORITY = [
     # remove-the-substring mode prune's docstring scoped out).
     "substring_span_prune",
     "substring_span_trim",
-    # 5: r11 addition — lsh_recall_report (queries_wave30.py), the
+    # 5-6: r11 additions — lsh_recall_report (queries_wave30.py), the
     # banded-LSH candidate-stage recall/efficiency audit against exact
-    # df-capped ground truth on the shared sets artifact.
+    # df-capped ground truth on the shared sets artifact; and
+    # substring_span_incremental, the span family's stored-index
+    # admission path (persisted gbucket-partitioned span index +
+    # decontaminate_against_index probe).
     "lsh_recall_report",
-    # 4-20: the ENTIRE remaining r5-era vintage (r10 VERDICT item 1 —
+    "substring_span_incremental",
+    # 7-23: the ENTIRE remaining r5-era vintage (r10 VERDICT item 1 —
     # the 17 oldest rows in the record, tools/freshness_report.py
     # order). After this window no row in the durable record is older
     # than r6.
@@ -104,15 +108,16 @@ _ROUND_PRIORITY = [
     "values_clause_dim_join",
     "variant_shred_props",
     "window_nth_cume",
-    # 23-50: freshness re-checks of the NOW-oldest (r6-era) rows — the
-    # first 28 of the 42 in tools/freshness_report.py order (r10
-    # VERDICT item 1: retire the r6 vintage next). The remaining 14
-    # queue for r12: scd2_apply_orders, snapshot_diff_orders,
-    # source_quotes_scan, streaming_incremental_dedup,
-    # streaming_interval_join, streaming_quotes_ingest,
-    # streaming_stateful_running_totals, struct_to_json,
-    # text_repetition_ratio, text_stats, training_shard_write,
-    # union_append, warehouse_copy_roundtrip, window_dedup_latest.
+    # 24-50: freshness re-checks of the NOW-oldest (r6-era) rows — the
+    # first 27 of the 42 in tools/freshness_report.py order (r10
+    # VERDICT item 1: retire the r6 vintage next). The remaining 15
+    # queue for r12: salted_join_lineitem_orders, scd2_apply_orders,
+    # snapshot_diff_orders, source_quotes_scan,
+    # streaming_incremental_dedup, streaming_interval_join,
+    # streaming_quotes_ingest, streaming_stateful_running_totals,
+    # struct_to_json, text_repetition_ratio, text_stats,
+    # training_shard_write, union_append, warehouse_copy_roundtrip,
+    # window_dedup_latest.
     "agg_count_distinct",
     "array_to_json",
     "cast_all_to_string",
@@ -140,7 +145,6 @@ _ROUND_PRIORITY = [
     "quality_monitor_gate",
     "repartition_partition_files",
     "salted_agg_order_revenue",
-    "salted_join_lineitem_orders",
 ]
 
 

@@ -367,6 +367,26 @@ def run_chunk(names: list[str]) -> dict[str, float]:
             time.perf_counter() - t0, 3
         )
         warmed = True
+    if "substring_span_incremental" in names:
+        # Same two-phase split for the span family's persisted span
+        # index (r11): cold build+probe in the notes, amortized probe
+        # in the timed window.
+        import shutil
+
+        from etl_projects_spark.queries_llm import _corpus_scratch
+        from etl_projects_spark.queries_wave29 import SPAN_N
+
+        shutil.rmtree(
+            _corpus_scratch(SF_DIR, f"spanidx{SPAN_N}"), ignore_errors=True
+        )
+        t0 = time.perf_counter()
+        qs["substring_span_incremental"](spark, SF_DIR).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        notes["substring_span_incremental_cold_build_probe_s"] = round(
+            time.perf_counter() - t0, 3
+        )
+        warmed = True
     if warmed:
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()

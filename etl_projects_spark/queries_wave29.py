@@ -4,9 +4,10 @@ dedup (Lee et al., "Deduplicating Training Data Makes Language Models
 Better"), which removes verbatim runs above a fixed token width that
 n-gram Jaccard and MinHash both under-count (no single pair need clear
 a similarity threshold for a verbatim 20-token span to be memorizable).
-Four views, one shared hash contract: per-source REPORT, top-pair
-EVIDENCE, doc-level PRUNE (keep-list), and span-level TRIM accounting
-(merged-interval token coverage).
+Five views, one shared hash contract: per-source REPORT, top-pair
+EVIDENCE, doc-level PRUNE (keep-list), span-level TRIM accounting
+(merged-interval token coverage), and INCREMENTAL batch admission
+against a persisted span index.
 
 Keeps the catalog's determinism contract: exact BIGINT counting
 everywhere upstream, one identical terminal integer-quotient double
@@ -444,5 +445,93 @@ def substring_span_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("tokens_removed").cast("double")
                 / F.col("tokens_total").cast("double"),
             ).otherwise(F.lit(0.0)),
+        )
+    )
+
+
+@_q(
+    "substring_span_incremental",
+    f"""
+    WITH {dedup.shingles_cte(SPAN_N)},
+    old AS (SELECT DISTINCT shingle FROM shingles WHERE id % 5 <> 4),
+    batch AS (SELECT id, shingle FROM shingles WHERE id % 5 = 4),
+    per_doc AS (SELECT id, count(*) AS n_spans FROM batch GROUP BY id),
+    hits AS (SELECT b.id, count(*) AS n_hit
+             FROM batch b JOIN old o USING (shingle) GROUP BY b.id),
+    docs AS (SELECT doc_id, source FROM documents WHERE doc_id % 5 = 4)
+    SELECT d.doc_id, d.source,
+           CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+           coalesce(h.n_hit, 0) > 0 AS contaminated
+    FROM docs d LEFT JOIN per_doc p ON d.doc_id = p.id
+                LEFT JOIN hits h ON d.doc_id = h.id
+    """,
+)
+def substring_span_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact-substring admission: one arriving batch (the
+    family-standard ``doc_id % 5 = 4`` stand-in for 'the newly arrived
+    slice') checked for verbatim SPAN_N(=20)-token overlap against the
+    ALREADY-ADMITTED corpus's persisted span index — without ever
+    re-scanning the admitted corpus. One (doc_id, source, n_spans,
+    n_hit, contaminated) verdict per batch document, the span family's
+    analog of ``dedup_incremental_batch``'s stored-index lifecycle.
+
+    Storage + probe REUSE the decontamination machinery wholesale: the
+    span index is a gram index whose grams are the 8-byte span hashes
+    — written once per corpus vintage via ``build_once``, partitioned
+    on ``dedup.gram_bucket`` (the ONE bucket function both sides must
+    share), and probed by ``dedup.decontaminate_against_index``, which
+    broadcasts the batch's spans, statically prunes the index scan to
+    the buckets those spans hash into, and keeps the index
+    exchange-free. Batch cost is O(batch + matched buckets),
+    independent of corpus size; the batch side must be driver-sized
+    (EVAL_SNAPSHOT_MAX_ROWS enforces it loudly — at 100 TB, chunk
+    larger arrivals). Zero-span and zero-hit batch docs are restored
+    by the terminal batch-sized left joins.
+    """
+    from etl_projects_spark.operators.exec_util import build_once
+    from etl_projects_spark.queries_llm import _corpus_scratch
+
+    docs = load(spark, sf_dir, "documents")
+    spans = dedup.word_shingles(docs, n=SPAN_N)  # (id, shingle) distinct
+    is_new = F.col("id") % 5 == 4
+    path = _corpus_scratch(sf_dir, f"spanidx{SPAN_N}")
+
+    def _build(tmp: str) -> None:
+        # Bucket-partitioned distinct-span index of the admitted
+        # corpus. REBALANCE on the partition column (the K1/X2 writer
+        # policy): one file per bucket here, AQE-splittable when a
+        # bucket outgrows the advisory size at scale.
+        (
+            spans.filter(~is_new)
+            .select(F.col("shingle").alias("gram"))
+            .distinct()
+            .withColumn("gbucket", dedup.gram_bucket("gram"))
+            .hint("rebalance", "gbucket")
+            .write.mode("overwrite")
+            .partitionBy("gbucket")
+            .parquet(tmp)
+        )
+
+    build_once(path, _build)
+    index = spark.read.parquet(path)
+    batch = spans.filter(is_new).select(
+        F.col("id").alias("doc_id"), F.col("shingle").alias("gram")
+    )
+    hits = dedup.decontaminate_against_index(batch, index)
+    per_doc = batch.groupBy("doc_id").agg(F.count("*").alias("n_spans"))
+    n_spans = F.coalesce(F.col("n_spans"), F.lit(0))
+    n_hit = F.coalesce(F.col("n_hit"), F.lit(0))
+    return (
+        docs.filter(F.col("doc_id") % 5 == 4)
+        .select("doc_id", "source")
+        .join(per_doc, "doc_id", "left")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            n_spans.alias("n_spans"),
+            n_hit.alias("n_hit"),
+            (n_hit > 0).alias("contaminated"),
         )
     )

@@ -31,6 +31,9 @@ REPRESENTATIVE = [
     # r11: the LSH recall audit at the low-signal SF (few true pairs —
     # the zero-guard branches of both terminal quotients live here)
     "lsh_recall_report",
+    # r11: incremental span admission — the span index is rebuilt per
+    # corpus vintage, so the bucket-pruned probe must hold here too
+    "substring_span_incremental",
     "media_fingerprint",
     "quality_validate_events",
     "asof_click_before_purchase",
@@ -251,6 +254,9 @@ UPSCALE = [
     # r11: recall audit at 10× — candidate efficiency actually departs
     # from 1.0 (756 candidates / 256 true pairs), both quotients real
     "lsh_recall_report",
+    # r11: incremental span admission at 10× — batch hits actually
+    # occur, and the broadcast probe sees a real index
+    "substring_span_incremental",
     # the rest of the r5 driver-window entries with float/epoch/prefix
     # determinism surface: micro-epoch deltas + percentile_disc,
     # DECIMAL cumsums, gram-hash semi joins, signature agreement,

@@ -827,6 +827,22 @@ def test_substring_span_family_plans(spark):
     assert jcat.isEmpty(), "substring_span_pairs left a cached relation pinned"
 
 
+def test_substring_span_incremental_plan(spark):
+    # r11 addition: the span family's stored-index admission path must
+    # keep the decontamination probe's load-bearing shape — the batch
+    # side broadcasts, the persisted span index is scanned with a
+    # STATIC gbucket partition filter (only buckets the batch's spans
+    # hash into are listed or read), no Python stage, no cartesian.
+    from etl_projects_spark.plans.audit import plan_string
+
+    df = QS["substring_span_incremental"](spark, SF_DIR)
+    assert_plan(df, python_stages=0, cartesian=False, nested_loop_joins=0,
+                broadcast_joins=(">=", 1), shuffles=("<=", 6))
+    pruned = [ln for ln in plan_string(df).splitlines()
+              if "PartitionFilters" in ln and "gbucket" in ln]
+    assert pruned, "span-index scan lost its gbucket partition filter"
+
+
 def test_lsh_recall_report_plan(spark):
     # r11 audit query: exact df-capped pairs + banded LSH candidates,
     # both the family's bounded-key patterns off the shared sets

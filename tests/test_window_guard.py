@@ -104,11 +104,12 @@ def test_r11_rotation_heads_the_window():
     # 1) rides along, and the rest retires the oldest r6-era rows.
     window = wh.window_names()
     assert {"substring_span_pairs", "decontaminate_eval_join"} <= set(
-        window[:5]
+        window[:6]
     )
     assert {
         "substring_span_prune", "substring_span_trim", "lsh_recall_report",
-    } <= set(window[:5])
+        "substring_span_incremental",
+    } <= set(window[:6])
     r5_vintage = {
         "range_interval_window_user", "regr_trend_nation",
         "revenue_proration_daily", "rolling_7day_revenue",
@@ -120,10 +121,10 @@ def test_r11_rotation_heads_the_window():
         "values_clause_dim_join", "variant_shred_props",
         "window_nth_cume",
     }
-    assert r5_vintage <= set(window[:22])
+    assert r5_vintage <= set(window[:23])
     r6_head = {
         "agg_count_distinct", "array_to_json", "cast_all_to_string",
-        "salted_join_lineitem_orders",
+        "salted_agg_order_revenue",
     }
     assert r6_head <= set(window)
 
