@@ -207,13 +207,17 @@ def _sf() -> float | None:
 # whole-stage-codegen compilation that later runs of the same shapes
 # never pay. A chunk containing any of them gets an untimed sf0.01
 # warm-up pass over the full chain first (JVM warm-up is excluded by
-# policy, see module docstring).
-SHINGLE_FAMILY_PREFIX = "dedup_"
+# policy, see module docstring). The substring_span_* family and the
+# LSH recall audit run the SAME tokenize/md5/window shapes under
+# non-dedup_ names (r11: their first bench read was billed 2-3× their
+# steady state for exactly this reason), so they trigger it too.
 SHINGLE_FAMILY = {
     "contamination_probe",
     "text_normalized_dedup",
     "winnow_fingerprints",
+    "lsh_recall_report",
 }
+SHINGLE_FAMILY_PREFIXES = ("dedup_", "substring_span_")
 
 
 def run_chunk(names: list[str]) -> dict[str, float]:
@@ -253,13 +257,23 @@ def run_chunk(names: list[str]) -> dict[str, float]:
         "noop"
     ).mode("overwrite").save()
     if any(
-        n.startswith(SHINGLE_FAMILY_PREFIX) or n in SHINGLE_FAMILY for n in names
+        n.startswith(SHINGLE_FAMILY_PREFIXES) or n in SHINGLE_FAMILY
+        for n in names
     ):
         # dedup_keep_list traverses the whole family: shingle explode,
         # minhash aggs, LSH self-join, jaccard verify, components loop.
         qs["dedup_keep_list"](spark, "/root/testdata/sf0.01").write.format(
             "noop"
         ).mode("overwrite").save()
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+    if any(n.startswith("substring_span_") for n in names):
+        # The span family compiles its OWN codegen classes (n=20
+        # slice+array_join transform, span-hash window) that the n=3
+        # keep-list pass above does not cover — warm them directly.
+        qs["substring_span_report"](
+            spark, "/root/testdata/sf0.01"
+        ).write.format("noop").mode("overwrite").save()
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
     # Stored-artifact consumers (pair list, component labels, LSH
