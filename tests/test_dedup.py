@@ -165,3 +165,51 @@ def test_span_max_df_cap_never_binds(spark):
             "on this corpus (silently dropping pairs); re-measure and "
             "either raise the cap or document the dropped boilerplate."
         )
+
+
+def test_eval_snapshot_preserves_exact_long_ids(spark):
+    """r10 ADVICE regression pin: the gbucket path snapshots eval_grams
+    to the driver before the bucket collect. The old toPandas()
+    round-trip coerced a NULLABLE long doc_id to float64 (NaN for
+    null), and the unchecked cast back silently corrupted ids above
+    2^53 — exactly the class this test plants: an id at 2^53 + 1 (not
+    float64-representable) and a null id. Both must survive the probe
+    byte-exactly through the collect()-based snapshot."""
+    from pyspark.sql import functions as F
+
+    from etl_projects_spark.operators import dedup
+
+    big = (1 << 53) + 1  # rounds to 2^53 under float64
+    idx = (
+        spark.createDataFrame([("g1",), ("g2",)], "gram string")
+        .withColumn("gbucket", dedup.gram_bucket("gram"))
+    )
+    ev = spark.createDataFrame(
+        [(big, "g1"), (big, "g2"), (None, "g1"), (7, "g2")],
+        "doc_id long, gram string",
+    )
+    got = {
+        r.doc_id: r.n_hit
+        for r in dedup.decontaminate_against_index(ev, idx).collect()
+    }
+    assert got == {big: 2, None: 1, 7: 1}, got
+
+
+def test_eval_snapshot_bound_fails_loudly(spark, monkeypatch):
+    """The 'eval side is small' contract is ENFORCED (r10 ADVICE), not
+    documented: routing an over-bound relation through the collected
+    side must raise with the measured size, never silently collect."""
+    import pytest
+
+    from etl_projects_spark.operators import dedup
+
+    idx = (
+        spark.createDataFrame([("g1",)], "gram string")
+        .withColumn("gbucket", dedup.gram_bucket("gram"))
+    )
+    ev = spark.createDataFrame(
+        [(i, f"g{i}") for i in range(10)], "doc_id long, gram string"
+    )
+    monkeypatch.setattr(dedup, "EVAL_SNAPSHOT_MAX_ROWS", 5)
+    with pytest.raises(ValueError, match="10 rows"):
+        dedup.decontaminate_against_index(ev, idx)
