@@ -57,94 +57,92 @@ def entry(spark: SparkSession) -> DataFrame:
 # tests/test_window_guard.py fails if any query whose hash changed
 # since its recorded window is not in the current first 50.
 _ROUND_PRIORITY = [
-    # --- r11 window ------------------------------------------------
-    # 1-2: r11 reworks. substring_span_pairs dropped its per-invocation
-    # persist (r10 ADVICE leaked-pin class; the self-join now rides
-    # AQE stage reuse — plan-pinned in tests/test_plans.py), so its
-    # source hash changed and it re-proves here. operators/dedup.py
-    # changed (r10 ADVICE: the eval-gram snapshot now collect()s Rows
-    # instead of round-tripping toPandas(), closing the
-    # nullable-long→float64 corruption window, and enforces the
-    # small-eval contract with EVAL_SNAPSHOT_MAX_ROWS) —
-    # decontaminate_eval_join is that function's only catalog
-    # consumer, so it re-proves on the changed path.
-    "substring_span_pairs",
-    "decontaminate_eval_join",
-    # 3-4: r11 additions (every addition lands inside the window):
-    # substring_span_prune — the exact-substring family's ACTION query
-    # (per-doc keep verdict, min-doc_id canonical holder per span
-    # group), completing report → pairs → prune (r10 VERDICT item 3) —
-    # and substring_span_trim, the SPAN-level removal accounting
-    # (merged-interval token coverage of foreign spans, the Lee et al.
-    # remove-the-substring mode prune's docstring scoped out).
-    "substring_span_prune",
-    "substring_span_trim",
-    # 5-6: r11 additions — lsh_recall_report (queries_wave30.py), the
-    # banded-LSH candidate-stage recall/efficiency audit against exact
-    # df-capped ground truth on the shared sets artifact; and
-    # substring_span_incremental, the span family's stored-index
-    # admission path (persisted gbucket-partitioned span index +
-    # decontaminate_against_index probe).
+    # --- r12 window ------------------------------------------------
+    # 1-4: r12 reworks / changed-module consumers.
+    # lsh_recall_report's own source changed twice over (r11 ADVICE:
+    # the terminal sums are coalesced to 0 so a degenerate empty
+    # corpus matches the oracle's zeros; and its jaccard_pairs call
+    # no longer pins a cached relation). dedup_jaccard_df_capped is
+    # the other catalog consumer of jaccard_pairs' df-cap path, whose
+    # per-invocation persist was removed in favor of ReusedExchange
+    # (plan-pinned; measured faster). decontaminate_eval_join and
+    # substring_span_incremental are the two catalog consumers of
+    # dedup.decontaminate_against_index, whose driver snapshot moved
+    # from collect()+Rows to toArrow()+createDataFrame (the r11
+    # verdict's +0.76 s drift attributed and recovered — exactness
+    # regression pins unchanged and green).
     "lsh_recall_report",
+    "decontaminate_eval_join",
+    "dedup_jaccard_df_capped",
     "substring_span_incremental",
-    # 7-23: the ENTIRE remaining r5-era vintage (r10 VERDICT item 1 —
-    # the 17 oldest rows in the record, tools/freshness_report.py
-    # order). After this window no row in the durable record is older
-    # than r6.
-    "range_interval_window_user",
-    "regr_trend_nation",
-    "revenue_proration_daily",
-    "rolling_7day_revenue",
-    "rolling_corr_value_count",
-    "rolling_wau_daily",
-    "seasonal_dow_index",
-    "session_path_topk",
-    "session_window_builtin",
-    "share_of_parent_revenue",
-    "shuffle_hash_join_hint",
-    "token_budget_allocator",
-    "try_scalar_functions",
-    "user_activity_entropy",
-    "values_clause_dim_join",
-    "variant_shred_props",
-    "window_nth_cume",
-    # 24-50: freshness re-checks of the NOW-oldest (r6-era) rows — the
-    # first 27 of the 42 in tools/freshness_report.py order (r10
-    # VERDICT item 1: retire the r6 vintage next). The remaining 15
-    # queue for r12: salted_join_lineitem_orders, scd2_apply_orders,
-    # snapshot_diff_orders, source_quotes_scan,
-    # streaming_incremental_dedup, streaming_interval_join,
-    # streaming_quotes_ingest, streaming_stateful_running_totals,
-    # struct_to_json, text_repetition_ratio, text_stats,
-    # training_shard_write, union_append, warehouse_copy_roundtrip,
-    # window_dedup_latest.
-    "agg_count_distinct",
-    "array_to_json",
-    "cast_all_to_string",
-    "date_parts",
-    "dw_promotion_gate",
-    "embedding_pca_project",
-    "engine_sql_file_build",
-    "format_column_names",
-    "gopher_repetition_filter",
-    "join_anti",
-    "join_full_outer",
-    "join_inner",
-    "join_left_outer",
-    "join_semi",
-    "json_explode_props",
-    "literal_batch_stamp",
-    "media_decode_stats",
-    "media_frame_sample",
-    "media_resize_stub",
-    "mixture_weights_temperature",
-    "pipeline_dag_build",
-    "q1_pricing_summary",
-    "q3_top_orders",
-    "q5_local_supplier_volume",
-    "quality_monitor_gate",
-    "repartition_partition_files",
-    "salted_agg_order_revenue",
+    # 5-6: r12 additions (every addition lands inside the window):
+    # ann_recall_report — the ANN family's recall/efficiency audit
+    # (exact knn_join ground truth vs single-bucket and Hamming-1
+    # multi-probe hyperplane-LSH candidates, r11 VERDICT item 3) —
+    # and substring_span_rewrite, the span family's REWRITE query
+    # (emits the trimmed corpus itself via the merged foreign-span
+    # intervals, r11 VERDICT item 4; reconciliation with trim's
+    # accounting is test-pinned).
+    "ann_recall_report",
+    "substring_span_rewrite",
+    # 7-21: the ENTIRE remaining r6-era vintage (r11 VERDICT item 1 —
+    # the 15 rows queued in r11's window comment, freshness order).
+    # After this window no row in the durable record is older than r7.
+    "salted_join_lineitem_orders",
+    "scd2_apply_orders",
+    "snapshot_diff_orders",
+    "source_quotes_scan",
+    "streaming_incremental_dedup",
+    "streaming_interval_join",
+    "streaming_quotes_ingest",
+    "streaming_stateful_running_totals",
+    "struct_to_json",
+    "text_repetition_ratio",
+    "text_stats",
+    "training_shard_write",
+    "union_append",
+    "warehouse_copy_roundtrip",
+    "window_dedup_latest",
+    # 22-50: freshness re-checks of the NOW-oldest (r7-era) rows — the
+    # first 29 of the 46 in tools/freshness_report.py order, skipping
+    # dedup_jaccard_df_capped which already rides at slot 3 (so 30 of
+    # the r7 vintage retire this round; the remaining 16 queue for
+    # r13: resample_gap_fill, shard_packing, sliding_window_events,
+    # sort_limit_topk, stratified_sample_sources,
+    # streaming_tumbling_counts, text_bpe_ish_tokens,
+    # text_dup_gram_fraction, text_lang_id, text_normalized_dedup,
+    # text_pii_redaction, text_quality_score, tumbling_window_events,
+    # window_running_order_total, window_top_suppliers_per_nation,
+    # winnow_fingerprints).
+    "ann_cosine_topk",
+    "ann_knn_join",
+    "ann_lsh_multiprobe_topk",
+    "ann_lsh_topk",
+    "asof_click_before_purchase",
+    "contamination_probe",
+    "control_file_roundtrip",
+    "cube_counts",
+    "dedup_edit_distance",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "embedding_similarity_join",
+    "events_sessionize",
+    "media_byte_histogram",
+    "media_fingerprint",
+    "minhash_jaccard_estimate",
+    "pack_token_spans",
+    "packing_efficiency_report",
+    "pivot_status",
+    "q10_returned_revenue",
+    "q14_type_revenue_share",
+    "q4_order_priority",
+    "q6_selective_revenue",
+    "q7_nation_trade_volume",
+    "quality_validate_events",
+    "range_join_daily_windows",
 ]
 
 

@@ -216,7 +216,19 @@ SHINGLE_FAMILY = {
     "text_normalized_dedup",
     "winnow_fingerprints",
     "lsh_recall_report",
+    # r12 tripwire sweep: these four run shingle/minhash shapes under
+    # non-family names and had been paying first-read JIT inside their
+    # timed chunks — the exact class the r11 span-family fix closed.
+    "minhash_jaccard_estimate",
+    "neardup_rate_by_source",
+    "streaming_incremental_dedup",
+    "text_dup_gram_fraction",
 }
+# NOTE: membership is no longer trust-me — tests/test_window_guard.py::
+# test_shingle_family_warmup_matches_call_sites derives the
+# shingle-shaped consumers from the AST (transitive callers of the
+# tokenize/md5/minhash roots) and fails the suite if any catalog query
+# reaches those shapes without matching this trigger.
 SHINGLE_FAMILY_PREFIXES = ("dedup_", "substring_span_")
 
 

@@ -335,13 +335,21 @@ def jaccard_pairs(
         # skewed groups the cap exists to guard (measured: no local win
         # either, the count agg is far lighter than the list shuffle).
         freq = shingles.groupBy("shingle").agg(F.count("*").alias("df_"))
-        # materialized: the capped relation feeds multiple plan
-        # branches — left lazy, the doc-freq aggregate and cap join
-        # recompute (and race) per branch.
-        shingles = materialize(
-            shingles.join(freq.filter(F.col("df_") <= max_doc_freq), "shingle")
-            .select("id", "shingle")
-        )
+        # Deliberately NOT materialized (r11 ADVICE: the persist here
+        # pinned one cached relation per invocation with no handle to
+        # release it). The capped relation feeds two plan branches in
+        # the grouped path (per-id sizes + per-shingle groups), but
+        # both branches share byte-identical Exchange subtrees (the
+        # doc-freq aggregate and the cap join), so ReuseExchange
+        # computes the corpus-scale subtree ONCE and the second branch
+        # reads a ReusedExchange — plan-pinned in tests/test_plans.py,
+        # and measured FASTER than the persist+count barrier it
+        # replaces (df_capped 2.1→1.2 s, lsh_recall_report 2.3→1.7 s
+        # at sf0.1; the eager count was a whole extra job). Same
+        # leaked-pin fix as substring_span_pairs in r11.
+        shingles = shingles.join(
+            freq.filter(F.col("df_") <= max_doc_freq), "shingle"
+        ).select("id", "shingle")
     if candidates is not None:
         # candidate sets are LSH-bounded (small by design) → both the
         # semi-join filter and the pair-side set joins broadcast.
@@ -567,21 +575,30 @@ def decontaminate_against_index(
         # unchanged: the eval side is small by contract and the
         # F.broadcast below already ships the whole relation through
         # the driver — the snapshot is the same bytes, once. Snapshot
-        # via collect()+Rows, NOT toPandas(): pandas coerces a nullable
-        # LongType to float64 (NaN for null), and the unchecked cast
-        # back to long (convertToArrowArraySafely=false default) can
-        # silently corrupt ids (r10 ADVICE).
+        # via toArrow()+createDataFrame(pa.Table), NOT toPandas():
+        # pandas coerces a nullable LongType to float64 (NaN for
+        # null), and the unchecked cast back to long
+        # (convertToArrowArraySafely=false default) can silently
+        # corrupt ids (r10 ADVICE). Arrow int64 carries nulls and
+        # >2^53 ids exactly (regression-pinned in tests/test_dedup.py)
+        # while staying vectorized both ways — the r11 collect()+Rows
+        # shape was equally exact but serialized row-by-row through
+        # Python on BOTH legs, the attributed cause of that round's
+        # +0.76 s drift on decontaminate_eval_join (measured 2.2×
+        # slower than this on a 120k-row roundtrip; DETERMINISM.md
+        # r12).
         spark = eval_grams.sparkSession
-        rows = eval_grams.collect()
+        snap = eval_grams.toArrow()
         # The "eval side is small" contract, enforced rather than
         # documented: broadcast-sized by definition, so well under this.
-        if len(rows) > EVAL_SNAPSHOT_MAX_ROWS:
+        if snap.num_rows > EVAL_SNAPSHOT_MAX_ROWS:
             raise ValueError(
-                f"decontaminate_against_index: eval_grams has {len(rows)} "
-                f"rows (> {EVAL_SNAPSHOT_MAX_ROWS}); the eval side must be "
-                "small (it is collected AND broadcast). Index the big side."
+                f"decontaminate_against_index: eval_grams has "
+                f"{snap.num_rows} rows (> {EVAL_SNAPSHOT_MAX_ROWS}); the "
+                "eval side must be small (it is collected AND broadcast). "
+                "Index the big side."
             )
-        eval_grams = spark.createDataFrame(rows, schema=eval_grams.schema)
+        eval_grams = spark.createDataFrame(snap, schema=eval_grams.schema)
         buckets = [
             r[0]
             for r in eval_grams.select(gram_bucket("gram"))

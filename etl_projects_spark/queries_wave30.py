@@ -16,8 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_projects_spark.operators import dedup
-from etl_projects_spark.queries import _q
+from etl_projects_spark.operators import dedup, similarity
+from etl_projects_spark.queries import _q, load
 from etl_projects_spark.queries_llm import sets_cached
 
 # Ground-truth doc-frequency cap: the SAME guard dedup_jaccard_df_capped
@@ -103,9 +103,14 @@ def lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_pair = tagged.groupBy("id_a", "id_b").agg(
         F.max("is_true").alias("is_true"), F.max("is_cand").alias("is_cand")
     )
-    n_true = F.sum("is_true")
-    n_cand = F.sum("is_cand")
-    n_hit = F.sum(F.col("is_true") * F.col("is_cand"))
+    # coalesce(…, 0): on a degenerate corpus with zero exact AND zero
+    # candidate pairs, per_pair is empty and bare sums would emit NULL
+    # counts where the oracle's scalar subqueries emit 0 (r11 ADVICE);
+    # the zeroed counts also route the quotients to their otherwise()
+    # branches (recall 1.0, efficiency 0.0), matching the oracle.
+    n_true = F.coalesce(F.sum("is_true"), F.lit(0))
+    n_cand = F.coalesce(F.sum("is_cand"), F.lit(0))
+    n_hit = F.coalesce(F.sum(F.col("is_true") * F.col("is_cand")), F.lit(0))
     return per_pair.agg(
         n_true.cast("long").alias("n_true_pairs"),
         n_cand.cast("long").alias("n_lsh_candidates"),
@@ -120,4 +125,192 @@ def lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(F.lit(0.0))
         .alias("candidate_efficiency"),
+    )
+
+
+# Recall-audit contract for the ANN family: exact top-k per probe at
+# the family's standard k, probes = the eval-set stand-in predicate
+# every batch-retrieval query uses (vec_id % 100 = 0 — bounded by
+# contract, the same "benchmarks are MBs" shape as the knn probe set).
+ANN_RECALL_K = 10
+
+
+def _multiprobe_xor_sql() -> str:
+    """DuckDB list literal of the multi-probe bucket set for one probe
+    row: the query's own bucket plus every Hamming-1 bit flip — the
+    SAME (n_planes+1)-element set ``similarity.lsh_multiprobe_topk``
+    scans, derived from the same LSH_N_PLANES constant."""
+    flips = ", ".join(
+        f"xor(qbucket, {1 << i})" for i in range(similarity.LSH_N_PLANES)
+    )
+    return f"[qbucket, {flips}]"
+
+
+@_q(
+    "ann_recall_report",
+    f"""
+    WITH b AS (SELECT vec_id, embedding,
+                      {similarity.bucket_sql('embedding')} AS bucket
+               FROM embeddings),
+    q AS (SELECT vec_id AS qid, embedding AS qv, bucket AS qbucket
+          FROM b WHERE vec_id % 100 = 0),
+    scored AS (
+      SELECT q.qid, c.vec_id AS nbr,
+             round({similarity.cosine_sql('c.embedding', 'q.qv')}, 6) AS score
+      FROM b c, q WHERE c.vec_id != q.qid),
+    ranked AS (
+      SELECT qid, nbr,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY score DESC, nbr) AS rnk
+      FROM scored),
+    exact AS (SELECT qid, nbr FROM ranked WHERE rnk <= {ANN_RECALL_K}),
+    c1 AS (SELECT q.qid, c.vec_id AS nbr
+           FROM b c JOIN q ON c.bucket = q.qbucket
+           WHERE c.vec_id != q.qid),
+    p AS (SELECT qid, unnest({_multiprobe_xor_sql()}) AS pbucket FROM q),
+    cm AS (SELECT p.qid, c.vec_id AS nbr
+           FROM b c JOIN p ON c.bucket = p.pbucket
+           WHERE c.vec_id != p.qid),
+    tagged AS (
+      SELECT qid, nbr, 1 AS is_true, 0 AS in_bucket, 0 AS in_multi FROM exact
+      UNION ALL
+      SELECT qid, nbr, 0, 1, 0 FROM c1
+      UNION ALL
+      SELECT qid, nbr, 0, 0, 1 FROM cm),
+    per_pair AS (
+      SELECT qid, nbr, max(is_true) AS is_true,
+             max(in_bucket) AS in_bucket, max(in_multi) AS in_multi
+      FROM tagged GROUP BY 1, 2)
+    SELECT CAST(count(DISTINCT qid) AS BIGINT) AS n_probes,
+           CAST(coalesce(sum(is_true), 0) AS BIGINT) AS n_true_pairs,
+           CAST(coalesce(sum(in_bucket), 0) AS BIGINT) AS n_cand_bucket,
+           CAST(coalesce(sum(is_true * in_bucket), 0) AS BIGINT) AS n_hit_bucket,
+           CASE WHEN coalesce(sum(is_true), 0) > 0
+                THEN CAST(coalesce(sum(is_true * in_bucket), 0) AS DOUBLE)
+                     / CAST(sum(is_true) AS DOUBLE)
+                ELSE 1.0 END AS recall_bucket,
+           CASE WHEN coalesce(sum(in_bucket), 0) > 0
+                THEN CAST(coalesce(sum(is_true * in_bucket), 0) AS DOUBLE)
+                     / CAST(sum(in_bucket) AS DOUBLE)
+                ELSE 0.0 END AS efficiency_bucket,
+           CAST(coalesce(sum(in_multi), 0) AS BIGINT) AS n_cand_multiprobe,
+           CAST(coalesce(sum(is_true * in_multi), 0) AS BIGINT) AS n_hit_multiprobe,
+           CASE WHEN coalesce(sum(is_true), 0) > 0
+                THEN CAST(coalesce(sum(is_true * in_multi), 0) AS DOUBLE)
+                     / CAST(sum(is_true) AS DOUBLE)
+                ELSE 1.0 END AS recall_multiprobe,
+           CASE WHEN coalesce(sum(in_multi), 0) > 0
+                THEN CAST(coalesce(sum(is_true * in_multi), 0) AS DOUBLE)
+                     / CAST(sum(in_multi) AS DOUBLE)
+                ELSE 0.0 END AS efficiency_multiprobe
+    FROM per_pair
+    """,
+)
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall audit of the ANN candidate stages against the exact k-NN
+    answer — the embeddings-side twin of ``lsh_recall_report`` (r11
+    VERDICT: the ANN family shipped tunable knobs with no readout).
+    ONE row over the standard probe set (vec_id % 100 = 0): how many
+    exact top-{ANN_RECALL_K} (probe, neighbor) pairs exist, how many
+    candidates single-bucket hyperplane LSH scans and how many of the
+    true pairs it catches (recall@k + candidate efficiency), and the
+    same pair of numbers for Hamming-1 multi-probe — THE tuning
+    readout for the hyperplane-count / probe-width knobs before
+    trusting either index at 100 TB (recall too low → fewer planes or
+    wider probing; efficiency too low → the verify stage scans junk).
+
+    Scale shape: the exact side is the family's bounded-probe k-NN
+    join (``similarity.knn_join`` — probes collected into ONE
+    broadcast matrix by the eval-set contract, corpus streamed once
+    through Arrow batches, per-partition top-k); both candidate sides
+    are broadcast hash equi-joins on the bucket column (multi-probe
+    via an EXPLODED (qid, probed-bucket) relation rather than an
+    array_contains nested-loop — the probe set is (n_planes+1)·probes
+    rows, still broadcast-sized). The three relations union, collapse
+    on the pair key (one eval-sized shuffle), and aggregate to one
+    row; counts are coalesced to 0 so a degenerate empty corpus
+    matches the oracle's zeros. No crossJoin, no collect beyond the
+    bounded probe matrix, nothing corpus-quadratic anywhere.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 100 == 0)
+    exact = similarity.knn_join(emb, probes, k=ANN_RECALL_K).select(
+        "qid", "nbr"
+    )
+    b = emb.select(
+        "vec_id",
+        similarity.hyperplane_bucket(F.col("embedding")).alias("bucket"),
+    )
+    qb = b.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("bucket").alias("qbucket")
+    )
+    cand1 = (
+        b.join(F.broadcast(qb), F.col("bucket") == F.col("qbucket"))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", F.col("vec_id").alias("nbr"))
+    )
+    qexp = qb.select(
+        "qid",
+        F.explode(
+            F.array(
+                F.col("qbucket"),
+                *[
+                    F.col("qbucket").bitwiseXOR(1 << i)
+                    for i in range(similarity.LSH_N_PLANES)
+                ],
+            )
+        ).alias("pbucket"),
+    )
+    candm = (
+        b.join(F.broadcast(qexp), F.col("bucket") == F.col("pbucket"))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", F.col("vec_id").alias("nbr"))
+    )
+    tagged = (
+        exact.select(
+            "qid", "nbr", F.lit(1).alias("is_true"),
+            F.lit(0).alias("in_bucket"), F.lit(0).alias("in_multi"),
+        )
+        .unionByName(
+            cand1.select(
+                "qid", "nbr", F.lit(0).alias("is_true"),
+                F.lit(1).alias("in_bucket"), F.lit(0).alias("in_multi"),
+            )
+        )
+        .unionByName(
+            candm.select(
+                "qid", "nbr", F.lit(0).alias("is_true"),
+                F.lit(0).alias("in_bucket"), F.lit(1).alias("in_multi"),
+            )
+        )
+    )
+    per_pair = tagged.groupBy("qid", "nbr").agg(
+        F.max("is_true").alias("is_true"),
+        F.max("in_bucket").alias("in_bucket"),
+        F.max("in_multi").alias("in_multi"),
+    )
+    n_true = F.coalesce(F.sum("is_true"), F.lit(0))
+    n_c1 = F.coalesce(F.sum("in_bucket"), F.lit(0))
+    h_c1 = F.coalesce(F.sum(F.col("is_true") * F.col("in_bucket")), F.lit(0))
+    n_cm = F.coalesce(F.sum("in_multi"), F.lit(0))
+    h_cm = F.coalesce(F.sum(F.col("is_true") * F.col("in_multi")), F.lit(0))
+    return per_pair.agg(
+        F.count_distinct("qid").cast("long").alias("n_probes"),
+        n_true.cast("long").alias("n_true_pairs"),
+        n_c1.cast("long").alias("n_cand_bucket"),
+        h_c1.cast("long").alias("n_hit_bucket"),
+        F.when(n_true > 0, h_c1.cast("double") / n_true.cast("double"))
+        .otherwise(F.lit(1.0))
+        .alias("recall_bucket"),
+        F.when(n_c1 > 0, h_c1.cast("double") / n_c1.cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("efficiency_bucket"),
+        n_cm.cast("long").alias("n_cand_multiprobe"),
+        h_cm.cast("long").alias("n_hit_multiprobe"),
+        F.when(n_true > 0, h_cm.cast("double") / n_true.cast("double"))
+        .otherwise(F.lit(1.0))
+        .alias("recall_multiprobe"),
+        F.when(n_cm > 0, h_cm.cast("double") / n_cm.cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("efficiency_multiprobe"),
     )

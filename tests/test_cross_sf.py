@@ -28,12 +28,18 @@ REPRESENTATIVE = [
     # r11: trim accounting at the SF where most sources trim nothing —
     # zero-island docs must still roll up through the left join
     "substring_span_trim",
+    # r12: the rewrite at the SF where most docs pass through verbatim
+    # (null-interval left-join edge) — trimmed text must hash-match
+    "substring_span_rewrite",
     # r11: the LSH recall audit at the low-signal SF (few true pairs —
     # the zero-guard branches of both terminal quotients live here)
     "lsh_recall_report",
     # r11: incremental span admission — the span index is rebuilt per
     # corpus vintage, so the bucket-pruned probe must hold here too
     "substring_span_incremental",
+    # r12: the ANN recall audit at the low-signal SF (500 vectors, the
+    # same probe set — the exact/candidate tie-break edges live here)
+    "ann_recall_report",
     "media_fingerprint",
     "quality_validate_events",
     "asof_click_before_purchase",

@@ -174,7 +174,8 @@ def test_eval_snapshot_preserves_exact_long_ids(spark):
     null), and the unchecked cast back silently corrupted ids above
     2^53 — exactly the class this test plants: an id at 2^53 + 1 (not
     float64-representable) and a null id. Both must survive the probe
-    byte-exactly through the collect()-based snapshot."""
+    byte-exactly through the snapshot (r12: toArrow()+createDataFrame —
+    Arrow int64 is exact and null-safe, with no pandas hop)."""
     from pyspark.sql import functions as F
 
     from etl_projects_spark.operators import dedup
@@ -213,3 +214,65 @@ def test_eval_snapshot_bound_fails_loudly(spark, monkeypatch):
     monkeypatch.setattr(dedup, "EVAL_SNAPSHOT_MAX_ROWS", 5)
     with pytest.raises(ValueError, match="10 rows"):
         dedup.decontaminate_against_index(ev, idx)
+
+
+def test_span_rewrite_reconciles_with_trim(spark):
+    """r12: `substring_span_rewrite` emits the trimmed corpus;
+    `substring_span_trim` accounts for it. Same foreign/island
+    semantics by construction -> the rewrite's per-source removed
+    totals must equal trim's accounting EXACTLY, at a low-signal SF
+    (most docs untouched) and at the gated one."""
+    import pyspark.sql.functions as F
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    for sf in ("sf0.001", "sf0.01"):
+        sf_dir = f"/root/testdata/{sf}"
+        rewrite = (
+            qs["substring_span_rewrite"](spark, sf_dir)
+            .groupBy("source")
+            .agg(
+                F.sum("n_toks").alias("tokens_total"),
+                F.sum("n_removed").alias("tokens_removed"),
+            )
+        )
+        trim = qs["substring_span_trim"](spark, sf_dir).select(
+            "source", "tokens_total", "tokens_removed"
+        )
+        mism = (
+            rewrite.alias("r")
+            .join(trim.alias("t"), "source", "full")
+            .filter(
+                (F.col("r.tokens_total") != F.col("t.tokens_total"))
+                | (F.col("r.tokens_removed") != F.col("t.tokens_removed"))
+            )
+            .collect()
+        )
+        assert not mism, f"{sf}: rewrite/trim accounting diverged: {mism}"
+        # And the rewrite is not vacuous where trim says tokens go.
+        removed = qs["substring_span_rewrite"](spark, sf_dir).agg(
+            F.sum("n_removed")
+        ).collect()[0][0]
+        if sf == "sf0.01":
+            assert removed > 0
+
+
+def test_incr_batch_modulus_bounds_the_batch():
+    """r11 ADVICE: substring_span_incremental's batch predicate must be
+    corpus-size-aware. At every test SF the modulus is the
+    family-standard 5 (all recorded hashes unchanged); past the target
+    it grows so batch docs stay bounded — the loud
+    EVAL_SNAPSHOT_MAX_ROWS bound is a tripwire, never hit by design."""
+    from etl_projects_spark.queries_wave29 import (
+        INCR_BATCH_TARGET_DOCS,
+        _incr_batch_modulus,
+    )
+
+    for n in (0, 500, 5000, 25_000):
+        assert _incr_batch_modulus(n) == 5, n
+    for n in (100_000, 10_000_000, 10**9):
+        m = _incr_batch_modulus(n)
+        assert n / m <= INCR_BATCH_TARGET_DOCS
+        # never over-shrinks: one step coarser would exceed the target
+        assert m == 5 or n / (m - 1) > INCR_BATCH_TARGET_DOCS

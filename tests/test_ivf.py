@@ -98,3 +98,24 @@ def test_multiprobe_recall_at_least_single_probe(spark, sf_dir):
     # (measured: 0 → 3 at sf0.001, 0 → 5 at sf0.01).
     assert len(multi & exact) >= len(single & exact)
     assert len(multi & exact) >= 2
+
+
+def test_ann_recall_report_invariants(spark, sf_dir):
+    """The r12 ANN recall audit's internal consistency, at every SF the
+    fixture sweeps: multi-probe candidates strictly contain the
+    single-bucket set (so counts and hits dominate), recalls stay in
+    [0, 1], and the exact side is probes x k (every probe has >= k
+    non-self corpus neighbors at all test SFs)."""
+    import __spark_entry__ as entrymod
+
+    from etl_projects_spark.queries_wave30 import ANN_RECALL_K
+
+    row = entrymod.queries()["ann_recall_report"](
+        spark, sf_dir
+    ).collect()[0]
+    assert row.n_true_pairs == row.n_probes * ANN_RECALL_K
+    assert row.n_cand_multiprobe >= row.n_cand_bucket
+    assert row.n_hit_multiprobe >= row.n_hit_bucket
+    assert 0.0 <= row.recall_bucket <= row.recall_multiprobe <= 1.0
+    assert 0.0 <= row.efficiency_bucket <= 1.0
+    assert 0.0 <= row.efficiency_multiprobe <= 1.0

@@ -250,6 +250,30 @@ def test_jaccard_fallback_sizes_join_unhinted(spark):
         assert_plan(df, cartesian=False, python_stages=0)
 
 
+def test_jaccard_df_cap_rides_exchange_reuse_unpinned(spark):
+    # r12 (r11 ADVICE): jaccard_pairs' max_doc_freq path dropped its
+    # per-invocation persist (the leaked-pin class substring_span_pairs
+    # shed in r11). The replacement load-bearing shape is exchange
+    # reuse — the capped relation's two consumer branches (per-id
+    # sizes, per-shingle groups) share byte-identical corpus-scale
+    # Exchange subtrees, so the executed plan must read the second
+    # branch as a ReusedExchange — and the query must leave NOTHING
+    # pinned in the cache manager. Pinned for both catalog consumers
+    # of the df-capped path.
+    for name in ("dedup_jaccard_df_capped", "lsh_recall_report"):
+        spark.catalog.clearCache()
+        df = QS[name](spark, SF_DIR)
+        df.collect()
+        executed = df._jdf.queryExecution().executedPlan().toString()
+        assert "ReusedExchange" in executed, (
+            f"{name}: capped-relation branches no longer share their "
+            "exchange — the corpus-scale md5 subtree computes twice\n"
+            + executed[:1200]
+        )
+        jcat = spark._jsparkSession.sharedState().cacheManager()
+        assert jcat.isEmpty(), f"{name} left a cached relation pinned"
+
+
 def test_ewma_band_join_bounded(spark):
     # Banded self-join over the pre-aggregated daily relation: no
     # cartesian, no Python, bounded shuffles.
@@ -812,6 +836,15 @@ def test_substring_span_family_plans(spark):
     assert_plan(QS["substring_span_trim"](spark, SF_DIR),
                 python_stages=0, cartesian=False, nested_loop_joins=0,
                 single_exchanges=0, shuffles=("<=", 8))
+    # r12 addition: the rewrite emits the trimmed corpus itself —
+    # trim's linear island chain collapsed to one interval-array row
+    # per doc, joined back to the documents scan (broadcast at this
+    # SF; +headroom for the SMJ shape at scale), excision a pure JVM
+    # higher-order expression: zero Python stages, never pairwise,
+    # no single-partition collapse.
+    assert_plan(QS["substring_span_rewrite"](spark, SF_DIR),
+                python_stages=0, cartesian=False, nested_loop_joins=0,
+                single_exchanges=0, shuffles=("<=", 8))
     # r11: the pair query dropped its persist (r10 ADVICE leaked-pin
     # class); the replacement load-bearing shape is AQE stage reuse —
     # both self-join branches share one byte-identical
@@ -852,3 +885,17 @@ def test_lsh_recall_report_plan(spark):
     assert_plan(QS["lsh_recall_report"](spark, SF_DIR),
                 python_stages=0, cartesian=False, nested_loop_joins=0,
                 single_exchanges=("<=", 1), shuffles=("<=", 12))
+
+
+def test_ann_recall_report_plan(spark):
+    # r12 audit query (the ANN twin of lsh_recall_report): the exact
+    # side is the bounded-probe knn_join — its mapInPandas is the ONE
+    # allowed Python stage — and both candidate sides are broadcast
+    # hash EQUI-joins on the bucket column (the multi-probe set rides
+    # an exploded (qid, bucket) relation, NOT an array_contains
+    # nested-loop). One pair-key shuffle, exactly one single-partition
+    # exchange (the terminal 1-row aggregate), no cartesian.
+    assert_plan(QS["ann_recall_report"](spark, SF_DIR),
+                python_stages=("<=", 1), cartesian=False,
+                nested_loop_joins=0, broadcast_joins=(">=", 2),
+                single_exchanges=("<=", 1), shuffles=("<=", 3))

@@ -46,13 +46,16 @@ def _method_call_sites(method_names: set[str]) -> dict[str, int]:
 
 
 def test_driver_side_materialization_allowlist():
-    """SCALE.md invariant 1: every collect()/toPandas() pulls a BOUNDED
-    artifact documented as a contract. A new site must be justified in
-    SCALE.md ('Known bounded-driver contracts') and added here."""
+    """SCALE.md invariant 1: every collect()/toPandas()/toArrow()
+    pulls a BOUNDED artifact documented as a contract. A new site must
+    be justified in SCALE.md ('Known bounded-driver contracts') and
+    added here. (toArrow tracked since r12 — it is the same driver
+    materialization as collect, just Arrow-batched.)"""
     allowed = {
         # JSON key-name collect + bounded type sample (P7 inference).
         "operators/dataframe_ops.py": 2,
-        # gbucket pruning: (a) the eval-gram snapshot — small by the
+        # gbucket pruning: (a) the eval-gram snapshot (toArrow since
+        # r12 — exact int64 + nulls, no pandas hop) — small by the
         # decontamination contract, and the same bytes the F.broadcast
         # ships through the driver anyway; (b) distinct buckets of that
         # snapshot — ≤ GRAM_INDEX_BUCKETS rows by pigeonhole.
@@ -70,7 +73,7 @@ def test_driver_side_materialization_allowlist():
         # ann_ivf_topk's single probe vector.
         "queries_llm.py": 1,
     }
-    got = _method_call_sites({"collect", "toPandas"})
+    got = _method_call_sites({"collect", "toPandas", "toArrow"})
     assert got == allowed, (
         f"driver-side materialization sites changed: {got} != {allowed} — "
         "if the new site pulls a bounded artifact, document it in "

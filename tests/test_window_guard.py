@@ -95,38 +95,37 @@ def test_catalog_and_plans_records_are_fresh():
     )
 
 
-def test_r11_rotation_heads_the_window():
-    # r11 window invariants: the round's reworks lead (the pair query
-    # whose persist was removed, and decontaminate_eval_join — the
-    # only catalog consumer of the changed dedup.py snapshot), the
-    # round's addition (substring_span_prune) lands inside the window,
-    # the ENTIRE remaining r5-era vintage (17 rows, r10 VERDICT item
-    # 1) rides along, and the rest retires the oldest r6-era rows.
+def test_r12_rotation_heads_the_window():
+    # r12 window invariants: the round's reworks/changed-module
+    # consumers lead (lsh_recall_report + dedup_jaccard_df_capped on
+    # the unpinned df-cap path, decontaminate_eval_join +
+    # substring_span_incremental on the Arrow snapshot path), both
+    # additions land inside the window, the ENTIRE remaining r6-era
+    # vintage (15 rows, r11 VERDICT item 1) rides along, and the rest
+    # retires the oldest r7-era rows.
     window = wh.window_names()
-    assert {"substring_span_pairs", "decontaminate_eval_join"} <= set(
+    assert {
+        "lsh_recall_report", "decontaminate_eval_join",
+        "dedup_jaccard_df_capped", "substring_span_incremental",
+    } <= set(window[:6])
+    assert {"ann_recall_report", "substring_span_rewrite"} <= set(
         window[:6]
     )
-    assert {
-        "substring_span_prune", "substring_span_trim", "lsh_recall_report",
-        "substring_span_incremental",
-    } <= set(window[:6])
-    r5_vintage = {
-        "range_interval_window_user", "regr_trend_nation",
-        "revenue_proration_daily", "rolling_7day_revenue",
-        "rolling_corr_value_count", "rolling_wau_daily",
-        "seasonal_dow_index", "session_path_topk",
-        "session_window_builtin", "share_of_parent_revenue",
-        "shuffle_hash_join_hint", "token_budget_allocator",
-        "try_scalar_functions", "user_activity_entropy",
-        "values_clause_dim_join", "variant_shred_props",
-        "window_nth_cume",
+    r6_vintage = {
+        "salted_join_lineitem_orders", "scd2_apply_orders",
+        "snapshot_diff_orders", "source_quotes_scan",
+        "streaming_incremental_dedup", "streaming_interval_join",
+        "streaming_quotes_ingest", "streaming_stateful_running_totals",
+        "struct_to_json", "text_repetition_ratio", "text_stats",
+        "training_shard_write", "union_append",
+        "warehouse_copy_roundtrip", "window_dedup_latest",
     }
-    assert r5_vintage <= set(window[:23])
-    r6_head = {
-        "agg_count_distinct", "array_to_json", "cast_all_to_string",
-        "salted_agg_order_revenue",
+    assert r6_vintage <= set(window[:21])
+    r7_head = {
+        "ann_cosine_topk", "ann_knn_join", "ann_lsh_multiprobe_topk",
+        "ann_lsh_topk", "range_join_daily_windows",
     }
-    assert r6_head <= set(window)
+    assert r7_head <= set(window)
 
 
 def test_guard_fires_on_out_of_window_query_edit(monkeypatch):
@@ -399,4 +398,41 @@ def test_contam_index_consumer_list_matches_call_sites():
     callers = _artifact_consumers({"train_gram_index"})
     assert callers == set(CONTAM_INDEX_CONSUMERS), (
         callers ^ set(CONTAM_INDEX_CONSUMERS)
+    )
+
+
+def test_shingle_family_warmup_matches_call_sites():
+    """r11 proved the bench warm-up trigger can silently miss a new
+    family (the span queries' first reads were billed 2-3x steady
+    state because their names missed SHINGLE_FAMILY_PREFIXES). The
+    trigger is name-based; this derives the ACTUAL shingle-shaped
+    consumers from the AST — every catalog query that (transitively)
+    reaches the tokenize/md5/minhash/LSH roots whose first execution
+    pays the family's one-time JIT/codegen — and fails until the
+    trigger covers each one. A new query using shingle shapes under a
+    fresh name now breaks the suite instead of the bench record."""
+    import bench
+
+    roots = {
+        # tokenize/md5 shingle pipelines (set, positional, oracle CTE)
+        "word_shingles", "word_shingle_sets", "positional_shingle_hashes",
+        "shingles_cte", "sets_cached",
+        # minhash/LSH band shapes
+        "minhash_signatures_from_sets", "lsh_candidate_pairs",
+        "lsh_cand_cte", "melt_bands",
+    }
+    consumers = _artifact_consumers(roots)
+    assert consumers, "root derivation went vacuous"
+    uncovered = sorted(
+        n
+        for n in consumers
+        if not (
+            n.startswith(bench.SHINGLE_FAMILY_PREFIXES)
+            or n in bench.SHINGLE_FAMILY
+        )
+    )
+    assert not uncovered, (
+        f"shingle-shaped queries missing from bench.py's warm-up "
+        f"trigger (their first bench read gets billed the family JIT): "
+        f"{uncovered}"
     )
