@@ -75,17 +75,21 @@ _ROUND_PRIORITY = [
     "decontaminate_eval_join",
     "dedup_jaccard_df_capped",
     "substring_span_incremental",
-    # 5-6: r12 additions (every addition lands inside the window):
+    # 5-7: r12 additions (every addition lands inside the window):
     # ann_recall_report — the ANN family's recall/efficiency audit
     # (exact knn_join ground truth vs single-bucket and Hamming-1
-    # multi-probe hyperplane-LSH candidates, r11 VERDICT item 3) —
-    # and substring_span_rewrite, the span family's REWRITE query
+    # multi-probe hyperplane-LSH candidates, r11 VERDICT item 3);
+    # ann_ivf_recall_report — the nprobe half of that readout (stored
+    # IVF index candidates vs the same exact ground truth, oracle via
+    # the assignment/probe-cluster numpy twins); and
+    # substring_span_rewrite, the span family's REWRITE query
     # (emits the trimmed corpus itself via the merged foreign-span
     # intervals, r11 VERDICT item 4; reconciliation with trim's
     # accounting is test-pinned).
     "ann_recall_report",
+    "ann_ivf_recall_report",
     "substring_span_rewrite",
-    # 7-21: the ENTIRE remaining r6-era vintage (r11 VERDICT item 1 —
+    # 8-22: the ENTIRE remaining r6-era vintage (r11 VERDICT item 1 —
     # the 15 rows queued in r11's window comment, freshness order).
     # After this window no row in the durable record is older than r7.
     "salted_join_lineitem_orders",
@@ -103,17 +107,17 @@ _ROUND_PRIORITY = [
     "union_append",
     "warehouse_copy_roundtrip",
     "window_dedup_latest",
-    # 22-50: freshness re-checks of the NOW-oldest (r7-era) rows — the
-    # first 29 of the 46 in tools/freshness_report.py order, skipping
-    # dedup_jaccard_df_capped which already rides at slot 3 (so 30 of
-    # the r7 vintage retire this round; the remaining 16 queue for
-    # r13: resample_gap_fill, shard_packing, sliding_window_events,
-    # sort_limit_topk, stratified_sample_sources,
-    # streaming_tumbling_counts, text_bpe_ish_tokens,
-    # text_dup_gram_fraction, text_lang_id, text_normalized_dedup,
-    # text_pii_redaction, text_quality_score, tumbling_window_events,
-    # window_running_order_total, window_top_suppliers_per_nation,
-    # winnow_fingerprints).
+    # 23-50: freshness re-checks of the NOW-oldest (r7-era) rows — the
+    # first 28 of the 46 in tools/freshness_report.py order, skipping
+    # dedup_jaccard_df_capped which already rides at slot 3 (so 29 of
+    # the r7 vintage retire this round; the remaining 17 queue for
+    # r13: range_join_daily_windows, resample_gap_fill, shard_packing,
+    # sliding_window_events, sort_limit_topk,
+    # stratified_sample_sources, streaming_tumbling_counts,
+    # text_bpe_ish_tokens, text_dup_gram_fraction, text_lang_id,
+    # text_normalized_dedup, text_pii_redaction, text_quality_score,
+    # tumbling_window_events, window_running_order_total,
+    # window_top_suppliers_per_nation, winnow_fingerprints).
     "ann_cosine_topk",
     "ann_knn_join",
     "ann_lsh_multiprobe_topk",
@@ -142,7 +146,6 @@ _ROUND_PRIORITY = [
     "q6_selective_revenue",
     "q7_nation_trade_volume",
     "quality_validate_events",
-    "range_join_daily_windows",
 ]
 
 

@@ -378,6 +378,34 @@ def ivf_candidate_ids(
     return sorted(int(i) for i in ids[mask])
 
 
+def ivf_probe_clusters(
+    parquet_path: str,
+    probe_mod: int = 100,
+    n_probe: int = IVF_PROBE,
+    n_centroids: int = IVF_CENTROIDS,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_rows: int = 2048,
+) -> list[tuple[int, int]]:
+    """Numpy twin of the per-probe probed-cluster selection for the
+    standard probe set (``id % probe_mod == 0``): one (qid, cluster)
+    row per probed IVF cell — the same ``argsort(-(cents @ qn))``
+    selection :func:`ivf_topk_indexed` runs per query, replayed
+    straight from the parquet file for oracle generation (the
+    assignment twin's sibling; used by ``ann_ivf_recall_report``)."""
+    ids, vecs, cents, _ = _twin_assignments(
+        parquet_path, n_centroids, vec_col, id_col, sample_rows
+    )
+    out = []
+    for qid, v in zip(ids, vecs):
+        if qid % probe_mod:
+            continue
+        qn = v / np.linalg.norm(v)
+        for c in np.argsort(-(cents @ qn))[:n_probe]:
+            out.append((int(qid), int(c)))
+    return out
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: np.ndarray,

@@ -13,6 +13,8 @@ constants shared bit-for-bit with the DuckDB oracle via the
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -313,4 +315,152 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(n_cm > 0, h_cm.cast("double") / n_cm.cast("double"))
         .otherwise(F.lit(0.0))
         .alias("efficiency_multiprobe"),
+    )
+
+
+def _ivf_recall_oracle() -> str | None:
+    """Oracle for ann_ivf_recall_report: the stored index's (vec_id,
+    cluster) assignment and each probe's probed-cluster set are both
+    reproducible from the codebook constants + data (the numpy twins
+    ``ivf_assignments`` / ``ivf_probe_clusters``, no Spark — the same
+    derivation class as ``ann_ivf_topk``'s oracle), so the IVF
+    candidate relation is a pure SQL join of two inlined VALUES
+    relations, and the exact side is brute-force top-k in SQL.
+    Generated against the driver's oracle scale factor; None if that
+    corpus is absent (e.g. bench-only environments)."""
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    if not os.path.exists(path):
+        return None
+    assign_vals = ", ".join(
+        f"({i}, {c})" for i, c in similarity.ivf_assignments(path)
+    )
+    probe_vals = ", ".join(
+        f"({q}, {c})" for q, c in similarity.ivf_probe_clusters(path)
+    )
+    return f"""
+    WITH assign(vec_id, cluster) AS (VALUES {assign_vals}),
+    probes(qid, pcluster) AS (VALUES {probe_vals}),
+    cand AS (SELECT p.qid, a.vec_id AS nbr
+             FROM probes p JOIN assign a ON a.cluster = p.pcluster
+             WHERE a.vec_id != p.qid),
+    q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+          WHERE vec_id % 100 = 0),
+    scored AS (
+      SELECT q.qid, c.vec_id AS nbr,
+             round({similarity.cosine_sql('c.embedding', 'q.qv')}, 6) AS score
+      FROM embeddings c, q WHERE c.vec_id != q.qid),
+    ranked AS (
+      SELECT qid, nbr,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY score DESC, nbr) AS rnk
+      FROM scored),
+    exact AS (SELECT qid, nbr FROM ranked WHERE rnk <= {ANN_RECALL_K}),
+    tagged AS (
+      SELECT qid, nbr, 1 AS is_true, 0 AS in_ivf FROM exact
+      UNION ALL
+      SELECT qid, nbr, 0, 1 FROM cand),
+    per_pair AS (
+      SELECT qid, nbr, max(is_true) AS is_true, max(in_ivf) AS in_ivf
+      FROM tagged GROUP BY 1, 2)
+    SELECT CAST(count(DISTINCT qid) AS BIGINT) AS n_probes,
+           CAST(coalesce(sum(is_true), 0) AS BIGINT) AS n_true_pairs,
+           CAST(coalesce(sum(in_ivf), 0) AS BIGINT) AS n_cand_ivf,
+           CAST(coalesce(sum(is_true * in_ivf), 0) AS BIGINT) AS n_hit_ivf,
+           CASE WHEN coalesce(sum(is_true), 0) > 0
+                THEN CAST(coalesce(sum(is_true * in_ivf), 0) AS DOUBLE)
+                     / CAST(sum(is_true) AS DOUBLE)
+                ELSE 1.0 END AS recall_ivf,
+           CASE WHEN coalesce(sum(in_ivf), 0) > 0
+                THEN CAST(coalesce(sum(is_true * in_ivf), 0) AS DOUBLE)
+                     / CAST(sum(in_ivf) AS DOUBLE)
+                ELSE 0.0 END AS efficiency_ivf
+    FROM per_pair
+    """
+
+
+@_q("ann_ivf_recall_report", _ivf_recall_oracle())
+def ann_ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall audit of the MATERIALIZED IVF index's candidate stage —
+    the nprobe half of the ANN readout (``ann_recall_report`` audits
+    the hyperplane-LSH probing): over the standard probe set
+    (vec_id % 100 = 0), how many candidates the ``IVF_PROBE``-cluster
+    probe of the stored index surfaces, and what fraction of the exact
+    top-{ANN_RECALL_K} it catches. THE nprobe/n_centroids tuning
+    readout: recall too low → probe more cells or re-train a larger
+    codebook; efficiency too low → cells are too coarse and the verify
+    stage scans junk.
+
+    Spark shape: the probed-cluster selection per query is the ENGINE
+    path (`ivf_topk_indexed`'s driver-side codebook argsort — codebook
+    16x64 from the index sidecar, probe matrix bounded by the eval-set
+    contract), the candidate relation is a scan of ONLY the probed
+    cluster directories of the stored index (static partition
+    pruning via the isin filter, then a broadcast equi-join against
+    the (qid, cluster) probe map), and the exact side is the bounded
+    knn_join. Union, collapse on the pair key, one terminal 1-row
+    aggregate (counts coalesced to 0). Nothing corpus-quadratic; the
+    stored index is never reshuffled.
+    """
+    import json
+
+    import numpy as np
+
+    from etl_projects_spark.queries_llm import ivf_index_dir
+
+    emb = load(spark, sf_dir, "embeddings")
+    probes_df = emb.filter(F.col("vec_id") % 100 == 0)
+    exact = similarity.knn_join(emb, probes_df, k=ANN_RECALL_K).select(
+        "qid", "nbr"
+    )
+    idx_dir = ivf_index_dir(spark, sf_dir)
+    with open(os.path.join(idx_dir, "_ivf_centroids.json")) as f:
+        cents = np.array(json.load(f), dtype=np.float64)
+    # Bounded by the eval-set contract (the same probe matrix knn_join
+    # collects); the per-probe cell selection is ivf_topk_indexed's
+    # driver-side argsort, one row per (probe, probed cell).
+    qpdf = probes_df.select("vec_id", "embedding").toPandas()
+    pairs = []
+    for qid, vec in zip(qpdf["vec_id"], qpdf["embedding"]):
+        qn = np.asarray(vec, dtype=np.float64)
+        qn /= np.linalg.norm(qn)
+        for c in np.argsort(-(cents @ qn))[: similarity.IVF_PROBE]:
+            pairs.append((int(qid), int(c)))
+    probe_map = spark.createDataFrame(pairs, "qid long, cluster int")
+    probed_set = sorted({c for _, c in pairs})
+    idx = spark.read.parquet(idx_dir).filter(
+        F.col("cluster").isin(probed_set)
+    )
+    cand = (
+        idx.join(F.broadcast(probe_map), "cluster")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", F.col("vec_id").alias("nbr"))
+    )
+    tagged = exact.select(
+        "qid", "nbr", F.lit(1).alias("is_true"), F.lit(0).alias("in_ivf")
+    ).unionByName(
+        cand.select(
+            "qid", "nbr", F.lit(0).alias("is_true"),
+            F.lit(1).alias("in_ivf"),
+        )
+    )
+    per_pair = tagged.groupBy("qid", "nbr").agg(
+        F.max("is_true").alias("is_true"), F.max("in_ivf").alias("in_ivf")
+    )
+    n_true = F.coalesce(F.sum("is_true"), F.lit(0))
+    n_ivf = F.coalesce(F.sum("in_ivf"), F.lit(0))
+    n_hit = F.coalesce(F.sum(F.col("is_true") * F.col("in_ivf")), F.lit(0))
+    return per_pair.agg(
+        F.count_distinct("qid").cast("long").alias("n_probes"),
+        n_true.cast("long").alias("n_true_pairs"),
+        n_ivf.cast("long").alias("n_cand_ivf"),
+        n_hit.cast("long").alias("n_hit_ivf"),
+        F.when(n_true > 0, n_hit.cast("double") / n_true.cast("double"))
+        .otherwise(F.lit(1.0))
+        .alias("recall_ivf"),
+        F.when(n_ivf > 0, n_hit.cast("double") / n_ivf.cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("efficiency_ivf"),
     )

@@ -119,3 +119,23 @@ def test_ann_recall_report_invariants(spark, sf_dir):
     assert 0.0 <= row.recall_bucket <= row.recall_multiprobe <= 1.0
     assert 0.0 <= row.efficiency_bucket <= 1.0
     assert 0.0 <= row.efficiency_multiprobe <= 1.0
+
+
+def test_ann_ivf_recall_report_invariants(spark, sf_dir):
+    """The nprobe recall audit's internal consistency at the fixture
+    SF: exact side is probes x k, the candidate pool is bounded by the
+    probed cells' population, recall/efficiency stay in [0, 1] — and
+    the IVF probe at 4/16 cells must beat single-bucket LSH's recall
+    on this corpus (the readout the two reports exist to compare)."""
+    import __spark_entry__ as entrymod
+
+    from etl_projects_spark.queries_wave30 import ANN_RECALL_K
+
+    qs = entrymod.queries()
+    row = qs["ann_ivf_recall_report"](spark, sf_dir).collect()[0]
+    assert row.n_true_pairs == row.n_probes * ANN_RECALL_K
+    assert 0.0 <= row.recall_ivf <= 1.0
+    assert 0.0 <= row.efficiency_ivf <= 1.0
+    assert row.n_hit_ivf <= min(row.n_true_pairs, row.n_cand_ivf)
+    lsh = qs["ann_recall_report"](spark, sf_dir).collect()[0]
+    assert row.recall_ivf >= lsh.recall_bucket

@@ -887,6 +887,23 @@ def test_lsh_recall_report_plan(spark):
                 single_exchanges=("<=", 1), shuffles=("<=", 12))
 
 
+def test_ann_ivf_recall_report_plan(spark):
+    # r12 audit query (nprobe half of the ANN readout): the stored IVF
+    # index must be scanned with a STATIC cluster partition filter
+    # (only probed cells listed/read), the probe map broadcasts, the
+    # exact side's mapInPandas is the one Python stage, and the
+    # terminal 1-row aggregate is the only single-partition exchange.
+    from etl_projects_spark.plans.audit import plan_string
+
+    df = QS["ann_ivf_recall_report"](spark, SF_DIR)
+    assert_plan(df, python_stages=("<=", 1), cartesian=False,
+                nested_loop_joins=0, broadcast_joins=(">=", 1),
+                single_exchanges=("<=", 1), shuffles=("<=", 3))
+    pruned = [ln for ln in plan_string(df).splitlines()
+              if "PartitionFilters" in ln and "cluster" in ln]
+    assert pruned, "IVF index scan lost its cluster partition filter"
+
+
 def test_ann_recall_report_plan(spark):
     # r12 audit query (the ANN twin of lsh_recall_report): the exact
     # side is the bounded-probe knn_join — its mapInPandas is the ONE

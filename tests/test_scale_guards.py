@@ -72,6 +72,9 @@ def test_driver_side_materialization_allowlist():
         "queries_curation.py": 1,
         # ann_ivf_topk's single probe vector.
         "queries_llm.py": 1,
+        # ann_ivf_recall_report's probe matrix — the SAME bounded
+        # eval-set contract as knn_join's (vec_id % 100 probes).
+        "queries_wave30.py": 1,
     }
     got = _method_call_sites({"collect", "toPandas", "toArrow"})
     assert got == allowed, (

@@ -107,10 +107,11 @@ def test_r12_rotation_heads_the_window():
     assert {
         "lsh_recall_report", "decontaminate_eval_join",
         "dedup_jaccard_df_capped", "substring_span_incremental",
-    } <= set(window[:6])
-    assert {"ann_recall_report", "substring_span_rewrite"} <= set(
-        window[:6]
-    )
+    } <= set(window[:7])
+    assert {
+        "ann_recall_report", "ann_ivf_recall_report",
+        "substring_span_rewrite",
+    } <= set(window[:7])
     r6_vintage = {
         "salted_join_lineitem_orders", "scd2_apply_orders",
         "snapshot_diff_orders", "source_quotes_scan",
@@ -120,10 +121,10 @@ def test_r12_rotation_heads_the_window():
         "training_shard_write", "union_append",
         "warehouse_copy_roundtrip", "window_dedup_latest",
     }
-    assert r6_vintage <= set(window[:21])
+    assert r6_vintage <= set(window[:22])
     r7_head = {
         "ann_cosine_topk", "ann_knn_join", "ann_lsh_multiprobe_topk",
-        "ann_lsh_topk", "range_join_daily_windows",
+        "ann_lsh_topk", "quality_validate_events",
     }
     assert r7_head <= set(window)
 
