@@ -353,8 +353,38 @@ def test_new_catalog_additions_have_cross_sf_rows():
     new = {n for n, rnd in fr.latest_proof_rounds().items() if rnd == 0}
     osql = entrymod.oracle_sql()
     covered = set(REPRESENTATIVE) | set(UPSCALE)
-    missing = [n for n in new if n in osql and n not in covered]
+    # Twin-oracle queries can't ride the shared lists (their recorded
+    # oracle inlines gate-SF VALUES twins, so running it verbatim at
+    # another SF compares against the wrong corpus); each instead has
+    # a DEDICATED cross-SF test that re-derives the oracle for the
+    # swept corpus — listed here by name so the exemption is explicit.
+    twin_exempt = {
+        # test_ann_ivf_recall_report_cross_sf_rederived_oracle below
+        "ann_ivf_recall_report",
+    }
+    missing = [
+        n for n in new if n in osql and n not in covered | twin_exempt
+    ]
     assert not missing, (
         f"new queries without cross-SF coverage: {missing} — add them "
         "to REPRESENTATIVE (sf0.001) and/or UPSCALE (sf0.1)"
+    )
+
+
+def test_ann_ivf_recall_report_cross_sf_rederived_oracle(spark, monkeypatch):
+    """Cross-SF row for the twin-oracle IVF recall audit: regenerate
+    the oracle's assignment/probe-cluster VALUES twins FOR sf0.001
+    (exactly what the full-catalog sweeps do via
+    SPARK_GRAFT_ORACLE_SF_DIR) and hash-compare there — the low-signal
+    vintage where probe cells hold few vectors."""
+    from etl_projects_spark import queries_wave30 as w30
+
+    sfd = "/root/testdata/sf0.001"
+    monkeypatch.setenv("SPARK_GRAFT_ORACLE_SF_DIR", sfd)
+    sql = w30._ivf_recall_oracle()
+    assert sql is not None
+    sdf = entrymod.queries()["ann_ivf_recall_report"](spark, sfd)
+    problems = compare(sdf, sql, sfd)
+    assert not problems, f"ann_ivf_recall_report@{sfd}: " + "; ".join(
+        problems
     )
