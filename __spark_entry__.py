@@ -75,21 +75,25 @@ _ROUND_PRIORITY = [
     "decontaminate_eval_join",
     "dedup_jaccard_df_capped",
     "substring_span_incremental",
-    # 5-7: r12 additions (every addition lands inside the window):
+    # 5-8: r12 additions (every addition lands inside the window):
     # ann_recall_report — the ANN family's recall/efficiency audit
     # (exact knn_join ground truth vs single-bucket and Hamming-1
     # multi-probe hyperplane-LSH candidates, r11 VERDICT item 3);
     # ann_ivf_recall_report — the nprobe half of that readout (stored
     # IVF index candidates vs the same exact ground truth, oracle via
-    # the assignment/probe-cluster numpy twins); and
+    # the assignment/probe-cluster numpy twins);
     # substring_span_rewrite, the span family's REWRITE query
     # (emits the trimmed corpus itself via the merged foreign-span
     # intervals, r11 VERDICT item 4; reconciliation with trim's
-    # accounting is test-pinned).
+    # accounting is test-pinned); and knn_label_purity, the
+    # embedding-SPACE quality audit (exact-neighbor label purity@k per
+    # probe label — the readout that validates keying SemDeDup/ANN on
+    # this space at all).
     "ann_recall_report",
     "ann_ivf_recall_report",
     "substring_span_rewrite",
-    # 8-22: the ENTIRE remaining r6-era vintage (r11 VERDICT item 1 —
+    "knn_label_purity",
+    # 9-23: the ENTIRE remaining r6-era vintage (r11 VERDICT item 1 —
     # the 15 rows queued in r11's window comment, freshness order).
     # After this window no row in the durable record is older than r7.
     "salted_join_lineitem_orders",
@@ -107,17 +111,18 @@ _ROUND_PRIORITY = [
     "union_append",
     "warehouse_copy_roundtrip",
     "window_dedup_latest",
-    # 23-50: freshness re-checks of the NOW-oldest (r7-era) rows — the
-    # first 28 of the 46 in tools/freshness_report.py order, skipping
-    # dedup_jaccard_df_capped which already rides at slot 3 (so 29 of
-    # the r7 vintage retire this round; the remaining 17 queue for
-    # r13: range_join_daily_windows, resample_gap_fill, shard_packing,
-    # sliding_window_events, sort_limit_topk,
-    # stratified_sample_sources, streaming_tumbling_counts,
-    # text_bpe_ish_tokens, text_dup_gram_fraction, text_lang_id,
-    # text_normalized_dedup, text_pii_redaction, text_quality_score,
-    # tumbling_window_events, window_running_order_total,
-    # window_top_suppliers_per_nation, winnow_fingerprints).
+    # 24-50: freshness re-checks of the NOW-oldest (r7-era) rows — the
+    # first 27 of the 46 in tools/freshness_report.py order, skipping
+    # dedup_jaccard_df_capped which already rides at slot 3 (so 28 of
+    # the r7 vintage retire this round; the remaining 18 queue for
+    # r13: quality_validate_events, range_join_daily_windows,
+    # resample_gap_fill, shard_packing, sliding_window_events,
+    # sort_limit_topk, stratified_sample_sources,
+    # streaming_tumbling_counts, text_bpe_ish_tokens,
+    # text_dup_gram_fraction, text_lang_id, text_normalized_dedup,
+    # text_pii_redaction, text_quality_score, tumbling_window_events,
+    # window_running_order_total, window_top_suppliers_per_nation,
+    # winnow_fingerprints).
     "ann_cosine_topk",
     "ann_knn_join",
     "ann_lsh_multiprobe_topk",
@@ -145,7 +150,6 @@ _ROUND_PRIORITY = [
     "q4_order_priority",
     "q6_selective_revenue",
     "q7_nation_trade_volume",
-    "quality_validate_events",
 ]
 
 

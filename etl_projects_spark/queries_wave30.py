@@ -464,3 +464,79 @@ def ann_ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("efficiency_ivf"),
     )
+
+
+@_q(
+    "knn_label_purity",
+    f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS qlabel
+               FROM embeddings WHERE vec_id % 100 = 0),
+    scored AS (
+      SELECT q.qid, q.qlabel, c.vec_id AS nbr, c.label AS nlabel,
+             round({similarity.cosine_sql('c.embedding', 'q.qv')}, 6) AS score
+      FROM embeddings c, q WHERE c.vec_id != q.qid),
+    ranked AS (
+      SELECT qid, qlabel, nbr, nlabel,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY score DESC, nbr) AS rnk
+      FROM scored),
+    topk AS (SELECT qid, qlabel, nlabel FROM ranked
+             WHERE rnk <= {ANN_RECALL_K})
+    SELECT CAST(qlabel AS INT) AS label,
+           CAST(count(DISTINCT qid) AS BIGINT) AS n_probes,
+           CAST(count(*) AS BIGINT) AS n_neighbors,
+           CAST(sum(CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_same_label,
+           CAST(sum(CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END)
+                AS DOUBLE) / CAST(count(*) AS DOUBLE) AS purity_at_k
+    FROM topk GROUP BY qlabel
+    """,
+)
+def knn_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-SPACE quality audit: for the standard probe set, what
+    fraction of each probe's exact top-{ANN_RECALL_K} cosine neighbors
+    share its label (purity@k, grouped by probe label). The
+    supervised-signal readout a curation pipeline checks before
+    trusting embedding-keyed operators at all — low purity means
+    SemDeDup cluster pruning, embedding near-dup thresholds, and ANN
+    retrieval are keyed on a space that does not respect the corpus's
+    own structure (and per-label rows localize WHICH classes the
+    space confuses). Complements the recall audits, which measure the
+    INDEX against the space; this measures the space itself.
+
+    Scale shape: the exact side is the family's bounded-probe
+    ``knn_join`` (one corpus scan, broadcast probe matrix, Arrow-batch
+    BLAS, per-partition top-k); neighbor labels arrive by one id-key
+    equi-join of the (queries x k)-sized top-k relation against the
+    corpus's 2-column (vec_id, label) projection — AQE broadcasts the
+    small side here, a linear hash join at 100 TB; probe labels ride
+    the broadcast probe relation. One tiny groupBy ends the plan. No
+    crossJoin, no collect beyond the bounded probe matrix.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 100 == 0)
+    topk = similarity.knn_join(emb, probes, k=ANN_RECALL_K).select(
+        "qid", "nbr"
+    )
+    qlab = probes.select(
+        F.col("vec_id").alias("qid"), F.col("label").alias("qlabel")
+    )
+    nlab = emb.select(
+        F.col("vec_id").alias("nbr"), F.col("label").alias("nlabel")
+    )
+    same = F.sum(
+        F.when(F.col("nlabel") == F.col("qlabel"), 1).otherwise(0)
+    )
+    return (
+        topk.join(F.broadcast(qlab), "qid")
+        .join(nlab, "nbr")
+        .groupBy(F.col("qlabel").cast("int").alias("label"))
+        .agg(
+            F.count_distinct("qid").cast("long").alias("n_probes"),
+            F.count("*").cast("long").alias("n_neighbors"),
+            same.cast("long").alias("n_same_label"),
+            (same.cast("double") / F.count("*").cast("double")).alias(
+                "purity_at_k"
+            ),
+        )
+    )

@@ -40,6 +40,9 @@ REPRESENTATIVE = [
     # r12: the ANN recall audit at the low-signal SF (500 vectors, the
     # same probe set — the exact/candidate tie-break edges live here)
     "ann_recall_report",
+    # r12: the embedding-space purity audit at the same vintage (pure
+    # SQL oracle, no twin — sparse per-label probe groups live here)
+    "knn_label_purity",
     "media_fingerprint",
     "quality_validate_events",
     "asof_click_before_purchase",

@@ -904,6 +904,17 @@ def test_ann_ivf_recall_report_plan(spark):
     assert pruned, "IVF index scan lost its cluster partition filter"
 
 
+def test_knn_label_purity_plan(spark):
+    # r12 audit query: exact kNN (the one Python stage) + two label
+    # joins (probe side broadcast by hint, neighbor side a linear
+    # id-key equi-join) + one tiny per-label groupBy. No cartesian, no
+    # single-partition collapse, bounded exchanges.
+    assert_plan(QS["knn_label_purity"](spark, SF_DIR),
+                python_stages=("<=", 1), cartesian=False,
+                nested_loop_joins=0, broadcast_joins=(">=", 1),
+                single_exchanges=0, shuffles=("<=", 3))
+
+
 def test_ann_recall_report_plan(spark):
     # r12 audit query (the ANN twin of lsh_recall_report): the exact
     # side is the bounded-probe knn_join — its mapInPandas is the ONE

@@ -110,8 +110,8 @@ def test_r12_rotation_heads_the_window():
     } <= set(window[:7])
     assert {
         "ann_recall_report", "ann_ivf_recall_report",
-        "substring_span_rewrite",
-    } <= set(window[:7])
+        "substring_span_rewrite", "knn_label_purity",
+    } <= set(window[:8])
     r6_vintage = {
         "salted_join_lineitem_orders", "scd2_apply_orders",
         "snapshot_diff_orders", "source_quotes_scan",
@@ -121,10 +121,10 @@ def test_r12_rotation_heads_the_window():
         "training_shard_write", "union_append",
         "warehouse_copy_roundtrip", "window_dedup_latest",
     }
-    assert r6_vintage <= set(window[:22])
+    assert r6_vintage <= set(window[:23])
     r7_head = {
         "ann_cosine_topk", "ann_knn_join", "ann_lsh_multiprobe_topk",
-        "ann_lsh_topk", "quality_validate_events",
+        "ann_lsh_topk", "q7_nation_trade_volume",
     }
     assert r7_head <= set(window)
 
