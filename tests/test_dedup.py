@@ -276,3 +276,38 @@ def test_incr_batch_modulus_bounds_the_batch():
         assert n / m <= INCR_BATCH_TARGET_DOCS
         # never over-shrinks: one step coarser would exceed the target
         assert m == 5 or n / (m - 1) > INCR_BATCH_TARGET_DOCS
+
+
+def test_span_rewrite_semantic_on_constructed_corpus(spark, tmp_path):
+    """Intent guard for `substring_span_rewrite`, independent of the
+    DuckDB oracle (hash parity proves the two ENGINES agree; this
+    proves both mean the right thing): on a hand-built corpus where
+    doc 1 (the min-id canonical holder) and doc 2 share one exact
+    25-token run, the rewrite must keep doc 1 verbatim, excise from
+    doc 2 EXACTLY the shared run (its merged foreign interval), and
+    pass a sub-span-width doc through untouched."""
+    import __spark_entry__ as entrymod
+
+    shared = [f"a{i}" for i in range(25)]           # 25-token run
+    d1 = " ".join(shared + [f"pad{i}" for i in range(8)])
+    d2_head = [f"u{i}" for i in range(11)]
+    d2_tail = [f"v{i}" for i in range(6)]
+    d2 = " ".join(d2_head + shared + d2_tail)
+    d3 = " ".join(f"w{i}" for i in range(12))       # < SPAN_N tokens
+    docs = spark.createDataFrame(
+        [(1, d1, "en", "srcA", len(d1)),
+         (2, d2, "en", "srcA", len(d2)),
+         (3, d3, "en", "srcB", len(d3))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    rows = {
+        r.doc_id: r
+        for r in entrymod.queries()["substring_span_rewrite"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert rows[1].n_removed == 0 and rows[1].text_trimmed == d1
+    assert rows[2].n_removed == 25
+    assert rows[2].text_trimmed == " ".join(d2_head + d2_tail)
+    assert rows[3].n_removed == 0 and rows[3].text_trimmed == d3
