@@ -105,3 +105,48 @@ def test_similarity_join_leaves_shared_udf_deterministic(spark):
     ).collect()
     assert similarity.pair_cosine.deterministic is True
     assert similarity.pair_cosine_once.deterministic is False
+
+
+def test_recall_audits_never_miss_planted_exact_duplicates(spark, tmp_path):
+    """Intent guard for the r12 audit queries, independent of the
+    DuckDB oracles: an EXACT duplicate vector hashes to the same LSH
+    bucket and the same IVF cell as its source by construction, so a
+    planted duplicate of each probe must (a) rank as that probe's top
+    exact neighbor, (b) be surfaced by single-bucket LSH AND by the
+    IVF probe (hits >= the planted-pair count), and (c) with the dup
+    given its probe's label, lift purity@k off zero for that label."""
+    import numpy as np
+
+    import __spark_entry__ as entrymod
+
+    rng = np.random.RandomState(7)
+    n, dim = 120, 64
+    vecs = rng.standard_normal((n, dim)).astype(np.float32)
+    vecs[7] = vecs[0]      # exact duplicate of probe 0
+    vecs[103] = vecs[100]  # exact duplicate of probe 100
+    labels = [int(i % 17) + 100 for i in range(n)]  # all distinct mod-groups
+    labels[7] = labels[0]
+    labels[103] = labels[100]
+    rows = [(int(i), [float(x) for x in vecs[i]], labels[i]) for i in range(n)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    emb.write.mode("overwrite").parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    qs = entrymod.queries()
+    sfd = str(tmp_path)
+
+    r = qs["ann_recall_report"](spark, sfd).collect()[0]
+    assert r.n_probes == 2 and r.n_true_pairs == 20
+    assert r.n_hit_bucket >= 2, "single-bucket LSH missed an exact dup"
+    assert r.n_hit_multiprobe >= r.n_hit_bucket
+
+    iv = qs["ann_ivf_recall_report"](spark, sfd).collect()[0]
+    assert iv.n_probes == 2 and iv.n_true_pairs == 20
+    assert iv.n_hit_ivf >= 2, "IVF probe missed an exact dup"
+
+    pur = {row.label: row for row in qs["knn_label_purity"](spark, sfd).collect()}
+    for probe_label in (labels[0], labels[100]):
+        assert pur[probe_label].n_same_label >= 1
+        assert pur[probe_label].purity_at_k >= 0.1
