@@ -286,12 +286,16 @@ def run_chunk(names: list[str]) -> dict[str, float]:
         qs["substring_span_report"](
             spark, "/root/testdata/sf0.01"
         ).write.format("noop").mode("overwrite").save()
-        # ... and the rewrite's excision shapes (transform-with-index /
-        # filter / exists over the interval array + per-doc
-        # collect_list), which the report pass does not compile: the
-        # r12 rewrite's first bench read was billed 4.6 s vs a
-        # measured 1.7-1.8 s steady state for exactly the r11 gap
-        # class (warm-up series 5.9/1.8/3.6/1.7 s, DETERMINISM.md r12).
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+    if "substring_span_rewrite" in names:
+        # The rewrite's excision shapes (transform-with-index / filter /
+        # exists over the interval array + per-doc collect_list) are
+        # compiled by NO other query — the report pass above covers
+        # only the family-shared shapes — so warm them exactly when
+        # the rewrite itself is in the chunk: its first bench read was
+        # billed 4.6 s vs a measured 1.7-1.8 s steady state for the
+        # r11 gap class (series 5.9/1.8/3.6/1.7 s, DETERMINISM.md r12).
         qs["substring_span_rewrite"](
             spark, "/root/testdata/sf0.01"
         ).write.format("noop").mode("overwrite").save()

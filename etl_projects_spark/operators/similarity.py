@@ -315,6 +315,14 @@ def ivf_centroids(
     return _centroids_from_sample(sample, n_centroids)
 
 
+# Memo for _twin_assignments, keyed by (path, mtime_ns, size, params):
+# three oracle generators (_ivf_oracle, _ivf_recall_oracle via BOTH its
+# twins) each replay the full parquet read + normalize + corpus x
+# centroid matmul at module import — one derivation serves all, and the
+# stat key makes a regenerated corpus at the same path re-derive.
+_TWIN_CACHE: dict[tuple, tuple] = {}
+
+
 def _twin_assignments(
     parquet_path: str,
     n_centroids: int,
@@ -327,7 +335,18 @@ def _twin_assignments(
     the parquet file (pyarrow, no Spark) with the same numpy ops on the
     same floats, so oracle generators can reproduce the index layout
     given only the codebook constants and the data."""
+    import os
+
     import pyarrow.parquet as pq
+
+    st = os.stat(parquet_path)
+    key = (
+        os.path.abspath(parquet_path), st.st_mtime_ns, st.st_size,
+        n_centroids, vec_col, id_col, sample_rows,
+    )
+    hit = _TWIN_CACHE.get(key)
+    if hit is not None:
+        return hit
 
     tbl = pq.read_table(parquet_path, columns=[id_col, vec_col]).to_pandas()
     tbl = tbl.sort_values(id_col).reset_index(drop=True)
@@ -336,7 +355,9 @@ def _twin_assignments(
     cents = _centroids_from_sample(vecs[:sample_rows], n_centroids)
     vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
     assign = np.argmax(vn @ cents.T, axis=1).astype(np.int32)
-    return ids, vecs, cents, assign
+    out = (ids, vecs, cents, assign)
+    _TWIN_CACHE[key] = out
+    return out
 
 
 def ivf_assignments(

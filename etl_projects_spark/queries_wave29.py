@@ -453,27 +453,42 @@ def substring_span_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ADVICE item 3): a FIXED 1/5 batch is corpus-proportional, so at some
 # SF it would start tripping decontaminate_against_index's loud
 # EVAL_SNAPSHOT_MAX_ROWS bound by design. The modulus instead grows
-# with the corpus so the arriving batch stays ≤ ~INCR_BATCH_TARGET_DOCS
-# documents (span rows ≈ docs x spans/doc — comfortably inside the 5M
-# bound at any SF): floor 5 keeps the family-standard doc_id % 5 = 4
-# stand-in (and every recorded hash) at all test SFs, and the ceil is
-# float math so the DuckDB twin (greatest(5, ceil(count(*)/N.0))) is
-# the same expression.
+# with the corpus along BOTH axes that size the collected batch — the
+# document count AND a token upper bound (r12 review: a doc-count-only
+# modulus still tripped the 5M-SPAN-ROW bound on long-document corpora
+# at ~1000+ tokens/doc) — so the arriving batch stays bounded at any
+# SF and any document-length profile. Tokens per doc are bounded above
+# by (n_chars+1)/2 (every token needs >= 1 char + separator) and
+# spans/doc <= tokens/doc, so batch span rows <= token_ub / m;
+# INCR_BATCH_TARGET_TOKENS = 2M leaves a 2.5x margin under the 5M
+# bound for residue skew. Floor 5 keeps the family-standard
+# doc_id % 5 = 4 stand-in (and every recorded hash) at all test SFs
+# (measured token_ub: 77k/75k/744k at the three SFs -> m = 5); the
+# ceil is float math so the DuckDB twin (greatest of the same three
+# terms) is the same IEEE expression.
 INCR_BATCH_TARGET_DOCS = 5000
+INCR_BATCH_TARGET_TOKENS = 2_000_000
 
 
-def _incr_batch_modulus(n_docs: int) -> int:
+def _incr_batch_modulus(n_docs: int, token_ub: int) -> int:
     import math
 
-    return max(5, math.ceil(n_docs / float(INCR_BATCH_TARGET_DOCS)))
+    return max(
+        5,
+        math.ceil(n_docs / float(INCR_BATCH_TARGET_DOCS)),
+        math.ceil(token_ub / float(INCR_BATCH_TARGET_TOKENS)),
+    )
 
 
 @_q(
     "substring_span_incremental",
     f"""
     WITH {dedup.shingles_cte(SPAN_N)},
-    params AS (SELECT greatest(5, CAST(ceil(count(*)
-                         / {INCR_BATCH_TARGET_DOCS}.0) AS BIGINT)) AS m
+    params AS (SELECT greatest(5,
+                 CAST(ceil(count(*)
+                      / {INCR_BATCH_TARGET_DOCS}.0) AS BIGINT),
+                 CAST(ceil(sum((n_chars + 1) // 2)
+                      / {INCR_BATCH_TARGET_TOKENS}.0) AS BIGINT)) AS m
                FROM documents),
     old AS (SELECT DISTINCT shingle FROM shingles, params
             WHERE id % m <> 4),
@@ -510,23 +525,29 @@ def substring_span_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange-free. Batch cost is O(batch + matched buckets),
     independent of corpus size; the batch side must be driver-sized
     (EVAL_SNAPSHOT_MAX_ROWS enforces it loudly). The batch predicate
-    is corpus-size-AWARE (r11 ADVICE): the modulus grows with the
-    corpus (``_incr_batch_modulus`` — 5 at every test SF, so the
+    is corpus-size-AWARE (r11 ADVICE; hardened r12 review): the
+    modulus grows with BOTH the document count and a per-corpus token
+    upper bound (``_incr_batch_modulus`` — 5 at every test SF, so the
     family-standard ``doc_id % 5 = 4`` stand-in and every recorded
-    hash are unchanged; ~n_docs/5000 beyond), keeping the arriving
-    batch bounded at any SF instead of corpus-proportional — so the
+    hash are unchanged), keeping the arriving batch's SPAN ROWS
+    bounded at any SF and any document-length profile — so the
     catalog entry keeps running as the corpus grows rather than
-    raising the loud bound by design. The count() that sizes the
-    modulus is a 1-row driver aggregate off the parquet footer
-    statistics. Zero-span and zero-hit batch docs are restored by the
-    terminal batch-sized left joins.
+    raising the loud bound by design (the bound itself stays armed as
+    the backstop). The sizing aggregate is one 1-row driver action
+    over the 2-column (doc_id, n_chars) projection. Zero-span and
+    zero-hit batch docs are restored by the terminal batch-sized left
+    joins.
     """
     from etl_projects_spark.operators.exec_util import build_once
     from etl_projects_spark.queries_llm import _corpus_scratch
 
     docs = load(spark, sf_dir, "documents")
     spans = dedup.word_shingles(docs, n=SPAN_N)  # (id, shingle) distinct
-    m = _incr_batch_modulus(docs.count())
+    sizing = docs.agg(
+        F.count("*").alias("n"),
+        F.sum(F.floor((F.col("n_chars") + 1) / 2)).alias("tok_ub"),
+    ).collect()[0]
+    m = _incr_batch_modulus(sizing["n"], int(sizing["tok_ub"] or 0))
     is_new = F.col("id") % m == 4
     path = _corpus_scratch(sf_dir, f"spanidx{SPAN_N}")
 

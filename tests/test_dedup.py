@@ -259,23 +259,38 @@ def test_span_rewrite_reconciles_with_trim(spark):
 
 
 def test_incr_batch_modulus_bounds_the_batch():
-    """r11 ADVICE: substring_span_incremental's batch predicate must be
-    corpus-size-aware. At every test SF the modulus is the
-    family-standard 5 (all recorded hashes unchanged); past the target
-    it grows so batch docs stay bounded — the loud
-    EVAL_SNAPSHOT_MAX_ROWS bound is a tripwire, never hit by design."""
+    """r11 ADVICE (hardened by the r12 review): the batch predicate
+    must be corpus-size-aware on BOTH axes — a doc-count-only modulus
+    still tripped the 5M-span-row bound on long-document corpora. At
+    every test SF the modulus is the family-standard 5 (all recorded
+    hashes unchanged; measured token_ub 77k/75k/744k); past either
+    target it grows so batch docs AND batch span rows stay bounded —
+    the loud EVAL_SNAPSHOT_MAX_ROWS bound is a tripwire, never hit by
+    design."""
+    from etl_projects_spark.operators.dedup import EVAL_SNAPSHOT_MAX_ROWS
     from etl_projects_spark.queries_wave29 import (
         INCR_BATCH_TARGET_DOCS,
+        INCR_BATCH_TARGET_TOKENS,
         _incr_batch_modulus,
     )
 
-    for n in (0, 500, 5000, 25_000):
-        assert _incr_batch_modulus(n) == 5, n
+    assert INCR_BATCH_TARGET_TOKENS * 2 <= EVAL_SNAPSHOT_MAX_ROWS, (
+        "the token target lost its safety margin under the loud bound"
+    )
+    for n, tok in ((0, 0), (500, 80_000), (5000, 750_000), (25_000, 2_000_000)):
+        assert _incr_batch_modulus(n, tok) == 5, (n, tok)
+    # doc-count axis
     for n in (100_000, 10_000_000, 10**9):
-        m = _incr_batch_modulus(n)
+        m = _incr_batch_modulus(n, 0)
         assert n / m <= INCR_BATCH_TARGET_DOCS
-        # never over-shrinks: one step coarser would exceed the target
         assert m == 5 or n / (m - 1) > INCR_BATCH_TARGET_DOCS
+    # token axis: the long-document corpus the r12 review planted —
+    # few docs, huge texts; span rows <= tok_ub / m must stay inside
+    # the loud bound with margin
+    for n, tok in ((5000, 50_000_000), (4000, 10**10)):
+        m = _incr_batch_modulus(n, tok)
+        assert tok / m <= INCR_BATCH_TARGET_TOKENS
+        assert tok / m <= EVAL_SNAPSHOT_MAX_ROWS / 2
 
 
 def test_span_rewrite_semantic_on_constructed_corpus(spark, tmp_path):

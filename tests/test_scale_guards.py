@@ -75,6 +75,10 @@ def test_driver_side_materialization_allowlist():
         # ann_ivf_recall_report's probe matrix — the SAME bounded
         # eval-set contract as knn_join's (vec_id % 100 probes).
         "queries_wave30.py": 1,
+        # substring_span_incremental's batch-modulus sizing: ONE 1-row
+        # aggregate (count + token upper bound) over the 2-column
+        # documents projection — the skew-stats class.
+        "queries_wave29.py": 1,
     }
     got = _method_call_sites({"collect", "toPandas", "toArrow"})
     assert got == allowed, (

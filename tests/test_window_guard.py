@@ -249,17 +249,26 @@ def test_queries_module_helper_edit_trips_the_guard():
     assert mods[rel] != whole
 
 
-def _artifact_consumers(roots: set[str]) -> set[str]:
+def _artifact_consumers(
+    roots: set[str],
+    module_prefixes: tuple[str, ...] = ("etl_projects_spark.queries",),
+) -> set[str]:
     """Registered catalog queries that reach any of the ``roots``
     artifact readers, DIRECTLY OR THROUGH MODULE-LEVEL HELPERS
-    (transitive closure over EVERY queries module's functions — a
-    query calling a wrapper like _minhash_pairs counts; r7 review
-    findings: a literal-substring scan missed helper-mediated
-    consumers, a hardcoded three-module list would miss a wrapper in
-    any other queries module, and regex stripping both erased calls
-    inside triple-quoted f-strings and kept prose in inline comments).
-    Call names are collected from the AST (comments and docstrings are
-    invisible, calls inside f-strings are real Call nodes)."""
+    (transitive closure over every loaded module matching
+    ``module_prefixes`` — a query calling a wrapper like
+    _minhash_pairs counts; r7 review findings: a literal-substring
+    scan missed helper-mediated consumers, a hardcoded three-module
+    list would miss a wrapper in any other queries module, and regex
+    stripping both erased calls inside triple-quoted f-strings and
+    kept prose in inline comments). Call names are collected from the
+    AST (comments and docstrings are invisible, calls inside
+    f-strings are real Call nodes). Callers whose roots can also be
+    reached through OPERATOR-module wrappers (e.g.
+    dedup.winnow_fingerprints -> positional_shingle_hashes) must
+    widen module_prefixes to include "etl_projects_spark.operators" —
+    the default keeps the artifact-consumer tests' historical scope
+    (their roots live in queries modules)."""
     import ast
     import inspect
     import sys
@@ -288,7 +297,7 @@ def _artifact_consumers(roots: set[str]) -> set[str]:
     # queries module (a helper whose body calls a root becomes a root).
     helpers = {}
     for modname, mod in list(sys.modules.items()):
-        if not modname.startswith("etl_projects_spark.queries"):
+        if not modname.startswith(module_prefixes):
             continue
         for hname, obj in vars(mod).items():
             if isinstance(obj, types.FunctionType) and obj.__module__ == modname:
@@ -422,8 +431,21 @@ def test_shingle_family_warmup_matches_call_sites():
         "minhash_signatures_from_sets", "lsh_candidate_pairs",
         "lsh_cand_cte", "melt_bands",
     }
-    consumers = _artifact_consumers(roots)
+    # Widened to operator modules (r12 review): queries that reach
+    # the roots ONLY through an operators/dedup.py wrapper (e.g.
+    # dedup.winnow_fingerprints -> positional_shingle_hashes) must be
+    # visible too, or a future wrapper-mediated query under a fresh
+    # name slips past this tripwire exactly like the r11 span family
+    # slipped past the name prefixes.
+    consumers = _artifact_consumers(
+        roots,
+        ("etl_projects_spark.queries", "etl_projects_spark.operators"),
+    )
     assert consumers, "root derivation went vacuous"
+    assert "winnow_fingerprints" in consumers, (
+        "operator-wrapper closure went vacuous (winnow_fingerprints "
+        "reaches the roots only via dedup.winnow_fingerprints)"
+    )
     uncovered = sorted(
         n
         for n in consumers
