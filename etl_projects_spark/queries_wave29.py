@@ -1,13 +1,14 @@
-"""Wave-29 catalog entries (rounds 10-11): the exact-substring span
+"""Wave-29 catalog entries (rounds 10-12): the exact-substring span
 dedup family — the word-level analog of exact-substring training-data
 dedup (Lee et al., "Deduplicating Training Data Makes Language Models
 Better"), which removes verbatim runs above a fixed token width that
 n-gram Jaccard and MinHash both under-count (no single pair need clear
 a similarity threshold for a verbatim 20-token span to be memorizable).
-Five views, one shared hash contract: per-source REPORT, top-pair
+Six views, one shared hash contract: per-source REPORT, top-pair
 EVIDENCE, doc-level PRUNE (keep-list), span-level TRIM accounting
-(merged-interval token coverage), and INCREMENTAL batch admission
-against a persisted span index.
+(merged-interval token coverage), INCREMENTAL batch admission against
+a persisted span index, and the REWRITE that emits the trimmed corpus
+itself.
 
 Keeps the catalog's determinism contract: exact BIGINT counting
 everywhere upstream, one identical terminal integer-quotient double
