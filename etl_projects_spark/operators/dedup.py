@@ -371,6 +371,13 @@ def jaccard_pairs(
             # in one job race a lazy cache — each would recompute the
             # semi-join + collect_set (the relation is
             # candidate-bounded, so the barrier job is small).
+            # KNOWN session-lifetime pin (r12 review): this persist has
+            # no release handle — the leaked-pin class the df-cap path
+            # shed in r12 — but the two broadcast subtrees differ (xa /
+            # xb project different names), so exchange reuse cannot
+            # replace it without a measured A/B, and its consumers
+            # (dedup_incremental_batch) are not in the r12 window.
+            # Queued for r13 with the incremental_neardup pin below.
             sets = materialize(
                 shingles.join(F.broadcast(ids), "id", "left_semi")
                 .groupBy("id")
@@ -383,9 +390,15 @@ def jaccard_pairs(
         )
         common = F.size(F.array_intersect("sa", "sb"))
         union_sz = F.size("sa") + F.size("sb") - common
+        # union_sz > 0 conjunct (r12 review): two EMPTY sets pass the
+        # integer test vacuously (den*0 >= num*0) and would emit a
+        # "duplicate" pair with NaN jaccard (0/0) — two unrelated
+        # sub-n-token docs must never be merged. In-repo LSH flows
+        # filter empty sets upstream; this guards external callers.
         return (
             joined.filter(
-                F.lit(threshold_den) * common >= F.lit(threshold_num) * union_sz
+                (union_sz > F.lit(0))
+                & (F.lit(threshold_den) * common >= F.lit(threshold_num) * union_sz)
             )
             .select(
                 "id_a",
@@ -478,6 +491,13 @@ def incremental_neardup(
     # join inside jaccard_pairs — left lazy, each branch recomputes the
     # index probe + in-batch self-join (measured ~2× the candidate
     # cost). The relation is LSH-bounded, so the barrier job is small.
+    # KNOWN session-lifetime pin (r12 review): no release handle, the
+    # same leaked-pin class the df-cap path shed in r12. A batch loop
+    # calling this repeatedly accumulates small dead cached relations;
+    # the candidate fix is the distinct()'s own ReusedExchange (both
+    # consumers read that exchange), but its consumers
+    # (dedup_incremental_batch) are outside the r12 window — queued
+    # for r13 with a measured A/B like the df-cap de-persist.
     candidates = materialize(cross.union(internal).distinct())
     verified = jaccard_pairs(
         None,
@@ -588,16 +608,23 @@ def decontaminate_against_index(
         # slower than this on a 120k-row roundtrip; DETERMINISM.md
         # r12).
         spark = eval_grams.sparkSession
-        snap = eval_grams.toArrow()
         # The "eval side is small" contract, enforced rather than
-        # documented: broadcast-sized by definition, so well under this.
-        if snap.num_rows > EVAL_SNAPSHOT_MAX_ROWS:
+        # documented — and enforced BEFORE the driver materialization
+        # (r12 review: checking the Arrow table's num_rows after
+        # toArrow() cannot prevent the driver OOM the bound documents;
+        # a distributed count is safe at ANY size). One extra pass
+        # over the eval-sized relation; the catalog callers either
+        # read it from a materialized barrier or bound it upstream by
+        # construction.
+        n_rows = eval_grams.count()
+        if n_rows > EVAL_SNAPSHOT_MAX_ROWS:
             raise ValueError(
                 f"decontaminate_against_index: eval_grams has "
-                f"{snap.num_rows} rows (> {EVAL_SNAPSHOT_MAX_ROWS}); the "
+                f"{n_rows} rows (> {EVAL_SNAPSHOT_MAX_ROWS}); the "
                 "eval side must be small (it is collected AND broadcast). "
                 "Index the big side."
             )
+        snap = eval_grams.toArrow()
         eval_grams = spark.createDataFrame(snap, schema=eval_grams.schema)
         buckets = [
             r[0]
@@ -632,6 +659,11 @@ def simhash_signatures(
     """
     if shingle_sets is not None:
         sh = shingle_sets.select("id", F.explode("sh_set").alias("shingle"))
+    elif df is None:
+        # The explicit both-None guard jaccard_pairs has always had
+        # (r12 review: this previously died as AttributeError deep in
+        # word_shingles instead of naming the misuse).
+        raise ValueError("need df or shingle_sets")
     else:
         sh = word_shingles(df, text_col=text_col, id_col=id_col)
     # Shingles arrive pre-hashed; the 32 bit aggregates are shift/mask
@@ -685,10 +717,15 @@ def simhash_near_pairs(sigs: DataFrame, max_hamming: int = 6) -> DataFrame:
         F.col("b.simhash").alias("sh_b"),
     )
     dist = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    # Filter BEFORE the dedup exchange (r12 review): the hamming test
+    # is a pure per-row function of the pair, and block-sharing pairs
+    # routinely fail it — filtering first cuts the distinct()'s
+    # shuffle volume by the reject rate times the up-to-4x per-band
+    # duplication, with an identical result set.
     return (
-        pairs.distinct()
-        .select("id_a", "id_b", dist.alias("hamming"))
+        pairs.select("id_a", "id_b", dist.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 
@@ -756,8 +793,11 @@ def embedding_neardup_pairs(
         idr = r["id"].to_numpy()
         a = np.vstack(l["v"].to_numpy()).astype(np.float64)
         b = np.vstack(r["v"].to_numpy()).astype(np.float64)
-        a /= np.linalg.norm(a, axis=1, keepdims=True)
-        b /= np.linalg.norm(b, axis=1, keepdims=True)
+        # Zero-norm guard (r12 review, same as similarity.knn_join /
+        # _pair_cosine_batch): an all-zero vector scores ~0 against
+        # everything instead of NaN; bit-identical for real vectors.
+        a /= np.maximum(np.linalg.norm(a, axis=1, keepdims=True), 1e-12)
+        b /= np.maximum(np.linalg.norm(b, axis=1, keepdims=True), 1e-12)
         s = np.round(a @ b.T, 6)
         mask = s >= threshold
         if same_block:

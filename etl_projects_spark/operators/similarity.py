@@ -39,7 +39,14 @@ def _pair_cosine_batch(va: pd.Series, vb: pd.Series) -> pd.Series:
     b = np.vstack(vb.to_numpy()).astype(np.float64)
     num = np.einsum("ij,ij->i", a, b)
     den = np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
-    return pd.Series(num / den)
+    # Zero-norm guard (r12 review): an all-zero embedding (failed
+    # encoding / padding row) would make this NaN, and Spark sorts NaN
+    # ABOVE every real score and passes NaN >= t filters — the bogus
+    # row would rank as everyone's top neighbor. The floor makes its
+    # cosine ~0 ("no similarity"); bit-identical for every real vector
+    # (den >= 1e-12 returns den unchanged). Same guard knn_join has
+    # always had.
+    return pd.Series(num / np.maximum(den, 1e-12))
 
 
 pair_cosine = F.pandas_udf(_pair_cosine_batch, DoubleType())

@@ -326,3 +326,75 @@ def test_span_rewrite_semantic_on_constructed_corpus(spark, tmp_path):
     assert rows[2].n_removed == 25
     assert rows[2].text_trimmed == " ".join(d2_head + d2_tail)
     assert rows[3].n_removed == 0 and rows[3].text_trimmed == d3
+
+
+def test_minhash_signatures_raw_and_from_sets_agree(spark):
+    """r12 review: `minhash_signatures` (raw-text path) claimed bit-
+    identity with `minhash_signatures_from_sets` but nothing pinned it
+    and no production path calls it — this is that pin, so the public
+    raw-text entry point cannot silently drift from the family's
+    stored-set path."""
+    from etl_projects_spark.operators import dedup
+    from etl_projects_spark.queries import load
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents").limit(50)
+    raw = {
+        tuple(r)
+        for r in dedup.minhash_signatures(dedup.word_shingles(docs)).collect()
+    }
+    via_sets = {
+        tuple(r)
+        for r in dedup.minhash_signatures_from_sets(
+            dedup.word_shingle_sets(docs)
+        ).collect()
+    }
+    assert raw == via_sets and raw
+
+
+def test_simhash_signatures_both_none_raises(spark):
+    import pytest
+
+    from etl_projects_spark.operators import dedup
+
+    with pytest.raises(ValueError, match="df or shingle_sets"):
+        dedup.simhash_signatures(None)
+
+
+def test_jaccard_candidates_path_never_pairs_empty_sets(spark):
+    """r12 review: two sub-n-token docs (both with EMPTY shingle sets)
+    passed the integer threshold vacuously (den*0 >= num*0) and came
+    back as a NaN-jaccard 'duplicate' through the candidates path."""
+    from pyspark.sql import functions as F
+
+    from etl_projects_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "too short"), (2, "also short"), (3, "a b c d e f g h")],
+        "doc_id long, text string",
+    )
+    sets = dedup.word_shingle_sets(docs)
+    cands = spark.createDataFrame(
+        [(1, 2), (1, 3)], "id_a long, id_b long"
+    )
+    got = dedup.jaccard_pairs(
+        None, candidates=cands, shingle_sets=sets
+    ).collect()
+    assert got == []  # empty-set pair dropped; empty-vs-nonempty 0 < t
+
+
+def test_pair_cosine_zero_vector_never_ranks(spark):
+    """r12 review: an all-zero embedding made pair-cosine NaN, and
+    Spark ranks NaN above every real score — the bogus row would top
+    every ANN result. With the norm floor it scores ~0 and loses."""
+    from etl_projects_spark.operators import similarity
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0] * 64),
+            (1, [0.0] * 64),          # broken row
+            (2, [1.0] * 63 + [0.9]),  # genuine near-dup of 0
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    top = similarity.brute_force_topk(emb, query_id=0, k=1).collect()
+    assert top[0].vec_id == 2 and top[0].score > 0.99
