@@ -625,6 +625,19 @@ def decontaminate_against_index(
                 "Index the big side."
             )
         snap = eval_grams.toArrow()
+        # Backstop AFTER materialization too (r12 ADVICE): the count()
+        # above and the toArrow() are two separate actions over the
+        # same relation — a nondeterministic upstream could pass the
+        # count yet materialize more rows in the snapshot job. The
+        # data is already on the driver here, so the check is free and
+        # turns that silent divergence into a loud failure.
+        if snap.num_rows > EVAL_SNAPSHOT_MAX_ROWS:
+            raise ValueError(
+                f"decontaminate_against_index: eval_grams materialized "
+                f"{snap.num_rows} rows (> {EVAL_SNAPSHOT_MAX_ROWS}) after "
+                f"passing a {n_rows}-row pre-count — the eval relation is "
+                "nondeterministic between actions; snapshot it upstream."
+            )
         eval_grams = spark.createDataFrame(snap, schema=eval_grams.schema)
         buckets = [
             r[0]

@@ -86,13 +86,19 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    # greatest(den, 1e-12): the same zero-norm floor as
+    # :func:`_pair_cosine_batch` — an all-zero embedding scores ~0
+    # instead of NaN (which Spark sorts ABOVE every real score);
+    # bit-identical for every real vector. Mirrored in
+    # :func:`cosine_sql` so engine and oracle agree on degenerate rows.
+    return dot(a, b) / F.greatest(norm(a) * norm(b), F.lit(1e-12))
 
 
 def normalized(a: Column) -> Column:
     """Unit-normalize once so downstream pair scoring is dot-only —
-    turns O(pairs·3d) float work into O(N·d) + O(pairs·d)."""
-    n = norm(a)
+    turns O(pairs·3d) float work into O(N·d) + O(pairs·d). Zero-norm
+    rows map to ~0 vectors (floored denominator), not NaN arrays."""
+    n = F.greatest(norm(a), F.lit(1e-12))
     return F.transform(a, lambda x: x.cast("double") / n)
 
 
@@ -259,11 +265,17 @@ def lsh_similarity_join(
 
 
 def cosine_sql(a: str, b: str) -> str:
-    """DuckDB cosine in double (list ops; rounded by callers to 6 dp)."""
+    """DuckDB cosine in double (list ops; rounded by callers to 6 dp).
+
+    ``greatest(den, 1e-12)`` mirrors the engine's zero-norm floor
+    (:func:`_pair_cosine_batch` / :func:`knn_join` / :func:`cosine`):
+    without it a zero embedding made the ORACLE emit NaN where the
+    engine emits ~0 (r12 ADVICE asymmetry) — identical for every
+    real vector, since den >= 1e-12 leaves the quotient unchanged."""
     d = f"list_sum(list_transform(list_zip({a}, {b}), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
     na = f"sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
     nb = f"sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
-    return f"({d} / ({na} * {nb}))"
+    return f"({d} / greatest({na} * {nb}, 1e-12))"
 
 
 def bucket_sql(vec: str, planes: np.ndarray | None = None) -> str:
@@ -288,14 +300,21 @@ def _centroids_from_sample(sample: np.ndarray, n_centroids: int) -> np.ndarray:
     oracle's numpy twin so both see bit-identical centroids: seed with
     the first ``n_centroids`` rows, one Lloyd refinement under cosine
     (≈ spherical k-means iteration)."""
-    sample = sample / np.linalg.norm(sample, axis=1, keepdims=True)
+    # np.maximum(…, 1e-12): the family's zero-norm floor — a zero
+    # sample vector (or an all-cancelling cluster mean) stays a ~0
+    # vector instead of poisoning the codebook with NaNs. Identical
+    # floats for every real vector, and shared verbatim by the Spark
+    # path and the oracle twin (both call THIS function).
+    sample = sample / np.maximum(
+        np.linalg.norm(sample, axis=1, keepdims=True), 1e-12
+    )
     cents = sample[:n_centroids].copy()
     assign = np.argmax(sample @ cents.T, axis=1)
     for c in range(n_centroids):
         members = sample[assign == c]
         if len(members):
             m = members.mean(axis=0)
-            cents[c] = m / np.linalg.norm(m)
+            cents[c] = m / np.maximum(np.linalg.norm(m), 1e-12)
     return cents
 
 
@@ -360,7 +379,9 @@ def _twin_assignments(
     ids = tbl[id_col].to_numpy()
     vecs = np.vstack(tbl[vec_col].to_numpy()).astype(np.float64)
     cents = _centroids_from_sample(vecs[:sample_rows], n_centroids)
-    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    vn = vecs / np.maximum(
+        np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12
+    )
     assign = np.argmax(vn @ cents.T, axis=1).astype(np.int32)
     out = (ids, vecs, cents, assign)
     _TWIN_CACHE[key] = out
@@ -400,7 +421,7 @@ def ivf_candidate_ids(
         parquet_path, n_centroids, vec_col, id_col, sample_rows
     )
     qn = vecs[ids == query_id][0]
-    qn = qn / np.linalg.norm(qn)
+    qn = qn / np.maximum(np.linalg.norm(qn), 1e-12)
     probes = np.argsort(-(cents @ qn))[:n_probe]
     mask = np.isin(assign, probes) & (ids != query_id)
     return sorted(int(i) for i in ids[mask])
@@ -428,7 +449,7 @@ def ivf_probe_clusters(
     for qid, v in zip(ids, vecs):
         if qid % probe_mod:
             continue
-        qn = v / np.linalg.norm(v)
+        qn = v / np.maximum(np.linalg.norm(v), 1e-12)
         for c in np.argsort(-(cents @ qn))[:n_probe]:
             out.append((int(qid), int(c)))
     return out
@@ -452,7 +473,9 @@ def ivf_assign(
         cents = bc.value
         for batch in batches:
             v = np.vstack(batch[vec_col].to_numpy()).astype(np.float64)
-            vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+            vn = v / np.maximum(
+                np.linalg.norm(v, axis=1, keepdims=True), 1e-12
+            )
             yield pd.DataFrame(
                 {
                     id_col: batch[id_col],
@@ -530,7 +553,7 @@ def ivf_topk_indexed(
     with open(os.path.join(path, "_ivf_centroids.json")) as f:
         cents = np.array(json.load(f), dtype=np.float64)
     qn = np.asarray(query_vec, dtype=np.float64)
-    qn = qn / np.linalg.norm(qn)
+    qn = qn / np.maximum(np.linalg.norm(qn), 1e-12)
     probes = [int(c) for c in np.argsort(-(cents @ qn))[:n_probe]]
     qarr = F.array(*[F.lit(float(x)) for x in query_vec])
     idx = spark.read.parquet(path).filter(F.col("cluster").isin(probes))
@@ -568,7 +591,7 @@ def ivf_topk(
     q = df.filter(F.col(id_col) == query_id).select(F.col(vec_col).alias("qv"))
     qvec = q.toPandas()["qv"].iloc[0]
     qn = np.asarray(qvec, dtype=np.float64)
-    qn /= np.linalg.norm(qn)
+    qn /= np.maximum(np.linalg.norm(qn), 1e-12)
     probes = np.argsort(-(cents @ qn))[:n_probe].tolist()
     return (
         assigned.filter(F.col("cluster").isin(probes) & (F.col(id_col) != query_id))

@@ -31,8 +31,17 @@ QUERIES: dict[str, SparkQuery] = {}
 ORACLE: dict[str, str] = {}
 
 
-def _q(name: str, oracle: str | None = None):
-    """Register a query (and its oracle SQL) in the catalog."""
+def _q(name: str, oracle=None):
+    """Register a query (and its oracle SQL) in the catalog.
+
+    ``oracle`` is the DuckDB SQL string, or a zero-arg CALLABLE that
+    returns it (or None). Callables are resolved at ``oracle_sql()``
+    time, not import time — for data-derived twin oracles
+    (``_ivf_recall_oracle``) this keeps module import free of parquet
+    reads / matmuls / multi-MB SQL-string builds (r12 ADVICE), and
+    keys the generated twin to the SPARK_GRAFT_ORACLE_SF_DIR in effect
+    when the gate RUNS rather than when Python imported the module.
+    """
 
     def deco(fn: SparkQuery) -> SparkQuery:
         QUERIES[name] = fn

@@ -176,7 +176,12 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = {"vec_id": [], "cluster": [], "nn_id": [], "score": []}
         if len(ids) >= 2:
             v = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
-            vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+            # Zero-norm floor (r12 ADVICE parity sweep): a zero vector
+            # scores ~0 against everything — never a NaN gram row that
+            # would pass/fail the τ-compare nondeterministically.
+            vn = v / np.maximum(
+                np.linalg.norm(v, axis=1, keepdims=True), 1e-12
+            )
             gram = np.round(vn @ vn.T, 6)
             for i in range(1, len(ids)):
                 s = gram[i, :i]

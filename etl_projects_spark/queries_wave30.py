@@ -326,20 +326,33 @@ def _ivf_recall_oracle() -> str | None:
     derivation class as ``ann_ivf_topk``'s oracle), so the IVF
     candidate relation is a pure SQL join of two inlined VALUES
     relations, and the exact side is brute-force top-k in SQL.
-    Generated against the driver's oracle scale factor; None if that
-    corpus is absent (e.g. bench-only environments)."""
+
+    Registered as a CALLABLE (resolved by ``oracle_sql()`` at gate
+    time, r12 ADVICE): the parquet read + corpus×centroid matmul and
+    the corpus-sized VALUES string are paid only when a gate actually
+    asks for oracles, and the twin is generated against the oracle
+    scale factor in effect THEN. None — i.e. a rows-only check — if
+    that corpus is absent (bench-only environments) or EMPTY (zero
+    vectors would render malformed ``VALUES ''`` SQL)."""
     sf_dir = os.environ.get(
         "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
     )
     path = os.path.join(sf_dir, "embeddings.parquet")
     if not os.path.exists(path):
         return None
-    assign_vals = ", ".join(
-        f"({i}, {c})" for i, c in similarity.ivf_assignments(path)
-    )
+    import pyarrow.parquet as pq
+
+    # Footer-metadata row count — no column read; guards the twins
+    # (np.vstack crashes on zero vectors) and the VALUES strings.
+    if pq.ParquetFile(path).metadata.num_rows == 0:
+        return None
+    assignments = similarity.ivf_assignments(path)
+    assign_vals = ", ".join(f"({i}, {c})" for i, c in assignments)
     probe_vals = ", ".join(
         f"({q}, {c})" for q, c in similarity.ivf_probe_clusters(path)
     )
+    if not probe_vals:
+        return None
     return f"""
     WITH assign(vec_id, cluster) AS (VALUES {assign_vals}),
     probes(qid, pcluster) AS (VALUES {probe_vals}),
@@ -381,7 +394,7 @@ def _ivf_recall_oracle() -> str | None:
     """
 
 
-@_q("ann_ivf_recall_report", _ivf_recall_oracle())
+@_q("ann_ivf_recall_report", _ivf_recall_oracle)
 def ann_ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall audit of the MATERIALIZED IVF index's candidate stage —
     the nprobe half of the ANN readout (``ann_recall_report`` audits
@@ -425,7 +438,10 @@ def ann_ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = []
     for qid, vec in zip(qpdf["vec_id"], qpdf["embedding"]):
         qn = np.asarray(vec, dtype=np.float64)
-        qn /= np.linalg.norm(qn)
+        # Same zero-norm floor as every other probe normalization in
+        # the family (r12 ADVICE): a zero probe selects cells
+        # deterministically (~0 scores) instead of NaN-argsorting.
+        qn /= np.maximum(np.linalg.norm(qn), 1e-12)
         for c in np.argsort(-(cents @ qn))[: similarity.IVF_PROBE]:
             pairs.append((int(qid), int(c)))
     probe_map = spark.createDataFrame(pairs, "qid long, cluster int")
