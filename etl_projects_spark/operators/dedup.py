@@ -35,7 +35,12 @@ SIMHASH_BITS = 32
 NGRAM_N = 3
 
 
-from etl_projects_spark.operators.exec_util import fan_out, materialize  # noqa: F401
+from etl_projects_spark.operators.exec_util import (  # noqa: F401
+    fan_out,
+    materialize,
+    materialize_scoped,
+    release_scope,
+)
 # (re-exported: the dedup catalog queries call dedup.materialize)
 
 
@@ -371,17 +376,19 @@ def jaccard_pairs(
             # in one job race a lazy cache — each would recompute the
             # semi-join + collect_set (the relation is
             # candidate-bounded, so the barrier job is small).
-            # KNOWN session-lifetime pin (r12 review): this persist has
-            # no release handle — the leaked-pin class the df-cap path
-            # shed in r12 — but the two broadcast subtrees differ (xa /
-            # xb project different names), so exchange reuse cannot
-            # replace it without a measured A/B, and its consumers
-            # (dedup_incremental_batch) are not in the r12 window.
-            # Queued for r13 with the incremental_neardup pin below.
-            sets = materialize(
+            # SCOPED pin (r13, closing the r12 deferral): exchange
+            # reuse does not bridge the two broadcast subtrees here
+            # (measured on the sibling incremental_neardup pin:
+            # de-persisting tripled the steady-state probe), so the
+            # persist stays — but through materialize_scoped, which
+            # releases the PREVIOUS invocation's pin, bounding a
+            # verify loop at one cached candidate-set relation instead
+            # of one per call.
+            sets = materialize_scoped(
                 shingles.join(F.broadcast(ids), "id", "left_semi")
                 .groupBy("id")
-                .agg(F.collect_set("shingle").alias("s"))
+                .agg(F.collect_set("shingle").alias("s")),
+                scope="dedup.jaccard_pairs.sets",
             )
         xa = sets.select(F.col("id").alias("id_a"), F.col("s").alias("sa"))
         xb = sets.select(F.col("id").alias("id_b"), F.col("s").alias("sb"))
@@ -487,18 +494,23 @@ def incremental_neardup(
         # one exchange instead of two.
     )
     internal = lsh_candidate_pairs(new_sigs, dedupe=False)
-    # Materialized: candidates feed BOTH the id-set build and the pair
-    # join inside jaccard_pairs — left lazy, each branch recomputes the
-    # index probe + in-batch self-join (measured ~2× the candidate
-    # cost). The relation is LSH-bounded, so the barrier job is small.
-    # KNOWN session-lifetime pin (r12 review): no release handle, the
-    # same leaked-pin class the df-cap path shed in r12. A batch loop
-    # calling this repeatedly accumulates small dead cached relations;
-    # the candidate fix is the distinct()'s own ReusedExchange (both
-    # consumers read that exchange), but its consumers
-    # (dedup_incremental_batch) are outside the r12 window — queued
-    # for r13 with a measured A/B like the df-cap de-persist.
-    candidates = materialize(cross.union(internal).distinct())
+    # Materialized WITH a release path (r13, closing the r12 deferral):
+    # candidates feed BOTH the id-set build and the pair join inside
+    # jaccard_pairs — left lazy, each branch recomputes the index
+    # probe + in-batch self-join. The promised A/B ran first: the
+    # ReusedExchange route (the r12 df-cap template) does NOT fire —
+    # the distinct's exchange feeds one shuffle-join branch and two
+    # broadcast subtrees, and reuse does not bridge the broadcast
+    # boundary (measured: de-persisting regressed
+    # dedup_incremental_batch 2.3 → 7.3 s steady at sf0.1, i.e. three
+    # full recomputes). materialize_scoped keeps the 2.3 s plan and
+    # bounds a batch-admission loop at ONE pinned candidate relation
+    # (the previous batch's pin is unpersisted on re-entry;
+    # regression-pinned in tests/test_dedup.py).
+    candidates = materialize_scoped(
+        cross.union(internal).distinct(),
+        scope="dedup.incremental_neardup.candidates",
+    )
     verified = jaccard_pairs(
         None,
         threshold_num=threshold_num,

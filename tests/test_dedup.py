@@ -398,3 +398,76 @@ def test_pair_cosine_zero_vector_never_ranks(spark):
     )
     top = similarity.brute_force_topk(emb, query_id=0, k=1).collect()
     assert top[0].vec_id == 2 and top[0].score > 0.99
+
+
+def test_incremental_neardup_pins_are_scoped_and_released(spark):
+    """r13 VERDICT item 4: the candidate materialization inside
+    incremental_neardup must not accumulate one session-lifetime
+    cache pin per invocation — a batch-admission loop re-entering the
+    scope releases the previous batch's pin, and release_scope drops
+    the last one. (The measured A/B that keeps it a persist at all —
+    ReusedExchange does not bridge the broadcast boundary — is in the
+    operator's comment; values are oracle-gated elsewhere.)"""
+    from etl_projects_spark.operators import dedup
+    from etl_projects_spark.operators.exec_util import release_scope
+    from etl_projects_spark.queries import load
+    from pyspark.sql import functions as F
+
+    def pinned() -> int:
+        return len(spark.sparkContext._jsc.getPersistentRDDs())
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents").limit(60)
+    sets = dedup.word_shingle_sets(docs)
+    is_new = F.col("id") % 5 == 4
+    index = dedup.melt_bands(
+        dedup.minhash_signatures_from_sets(sets.filter(~is_new))
+    )
+
+    def run_batch() -> None:
+        dedup.incremental_neardup(
+            sets.filter(is_new), index, sets
+        ).collect()
+
+    run_batch()
+    after_first = pinned()
+    run_batch()
+    run_batch()
+    assert pinned() == after_first, (
+        "repeated incremental_neardup invocations grew the pinned-RDD "
+        "count — the scoped release path regressed"
+    )
+    release_scope("dedup.incremental_neardup.candidates")
+    assert pinned() == after_first - 1
+
+
+def test_jaccard_pairs_api_sets_pin_is_scoped(spark):
+    """Same bounded-pin contract for jaccard_pairs' candidates-path
+    set materialization (the API branch: candidates given, no cached
+    shingle_sets) — at most one pinned relation per scope however many
+    times an external verify loop calls it."""
+    from etl_projects_spark.operators import dedup
+    from etl_projects_spark.operators.exec_util import release_scope
+    from etl_projects_spark.queries import load
+    from pyspark.sql import functions as F
+
+    def pinned() -> int:
+        return len(spark.sparkContext._jsc.getPersistentRDDs())
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents").limit(40)
+    sh = dedup.word_shingle_sets(docs).select(
+        "id", F.explode("sh_set").alias("shingle")
+    )
+    cands = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3)], "id_a long, id_b long"
+    )
+
+    def run_verify() -> None:
+        dedup.jaccard_pairs(sh, candidates=cands).collect()
+
+    run_verify()
+    after_first = pinned()
+    run_verify()
+    run_verify()
+    assert pinned() == after_first
+    release_scope("dedup.jaccard_pairs.sets")
+    assert pinned() == after_first - 1
