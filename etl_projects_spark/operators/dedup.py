@@ -779,6 +779,12 @@ def embedding_neardup_pairs(
     brute force over block pairs is what a correct near-dup pass needs;
     for high-threshold corpora compose :func:`simhash_near_pairs` /
     minhash banding as the prefilter instead.
+
+    Corpus caveat (TESTDATA.md §Embedding-space structure): the test
+    embeddings are isotropic noise (z10 ≈ 2), so the 0.45 threshold
+    fires only on the bulk's tail here — the gates verify blocking,
+    exactness and determinism; the threshold binds semantically on
+    real near-dup corpora (z10 ≫ 2 per ``embedding_margin_report``).
     """
     import numpy as np
 

@@ -673,6 +673,67 @@ def knn_join(
     )
 
 
+def score_all_probes(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(qid, nbr, score) for EVERY (probe, corpus) pair — the full
+    score relation behind the margin/crowding audits
+    (``embedding_margin_report``), where :func:`knn_join` keeps only
+    the top-k cut of the same scores.
+
+    Identical floats to :func:`knn_join` BY CONSTRUCTION (the same
+    normalize-then-matmul, the same 1e-12 zero-norm floors, rounded to
+    6 dp in the same place), so a report can compare this relation
+    against knn_join's k-cut without cross-path rounding seams.
+
+    Scale shape: ``queries`` is a bounded probe/eval relation by the
+    family contract — collected into ONE broadcast matrix; the corpus
+    streams through ``mapInPandas`` exactly once (one BLAS matmul per
+    Arrow batch, no corpus shuffle, no window). Output is
+    probes × corpus rows — LINEAR in the corpus for a bounded probe
+    set; downstream consumers aggregate it with map-side partial aggs.
+    """
+    qpdf = queries.select(id_col, vec_col).toPandas()  # bounded by contract
+    if qpdf.empty:
+        return corpus.sparkSession.createDataFrame(
+            [], "qid long, nbr long, score double"
+        )
+    qids_v = qpdf[id_col].to_numpy()
+    Q = np.vstack(qpdf[vec_col].to_numpy()).astype(np.float64)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    bq = corpus.sparkSession.sparkContext.broadcast((qids_v, Qn.T))
+
+    def part(batches):
+        qids, QnT = bq.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            C = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Cn = C / np.maximum(
+                np.linalg.norm(C, axis=1, keepdims=True), 1e-12
+            )
+            S = np.round(Cn @ QnT, 6)  # corpus-batch x queries
+            ids = pdf[id_col].to_numpy()
+            frames = []
+            for j, qid in enumerate(qids):
+                mask = ids != qid  # a probe never scores itself
+                frames.append(
+                    pd.DataFrame(
+                        {"qid": qid, "nbr": ids[mask], "score": S[mask, j]}
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    from etl_projects_spark.operators.exec_util import fan_out
+
+    return fan_out(corpus.select(id_col, vec_col)).mapInPandas(
+        part, "qid long, nbr long, score double"
+    )
+
+
 # ---- PCA projection (dimensionality reduction) -----------------------------
 
 PCA_COMPONENTS = 4

@@ -154,6 +154,10 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruned when a LOWER-id vector in the SAME cluster has cosine ≥ τ
     (keep-first rule); the output lists each pruned vector with its
     best surviving justification (max score, ties to the smaller id).
+    Corpus caveat (TESTDATA.md §Embedding-space structure): the test
+    embeddings are isotropic (z10 ≈ 2, label purity = chance), so τ
+    fires only on the bulk tail here — the gate verifies the
+    cluster-blocked plumbing; τ binds semantically on real corpora.
 
     Serves from the SAME materialized cluster-partitioned index as
     ``ann_ivf_topk`` (built once per corpus via ``build_once``), so the

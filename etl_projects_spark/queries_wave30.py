@@ -520,6 +520,13 @@ def knn_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     space confuses). Complements the recall audits, which measure the
     INDEX against the space; this measures the space itself.
 
+    Measured verdict for THIS corpus (TESTDATA.md §Embedding-space
+    structure): purity = chance at every SF — the synthetic labels are
+    assigned independently of the vectors, so per-label rows here
+    verify the join/groupBy plumbing; the space-side margin companion
+    is ``embedding_margin_report`` (z10 ≈ 2: no neighbor structure
+    either).
+
     Scale shape: the exact side is the family's bounded-probe
     ``knn_join`` (one corpus scan, broadcast probe matrix, Arrow-batch
     BLAS, per-partition top-k); neighbor labels arrive by one id-key

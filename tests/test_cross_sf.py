@@ -43,6 +43,9 @@ REPRESENTATIVE = [
     # r12: the embedding-space purity audit at the same vintage (pure
     # SQL oracle, no twin — sparse per-label probe groups live here)
     "knn_label_purity",
+    # r13: the margin/relative-contrast audit at the low-signal SF —
+    # the exact-integer bulk moments and the z10 guard live here
+    "embedding_margin_report",
     "media_fingerprint",
     "quality_validate_events",
     "asof_click_before_purchase",
@@ -235,6 +238,9 @@ def test_matches_oracle_at_sf0001(spark, name):
 # headroom are actually stressed.
 SF_UP = "/root/testdata/sf0.1"
 UPSCALE = [
+    # r13: the margin audit where the exact-integer moment sums carry
+    # 4× the rows per probe — accumulation-order drift would bite HERE
+    "embedding_margin_report",
     "chi_square_type_by_dow",
     "bollinger_bands_daily",
     "percent_change_mom",

@@ -927,3 +927,15 @@ def test_ann_recall_report_plan(spark):
                 python_stages=("<=", 1), cartesian=False,
                 nested_loop_joins=0, broadcast_joins=(">=", 2),
                 single_exchanges=("<=", 1), shuffles=("<=", 3))
+
+
+def test_embedding_margin_report_plan(spark):
+    # r13 audit query: exact kNN + the full-score pass are the TWO
+    # Python (Arrow) stages — both corpus-linear, no corpus shuffle;
+    # the probe-sized stats relation broadcasts into the bulk
+    # aggregate. No cartesian, no single-partition collapse; the only
+    # exchanges are the probe-keyed aggregates/window.
+    assert_plan(QS["embedding_margin_report"](spark, SF_DIR),
+                python_stages=("<=", 2), cartesian=False,
+                nested_loop_joins=0, broadcast_joins=(">=", 1),
+                single_exchanges=0, shuffles=("<=", 3))

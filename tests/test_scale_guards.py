@@ -61,8 +61,10 @@ def test_driver_side_materialization_allowlist():
         # snapshot — ≤ GRAM_INDEX_BUCKETS rows by pigeonhole.
         "operators/dedup.py": 2,
         # IVF codebook sample (bounded rows), single probe vectors,
-        # bounded query batch (contract), PCA basis sample.
-        "operators/similarity.py": 4,
+        # bounded query batch (contract) in knn_join AND its full-score
+        # sibling score_all_probes (r13 — the same eval-set contract,
+        # the same one broadcast matrix), PCA basis sample.
+        "operators/similarity.py": 5,
         # 1-row skew-stats aggregate.
         "operators/skew.py": 1,
         # S6 control-file roundtrip: a handful of control rows.
@@ -75,10 +77,14 @@ def test_driver_side_materialization_allowlist():
         # ann_ivf_recall_report's probe matrix — the SAME bounded
         # eval-set contract as knn_join's (vec_id % 100 probes).
         "queries_wave30.py": 1,
-        # substring_span_incremental's batch-modulus sizing: ONE 1-row
-        # aggregate (count + token upper bound) over the 2-column
-        # documents projection — the skew-stats class.
-        "queries_wave29.py": 1,
+        # substring_span_incremental: (a) the batch-modulus sizing —
+        # ONE 1-row aggregate (count + token upper bound) over the
+        # 2-column documents projection, the skew-stats class; (b) the
+        # r13 single batch-span snapshot (toArrow) — bounded BEFORE
+        # materialization by the modulus arithmetic (span rows
+        # ≤ INCR_BATCH_TARGET_TOKENS, 2.5× under decontaminate's loud
+        # 5M bound, which re-checks on the local relation).
+        "queries_wave29.py": 2,
     }
     got = _method_call_sites({"collect", "toPandas", "toArrow"})
     assert got == allowed, (

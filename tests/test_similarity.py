@@ -150,3 +150,114 @@ def test_recall_audits_never_miss_planted_exact_duplicates(spark, tmp_path):
     for probe_label in (labels[0], labels[100]):
         assert pur[probe_label].n_same_label >= 1
         assert pur[probe_label].purity_at_k >= 0.1
+
+
+def test_ann_audit_values_pinned_at_gate_sf(spark):
+    """r12 VERDICT item 1, the 'bound' branch: the recall audits'
+    values at the gate SF are PINNED AS-IS. These numbers are the
+    data-inherent ceiling of the default knobs on the isotropic test
+    corpus (SCALE.md §ANN-bound: the 0.14 single-bucket recall IS the
+    predicted (1-θ/π)^4 collision probability for ~70° true
+    neighbors; IVF recall tracks scanned fraction with no elbow), NOT
+    a tuning defect — the structured-corpus test below proves the same
+    operators at the same knobs clear 0.9 when the data has neighbor
+    structure. If these values move, either the corpus vintage or the
+    index math changed; both must be loud."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    sfd = "/root/testdata/sf0.01"
+    lsh = qs["ann_recall_report"](spark, sfd).collect()[0]
+    assert (
+        lsh.n_probes, lsh.n_true_pairs,
+        lsh.n_cand_bucket, lsh.n_hit_bucket,
+        lsh.n_cand_multiprobe, lsh.n_hit_multiprobe,
+    ) == (5, 50, 154, 7, 764, 27)
+    assert round(lsh.recall_bucket, 6) == 0.14
+    assert round(lsh.recall_multiprobe, 6) == 0.54
+    ivf = qs["ann_ivf_recall_report"](spark, sfd).collect()[0]
+    assert (ivf.n_probes, ivf.n_true_pairs, ivf.n_cand_ivf,
+            ivf.n_hit_ivf) == (5, 50, 664, 31)
+    assert round(ivf.recall_ivf, 6) == 0.62
+
+
+def test_ann_operators_reach_high_recall_on_structured_corpus(spark):
+    """The counter-proof completing the r12 'tune or bound' order: the
+    SAME LSH/IVF operators at the SAME default knobs reach high recall
+    the moment the corpus has real neighbor structure — so the 0.14 /
+    0.54 / 0.62 readouts on the test corpus are the SPACE's ceiling
+    (z10 ≈ 2, embedding_margin_report), not an index defect.
+
+    Corpus: 10 planted clusters x 50 members, within-cluster cosine
+    ≈ 0.95 (the near-dup regime SemDeDup / ANN retrieval target).
+    Numpy twin of this construction predicts single-bucket 0.61 /
+    multiprobe 0.93 / IVF 1.0; floors leave margin for the float32
+    storage truncation."""
+    import numpy as np
+
+    import __spark_entry__  # registers queries; not used directly
+    from etl_projects_spark.operators import similarity
+
+    rng = np.random.RandomState(7)
+    k_clusters, members, dim, noise = 10, 50, 64, 0.03
+    centers = rng.standard_normal((k_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    vecs = (
+        np.repeat(centers, members, axis=0)
+        + noise * rng.standard_normal((k_clusters * members, dim))
+    )
+    n = len(vecs)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+
+    # Exact ground truth through the engine path (float32-truncated
+    # like every stored corpus): top-10 per vector.
+    true = {}
+    for r in similarity.knn_join(emb, emb, k=10).collect():
+        true.setdefault(r.qid, set()).add(r.nbr)
+
+    # Hyperplane-LSH candidates through the ENGINE bucket expression.
+    from pyspark.sql import functions as F
+
+    buckets = {
+        r.vec_id: r.b
+        for r in emb.select(
+            "vec_id",
+            similarity.hyperplane_bucket(F.col("embedding")).alias("b"),
+        ).collect()
+    }
+    n_pairs = sum(len(s) for s in true.values())
+    hit1 = hitm = 0
+    for q, nbrs in true.items():
+        probe = {buckets[q]}
+        probe_m = probe | {
+            buckets[q] ^ (1 << i)
+            for i in range(similarity.LSH_N_PLANES)
+        }
+        hit1 += sum(buckets[nb] in probe for nb in nbrs)
+        hitm += sum(buckets[nb] in probe_m for nb in nbrs)
+    assert hit1 / n_pairs >= 0.5, "single-bucket recall collapsed"
+    assert hitm / n_pairs >= 0.85, "multiprobe recall collapsed"
+
+    # IVF at the default codebook/probe knobs, assignments through the
+    # engine's Arrow stage; probe selection is ivf_topk's own argsort.
+    cents = similarity.ivf_centroids(emb)
+    assign = {
+        r.vec_id: r.cluster
+        for r in similarity.ivf_assign(emb, cents).collect()
+    }
+    stored = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in emb.collect()
+    }
+    hit_ivf = 0
+    for q, nbrs in true.items():
+        qn = stored[q] / np.maximum(np.linalg.norm(stored[q]), 1e-12)
+        probed = set(
+            int(c)
+            for c in np.argsort(-(cents @ qn))[: similarity.IVF_PROBE]
+        )
+        hit_ivf += sum(assign[nb] in probed for nb in nbrs)
+    assert hit_ivf / n_pairs >= 0.95, "IVF recall collapsed"
