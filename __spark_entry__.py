@@ -58,99 +58,89 @@ def entry(spark: SparkSession) -> DataFrame:
 # tests/test_window_guard.py fails if any query whose hash changed
 # since its recorded window is not in the current first 50.
 _ROUND_PRIORITY = [
-    # --- r12 window ------------------------------------------------
-    # 1-4: r12 reworks / changed-module consumers.
-    # lsh_recall_report's own source changed twice over (r11 ADVICE:
-    # the terminal sums are coalesced to 0 so a degenerate empty
-    # corpus matches the oracle's zeros; and its jaccard_pairs call
-    # no longer pins a cached relation). dedup_jaccard_df_capped is
-    # the other catalog consumer of jaccard_pairs' df-cap path, whose
-    # per-invocation persist was removed in favor of ReusedExchange
-    # (plan-pinned; measured faster). decontaminate_eval_join and
-    # substring_span_incremental are the two catalog consumers of
-    # dedup.decontaminate_against_index, whose driver snapshot moved
-    # from collect()+Rows to toArrow()+createDataFrame (the r11
-    # verdict's +0.76 s drift attributed and recovered — exactness
-    # regression pins unchanged and green).
-    "lsh_recall_report",
-    "decontaminate_eval_join",
-    "dedup_jaccard_df_capped",
-    "substring_span_incremental",
-    # 5-8: r12 additions (every addition lands inside the window):
-    # ann_recall_report — the ANN family's recall/efficiency audit
-    # (exact knn_join ground truth vs single-bucket and Hamming-1
-    # multi-probe hyperplane-LSH candidates, r11 VERDICT item 3);
-    # ann_ivf_recall_report — the nprobe half of that readout (stored
-    # IVF index candidates vs the same exact ground truth, oracle via
-    # the assignment/probe-cluster numpy twins);
-    # substring_span_rewrite, the span family's REWRITE query
-    # (emits the trimmed corpus itself via the merged foreign-span
-    # intervals, r11 VERDICT item 4; reconciliation with trim's
-    # accounting is test-pinned); and knn_label_purity, the
-    # embedding-SPACE quality audit (exact-neighbor label purity@k per
-    # probe label — the readout that validates keying SemDeDup/ANN on
-    # this space at all).
+    # --- r13 window ------------------------------------------------
+    # 1-15: reworks / changed-module consumers / the r13 addition.
+    # The cosine_sql oracle generator gained the engine-matching
+    # zero-norm floor (r12 ADVICE: a zero embedding made the oracle
+    # NaN where the engine emits ~0), which moves the oracle hash of
+    # every cosine-family query (values unchanged — no zero vectors in
+    # any corpus; the floor is bit-identical for real vectors): the
+    # three r12 audits, the five ann_* retrieval queries, the two
+    # embedding near-dup queries, and semdedup_prune (whose in-query
+    # gram normalization got the same floor).
+    # embedding_margin_report is the r13 ADDITION — the score-gap /
+    # relative-contrast audit (z10) that writes down the data-inherent
+    # ANN bound the r12 verdict ordered (SCALE.md §ANN-bound;
+    # TESTDATA.md §Embedding-space structure; audit values pinned
+    # as-is and counter-proved on a structured corpus in
+    # tests/test_similarity.py).
+    # substring_span_incremental was REWORKED (one Arrow batch-span
+    # snapshot replaced the triple per-call recompute — 6.9 → 3.7 s
+    # steady at sf0.1, values unchanged at all three SFs).
+    # decontaminate_eval_join rides as dedup.py's snapshot consumer
+    # (post-toArrow row-bound backstop, r12 ADVICE); and
+    # dedup_incremental_batch as the consumer of the scoped-release
+    # persist fix (materialize_scoped — r12 VERDICT item 4, measured
+    # A/B in the operator comment).
     "ann_recall_report",
     "ann_ivf_recall_report",
-    "substring_span_rewrite",
     "knn_label_purity",
-    # 9-23: the ENTIRE remaining r6-era vintage (r11 VERDICT item 1 —
-    # the 15 rows queued in r11's window comment, freshness order).
-    # After this window no row in the durable record is older than r7.
-    "salted_join_lineitem_orders",
-    "scd2_apply_orders",
-    "snapshot_diff_orders",
-    "source_quotes_scan",
-    "streaming_incremental_dedup",
-    "streaming_interval_join",
-    "streaming_quotes_ingest",
-    "streaming_stateful_running_totals",
-    "struct_to_json",
-    "text_repetition_ratio",
-    "text_stats",
-    "training_shard_write",
-    "union_append",
-    "warehouse_copy_roundtrip",
-    "window_dedup_latest",
-    # 24-50: freshness re-checks of the NOW-oldest (r7-era) rows — the
-    # first 27 of the 46 in tools/freshness_report.py order, skipping
-    # dedup_jaccard_df_capped which already rides at slot 3 (so 28 of
-    # the r7 vintage retire this round; the remaining 18 queue for
-    # r13: quality_validate_events, range_join_daily_windows,
-    # resample_gap_fill, shard_packing, sliding_window_events,
-    # sort_limit_topk, stratified_sample_sources,
-    # streaming_tumbling_counts, text_bpe_ish_tokens,
-    # text_dup_gram_fraction, text_lang_id, text_normalized_dedup,
-    # text_pii_redaction, text_quality_score, tumbling_window_events,
-    # window_running_order_total, window_top_suppliers_per_nation,
-    # winnow_fingerprints).
+    "embedding_margin_report",
     "ann_cosine_topk",
-    "ann_knn_join",
-    "ann_lsh_multiprobe_topk",
     "ann_lsh_topk",
-    "asof_click_before_purchase",
-    "contamination_probe",
-    "control_file_roundtrip",
-    "cube_counts",
-    "dedup_edit_distance",
+    "ann_lsh_multiprobe_topk",
+    "ann_knn_join",
+    "ann_ivf_topk",
     "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
     "embedding_similarity_join",
-    "events_sessionize",
-    "media_byte_histogram",
-    "media_fingerprint",
-    "minhash_jaccard_estimate",
-    "pack_token_spans",
-    "packing_efficiency_report",
-    "pivot_status",
-    "q10_returned_revenue",
-    "q14_type_revenue_share",
-    "q4_order_priority",
-    "q6_selective_revenue",
-    "q7_nation_trade_volume",
+    "semdedup_prune",
+    "substring_span_incremental",
+    "decontaminate_eval_join",
+    "dedup_incremental_batch",
+    # 16-33: the ENTIRE remaining r7-era vintage (r12 VERDICT item 2 —
+    # exactly the 18 rows the r12 window comment queued, freshness
+    # order). After this window no row in the durable record is older
+    # than r8.
+    "quality_validate_events",
+    "range_join_daily_windows",
+    "resample_gap_fill",
+    "shard_packing",
+    "sliding_window_events",
+    "sort_limit_topk",
+    "stratified_sample_sources",
+    "streaming_tumbling_counts",
+    "text_bpe_ish_tokens",
+    "text_dup_gram_fraction",
+    "text_lang_id",
+    "text_normalized_dedup",
+    "text_pii_redaction",
+    "text_quality_score",
+    "tumbling_window_events",
+    "window_running_order_total",
+    "window_top_suppliers_per_nation",
+    "winnow_fingerprints",
+    # 34-50: freshness re-checks of the NOW-oldest (r8-era) rows — the
+    # first 17 of the 49 in tools/freshness_report.py order (the
+    # remaining 32 queue for r14, starting: exists_big_lineitem_orders,
+    # funnel_user_conversion, grouping_sets_status_priority,
+    # histogram_order_totals, intersect_repeat_customers, ...).
+    "anomaly_zscore_daily",
+    "array_agg_customer_priorities",
+    "bm25_retrieval",
+    "bucketed_join_revenue",
+    "conditional_agg_priority_matrix",
+    "cooccurrence_pmi_topk",
+    "curriculum_schedule",
+    "date_functions_orders",
+    "decontaminate_train_prune",
+    "dedup_keep_best_quality",
+    "dedup_keep_list",
+    "dedup_minhash_components",
+    "doc_length_percentile_filter",
+    "embedding_centroids_by_label",
+    "embedding_quantize_int8",
+    "exact_distinct_users_daily",
+    "except_lost_customers",
 ]
 
 

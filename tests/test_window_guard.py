@@ -95,38 +95,45 @@ def test_catalog_and_plans_records_are_fresh():
     )
 
 
-def test_r12_rotation_heads_the_window():
-    # r12 window invariants: the round's reworks/changed-module
-    # consumers lead (lsh_recall_report + dedup_jaccard_df_capped on
-    # the unpinned df-cap path, decontaminate_eval_join +
-    # substring_span_incremental on the Arrow snapshot path), both
-    # additions land inside the window, the ENTIRE remaining r6-era
-    # vintage (15 rows, r11 VERDICT item 1) rides along, and the rest
-    # retires the oldest r7-era rows.
+def test_r13_rotation_heads_the_window():
+    # r13 window invariants: the cosine_sql-floor hash movers lead
+    # (the three r12 audits, the five ann_* retrieval queries, the two
+    # embedding near-dup queries, semdedup_prune), the r13 addition
+    # (embedding_margin_report) lands inside the window, the reworked
+    # substring_span_incremental and the two changed-module consumers
+    # (decontaminate_eval_join, dedup_incremental_batch) ride, the
+    # ENTIRE remaining r7-era vintage (18 rows, r12 VERDICT item 2)
+    # retires, and the rest takes the oldest r8-era rows.
     window = wh.window_names()
-    assert {
-        "lsh_recall_report", "decontaminate_eval_join",
-        "dedup_jaccard_df_capped", "substring_span_incremental",
-    } <= set(window[:7])
-    assert {
+    cosine_family = {
         "ann_recall_report", "ann_ivf_recall_report",
-        "substring_span_rewrite", "knn_label_purity",
-    } <= set(window[:8])
-    r6_vintage = {
-        "salted_join_lineitem_orders", "scd2_apply_orders",
-        "snapshot_diff_orders", "source_quotes_scan",
-        "streaming_incremental_dedup", "streaming_interval_join",
-        "streaming_quotes_ingest", "streaming_stateful_running_totals",
-        "struct_to_json", "text_repetition_ratio", "text_stats",
-        "training_shard_write", "union_append",
-        "warehouse_copy_roundtrip", "window_dedup_latest",
+        "knn_label_purity", "embedding_margin_report",
+        "ann_cosine_topk", "ann_lsh_topk", "ann_lsh_multiprobe_topk",
+        "ann_knn_join", "ann_ivf_topk", "dedup_embedding_cosine",
+        "embedding_similarity_join", "semdedup_prune",
     }
-    assert r6_vintage <= set(window[:23])
-    r7_head = {
-        "ann_cosine_topk", "ann_knn_join", "ann_lsh_multiprobe_topk",
-        "ann_lsh_topk", "q7_nation_trade_volume",
+    assert cosine_family <= set(window[:12])
+    assert {
+        "substring_span_incremental", "decontaminate_eval_join",
+        "dedup_incremental_batch",
+    } <= set(window[:15])
+    r7_vintage = {
+        "quality_validate_events", "range_join_daily_windows",
+        "resample_gap_fill", "shard_packing", "sliding_window_events",
+        "sort_limit_topk", "stratified_sample_sources",
+        "streaming_tumbling_counts", "text_bpe_ish_tokens",
+        "text_dup_gram_fraction", "text_lang_id",
+        "text_normalized_dedup", "text_pii_redaction",
+        "text_quality_score", "tumbling_window_events",
+        "window_running_order_total",
+        "window_top_suppliers_per_nation", "winnow_fingerprints",
     }
-    assert r7_head <= set(window)
+    assert r7_vintage <= set(window[:33])
+    r8_head = {
+        "anomaly_zscore_daily", "bm25_retrieval",
+        "curriculum_schedule", "except_lost_customers",
+    }
+    assert r8_head <= set(window)
 
 
 def test_guard_fires_on_out_of_window_query_edit(monkeypatch):
