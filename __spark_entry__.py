@@ -97,7 +97,21 @@ _ROUND_PRIORITY = [
     "substring_span_incremental",
     "decontaminate_eval_join",
     "dedup_incremental_batch",
-    # 16-33: the ENTIRE remaining r7-era vintage (r12 VERDICT item 2 —
+    # 16-21: the scoped-pin sweep's remaining hash movers — every
+    # query-level materialize() (a per-invocation session-lifetime
+    # cache pin with no release handle, the same class as the two
+    # operator pins item 4 targeted) now goes through
+    # materialize_scoped, so a long-lived session looping the catalog
+    # holds one pin per scope instead of one per call.
+    # dedup_minhash_lsh rides as the consumer of the _minhash_pairs
+    # helper's converted pin (module-residual ack).
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_minhash_lsh",
+    "event_cooccurrence_lift",
+    "q11_important_parts",
+    "q15_top_supplier",
+    # 22-39: the ENTIRE remaining r7-era vintage (r12 VERDICT item 2 —
     # exactly the 18 rows the r12 window comment queued, freshness
     # order). After this window no row in the durable record is older
     # than r8.
@@ -119,11 +133,13 @@ _ROUND_PRIORITY = [
     "window_running_order_total",
     "window_top_suppliers_per_nation",
     "winnow_fingerprints",
-    # 34-50: freshness re-checks of the NOW-oldest (r8-era) rows — the
-    # first 17 of the 49 in tools/freshness_report.py order (the
-    # remaining 32 queue for r14, starting: exists_big_lineitem_orders,
-    # funnel_user_conversion, grouping_sets_status_priority,
-    # histogram_order_totals, intersect_repeat_customers, ...).
+    # 40-50: freshness re-checks of the NOW-oldest (r8-era) rows — the
+    # first 11 of the 49 in tools/freshness_report.py order (q11 / q15
+    # above are r8 rows too, so 13 r8 rows retire; the remainder
+    # queues for r14, starting: dedup_minhash_components,
+    # doc_length_percentile_filter, embedding_centroids_by_label,
+    # embedding_quantize_int8, exact_distinct_users_daily,
+    # except_lost_customers, ...).
     "anomaly_zscore_daily",
     "array_agg_customer_priorities",
     "bm25_retrieval",
@@ -135,12 +151,6 @@ _ROUND_PRIORITY = [
     "decontaminate_train_prune",
     "dedup_keep_best_quality",
     "dedup_keep_list",
-    "dedup_minhash_components",
-    "doc_length_percentile_filter",
-    "embedding_centroids_by_label",
-    "embedding_quantize_int8",
-    "exact_distinct_users_daily",
-    "except_lost_customers",
 ]
 
 

@@ -1772,7 +1772,9 @@ def decontaminate_eval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Two consumers (total-gram counts + the broadcast probe): left
     # lazy, each branch re-runs the gram explode and the broadcast
     # exchange races the cache. Eval-sized, so the barrier is cheap.
-    ev = dedup.materialize(_contam_grams(ev_docs))
+    ev = dedup.materialize_scoped(
+        _contam_grams(ev_docs), scope="decontaminate_eval_join.ev"
+    )
     hits = dedup.decontaminate_against_index(ev, tr)
     ng = ev.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
     return (

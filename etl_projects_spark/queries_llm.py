@@ -125,8 +125,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # jaccard/minhash/simhash query reads the build-once parquet
     # artifact — the stored-state lifecycle — so the build cost is
     # paid once per corpus vintage but still measured here.
-    sets = dedup.materialize(
-        dedup.word_shingle_sets(load(spark, sf_dir, "documents"))
+    sets = dedup.materialize_scoped(
+        dedup.word_shingle_sets(load(spark, sf_dir, "documents")),
+        scope="dedup_ngram_jaccard.sets",
     )
     return dedup.jaccard_pairs(
         None, threshold_num=1, threshold_den=2, shingle_sets=sets
@@ -174,7 +175,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (signature math is order-insensitive, so the stored set order is
     immaterial)."""
     sets = sets_cached(spark, sf_dir)
-    sigs = dedup.materialize(dedup.simhash_signatures(None, shingle_sets=sets))
+    sigs = dedup.materialize_scoped(
+        dedup.simhash_signatures(None, shingle_sets=sets),
+        scope="dedup_simhash.sigs",
+    )
     return dedup.simhash_near_pairs(sigs, max_hamming=6)
 
 
@@ -970,7 +974,9 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     no exploded-shingle relation, no collect_set, anywhere."""
     sets = sets_cached(spark, sf_dir)
     sigs = dedup.minhash_signatures_from_sets(sets)
-    cand = dedup.materialize(dedup.lsh_candidate_pairs(sigs))
+    cand = dedup.materialize_scoped(
+        dedup.lsh_candidate_pairs(sigs), scope="_minhash_pairs.cand"
+    )
     return dedup.jaccard_pairs(
         None, threshold_num=1, threshold_den=2, candidates=cand, shingle_sets=sets
     )

@@ -1594,10 +1594,13 @@ def event_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     so it is materialized once — without the cache each consumer would
     re-scan and re-distinct the full fact table. One float expression
     per output row; counts broadcast."""
-    from etl_projects_spark.operators.exec_util import materialize
+    from etl_projects_spark.operators.exec_util import materialize_scoped
 
     ev = load(spark, sf_dir, "events")
-    ut = materialize(ev.select("user_id", "event_type").distinct())
+    ut = materialize_scoped(
+        ev.select("user_id", "event_type").distinct(),
+        scope="event_cooccurrence_lift.ut",
+    )
     singles = ut.groupBy("event_type").agg(F.count("*").alias("n_t"))
     tot = ut.agg(F.count_distinct("user_id").alias("n_users"))
     b = ut.select(

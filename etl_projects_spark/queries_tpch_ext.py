@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from etl_projects_spark.operators.exec_util import materialize
+from etl_projects_spark.operators.exec_util import materialize_scoped
 from etl_projects_spark.queries import D, _q, dec, load
 
 _ONE = "CAST(1 AS DECIMAL(18,2))"
@@ -248,7 +248,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # eager barrier: the threshold broadcast and the filter side would
     # otherwise race the lazy cache and each re-aggregate lineitem
-    value = materialize(value)
+    value = materialize_scoped(value, scope="q11_important_parts.value")
     # Decimal literal, not lit(0.001): a DOUBLE multiplier would
     # degrade the product and the > comparison to float while the
     # oracle's SUM(part_value) * 0.001 stays exact decimal — a
@@ -335,10 +335,11 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1995-04-01")
     )
-    revenue = materialize(  # eager: the MAX side must not race the cache
+    revenue = materialize_scoped(  # eager: the MAX must not race the cache
         li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
             F.sum(_revenue()).alias("total_revenue")
-        )
+        ),
+        scope="q15_top_supplier.revenue",
     )
     best = revenue.agg(F.max("total_revenue").alias("_best"))
     s = load(spark, sf_dir, "supplier")
