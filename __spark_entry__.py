@@ -86,6 +86,12 @@ _ROUND_PRIORITY = [
     "ann_ivf_recall_report",
     "knn_label_purity",
     "embedding_margin_report",
+    # dsir_importance_weights — the round's SECOND addition: DSIR
+    # hashed-unigram importance weights (target 'src0' vs the raw
+    # pool), the data-SELECTION stage next to lm_surprise_filter's
+    # perplexity filter; ordered-fold float discipline, md5-60bit
+    # bucket hashing shared bit-for-bit with the oracle.
+    "dsir_importance_weights",
     "ann_cosine_topk",
     "ann_lsh_topk",
     "ann_lsh_multiprobe_topk",
@@ -133,13 +139,13 @@ _ROUND_PRIORITY = [
     "window_running_order_total",
     "window_top_suppliers_per_nation",
     "winnow_fingerprints",
-    # 40-50: freshness re-checks of the NOW-oldest (r8-era) rows — the
-    # first 11 of the 49 in tools/freshness_report.py order (q11 / q15
-    # above are r8 rows too, so 13 r8 rows retire; the remainder
-    # queues for r14, starting: dedup_minhash_components,
-    # doc_length_percentile_filter, embedding_centroids_by_label,
-    # embedding_quantize_int8, exact_distinct_users_daily,
-    # except_lost_customers, ...).
+    # 41-50: freshness re-checks of the NOW-oldest (r8-era) rows — the
+    # first 10 of the 49 in tools/freshness_report.py order (q11 / q15
+    # above are r8 rows too, so 12 r8 rows retire; the remainder
+    # queues for r14, starting: dedup_keep_list,
+    # dedup_minhash_components, doc_length_percentile_filter,
+    # embedding_centroids_by_label, embedding_quantize_int8,
+    # exact_distinct_users_daily, except_lost_customers, ...).
     "anomaly_zscore_daily",
     "array_agg_customer_priorities",
     "bm25_retrieval",
@@ -150,7 +156,6 @@ _ROUND_PRIORITY = [
     "date_functions_orders",
     "decontaminate_train_prune",
     "dedup_keep_best_quality",
-    "dedup_keep_list",
 ]
 
 

@@ -23,9 +23,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_projects_spark.operators import similarity
+from etl_projects_spark.operators import dedup, similarity
 from etl_projects_spark.queries import _q, load
 from etl_projects_spark.queries_wave30 import ANN_RECALL_K
+
+# DSIR feature-space size: hashed-unigram buckets. 256 keeps the model
+# relation broadcast-trivial at every SF while leaving bucket counts
+# dense enough to differentiate sources; at 100 TB raise it (the DSIR
+# paper uses 10^4) — the model stays ≤ B rows per side regardless of
+# corpus size, which is the entire point of hashing the vocabulary.
+DSIR_BUCKETS = 256
+# The trusted target slice the importance weights are computed TOWARD
+# — 'src0' is the family-standard deterministic stand-in (the same
+# convention as doc_id % 5 = 4 for "the arriving batch"): in
+# production this is the curated high-quality corpus (e.g. wiki).
+DSIR_TARGET_SOURCE = "src0"
 
 
 @_q(
@@ -152,4 +164,157 @@ def embedding_margin_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit(0.0))
             .alias("z10"),
         )
+    )
+
+
+@_q(
+    "dsir_importance_weights",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, source, string_split(text, ' ') AS t
+      FROM documents),
+    tgt AS (SELECT t FROM toks WHERE source = '{DSIR_TARGET_SOURCE}'),
+    ct AS (
+      SELECT {dedup.hex60_sql('tok')} % {DSIR_BUCKETS} AS b,
+             COUNT(*) AS ct
+      FROM (SELECT unnest(t) AS tok FROM tgt) GROUP BY 1),
+    evb AS (
+      SELECT doc_id, source, i AS pos,
+             {dedup.hex60_sql('t[i]')} % {DSIR_BUCKETS} AS b
+      FROM (SELECT doc_id, source, t,
+                   unnest(generate_series(1, len(t))) AS i
+            FROM toks WHERE source <> '{DSIR_TARGET_SOURCE}')),
+    cr AS (SELECT b, COUNT(*) AS cr FROM evb GROUP BY 1),
+    model0 AS (
+      SELECT COALESCE(ct.b, cr.b) AS b,
+             CAST(COALESCE(ct.ct, 0) AS BIGINT) AS ct,
+             CAST(COALESCE(cr.cr, 0) AS BIGINT) AS cr
+      FROM ct FULL JOIN cr ON ct.b = cr.b),
+    totals AS (SELECT CAST(SUM(ct) AS BIGINT) AS nt,
+                      CAST(SUM(cr) AS BIGINT) AS nr
+               FROM model0),
+    scored AS (
+      SELECT e.doc_id, e.source, e.pos,
+             ln(CAST((m.ct + 1) * (tt.nr + {DSIR_BUCKETS}) AS DOUBLE)
+                / CAST((m.cr + 1) * (tt.nt + {DSIR_BUCKETS}) AS DOUBLE))
+               AS lnr
+      FROM evb e JOIN model0 m ON e.b = m.b CROSS JOIN totals tt),
+    folded AS (
+      SELECT doc_id, source, COUNT(*) AS n_tokens,
+             list(lnr ORDER BY pos) AS l
+      FROM scored GROUP BY 1, 2)
+    SELECT doc_id, source,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           list_reduce(l, (a, x) -> a + x) AS log_weight,
+           list_reduce(l, (a, x) -> a + x)
+             / CAST(n_tokens AS DOUBLE) AS avg_log_ratio
+    FROM folded
+    """,
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, Data Selection via
+    Importance Resampling) — the data-SELECTION stage of a training
+    pipeline, completing the curation funnel next to the perplexity
+    filter (``lm_surprise_filter``): every pool document gets the
+    log importance weight of its hashed-unigram features under the
+    TARGET distribution vs the RAW-POOL distribution,
+    log w(d) = Σ_tokens [ln p_target(b) − ln p_pool(b)] with add-one
+    smoothing over {DSIR_BUCKETS} md5-hashed buckets (target slice =
+    source '{DSIR_TARGET_SOURCE}', the deterministic trusted-corpus
+    stand-in). High ``avg_log_ratio`` = looks like the target →
+    sample it in; the production pipeline resamples the pool
+    proportionally to exp(log_weight).
+
+    Cross-engine float discipline (DETERMINISM recipes 1/3 and the
+    lm_surprise precedent): every count is an exact BIGINT; each
+    per-token term is ONE ln over a quotient of exact integer
+    PRODUCTS ((ct+1)·(nr+B)) / ((cr+1)·(nt+B)) — algebraically
+    ln p_t − ln p_r but computed as a single identically-shaped
+    expression on both engines — and the per-document sum folds the
+    terms in POSITION order (Spark ``aggregate`` over the pos-sorted
+    array; DuckDB ``list_reduce(list(... ORDER BY pos))``; the 0.0
+    seed is exact). The integer products stay under 2^63 up to ~10^9
+    tokens per side; past that switch the products to DECIMAL(38) on
+    both engines.
+
+    Scale shape: the model is TWO ≤{DSIR_BUCKETS}-row count relations
+    (one shuffle each over hashed tokens — map-side combinable) plus
+    one 1-row totals aggregate crossJoined onto it (broadcast, the
+    token_budget_allocator class); scoring is one BROADCAST hash join
+    of the exploded pool tokens against the {DSIR_BUCKETS}-row model —
+    the corpus never shuffles for the model — and the only
+    corpus-keyed exchange is the terminal per-document fold. Hashing
+    the vocabulary into B buckets is what bounds the model at ANY
+    corpus size (raise B with corpus scale; the md5-60bit bucket is
+    the engine-portable hash the dedup family already shares
+    bit-for-bit with DuckDB).
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", F.split("text", " ").alias("t")
+    )
+
+    def bucket(c):
+        return F.pmod(dedup.hex60(c), F.lit(DSIR_BUCKETS))
+
+    tgt = toks.filter(F.col("source") == DSIR_TARGET_SOURCE)
+    ct = (
+        tgt.select(F.explode("t").alias("tok"))
+        .select(bucket(F.col("tok")).alias("b"))
+        .groupBy("b")
+        .agg(F.count("*").cast("long").alias("ct"))
+    )
+    pool = toks.filter(F.col("source") != DSIR_TARGET_SOURCE)
+    evb = pool.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t")),
+                lambda i: F.struct(
+                    i.alias("pos"), F.element_at("t", i).alias("w")
+                ),
+            )
+        ).alias("u"),
+    ).select(
+        "doc_id",
+        "source",
+        F.col("u.pos").alias("pos"),
+        bucket(F.col("u.w")).alias("b"),
+    )
+    cr = evb.groupBy("b").agg(F.count("*").cast("long").alias("cr"))
+    model0 = (
+        ct.join(cr, "b", "full")
+        .select(
+            "b",
+            F.coalesce("ct", F.lit(0)).cast("long").alias("ct"),
+            F.coalesce("cr", F.lit(0)).cast("long").alias("cr"),
+        )
+    )
+    totals = model0.agg(
+        F.sum("ct").cast("long").alias("nt"),
+        F.sum("cr").cast("long").alias("nr"),
+    )
+    model = model0.crossJoin(F.broadcast(totals))
+    b = F.lit(DSIR_BUCKETS)
+    scored = evb.join(F.broadcast(model), "b").select(
+        "doc_id",
+        "source",
+        "pos",
+        F.log(
+            ((F.col("ct") + 1) * (F.col("nr") + b)).cast("double")
+            / ((F.col("cr") + 1) * (F.col("nt") + b)).cast("double")
+        ).alias("lnr"),
+    )
+    folded = scored.groupBy("doc_id", "source").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.array_sort(F.collect_list(F.struct("pos", "lnr"))).alias("l"),
+    )
+    fold = F.aggregate("l", F.lit(0.0), lambda acc, x: acc + x.getField("lnr"))
+    return folded.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        fold.alias("log_weight"),
+        (fold / F.col("n_tokens").cast("double")).alias("avg_log_ratio"),
     )

@@ -46,6 +46,9 @@ REPRESENTATIVE = [
     # r13: the margin/relative-contrast audit at the low-signal SF —
     # the exact-integer bulk moments and the z10 guard live here
     "embedding_margin_report",
+    # r13: DSIR weights at the small vintage (25 target docs — sparse
+    # bucket counts, the +1 smoothing terms dominate here)
+    "dsir_importance_weights",
     "media_fingerprint",
     "quality_validate_events",
     "asof_click_before_purchase",
@@ -241,6 +244,9 @@ UPSCALE = [
     # r13: the margin audit where the exact-integer moment sums carry
     # 4× the rows per probe — accumulation-order drift would bite HERE
     "embedding_margin_report",
+    # r13: DSIR weights at 10× the pool — the position-ordered ln fold
+    # runs ~10× longer per doc family; order drift would bite HERE
+    "dsir_importance_weights",
     "chi_square_type_by_dow",
     "bollinger_bands_daily",
     "percent_change_mom",

@@ -939,3 +939,18 @@ def test_embedding_margin_report_plan(spark):
                 python_stages=("<=", 2), cartesian=False,
                 nested_loop_joins=0, broadcast_joins=(">=", 1),
                 single_exchanges=0, shuffles=("<=", 3))
+
+
+def test_dsir_importance_weights_plan(spark):
+    # r13 selection query: the corpus never shuffles for the model —
+    # the ≤256-row bucket model broadcasts into the scoring join (the
+    # only corpus-keyed exchanges are the hashed-token count and the
+    # terminal per-document fold). The 1-row totals crossJoin rides a
+    # broadcast nested-loop by construction (the lm_surprise class);
+    # no cartesian product, no Python stages.
+    # broadcast_joins >= 1: the scoring join (exploded pool tokens vs
+    # the model) — the full-outer ct/cr merge is a tiny 256-row
+    # shuffle join by necessity (full outer cannot broadcast).
+    assert_plan(QS["dsir_importance_weights"](spark, SF_DIR),
+                python_stages=0, cartesian=False,
+                broadcast_joins=(">=", 1), shuffles=("<=", 6))

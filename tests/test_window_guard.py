@@ -112,17 +112,17 @@ def test_r13_rotation_heads_the_window():
         "ann_knn_join", "ann_ivf_topk", "dedup_embedding_cosine",
         "embedding_similarity_join", "semdedup_prune",
     }
-    assert cosine_family <= set(window[:12])
+    assert cosine_family | {"dsir_importance_weights"} <= set(window[:13])
     assert {
         "substring_span_incremental", "decontaminate_eval_join",
         "dedup_incremental_batch",
-    } <= set(window[:15])
+    } <= set(window[:16])
     scoped_pin_sweep = {
         "dedup_ngram_jaccard", "dedup_simhash", "dedup_minhash_lsh",
         "event_cooccurrence_lift", "q11_important_parts",
         "q15_top_supplier",
     }
-    assert scoped_pin_sweep <= set(window[:21])
+    assert scoped_pin_sweep <= set(window[:22])
     r7_vintage = {
         "quality_validate_events", "range_join_daily_windows",
         "resample_gap_fill", "shard_packing", "sliding_window_events",
@@ -134,10 +134,10 @@ def test_r13_rotation_heads_the_window():
         "window_running_order_total",
         "window_top_suppliers_per_nation", "winnow_fingerprints",
     }
-    assert r7_vintage <= set(window[:39])
+    assert r7_vintage <= set(window[:40])
     r8_head = {
         "anomaly_zscore_daily", "bm25_retrieval",
-        "curriculum_schedule", "dedup_keep_list",
+        "curriculum_schedule", "dedup_keep_best_quality",
     }
     assert r8_head <= set(window)
 
