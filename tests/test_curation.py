@@ -375,3 +375,59 @@ def test_pca_projection_matches_numpy(spark):
     # variance >= any remaining axis variance
     proj = np.vstack([rows[int(v)] for v in tbl.vec_id])
     assert proj[:, 0].var() >= proj[:, 3].var()
+
+
+def test_dsir_weights_rank_target_like_docs_higher(spark, tmp_path):
+    """Semantic proof beyond hash parity (r13): on a constructed
+    corpus where the target slice has a distinctive vocabulary, a pool
+    document WRITTEN IN the target vocabulary must carry a higher
+    importance weight than pool documents written in pool vocabulary —
+    the property DSIR resampling relies on."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as entrymod
+    from etl_projects_spark.queries_wave31 import DSIR_TARGET_SOURCE
+
+    tgt_text = "quantum flux lattice boson entangle"
+    pool_text = "stock market price trade volume"
+    rows = []
+    # 5 target docs: distinctive vocabulary.
+    for i in range(5):
+        rows.append((i, DSIR_TARGET_SOURCE, tgt_text))
+    # doc 100: a pool doc that looks like the target.
+    rows.append((100, "srcP", tgt_text))
+    # 9 ordinary pool docs.
+    for i in range(101, 110):
+        rows.append((i, "srcP", pool_text))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "source": pa.array([r[1] for r in rows]),
+            "text": pa.array([r[2] for r in rows]),
+            "n_chars": pa.array(
+                [len(r[2]) for r in rows], pa.int64()
+            ),
+        }
+    )
+    sf_dir = tmp_path / "corpus"
+    sf_dir.mkdir()
+    pq.write_table(tbl, str(sf_dir / "documents.parquet"))
+    try:
+        out = {
+            r.doc_id: r.avg_log_ratio
+            for r in entrymod.queries()["dsir_importance_weights"](
+                spark, str(sf_dir)
+            ).collect()
+        }
+    finally:
+        shutil.rmtree(str(sf_dir), ignore_errors=True)
+    assert set(out) == {100, *range(101, 110)}  # pool docs only
+    assert out[100] > 0, "target-like doc should look target-typical"
+    for i in range(101, 110):
+        assert out[100] > out[i], (
+            "target-like pool doc must outscore ordinary pool docs"
+        )
+        assert out[i] < 0, "pool-typical docs should look pool-typical"
