@@ -59,7 +59,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # since its recorded window is not in the current first 50.
 _ROUND_PRIORITY = [
     # --- r13 window ------------------------------------------------
-    # 1-15: reworks / changed-module consumers / the r13 addition.
+    # 1-17: reworks / changed-module consumers / the r13 additions.
     # The cosine_sql oracle generator gained the engine-matching
     # zero-norm floor (r12 ADVICE: a zero embedding made the oracle
     # NaN where the engine emits ~0), which moves the oracle hash of
@@ -103,7 +103,13 @@ _ROUND_PRIORITY = [
     "substring_span_incremental",
     "decontaminate_eval_join",
     "dedup_incremental_batch",
-    # 16-21: the scoped-pin sweep's remaining hash movers — every
+    # embedding_pca_project rides the lazy-oracle sweep (r13 review:
+    # its PCA twin, the semdedup assignment twin, and the ann_ivf_topk
+    # candidate twin were still generated at module import — now
+    # callables resolved at gate time like the IVF recall twin; the
+    # other two movers already ride above).
+    "embedding_pca_project",
+    # 18-23: the scoped-pin sweep's remaining hash movers — every
     # query-level materialize() (a per-invocation session-lifetime
     # cache pin with no release handle, the same class as the two
     # operator pins item 4 targeted) now goes through
@@ -117,7 +123,7 @@ _ROUND_PRIORITY = [
     "event_cooccurrence_lift",
     "q11_important_parts",
     "q15_top_supplier",
-    # 22-39: the ENTIRE remaining r7-era vintage (r12 VERDICT item 2 —
+    # 24-41: the ENTIRE remaining r7-era vintage (r12 VERDICT item 2 —
     # exactly the 18 rows the r12 window comment queued, freshness
     # order). After this window no row in the durable record is older
     # than r8.
@@ -139,13 +145,13 @@ _ROUND_PRIORITY = [
     "window_running_order_total",
     "window_top_suppliers_per_nation",
     "winnow_fingerprints",
-    # 41-50: freshness re-checks of the NOW-oldest (r8-era) rows — the
-    # first 10 of the 49 in tools/freshness_report.py order (q11 / q15
-    # above are r8 rows too, so 12 r8 rows retire; the remainder
-    # queues for r14, starting: dedup_keep_list,
-    # dedup_minhash_components, doc_length_percentile_filter,
-    # embedding_centroids_by_label, embedding_quantize_int8,
-    # exact_distinct_users_daily, except_lost_customers, ...).
+    # 42-50: freshness re-checks of the NOW-oldest (r8-era) rows — the
+    # first 9 of the 49 in tools/freshness_report.py order (q11 / q15
+    # above are r8 rows too, so 11 r8 rows retire; the remainder
+    # queues for r14, starting: dedup_keep_best_quality,
+    # dedup_keep_list, dedup_minhash_components,
+    # doc_length_percentile_filter, embedding_centroids_by_label,
+    # embedding_quantize_int8, exact_distinct_users_daily, ...).
     "anomaly_zscore_daily",
     "array_agg_customer_priorities",
     "bm25_retrieval",
@@ -155,7 +161,6 @@ _ROUND_PRIORITY = [
     "curriculum_schedule",
     "date_functions_orders",
     "decontaminate_train_prune",
-    "dedup_keep_best_quality",
 ]
 
 

@@ -605,6 +605,35 @@ def ivf_topk(
     )
 
 
+def _probe_matrix_broadcast(corpus, queries, vec_col, id_col):
+    """Collect the BOUNDED probe relation into one normalized matrix
+    and broadcast ``(qids, Qn.T)`` — the shared eval-set contract of
+    :func:`knn_join` and :func:`score_all_probes`. None for an empty
+    probe set (callers return an empty relation instead of crashing a
+    vstack on the driver)."""
+    qpdf = queries.select(id_col, vec_col).toPandas()  # bounded by contract
+    if qpdf.empty:
+        return None
+    qids = qpdf[id_col].to_numpy()
+    Q = np.vstack(qpdf[vec_col].to_numpy()).astype(np.float64)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    return corpus.sparkSession.sparkContext.broadcast((qids, Qn.T))
+
+
+def _batch_scores(pdf, vec_col, id_col, QnT):
+    """Normalize one Arrow batch and score it against the broadcast
+    probe matrix — THE single float path every bounded-probe consumer
+    shares (float64 upcast, 1e-12 zero-norm floor, one BLAS matmul,
+    6-dp round). knn_join's stats and score_all_probes' bulk relation
+    are 'identical floats by construction' BECAUSE both call this —
+    a rounding/floor/dtype change here moves both in lockstep (r13
+    review: two hand-synced copies made that invariant maintenance-
+    fragile). Returns (corpus ids, corpus-batch × queries scores)."""
+    C = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    return pdf[id_col].to_numpy(), np.round(Cn @ QnT, 6)
+
+
 def knn_join(
     corpus: DataFrame,
     queries: DataFrame,
@@ -631,28 +660,21 @@ def knn_join(
 
     from etl_projects_spark.operators.exec_util import fan_out
 
-    qpdf = queries.select(id_col, vec_col).toPandas()  # bounded by contract
-    if qpdf.empty:
+    bq = _probe_matrix_broadcast(corpus, queries, vec_col, id_col)
+    if bq is None:
         # An empty probe set is an empty result, not a vstack crash on
         # the driver (and pd.concat([]) crashes in every task).
         spark = corpus.sparkSession
         return spark.createDataFrame(
             [], "qid long, nbr long, score double, rank int"
         )
-    qids_v = qpdf[id_col].to_numpy()
-    Q = np.vstack(qpdf[vec_col].to_numpy()).astype(np.float64)
-    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
-    bq = corpus.sparkSession.sparkContext.broadcast((qids_v, Qn.T))
 
     def part(batches):
         qids, QnT = bq.value
         for pdf in batches:
             if pdf.empty:
                 continue
-            C = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
-            Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
-            S = np.round(Cn @ QnT, 6)  # corpus-batch x queries
-            ids = pdf[id_col].to_numpy()
+            ids, S = _batch_scores(pdf, vec_col, id_col, QnT)
             frames = []
             for j, qid in enumerate(qids):
                 mask = ids != qid  # a query is never its own neighbor
@@ -684,10 +706,11 @@ def score_all_probes(
     (``embedding_margin_report``), where :func:`knn_join` keeps only
     the top-k cut of the same scores.
 
-    Identical floats to :func:`knn_join` BY CONSTRUCTION (the same
-    normalize-then-matmul, the same 1e-12 zero-norm floors, rounded to
-    6 dp in the same place), so a report can compare this relation
-    against knn_join's k-cut without cross-path rounding seams.
+    Identical floats to :func:`knn_join` BY CONSTRUCTION — both score
+    through the ONE shared kernel (:func:`_probe_matrix_broadcast` +
+    :func:`_batch_scores`), so a report can compare this relation
+    against knn_join's k-cut without cross-path rounding seams, and a
+    future float change moves both consumers in lockstep.
 
     Scale shape: ``queries`` is a bounded probe/eval relation by the
     family contract — collected into ONE broadcast matrix; the corpus
@@ -696,27 +719,18 @@ def score_all_probes(
     probes × corpus rows — LINEAR in the corpus for a bounded probe
     set; downstream consumers aggregate it with map-side partial aggs.
     """
-    qpdf = queries.select(id_col, vec_col).toPandas()  # bounded by contract
-    if qpdf.empty:
+    bq = _probe_matrix_broadcast(corpus, queries, vec_col, id_col)
+    if bq is None:
         return corpus.sparkSession.createDataFrame(
             [], "qid long, nbr long, score double"
         )
-    qids_v = qpdf[id_col].to_numpy()
-    Q = np.vstack(qpdf[vec_col].to_numpy()).astype(np.float64)
-    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
-    bq = corpus.sparkSession.sparkContext.broadcast((qids_v, Qn.T))
 
     def part(batches):
         qids, QnT = bq.value
         for pdf in batches:
             if pdf.empty:
                 continue
-            C = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
-            Cn = C / np.maximum(
-                np.linalg.norm(C, axis=1, keepdims=True), 1e-12
-            )
-            S = np.round(Cn @ QnT, 6)  # corpus-batch x queries
-            ids = pdf[id_col].to_numpy()
+            ids, S = _batch_scores(pdf, vec_col, id_col, QnT)
             frames = []
             for j, qid in enumerate(qids):
                 mask = ids != qid  # a probe never scores itself

@@ -28,10 +28,14 @@ from pyspark.sql import functions as F
 SparkQuery = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, SparkQuery] = {}
-ORACLE: dict[str, str] = {}
+# Values are either the DuckDB SQL string itself or a zero-arg callable
+# producing it lazily (data-derived twin oracles) — resolved by
+# __spark_entry__.oracle_sql() at gate time.
+OracleEntry = str | Callable[[], "str | None"]
+ORACLE: dict[str, OracleEntry] = {}
 
 
-def _q(name: str, oracle=None):
+def _q(name: str, oracle: OracleEntry | None = None):
     """Register a query (and its oracle SQL) in the catalog.
 
     ``oracle`` is the DuckDB SQL string, or a zero-arg CALLABLE that

@@ -123,8 +123,10 @@ def _semdedup_oracle() -> str | None:
     """Oracle for semdedup_prune: the cluster assignment is reproducible
     from the codebook constants + data (numpy twin, no Spark), so the
     oracle inlines the (vec_id, cluster) map as VALUES and verifies the
-    within-cluster prune rule in pure SQL. None if the driver's oracle
-    corpus is absent (bench-only environments)."""
+    within-cluster prune rule in pure SQL. Registered as a CALLABLE
+    (resolved by oracle_sql() at gate time against the oracle corpus
+    then in effect — r13, the lazy-oracle sweep); None if that corpus
+    is absent (bench-only environments)."""
     sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
     path = os.path.join(sf_dir, "embeddings.parquet")
     if not os.path.exists(path):
@@ -147,7 +149,7 @@ def _semdedup_oracle() -> str | None:
     """
 
 
-@_q("semdedup_prune", _semdedup_oracle())
+@_q("semdedup_prune", _semdedup_oracle)
 def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic near-dup pruning that
     scopes the pairwise cosine check to k-means clusters. A vector is
@@ -1150,7 +1152,9 @@ def _pca_oracle() -> str | None:
     """Oracle for embedding_pca_project: the basis is reproducible from
     the sample contract + data (numpy twin), so the oracle inlines the
     mean and eigenvectors as constants and replays the projection in
-    SQL list arithmetic. None if the oracle corpus is absent."""
+    SQL list arithmetic. Registered as a CALLABLE (resolved by
+    oracle_sql() at gate time against the oracle corpus then in effect
+    — r13, the lazy-oracle sweep); None if that corpus is absent."""
     sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
     path = os.path.join(sf_dir, "embeddings.parquet")
     if not os.path.exists(path):
@@ -1176,7 +1180,7 @@ def _pca_oracle() -> str | None:
     """
 
 
-@_q("embedding_pca_project", _pca_oracle())
+@_q("embedding_pca_project", _pca_oracle)
 def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dimensionality reduction for corpus-scale embedding work: PCA
     basis from a BOUNDED id-ordered sample (2048 rows — same driver

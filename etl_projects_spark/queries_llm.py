@@ -706,9 +706,10 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ivf_oracle() -> str | None:
     """Oracle for ann_ivf_topk: the candidate set is reproducible from
     the codebook constants + data (numpy twin, no Spark), so the oracle
-    is exact-cosine top-k restricted to those candidate ids. Generated
-    against the driver's oracle scale factor (sf0.01); None if that
-    corpus is absent (e.g. bench-only environments)."""
+    is exact-cosine top-k restricted to those candidate ids. Registered
+    as a CALLABLE (resolved by oracle_sql() at gate time against the
+    oracle corpus then in effect — r13, the lazy-oracle sweep); None if
+    that corpus is absent (e.g. bench-only environments)."""
     sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
     path = os.path.join(sf_dir, "embeddings.parquet")
     if not os.path.exists(path):
@@ -743,7 +744,7 @@ def ivf_index_dir(spark: SparkSession, sf_dir: str) -> str:
     return idx_dir
 
 
-@_q("ann_ivf_topk", _ivf_oracle())
+@_q("ann_ivf_topk", _ivf_oracle)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-k THROUGH THE MATERIALIZED INDEX: the corpus is
     written once as a cluster-partitioned parquet table (deterministic

@@ -579,14 +579,36 @@ def substring_span_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the probe's 7.3 s driver-bench steady state was this relation
     # computed THREE times per call: decontaminate's pre-count, its
     # toArrow snapshot, and the per-doc span count below; measured
-    # 6.9 → 2.6 s at sf0.1 after the single snapshot). The driver
-    # materialization is bounded BEFORE it runs by arithmetic, not by
-    # a count job: the modulus above guarantees batch span rows
-    # <= token_ub / m <= INCR_BATCH_TARGET_TOKENS (2M), 2.5x under
-    # decontaminate's 5M bound — and decontaminate re-checks the loud
-    # bound on the (now local, recompute-free) relation anyway. Arrow
-    # both ways for the same exactness reasons as the decontaminate
-    # snapshot itself (int64 ids, nulls).
+    # 6.9 → 3.7 s at sf0.1 after the single snapshot). The driver
+    # materialization is bounded BEFORE it runs — but by the BATCH's
+    # OWN token upper bound, not the corpus-mean argument (r13 review:
+    # token_ub / m only bounds the MEAN residue class; an ingest order
+    # that batches long documents into the same class can exceed it).
+    # This second sizing aggregate scans the same 2-column (doc_id,
+    # n_chars) projection restricted to the batch residue — no
+    # tokenization, cost-class of the first aggregate — and raises the
+    # SAME loud error as decontaminate's bound while everything is
+    # still distributed. The modulus keeps the EXPECTED batch 2.5×
+    # under the bound; this check makes the worst case loud instead of
+    # a silent driver OOM. decontaminate re-checks on the (now local,
+    # recompute-free) relation as the backstop. Arrow both ways for
+    # the same exactness reasons as the decontaminate snapshot itself
+    # (int64 ids, nulls).
+    batch_tok_ub = int(
+        docs.filter(F.col("doc_id") % m == 4)
+        .agg(F.sum(F.floor((F.col("n_chars") + 1) / 2)))
+        .collect()[0][0]
+        or 0
+    )
+    if batch_tok_ub > dedup.EVAL_SNAPSHOT_MAX_ROWS:
+        raise ValueError(
+            f"substring_span_incremental: the arriving batch's span "
+            f"rows are bounded by {batch_tok_ub} tokens "
+            f"(> {dedup.EVAL_SNAPSHOT_MAX_ROWS}); the batch must stay "
+            "driver-sized (it is snapshot AND broadcast). Shrink the "
+            "batch (raise the modulus) or raise GRAM_INDEX_BUCKETS "
+            "and probe in sub-batches."
+        )
     batch_lazy = spans.filter(is_new).select(
         F.col("id").alias("doc_id"), F.col("shingle").alias("gram")
     )

@@ -59,11 +59,9 @@ DSIR_TARGET_SOURCE = "src0"
     bulk AS (
       SELECT qid,
              CAST(count(*) AS BIGINT) AS n_scored,
-             CAST(sum(CAST(round(score * 1000000, 0) AS BIGINT))
-                  AS BIGINT) AS s_e6,
-             CAST(sum(CAST(round(score * 1000000, 0) AS BIGINT)
-                      * CAST(round(score * 1000000, 0) AS BIGINT))
-                  AS BIGINT) AS ss_e12
+             sum(CAST(round(score * 1000000, 0) AS BIGINT)) AS s_e6,
+             sum(CAST(round(score * 1000000, 0) AS BIGINT)
+                 * CAST(round(score * 1000000, 0) AS BIGINT)) AS ss_e12
       FROM scored GROUP BY qid)
     SELECT b.qid AS qid, b.n_scored AS n_scored,
            s.s1 AS top1_score, s.s10 AS top10_score,
@@ -115,12 +113,15 @@ def embedding_margin_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     z10 — making it THE admission check before keying retrieval or
     SemDeDup decisions on a new embedding column.
 
-    Determinism shape: bulk moments are EXACT BIGINT sums of
+    Determinism shape: bulk moments are EXACT integer sums of
     1e6-scaled scores (scores are 6-dp-rounded first, so the scaling
     is integer-exact; float sums would drift with accumulation order
-    across engines — ss_e12 stays < 2^63 up to ~10^10 corpus rows per
-    probe, switch to DECIMAL(38) sums past that); mean/std/z10 are
-    each one deterministic float expression over those integers,
+    across engines). The squared terms are widened BEFORE the square —
+    decimal(19,0)² summing into decimal(38,0) on Spark, HUGEINT on
+    DuckDB — so nothing wraps below ~1e38 (≈ 1e26 corpus rows per
+    probe even at |score| = 1; a bare BIGINT sum would wrap silently
+    at ~9.2e6 rows on a near-dup-heavy corpus). mean/std/z10 are each
+    one deterministic float expression over those exact integers,
     written with the same shape in both engines.
 
     Scale shape: the exact top-k side is the family's bounded-probe
@@ -140,11 +141,19 @@ def embedding_margin_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("score").alias("s1"), F.min("score").alias("s10")
     )
     scored = similarity.score_all_probes(emb, probes)
-    e6 = F.round(F.col("score") * 1000000, 0).cast("long")
+    # decimal(19,0) BEFORE the square so neither the per-row product
+    # nor the cross-row sums can wrap int64 (r13 review: |e6| reaches
+    # 1e6 on a near-dup corpus, so long e6*e6 sums wrap silently past
+    # ~9.2e6 rows per probe — exactly the healthy-corpus case this
+    # audit exists for). decimal(19)² sums into decimal(38,0) on the
+    # Spark side and HUGEINT on the DuckDB side — both exact to ~1e38
+    # (≈ 1e26 corpus rows per probe), and the terminal
+    # double casts of the same exact integer are engine-identical.
+    e6 = F.round(F.col("score") * 1000000, 0).cast("decimal(19,0)")
     bulk = scored.groupBy("qid").agg(
         F.count("*").cast("long").alias("n_scored"),
-        F.sum(e6).cast("long").alias("s_e6"),
-        F.sum(e6 * e6).cast("long").alias("ss_e12"),
+        F.sum(e6).alias("s_e6"),
+        F.sum(e6 * e6).alias("ss_e12"),
     )
     n_d = F.col("n_scored").cast("double")
     s_d = F.col("s_e6").cast("double")

@@ -61,10 +61,10 @@ def test_driver_side_materialization_allowlist():
         # snapshot — ≤ GRAM_INDEX_BUCKETS rows by pigeonhole.
         "operators/dedup.py": 2,
         # IVF codebook sample (bounded rows), single probe vectors,
-        # bounded query batch (contract) in knn_join AND its full-score
-        # sibling score_all_probes (r13 — the same eval-set contract,
-        # the same one broadcast matrix), PCA basis sample.
-        "operators/similarity.py": 5,
+        # the SHARED bounded probe-matrix collect behind knn_join and
+        # score_all_probes (_probe_matrix_broadcast — one site since
+        # the r13 kernel extraction), PCA basis sample.
+        "operators/similarity.py": 4,
         # 1-row skew-stats aggregate.
         "operators/skew.py": 1,
         # S6 control-file roundtrip: a handful of control rows.
@@ -80,11 +80,14 @@ def test_driver_side_materialization_allowlist():
         # substring_span_incremental: (a) the batch-modulus sizing —
         # ONE 1-row aggregate (count + token upper bound) over the
         # 2-column documents projection, the skew-stats class; (b) the
-        # r13 single batch-span snapshot (toArrow) — bounded BEFORE
-        # materialization by the modulus arithmetic (span rows
-        # ≤ INCR_BATCH_TARGET_TOKENS, 2.5× under decontaminate's loud
-        # 5M bound, which re-checks on the local relation).
-        "queries_wave29.py": 2,
+        # batch's OWN token-ub 1-row aggregate (r13 review: the
+        # distributed pre-bound that runs BEFORE the snapshot — the
+        # corpus-mean modulus argument alone could be beaten by a
+        # skewed residue class); (c) the r13 single batch-span
+        # snapshot (toArrow), taken only after (b) passes, with
+        # decontaminate's loud 5M bound re-checked on the local
+        # relation as the backstop.
+        "queries_wave29.py": 3,
     }
     got = _method_call_sites({"collect", "toPandas", "toArrow"})
     assert got == allowed, (

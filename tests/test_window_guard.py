@@ -117,12 +117,13 @@ def test_r13_rotation_heads_the_window():
         "substring_span_incremental", "decontaminate_eval_join",
         "dedup_incremental_batch",
     } <= set(window[:16])
+    assert "embedding_pca_project" in window[:17]  # lazy-oracle rider
     scoped_pin_sweep = {
         "dedup_ngram_jaccard", "dedup_simhash", "dedup_minhash_lsh",
         "event_cooccurrence_lift", "q11_important_parts",
         "q15_top_supplier",
     }
-    assert scoped_pin_sweep <= set(window[:22])
+    assert scoped_pin_sweep <= set(window[:23])
     r7_vintage = {
         "quality_validate_events", "range_join_daily_windows",
         "resample_gap_fill", "shard_packing", "sliding_window_events",
@@ -134,10 +135,10 @@ def test_r13_rotation_heads_the_window():
         "window_running_order_total",
         "window_top_suppliers_per_nation", "winnow_fingerprints",
     }
-    assert r7_vintage <= set(window[:40])
+    assert r7_vintage <= set(window[:41])
     r8_head = {
         "anomaly_zscore_daily", "bm25_retrieval",
-        "curriculum_schedule", "dedup_keep_best_quality",
+        "curriculum_schedule", "decontaminate_train_prune",
     }
     assert r8_head <= set(window)
 
