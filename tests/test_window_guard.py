@@ -473,3 +473,36 @@ def test_shingle_family_warmup_matches_call_sites():
         f"trigger (their first bench read gets billed the family JIT): "
         f"{uncovered}"
     )
+
+
+def test_lazy_twin_oracles_rekey_to_gate_time_env(monkeypatch):
+    """r13 lazy-oracle sweep: every data-derived twin oracle must be
+    registered as a CALLABLE and resolve against the
+    SPARK_GRAFT_ORACLE_SF_DIR in effect when oracle_sql() RUNS — not
+    whatever it said at import (the r12 ADVICE failure mode). The
+    corpus-derived constants differ between vintages, so the resolved
+    SQL text must differ too."""
+    import importlib
+
+    import __spark_entry__ as entrymod
+    from etl_projects_spark.queries import ORACLE
+
+    lazy = {n for n, o in ORACLE.items() if callable(o)}
+    assert {
+        "ann_ivf_recall_report", "ann_ivf_topk",
+        "semdedup_prune", "embedding_pca_project",
+    } <= lazy, "a data-derived twin oracle regressed to import-time"
+
+    monkeypatch.setenv(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    at_gate = entrymod.oracle_sql()
+    monkeypatch.setenv(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.001"
+    )
+    at_other = entrymod.oracle_sql()
+    for name in sorted(lazy):
+        assert at_gate[name] != at_other[name], (
+            f"{name}: lazy oracle did not re-derive for the swept "
+            "corpus — its twin constants are frozen"
+        )
