@@ -29,6 +29,7 @@ import etl_projects_spark.queries_wave28  # noqa: F401
 import etl_projects_spark.queries_wave29  # noqa: F401
 import etl_projects_spark.queries_wave30  # noqa: F401
 import etl_projects_spark.queries_wave31  # noqa: F401
+import etl_projects_spark.queries_wave32  # noqa: F401
 from etl_projects_spark.queries import ORACLE, QUERIES
 from etl_projects_spark.queries import q1_pricing_summary
 

@@ -43,9 +43,41 @@ def materialize(df: DataFrame) -> DataFrame:
     return df
 
 
-# One slot per scope: the previous holder is released when the same
-# scope re-materializes, so loops pin O(1) relations, not O(calls).
-_SCOPED_PINS: dict[str, DataFrame] = {}
+# One slot per (session, scope): the previous holder is released when
+# the same scope re-materializes IN THE SAME SESSION, so loops pin
+# O(1) relations, not O(calls). Keyed by the owning SparkSession
+# (r13 ADVICE: a scope-only key leaked pins across sessions — a dead
+# session's entry survived until its scope happened to be re-entered,
+# and two live sessions sharing a scope string would silently
+# unpersist each other's relation, losing the measured plan shape).
+# The session object itself is the key (its id is unique while the
+# entry holds it alive); entries whose session has stopped are swept
+# on every call, so a dead session's pin lives only until the NEXT
+# materialize_scoped/release_scope anywhere in the process. The lock
+# makes the pop/unpersist/pin sequence safe if a driver ever runs
+# queries concurrently — though the engine's documented contract
+# remains a single-threaded driver (two concurrent Spark workloads
+# invalidate every measurement anyway; bench-vs-pytest rule).
+import threading as _threading
+
+_SCOPED_PINS: dict[tuple[int, str], tuple[object, DataFrame]] = {}
+_PINS_LOCK = _threading.Lock()
+
+
+def _session_stopped(session) -> bool:
+    try:
+        return session._jsc.sc().isStopped()
+    except Exception:
+        return True  # unreachable JVM handle == dead session
+
+
+def _sweep_dead_sessions() -> None:
+    """Drop pins whose owning session is stopped (caller holds the
+    lock). No unpersist: a stopped session's executors — and its
+    cached blocks — are already gone; poking its JVM handle can hang."""
+    for key, (session, _df) in list(_SCOPED_PINS.items()):
+        if _session_stopped(session):
+            _SCOPED_PINS.pop(key, None)
 
 
 def materialize_scoped(df: DataFrame, scope: str) -> DataFrame:
@@ -55,11 +87,15 @@ def materialize_scoped(df: DataFrame, scope: str) -> DataFrame:
     relation PER INVOCATION for the session's lifetime, with no handle
     to release it; a batch-admission loop accumulates dead pins).
 
-    At most ONE pinned relation per ``scope`` survives: re-entering a
-    scope unpersists the previous holder (non-blocking — running tasks
-    on evicted blocks just recompute) before pinning the new one, so
-    steady-state cache footprint is one batch-sized relation however
-    long the session loops. :func:`release_scope` drops even that.
+    At most ONE pinned relation per (session, ``scope``) survives:
+    re-entering a scope in the same session unpersists the previous
+    holder (non-blocking — running tasks on evicted blocks just
+    recompute) before pinning the new one, so steady-state cache
+    footprint is one batch-sized relation however long the session
+    loops. :func:`release_scope` drops even that, and entries whose
+    session has stopped are swept on every call (r13 ADVICE: the old
+    scope-only key let a dead session's pin linger and let two live
+    sessions clobber each other's plan shape).
 
     The measured A/B that keeps this a persist at all: the
     ReusedExchange route (the r12 df-cap template) does NOT fire for
@@ -70,26 +106,40 @@ def materialize_scoped(df: DataFrame, scope: str) -> DataFrame:
     three recomputes of the index probe). The scoped handle keeps the
     2.3 s plan shape and closes the leak instead.
     """
-    prev = _SCOPED_PINS.pop(scope, None)
+    session = df.sparkSession
+    with _PINS_LOCK:
+        _sweep_dead_sessions()
+        prev = _SCOPED_PINS.pop((id(session), scope), None)
     if prev is not None:
         try:
-            prev.unpersist()
+            prev[1].unpersist()
         except Exception:
-            # A dead/replaced session can't unpersist its blocks — and
-            # has already dropped them; never fail the NEW batch for it.
+            # A dying session can't unpersist its blocks — and has
+            # already dropped them; never fail the NEW batch for it.
             pass
     df = materialize(df)
-    _SCOPED_PINS[scope] = df
+    with _PINS_LOCK:
+        _SCOPED_PINS[(id(session), scope)] = (session, df)
     return df
 
 
-def release_scope(scope: str) -> None:
+def release_scope(scope: str, session=None) -> None:
     """Explicitly drop a :func:`materialize_scoped` pin (end of a batch
-    loop / session teardown)."""
-    prev = _SCOPED_PINS.pop(scope, None)
-    if prev is not None:
+    loop / session teardown). ``session`` scopes the release to one
+    session's pin; None releases the scope across ALL sessions (the
+    common case — one live session per process)."""
+    with _PINS_LOCK:
+        _sweep_dead_sessions()
+        victims = [
+            key
+            for key in _SCOPED_PINS
+            if key[1] == scope
+            and (session is None or key[0] == id(session))
+        ]
+        dropped = [_SCOPED_PINS.pop(key) for key in victims]
+    for _session, df in dropped:
         try:
-            prev.unpersist()
+            df.unpersist()
         except Exception:
             pass
 

@@ -86,12 +86,20 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    # greatest(den, 1e-12): the same zero-norm floor as
-    # :func:`_pair_cosine_batch` — an all-zero embedding scores ~0
-    # instead of NaN (which Spark sorts ABOVE every real score);
-    # bit-identical for every real vector. Mirrored in
-    # :func:`cosine_sql` so engine and oracle agree on degenerate rows.
-    return dot(a, b) / F.greatest(norm(a) * norm(b), F.lit(1e-12))
+    # PER-NORM floor (greatest(norm, 1e-12) on each side) — the ONE
+    # zero-norm convention of the whole family (r13 ADVICE): every
+    # numpy path (:func:`_pair_cosine_batch`, :func:`_batch_scores`,
+    # :func:`normalized`, the IVF twins) floors each norm
+    # individually, and flooring the PRODUCT instead diverged for
+    # norms in (1e-12, 1e-6) — the product drops below the floor while
+    # the per-norm path still returns the true cosine. An all-zero
+    # embedding still scores ~0 instead of NaN (which Spark sorts
+    # ABOVE every real score); identical for every vector with norm
+    # ≥ 1e-12. Mirrored in :func:`cosine_sql` so engine and oracle
+    # agree on degenerate rows.
+    return dot(a, b) / (
+        F.greatest(norm(a), F.lit(1e-12)) * F.greatest(norm(b), F.lit(1e-12))
+    )
 
 
 def normalized(a: Column) -> Column:
@@ -267,15 +275,19 @@ def lsh_similarity_join(
 def cosine_sql(a: str, b: str) -> str:
     """DuckDB cosine in double (list ops; rounded by callers to 6 dp).
 
-    ``greatest(den, 1e-12)`` mirrors the engine's zero-norm floor
-    (:func:`_pair_cosine_batch` / :func:`knn_join` / :func:`cosine`):
-    without it a zero embedding made the ORACLE emit NaN where the
-    engine emits ~0 (r12 ADVICE asymmetry) — identical for every
-    real vector, since den >= 1e-12 leaves the quotient unchanged."""
+    PER-NORM ``greatest(norm, 1e-12)`` floors mirror the engine's
+    single zero-norm convention (:func:`cosine`,
+    :func:`_pair_cosine_batch`, :func:`_batch_scores`,
+    :func:`normalized` — r13 ADVICE unified the family on per-norm
+    floors; the earlier product floor diverged for norms in
+    (1e-12, 1e-6)): a zero embedding makes BOTH engines emit ~0
+    instead of the oracle NaN-ing where the engine doesn't (r12
+    ADVICE asymmetry) — identical for every vector with norm ≥ 1e-12,
+    since each floored norm is then returned unchanged."""
     d = f"list_sum(list_transform(list_zip({a}, {b}), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
     na = f"sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
     nb = f"sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
-    return f"({d} / greatest({na} * {nb}, 1e-12))"
+    return f"({d} / (greatest({na}, 1e-12) * greatest({nb}, 1e-12)))"
 
 
 def bucket_sql(vec: str, planes: np.ndarray | None = None) -> str:
@@ -745,6 +757,103 @@ def score_all_probes(
 
     return fan_out(corpus.select(id_col, vec_col)).mapInPandas(
         part, "qid long, nbr long, score double"
+    )
+
+
+# ---- embedding-space admission check ----------------------------------------
+
+# Knuth multiplicative hash constants for the default probe draw —
+# exact integer arithmetic in any engine, stable across runs and
+# partitionings (the queries_mixing sampling convention).
+_PROBE_HASH_MULT = 2_654_435_761
+_PROBE_HASH_MOD = 1_000_000_007
+
+
+def margin_report(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    probes: DataFrame | None = None,
+    n_probes: int = 20,
+) -> DataFrame:
+    """Relative-contrast admission check for ANY embedding column —
+    run this BEFORE building an ANN index or keying SemDeDup decisions
+    on a new corpus (SCALE.md §"ANN recall is data-bounded" prescribes
+    it; r13 VERDICT item 1 made it an engine API instead of a fixture
+    query). Per probe: the exact top-1 / top-``k`` cosine scores, the
+    probe's BULK score moments against the whole corpus, and
+    ``z_margin`` — how many bulk standard deviations the k-th TRUE
+    neighbor stands above the bulk mean. z ≳ 6-7 → the space is
+    index-able (partition-and-prune ANN will reach high recall);
+    z ≲ 3 → the k-th neighbor sits inside the bulk's upper tail and
+    ANY pruning index degenerates toward linear scan.
+
+    ``probes``: a BOUNDED probe relation (same broadcast contract as
+    :func:`knn_join`); when None, a deterministic ``n_probes``-row
+    draw is taken — the rows with the smallest Knuth multiplicative
+    hash of ``id_col`` (uniform-ish, reproducible across runs and
+    partitionings, one TakeOrderedAndProject pass — never a rand()
+    sample).
+
+    Determinism shape (the wave31 discipline): bulk moments accumulate
+    as EXACT integer sums of 1e6-scaled 6-dp-rounded scores, widened
+    to decimal(19,0) BEFORE the square so nothing wraps below ~1e38;
+    mean/std/z are each one float expression over those exact
+    integers. The variance is clamped at 0.0 before the sqrt (r13
+    ADVICE): for a probe with (near-)constant scores the exact-integer
+    subtraction can round to a tiny NEGATIVE double (s² ~ 1e20 has ULP
+    ~ 1e4, comparable to the smallest nonzero integer variance), and
+    an unclamped sqrt yields NaN — which Spark's ``NaN > 0.0`` treats
+    as TRUE, emitting z = NaN instead of the intended 0.0 fallback —
+    exactly on the near-dup-heavy corpus class this audit targets.
+
+    Scale shape: the top-k side is the bounded-probe
+    :func:`knn_join`; the bulk side is :func:`score_all_probes` — the
+    SAME broadcast-matrix / Arrow-BLAS corpus pass without the k-cut
+    (identical floats by construction). probes × corpus rows flow into
+    a map-side partial aggregate keyed by probe id — no corpus
+    shuffle, nothing quadratic. At 100 TB run it over a corpus SAMPLE
+    per the SCALE.md sampling contract (z's standard error shrinks as
+    1/sqrt(rows-per-probe); ~1e5 sampled rows pin z to two decimals).
+    """
+    if probes is None:
+        probe_key = F.pmod(
+            F.col(id_col).cast("long") * F.lit(_PROBE_HASH_MULT),
+            F.lit(_PROBE_HASH_MOD),
+        )
+        probes = (
+            df.select(id_col, vec_col)
+            .orderBy(probe_key.asc(), F.col(id_col).asc())
+            .limit(n_probes)
+        )
+    topk = knn_join(df, probes, k=k, vec_col=vec_col, id_col=id_col)
+    stats = topk.groupBy("qid").agg(
+        F.max("score").alias("s1"), F.min("score").alias("sk")
+    )
+    scored = score_all_probes(df, probes, vec_col=vec_col, id_col=id_col)
+    e6 = F.round(F.col("score") * 1000000, 0).cast("decimal(19,0)")
+    bulk = scored.groupBy("qid").agg(
+        F.count("*").cast("long").alias("n_scored"),
+        F.sum(e6).alias("s_e6"),
+        F.sum(e6 * e6).alias("ss_e12"),
+    )
+    n_d = F.col("n_scored").cast("double")
+    s_d = F.col("s_e6").cast("double")
+    ss_d = F.col("ss_e12").cast("double")
+    mean = (s_d / n_d) / F.lit(1000000.0)
+    var = F.greatest((ss_d - (s_d * s_d) / n_d) / n_d, F.lit(0.0))
+    std = F.sqrt(var) / F.lit(1000000.0)
+    return bulk.join(F.broadcast(stats), "qid").select(
+        "qid",
+        "n_scored",
+        F.col("s1").alias("top1_score"),
+        F.col("sk").alias("topk_score"),
+        mean.alias("bulk_mean"),
+        std.alias("bulk_std"),
+        F.when(std > 0.0, (F.col("sk") - mean) / std)
+        .otherwise(F.lit(0.0))
+        .alias("z_margin"),
     )
 
 

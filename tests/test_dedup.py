@@ -471,3 +471,72 @@ def test_jaccard_pairs_api_sets_pin_is_scoped(spark):
     assert pinned() == after_first
     release_scope("dedup.jaccard_pairs.sets")
     assert pinned() == after_first - 1
+
+
+def test_scoped_pins_bounded_over_session_scale_loop(spark):
+    """r13 VERDICT item 6: the existing accounting tests prove ONE
+    re-entry; the contract is 'however long a session loops'. Loop the
+    two scoped-pin catalog consumers (dedup_incremental_batch — the
+    operator pins — and q11_important_parts — a query-level
+    materialize_scoped) five times each in one session and assert the
+    pinned-RDD count never exceeds the after-first-run level at ANY
+    point, then drops back to the pre-loop baseline once every touched
+    scope is released."""
+    import __spark_entry__ as entrymod
+    from etl_projects_spark.operators.exec_util import (
+        _SCOPED_PINS,
+        release_scope,
+    )
+
+    def pinned() -> int:
+        return len(spark.sparkContext._jsc.getPersistentRDDs())
+
+    qs = entrymod.queries()
+    baseline = pinned()
+    before_scopes = {k[1] for k in _SCOPED_PINS}
+    sf = "/root/testdata/sf0.001"
+
+    qs["dedup_incremental_batch"](spark, sf).collect()
+    qs["q11_important_parts"](spark, sf).collect()
+    after_first = pinned()
+    for _ in range(4):
+        qs["dedup_incremental_batch"](spark, sf).collect()
+        assert pinned() <= after_first, "pin count grew mid-loop"
+        qs["q11_important_parts"](spark, sf).collect()
+        assert pinned() <= after_first, "pin count grew mid-loop"
+    for scope in {k[1] for k in _SCOPED_PINS} - before_scopes:
+        release_scope(scope)
+    assert pinned() == baseline, (
+        "releasing every scope touched by the loop did not return the "
+        "session to its pre-loop pinned-RDD baseline"
+    )
+
+
+def test_scoped_pins_are_keyed_per_session(spark):
+    """r13 ADVICE: the registry is keyed by (session, scope) — two
+    live sessions pinning the SAME scope must not clobber each other's
+    relation (the old scope-only key silently unpersisted the other
+    session's pin, losing its measured plan shape), and a no-session
+    release drops both."""
+    from etl_projects_spark.operators.exec_util import (
+        materialize_scoped,
+        release_scope,
+    )
+
+    def pinned() -> int:
+        return len(spark.sparkContext._jsc.getPersistentRDDs())
+
+    other = spark.newSession()
+    baseline = pinned()
+    scope = "test.per_session_scope"
+    a = materialize_scoped(spark.range(10), scope)
+    b = materialize_scoped(other.range(20), scope)
+    assert pinned() == baseline + 2, (
+        "the second session's pin replaced the first session's — "
+        "the registry is not session-keyed"
+    )
+    assert a.count() == 10 and b.count() == 20
+    release_scope(scope, session=spark)
+    assert pinned() == baseline + 1
+    release_scope(scope)  # session=None sweeps the remaining holder
+    assert pinned() == baseline

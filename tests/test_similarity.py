@@ -261,3 +261,70 @@ def test_ann_operators_reach_high_recall_on_structured_corpus(spark):
         )
         hit_ivf += sum(assign[nb] in probed for nb in nbrs)
     assert hit_ivf / n_pairs >= 0.95, "IVF recall collapsed"
+
+
+def test_margin_report_operator_on_arbitrary_table(spark):
+    """r13 VERDICT item 1: the admission check is an engine API —
+    runnable on ANY table/column names with a deterministic default
+    probe draw (no probes argument), not just the fixture corpus.
+    A clustered corpus must read high z_margin; the probe draw must be
+    bounded by n_probes and stable across invocations."""
+    import numpy as np
+
+    from etl_projects_spark.operators import similarity
+
+    rng = np.random.RandomState(7)
+    rows = []
+    # 40 tight clusters of 8 vectors in 64-d: true neighbors are RARE
+    # relative to the bulk (7/319 same-cluster) and stand far above
+    # it, so the relative contrast reads large. (A few huge clusters
+    # would NOT: with 1/3 of the bulk same-cluster the "bulk" moments
+    # absorb the neighbors and z collapses by construction.)
+    for c in range(40):
+        center = rng.standard_normal(64)
+        center /= np.linalg.norm(center)
+        for i in range(8):
+            v = center + 0.02 * rng.standard_normal(64)
+            rows.append((c * 100 + i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "item_id long, vec array<float>")
+    rep = similarity.margin_report(
+        df, vec_col="vec", id_col="item_id", k=5, n_probes=8
+    )
+    got = rep.collect()
+    assert len(got) == 8, "default draw must yield exactly n_probes rows"
+    assert {r.qid for r in got} == {
+        r.qid
+        for r in similarity.margin_report(
+            df, vec_col="vec", id_col="item_id", k=5, n_probes=8
+        ).collect()
+    }, "the default probe draw must be deterministic"
+    for r in got:
+        assert r.n_scored == len(rows) - 1
+        assert r.z_margin > 4.0, (
+            "a clustered corpus must read as index-able (large z)"
+        )
+
+
+def test_margin_report_clamps_variance_for_constant_scores(spark):
+    """r13 ADVICE (medium): a probe with (near-)constant bulk scores
+    can make the exact-integer variance round to a tiny NEGATIVE
+    double; unclamped, sqrt yields NaN and Spark's NaN > 0.0 emits
+    z = NaN instead of the 0.0 fallback (and the DuckDB oracle would
+    CRASH on sqrt(negative)). Identical vectors ⇒ every pair cosine is
+    exactly 1.0 ⇒ integer variance 0 — the clamp must hold z at 0.0."""
+    import math
+
+    from etl_projects_spark.operators import similarity
+
+    from etl_projects_spark.operators import similarity
+
+    v = [1.0] * 8
+    df = spark.createDataFrame(
+        [(i, v) for i in range(30)], "vec_id long, embedding array<float>"
+    )
+    got = similarity.margin_report(df, k=3, n_probes=4).collect()
+    assert len(got) == 4
+    for r in got:
+        assert r.bulk_std == 0.0
+        assert not math.isnan(r.z_margin), "variance clamp regressed"
+        assert r.z_margin == 0.0
