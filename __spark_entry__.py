@@ -59,40 +59,36 @@ def entry(spark: SparkSession) -> DataFrame:
 # tests/test_window_guard.py fails if any query whose hash changed
 # since its recorded window is not in the current first 50.
 _ROUND_PRIORITY = [
-    # --- r13 window ------------------------------------------------
-    # 1-17: reworks / changed-module consumers / the r13 additions.
-    # The cosine_sql oracle generator gained the engine-matching
-    # zero-norm floor (r12 ADVICE: a zero embedding made the oracle
-    # NaN where the engine emits ~0), which moves the oracle hash of
-    # every cosine-family query (values unchanged — no zero vectors in
-    # any corpus; the floor is bit-identical for real vectors): the
-    # three r12 audits, the five ann_* retrieval queries, the two
-    # embedding near-dup queries, and semdedup_prune (whose in-query
-    # gram normalization got the same floor).
-    # embedding_margin_report is the r13 ADDITION — the score-gap /
-    # relative-contrast audit (z10) that writes down the data-inherent
-    # ANN bound the r12 verdict ordered (SCALE.md §ANN-bound;
-    # TESTDATA.md §Embedding-space structure; audit values pinned
-    # as-is and counter-proved on a structured corpus in
-    # tests/test_similarity.py).
-    # substring_span_incremental was REWORKED (one Arrow batch-span
-    # snapshot replaced the triple per-call recompute — 6.9 → 3.7 s
-    # steady at sf0.1, values unchanged at all three SFs).
-    # decontaminate_eval_join rides as dedup.py's snapshot consumer
-    # (post-toArrow row-bound backstop, r12 ADVICE); and
-    # dedup_incremental_batch as the consumer of the scoped-release
-    # persist fix (materialize_scoped — r12 VERDICT item 4, measured
-    # A/B in the operator comment).
+    # --- r14 window ------------------------------------------------
+    # 1-15: reworks / changed-module consumers / the r14 addition.
+    # The cosine_sql oracle generator moved from a floored-PRODUCT
+    # denominator to PER-NORM floors (r13 ADVICE: every numpy path
+    # floors each norm individually; norms in (1e-12, 1e-6) diverged
+    # between the conventions), which moves the oracle hash of every
+    # cosine-family query (values unchanged — no such degenerate
+    # vectors in any corpus): the three r13 audits, the five ann_*
+    # retrieval queries, the two embedding near-dup queries, and
+    # semdedup_prune.
+    # embedding_margin_report is now a THIN CALLER of the engine-level
+    # similarity.margin_report admission API (r13 VERDICT item 1) with
+    # the 0.0-clamped variance (r13 ADVICE medium) on both engines —
+    # readout values unchanged.
+    # dsir_importance_weights: products widened to DECIMAL(18,0) on
+    # both engines (r13 ADVICE overflow asymmetry), weights extracted
+    # into the shared relation/CTE pair, fold memory shape documented.
+    # dsir_select is the r14 ADDITION — the weights→selection stage
+    # (Gumbel-top-k ∝ exp(log_weight) to an exact-integer 1/4 token
+    # budget; r13 VERDICT item 2), riding the same shared weights
+    # relation.
+    # dedup_incremental_batch rides as the named consumer of the
+    # exec_util scoped-pin registry rework (session-keyed + swept,
+    # r13 ADVICE; loop-scale accounting proven in tests/test_dedup.py).
+    "embedding_margin_report",
+    "dsir_importance_weights",
+    "dsir_select",
     "ann_recall_report",
     "ann_ivf_recall_report",
     "knn_label_purity",
-    "embedding_margin_report",
-    # dsir_importance_weights — the round's SECOND addition: DSIR
-    # hashed-unigram importance weights (target 'src0' vs the raw
-    # pool), the data-SELECTION stage next to lm_surprise_filter's
-    # perplexity filter; ordered-fold float discipline, md5-60bit
-    # bucket hashing shared bit-for-bit with the oracle.
-    "dsir_importance_weights",
     "ann_cosine_topk",
     "ann_lsh_topk",
     "ann_lsh_multiprobe_topk",
@@ -101,68 +97,49 @@ _ROUND_PRIORITY = [
     "dedup_embedding_cosine",
     "embedding_similarity_join",
     "semdedup_prune",
-    "substring_span_incremental",
-    "decontaminate_eval_join",
     "dedup_incremental_batch",
-    # embedding_pca_project rides the lazy-oracle sweep (r13 review:
-    # its PCA twin, the semdedup assignment twin, and the ann_ivf_topk
-    # candidate twin were still generated at module import — now
-    # callables resolved at gate time like the IVF recall twin; the
-    # other two movers already ride above).
-    "embedding_pca_project",
-    # 18-23: the scoped-pin sweep's remaining hash movers — every
-    # query-level materialize() (a per-invocation session-lifetime
-    # cache pin with no release handle, the same class as the two
-    # operator pins item 4 targeted) now goes through
-    # materialize_scoped, so a long-lived session looping the catalog
-    # holds one pin per scope instead of one per call.
-    # dedup_minhash_lsh rides as the consumer of the _minhash_pairs
-    # helper's converted pin (module-residual ack).
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_minhash_lsh",
-    "event_cooccurrence_lift",
-    "q11_important_parts",
-    "q15_top_supplier",
-    # 24-41: the ENTIRE remaining r7-era vintage (r12 VERDICT item 2 —
-    # exactly the 18 rows the r12 window comment queued, freshness
-    # order). After this window no row in the durable record is older
-    # than r8.
-    "quality_validate_events",
-    "range_join_daily_windows",
-    "resample_gap_fill",
-    "shard_packing",
-    "sliding_window_events",
-    "sort_limit_topk",
-    "stratified_sample_sources",
-    "streaming_tumbling_counts",
-    "text_bpe_ish_tokens",
-    "text_dup_gram_fraction",
-    "text_lang_id",
-    "text_normalized_dedup",
-    "text_pii_redaction",
-    "text_quality_score",
-    "tumbling_window_events",
-    "window_running_order_total",
-    "window_top_suppliers_per_nation",
-    "winnow_fingerprints",
-    # 42-50: freshness re-checks of the NOW-oldest (r8-era) rows — the
-    # first 9 of the 49 in tools/freshness_report.py order (q11 / q15
-    # above are r8 rows too, so 11 r8 rows retire; the remainder
-    # queues for r14, starting: dedup_keep_best_quality,
-    # dedup_keep_list, dedup_minhash_components,
-    # doc_length_percentile_filter, embedding_centroids_by_label,
-    # embedding_quantize_int8, exact_distinct_users_daily, ...).
-    "anomaly_zscore_daily",
-    "array_agg_customer_priorities",
-    "bm25_retrieval",
-    "bucketed_join_revenue",
-    "conditional_agg_priority_matrix",
-    "cooccurrence_pmi_topk",
-    "curriculum_schedule",
-    "date_functions_orders",
-    "decontaminate_train_prune",
+    # 16-50: freshness rotation — the first 35 of the 38 remaining
+    # r8-vintage rows in tools/freshness_report.py order (r13 VERDICT
+    # item 4). The 15 mover/addition slots above cap the rotation at
+    # 35 this round; the 3 left for r15: vocab_top_terms,
+    # window_rank_metrics, window_user_value_delta.
+    "dedup_keep_best_quality",
+    "dedup_keep_list",
+    "dedup_minhash_components",
+    "doc_length_percentile_filter",
+    "embedding_centroids_by_label",
+    "embedding_quantize_int8",
+    "exact_distinct_users_daily",
+    "except_lost_customers",
+    "exists_big_lineitem_orders",
+    "funnel_user_conversion",
+    "grouping_sets_status_priority",
+    "histogram_order_totals",
+    "intersect_repeat_customers",
+    "join_right_outer",
+    "math_functions_balance",
+    "ntile_customer_quartiles",
+    "null_handling_functions",
+    "percentiles_order_value",
+    "q12_shipmode_priority",
+    "q13_order_count_distribution",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q20_part_promotion_suppliers",
+    "q21_sole_returning_supplier",
+    "q22_dormant_customers",
+    "q2_min_acctbal_supplier",
+    "q8_market_share",
+    "q9_product_profit",
+    "rollup_revenue",
+    "scalar_subquery_pricey_parts",
+    "split_contamination_report",
+    "string_functions_customer",
+    "unpivot_part_measures",
 ]
+
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -16,6 +16,11 @@ float sums over thousands of rows would drift with accumulation order
 across engines — and the terminal doubles (mean, std, z10) are each
 ONE deterministic float expression over those exact integers, written
 with the same shape in Spark and DuckDB.
+
+r14: the margin computation lives in the engine operator
+``similarity.margin_report`` (this module keeps the thin catalog
+caller), and the DSIR weights are a shared relation/CTE pair consumed
+by both funnel stages (``dsir_select`` lives in queries_wave32).
 """
 
 from __future__ import annotations

@@ -49,6 +49,9 @@ REPRESENTATIVE = [
     # r13: DSIR weights at the small vintage (25 target docs — sparse
     # bucket counts, the +1 smoothing terms dominate here)
     "dsir_importance_weights",
+    # r14: the selection stage at the small vintage — the budget cut
+    # lands after very few docs, exercising the boundary arithmetic
+    "dsir_select",
     "media_fingerprint",
     "quality_validate_events",
     "asof_click_before_purchase",
@@ -247,6 +250,9 @@ UPSCALE = [
     # r13: DSIR weights at 10× the pool — the position-ordered ln fold
     # runs ~10× longer per doc family; order drift would bite HERE
     "dsir_importance_weights",
+    # r14: selection at 10× the pool — the Gumbel key order and the
+    # distributed prefix-sum budget cumsum at real bucket counts
+    "dsir_select",
     "chi_square_type_by_dow",
     "bollinger_bands_daily",
     "percent_change_mom",

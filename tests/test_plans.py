@@ -954,3 +954,32 @@ def test_dsir_importance_weights_plan(spark):
     assert_plan(QS["dsir_importance_weights"](spark, SF_DIR),
                 python_stages=0, cartesian=False,
                 broadcast_joins=(">=", 1), shuffles=("<=", 6))
+
+
+def test_dsir_select_plan(spark):
+    # r14 funnel completion: the heavy weights relation is pinned ONCE
+    # (materialize_scoped) and all three downstream consumers — the
+    # prefix sum's local-window branch, its offsets branch, and the
+    # totals aggregate — must read that ONE cache (3 InMemoryTableScan
+    # sites; unpinned, each would re-execute the full DSIR scoring
+    # pipeline). No Python stages, no cartesian, no range exchange;
+    # the raw audit counts (shuffles/SMJ) TRIPLICATE because audit()
+    # walks the cached subtree once per scan site — the executed work
+    # is one weights build (own pin: test_dsir_importance_weights_plan)
+    # plus the prefix-sum exchanges. Every single-partition exchange in
+    # the plan is a bounded relation (the 1-row totals, the n_parts-row
+    # offset table) — the corpus itself never collapses into one task.
+    from etl_projects_spark.operators.exec_util import release_scope
+    from etl_projects_spark.plans.audit import plan_string
+
+    df = QS["dsir_select"](spark, SF_DIR)
+    try:
+        assert_plan(df, python_stages=0, cartesian=False,
+                    range_exchanges=0, single_exchanges=("<=", 8))
+        p = plan_string(df)
+        assert p.count("InMemoryTableScan") == 3, (
+            "all three consumers of the weights relation must read the "
+            "single scoped pin"
+        )
+    finally:
+        release_scope("dsir_select")

@@ -161,6 +161,9 @@ def test_cross_join_sites_are_broadcast_bounded_relations():
         # broadcast onto the ≤DSIR_BUCKETS-row model relation — the
         # token_budget_allocator class.
         "queries_wave31.py": 1,
+        # dsir_select: the 1-row pool-token total broadcast onto the
+        # ranked relation for the exact-integer budget test.
+        "queries_wave32.py": 1,
     }
     assert got == allowed, (
         f"crossJoin sites changed: {got} != {allowed} — a new site must "

@@ -95,52 +95,41 @@ def test_catalog_and_plans_records_are_fresh():
     )
 
 
-def test_r13_rotation_heads_the_window():
-    # r13 window invariants: the cosine_sql-floor hash movers lead
-    # (the three r12 audits, the five ann_* retrieval queries, the two
-    # embedding near-dup queries, semdedup_prune), the r13 addition
-    # (embedding_margin_report) lands inside the window, the reworked
-    # substring_span_incremental and the two changed-module consumers
-    # (decontaminate_eval_join, dedup_incremental_batch) ride, the
-    # ENTIRE remaining r7-era vintage (18 rows, r12 VERDICT item 2)
-    # retires, and the rest takes the oldest r8-era rows.
+def test_r14_rotation_heads_the_window():
+    # r14 window invariants: the movers lead — the cosine-family
+    # oracle hash movers (per-norm floor, r13 ADVICE), the margin
+    # query's thin-caller rework, the DSIR decimal widening, the r14
+    # addition (dsir_select), and the exec_util scoped-pin consumers —
+    # then the first 35 of the 38 remaining r8-vintage rows in
+    # freshness order (r13 VERDICT item 4; the 3 left for r15:
+    # vocab_top_terms, window_rank_metrics, window_user_value_delta).
     window = wh.window_names()
-    cosine_family = {
+    movers = {
+        "embedding_margin_report", "dsir_importance_weights",
+        "dsir_select",
         "ann_recall_report", "ann_ivf_recall_report",
-        "knn_label_purity", "embedding_margin_report",
-        "ann_cosine_topk", "ann_lsh_topk", "ann_lsh_multiprobe_topk",
-        "ann_knn_join", "ann_ivf_topk", "dedup_embedding_cosine",
-        "embedding_similarity_join", "semdedup_prune",
+        "knn_label_purity", "ann_cosine_topk", "ann_lsh_topk",
+        "ann_lsh_multiprobe_topk", "ann_knn_join", "ann_ivf_topk",
+        "dedup_embedding_cosine", "embedding_similarity_join",
+        "semdedup_prune", "dedup_incremental_batch",
     }
-    assert cosine_family | {"dsir_importance_weights"} <= set(window[:13])
-    assert {
-        "substring_span_incremental", "decontaminate_eval_join",
-        "dedup_incremental_batch",
-    } <= set(window[:16])
-    assert "embedding_pca_project" in window[:17]  # lazy-oracle rider
-    scoped_pin_sweep = {
-        "dedup_ngram_jaccard", "dedup_simhash", "dedup_minhash_lsh",
-        "event_cooccurrence_lift", "q11_important_parts",
-        "q15_top_supplier",
+    assert movers == set(window[:15])
+    r8_rotation_head = {
+        "dedup_keep_best_quality", "dedup_keep_list",
+        "dedup_minhash_components", "doc_length_percentile_filter",
+        "embedding_centroids_by_label", "embedding_quantize_int8",
+        "exact_distinct_users_daily",
     }
-    assert scoped_pin_sweep <= set(window[:23])
-    r7_vintage = {
-        "quality_validate_events", "range_join_daily_windows",
-        "resample_gap_fill", "shard_packing", "sliding_window_events",
-        "sort_limit_topk", "stratified_sample_sources",
-        "streaming_tumbling_counts", "text_bpe_ish_tokens",
-        "text_dup_gram_fraction", "text_lang_id",
-        "text_normalized_dedup", "text_pii_redaction",
-        "text_quality_score", "tumbling_window_events",
-        "window_running_order_total",
-        "window_top_suppliers_per_nation", "winnow_fingerprints",
+    assert r8_rotation_head <= set(window[15:22])
+    r8_tail = {
+        "rollup_revenue", "scalar_subquery_pricey_parts",
+        "split_contamination_report", "string_functions_customer",
+        "unpivot_part_measures",
     }
-    assert r7_vintage <= set(window[:41])
-    r8_head = {
-        "anomaly_zscore_daily", "bm25_retrieval",
-        "curriculum_schedule", "decontaminate_train_prune",
-    }
-    assert r8_head <= set(window)
+    assert r8_tail <= set(window[:50])
+    # The 3 r8 rows that did NOT fit must be first in line for r15.
+    assert {"vocab_top_terms", "window_rank_metrics",
+            "window_user_value_delta"}.isdisjoint(set(window))
 
 
 def test_guard_fires_on_out_of_window_query_edit(monkeypatch):
@@ -506,3 +495,40 @@ def test_lazy_twin_oracles_rekey_to_gate_time_env(monkeypatch):
             f"{name}: lazy oracle did not re-derive for the swept "
             "corpus — its twin constants are frozen"
         )
+
+
+def test_bench_normalized_summary_attributes_box_state():
+    """r13 VERDICT item 3: the bench record must self-attribute box
+    swings. A run whose per-query times moved EXACTLY with the calib
+    stamps must read delta_pct == 0 (box state, not code); the
+    per-query normalization must divide by the MATCHING calib class
+    (blas for the Arrow/numpy families, py_st for the JVM rest)."""
+    import bench
+
+    timings = {"q1_pricing_summary": 2.0, "ann_knn_join": 1.0}
+    calib = {"py_st_s": 0.5, "blas_mt_s": 0.25}
+    prior = {
+        "calib": {"py_st_s": 0.4, "blas_mt_s": 0.25},
+        # q1 recorded on a 1.25x-faster box; ann on an identical box;
+        # 'gone' left the catalog and must be ignored.
+        "queries": {
+            "q1_pricing_summary": 1.6,
+            "ann_knn_join": 1.0,
+            "gone": 9.9,
+        },
+    }
+    out = bench.normalized_summary(timings, calib, prior)
+    assert out["total_s"] == 3.0
+    assert out["total_norm_py_st"] == 6.0
+    assert out["queries_norm"] == {
+        "q1_pricing_summary": 4.0,  # 2.0 / py_st 0.5
+        "ann_knn_join": 4.0,  # 1.0 / blas 0.25
+    }
+    lfl = out["prior_like_for_like"]
+    assert lfl["n_shared"] == 2
+    assert lfl["delta_pct"] == 0.0
+    assert lfl["calib_ratio_py_st"] == 1.25
+    # No prior record (first run / sf change): block simply absent.
+    assert "prior_like_for_like" not in bench.normalized_summary(
+        timings, calib, None
+    )
