@@ -65,10 +65,20 @@ _PINS_LOCK = _threading.Lock()
 
 
 def _session_stopped(session) -> bool:
+    # Only a POSITIVE determination counts as dead (r14 review): a
+    # session KIND we cannot introspect (e.g. Spark Connect has no
+    # _jsc) must be treated as alive — classifying it dead would make
+    # every sweep pop its fresh pin without unpersisting, silently
+    # reverting the registry to the unbounded one-pin-per-call leak
+    # it exists to close. An unknown-alive entry costs at most one
+    # bounded pin per (session, scope).
+    jsc = getattr(session, "_jsc", None)
+    if jsc is None:
+        return False  # non-classic session: cannot probe — keep it
     try:
-        return session._jsc.sc().isStopped()
+        return jsc.sc().isStopped()
     except Exception:
-        return True  # unreachable JVM handle == dead session
+        return True  # JVM handle present but unreachable == dead
 
 
 def _sweep_dead_sessions() -> None:
@@ -107,18 +117,24 @@ def materialize_scoped(df: DataFrame, scope: str) -> DataFrame:
     2.3 s plan shape and closes the leak instead.
     """
     session = df.sparkSession
+    # ONE lock span across pop → unpersist → materialize → insert
+    # (r14 review: a split lock let two concurrent same-scope calls
+    # both materialize, with the loser's relation pinned forever
+    # outside the registry — the exact leak the registry closes).
+    # Holding the lock through the materialize count serializes
+    # concurrent same-process pins; that is the documented contract
+    # anyway (concurrent Spark workloads invalidate measurements).
     with _PINS_LOCK:
         _sweep_dead_sessions()
         prev = _SCOPED_PINS.pop((id(session), scope), None)
-    if prev is not None:
-        try:
-            prev[1].unpersist()
-        except Exception:
-            # A dying session can't unpersist its blocks — and has
-            # already dropped them; never fail the NEW batch for it.
-            pass
-    df = materialize(df)
-    with _PINS_LOCK:
+        if prev is not None:
+            try:
+                prev[1].unpersist()
+            except Exception:
+                # A dying session can't unpersist its blocks — and has
+                # already dropped them; never fail the NEW batch for it.
+                pass
+        df = materialize(df)
         _SCOPED_PINS[(id(session), scope)] = (session, df)
     return df
 

@@ -762,9 +762,14 @@ def score_all_probes(
 
 # ---- embedding-space admission check ----------------------------------------
 
-# Knuth multiplicative hash constants for the default probe draw —
-# exact integer arithmetic in any engine, stable across runs and
-# partitionings (the queries_mixing sampling convention).
+# Default probe draw: Knuth's multiplicative constant with a prime
+# modulus (NOT queries_mixing's 1e6 modulus — a prime keeps the draw
+# uniform-ish for structured id spaces). The id is reduced mod the
+# prime BEFORE the multiply so the product tops out at
+# (MOD−1)·MULT ≈ 2.65e18 < 2^63 — exact for ANY int64 id (r14
+# review: the unreduced multiply wrapped silently for ids above
+# ~3.5e9, e.g. snowflake ids). Deterministic across runs and
+# partitionings, unlike rand()/TABLESAMPLE.
 _PROBE_HASH_MULT = 2_654_435_761
 _PROBE_HASH_MOD = 1_000_000_007
 
@@ -819,14 +824,24 @@ def margin_report(
     """
     if probes is None:
         probe_key = F.pmod(
-            F.col(id_col).cast("long") * F.lit(_PROBE_HASH_MULT),
+            F.pmod(F.col(id_col).cast("long"), F.lit(_PROBE_HASH_MOD))
+            * F.lit(_PROBE_HASH_MULT),
             F.lit(_PROBE_HASH_MOD),
         )
-        probes = (
+        draw = (
             df.select(id_col, vec_col)
             .orderBy(probe_key.asc(), F.col(id_col).asc())
             .limit(n_probes)
         )
+        # ONE corpus pass for the draw (r14 review: handing the LAZY
+        # draw to knn_join and score_all_probes re-ran the bounded
+        # TakeOrderedAndProject corpus scan twice — once per
+        # consumer's probe collect). The n_probes rows are collected
+        # here once (bounded by construction) and both consumers get
+        # a local relation whose collect is free.
+        pdf = draw.toPandas()
+        pdf[vec_col] = pdf[vec_col].map(list)
+        probes = df.sparkSession.createDataFrame(pdf, schema=draw.schema)
     topk = knn_join(df, probes, k=k, vec_col=vec_col, id_col=id_col)
     stats = topk.groupBy("qid").agg(
         F.max("score").alias("s1"), F.min("score").alias("sk")

@@ -38,10 +38,18 @@ from etl_projects_spark.queries_wave31 import (
 DSIR_SELECT_DEN = 4
 
 # Composite-order packing widths (the curriculum_schedule pattern):
-# the 1e6-scaled selection key must fit 2^30 (|key| < ~1073 — a doc
-# would need ~10^5 tokens of extreme 5-nat ratios to breach it) and
-# doc_id must fit 2^30; both asserted loudly at key construction.
-_KEY_WIDTH = 1 << 30
+# the 1e6-scaled selection key gets 2^32 (|sel_key| < ~4295 nats —
+# ~860 tokens of extreme 5-nat ratios, or a ~4k-token document
+# averaging a full nat of divergence per token, before the loud
+# guard trips; r14 review widened this from 2^30, whose ~1073-nat
+# cap a single long divergent document could realistically breach)
+# and doc_id gets 2^30 (10^9 documents). The packed maximum
+# (2^33−1)·2^30 + 2^30−1 = 2^63−1 exactly fills the signed long.
+# Corpora beyond either width (10^9+ docs, or book-length documents
+# against a tiny model) need the widths rebalanced — the guard below
+# fails loudly rather than corrupting the selection order silently.
+_KEY_WIDTH_E6 = 1 << 32
+_DOC_WIDTH = 1 << 30
 
 
 @_q(
@@ -134,19 +142,20 @@ def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     # overflow corrupts the order silently, hence the loud guard
     # (curriculum_schedule precedent).
     key_e6 = F.round(F.col("sel_key") * 1000000, 0).cast("long")
-    ord_key = (F.lit(_KEY_WIDTH) - key_e6) * F.lit(_KEY_WIDTH) + F.col(
+    ord_key = (F.lit(_KEY_WIDTH_E6) - key_e6) * F.lit(_DOC_WIDTH) + F.col(
         "doc_id"
     )
     ord_key = F.when(
-        (F.abs(key_e6) < F.lit(_KEY_WIDTH))
+        (F.abs(key_e6) < F.lit(_KEY_WIDTH_E6))
         & (F.col("doc_id") >= 0)
-        & (F.col("doc_id") < F.lit(_KEY_WIDTH)),
+        & (F.col("doc_id") < F.lit(_DOC_WIDTH)),
         ord_key,
     ).otherwise(
         F.raise_error(
             F.lit(
-                "dsir_select: sel_key or doc_id exceeds the 2^30 "
-                "packing width; widen the composite key fields"
+                "dsir_select: sel_key exceeds the 2^32 1e6-scaled "
+                "packing width or doc_id exceeds 2^30; rebalance the "
+                "composite key fields"
             )
         )
     )

@@ -63,8 +63,11 @@ def test_driver_side_materialization_allowlist():
         # IVF codebook sample (bounded rows), single probe vectors,
         # the SHARED bounded probe-matrix collect behind knn_join and
         # score_all_probes (_probe_matrix_broadcast — one site since
-        # the r13 kernel extraction), PCA basis sample.
-        "operators/similarity.py": 4,
+        # the r13 kernel extraction), PCA basis sample, and
+        # margin_report's default probe draw (n_probes rows collected
+        # ONCE so both kernel consumers reuse a local relation instead
+        # of re-running the TakeOrdered corpus scan — r14 review).
+        "operators/similarity.py": 5,
         # 1-row skew-stats aggregate.
         "operators/skew.py": 1,
         # S6 control-file roundtrip: a handful of control rows.

@@ -316,8 +316,6 @@ def test_margin_report_clamps_variance_for_constant_scores(spark):
 
     from etl_projects_spark.operators import similarity
 
-    from etl_projects_spark.operators import similarity
-
     v = [1.0] * 8
     df = spark.createDataFrame(
         [(i, v) for i in range(30)], "vec_id long, embedding array<float>"
