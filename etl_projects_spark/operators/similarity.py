@@ -799,7 +799,10 @@ def margin_report(
     draw is taken — the rows with the smallest Knuth multiplicative
     hash of ``id_col`` (uniform-ish, reproducible across runs and
     partitionings, one TakeOrderedAndProject pass — never a rand()
-    sample).
+    sample). The default draw requires an INTEGRAL ``id_col`` (the
+    hash casts to long; a string id nulls out and collapses the
+    draw's order) — pass an explicit ``probes`` relation for
+    non-integral ids.
 
     Determinism shape (the wave31 discipline): bulk moments accumulate
     as EXACT integer sums of 1e6-scaled 6-dp-rounded scores, widened
