@@ -164,3 +164,24 @@ def test_build_once_reraises_non_dest_exists_oserror(tmp_path, monkeypatch):
         build_once(str(victim), build)
     assert exc.value.errno == errno.EACCES
     assert (victim / "precious").exists()  # nothing was destroyed
+
+
+def test_release_scope_unknown_scope_is_a_noop(spark):
+    """release_scope on a never-pinned scope must not throw and must
+    not disturb existing pins (teardown paths call it defensively)."""
+    from etl_projects_spark.operators.exec_util import (
+        materialize_scoped,
+        release_scope,
+    )
+
+    def pinned() -> int:
+        return len(spark.sparkContext._jsc.getPersistentRDDs())
+
+    baseline = pinned()
+    release_scope("test.never_pinned_scope")
+    assert pinned() == baseline
+    materialize_scoped(spark.range(5), "test.noop_neighbor")
+    release_scope("test.never_pinned_scope", session=spark)
+    assert pinned() == baseline + 1, "unknown-scope release touched a pin"
+    release_scope("test.noop_neighbor")
+    assert pinned() == baseline

@@ -326,3 +326,19 @@ def test_margin_report_clamps_variance_for_constant_scores(spark):
         assert r.bulk_std == 0.0
         assert not math.isnan(r.z_margin), "variance clamp regressed"
         assert r.z_margin == 0.0
+
+
+def test_margin_report_survives_corpus_smaller_than_k(spark):
+    """Robustness edge: a corpus with fewer than k+1 rows must yield a
+    report (top-k side simply has fewer neighbors), not crash — the
+    admission check gets pointed at arbitrary tables."""
+    from etl_projects_spark.operators import similarity
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = similarity.margin_report(df, k=10, n_probes=2).collect()
+    assert len(got) == 2
+    for r in got:
+        assert r.n_scored == 2  # the other two rows
