@@ -60,7 +60,10 @@ def materialize(df: DataFrame) -> DataFrame:
 # invalidate every measurement anyway; bench-vs-pytest rule).
 import threading as _threading
 
-_SCOPED_PINS: dict[tuple[int, str], tuple[object, DataFrame]] = {}
+# Value is (session, holder) where holder is the pinned DataFrame or —
+# while a materialize is in flight — an opaque claim token (see the
+# sentinel protocol in :func:`materialize_scoped`).
+_SCOPED_PINS: dict[tuple[int, str], tuple[object, object]] = {}
 _PINS_LOCK = _threading.Lock()
 
 
@@ -117,25 +120,44 @@ def materialize_scoped(df: DataFrame, scope: str) -> DataFrame:
     2.3 s plan shape and closes the leak instead.
     """
     session = df.sparkSession
-    # ONE lock span across pop → unpersist → materialize → insert
-    # (r14 review: a split lock let two concurrent same-scope calls
-    # both materialize, with the loser's relation pinned forever
-    # outside the registry — the exact leak the registry closes).
-    # Holding the lock through the materialize count serializes
-    # concurrent same-process pins; that is the documented contract
-    # anyway (concurrent Spark workloads invalidate measurements).
+    key = (id(session), scope)
+    # Sentinel protocol (r14 ADVICE): the r14 fix held _PINS_LOCK
+    # across materialize(df) — a full Spark count job — so ANY
+    # concurrent materialize_scoped/release_scope on an UNRELATED
+    # scope blocked for the job's duration. Instead: claim the slot
+    # with a unique token under the lock, run the count job OUTSIDE
+    # it, then swap the token for the real relation. A same-scope
+    # racer pops our token and installs its own; whoever finds their
+    # token gone is the loser and unpersists their OWN relation —
+    # nothing is ever pinned outside the registry (the r14-review
+    # leak stays closed) and unrelated scopes never wait on a job.
+    token = object()
     with _PINS_LOCK:
         _sweep_dead_sessions()
-        prev = _SCOPED_PINS.pop((id(session), scope), None)
-        if prev is not None:
-            try:
-                prev[1].unpersist()
-            except Exception:
-                # A dying session can't unpersist its blocks — and has
-                # already dropped them; never fail the NEW batch for it.
-                pass
-        df = materialize(df)
-        _SCOPED_PINS[(id(session), scope)] = (session, df)
+        prev = _SCOPED_PINS.pop(key, None)
+        _SCOPED_PINS[key] = (session, token)
+    if prev is not None and isinstance(prev[1], DataFrame):
+        # (A non-DataFrame holder is another call's in-flight token —
+        # that call will see it gone and unpersist its own relation.)
+        try:
+            prev[1].unpersist()
+        except Exception:
+            # A dying session can't unpersist its blocks — and has
+            # already dropped them; never fail the NEW batch for it.
+            pass
+    df = materialize(df)
+    with _PINS_LOCK:
+        cur = _SCOPED_PINS.get(key)
+        if cur is not None and cur[1] is token:
+            _SCOPED_PINS[key] = (session, df)
+            return df
+    # Lost the race (or release_scope swept the token mid-flight):
+    # the registry's pin is someone else's — or intentionally empty.
+    # Drop ours so it never leaks; the caller's tasks just recompute.
+    try:
+        df.unpersist()
+    except Exception:
+        pass
     return df
 
 
@@ -154,6 +176,10 @@ def release_scope(scope: str, session=None) -> None:
         ]
         dropped = [_SCOPED_PINS.pop(key) for key in victims]
     for _session, df in dropped:
+        # An in-flight token (sentinel) has no blocks to drop — its
+        # owner sees the token gone and unpersists its own relation.
+        if not isinstance(df, DataFrame):
+            continue
         try:
             df.unpersist()
         except Exception:

@@ -38,15 +38,20 @@ def _pair_cosine_batch(va: pd.Series, vb: pd.Series) -> pd.Series:
     a = np.vstack(va.to_numpy()).astype(np.float64)
     b = np.vstack(vb.to_numpy()).astype(np.float64)
     num = np.einsum("ij,ij->i", a, b)
-    den = np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
-    # Zero-norm guard (r12 review): an all-zero embedding (failed
-    # encoding / padding row) would make this NaN, and Spark sorts NaN
-    # ABOVE every real score and passes NaN >= t filters — the bogus
-    # row would rank as everyone's top neighbor. The floor makes its
-    # cosine ~0 ("no similarity"); bit-identical for every real vector
-    # (den >= 1e-12 returns den unchanged). Same guard knn_join has
-    # always had.
-    return pd.Series(num / np.maximum(den, 1e-12))
+    # PER-NORM floor — the one zero-norm convention of the family
+    # (r13 ADVICE, completed here in r15): floor EACH norm at 1e-12,
+    # never the product. Flooring the product diverged from
+    # :func:`cosine` / :func:`cosine_sql` for norms in (1e-12, 1e-6):
+    # the product drops below 1e-12 while both factors are above the
+    # floor, so the per-norm path returns the true cosine and the
+    # product path clamps. An all-zero embedding (failed encoding /
+    # padding row) still scores ~0 instead of NaN (which Spark sorts
+    # ABOVE every real score and passes NaN >= t filters);
+    # bit-identical for every vector with norm >= 1e-12.
+    den = np.maximum(np.linalg.norm(a, axis=1), 1e-12) * np.maximum(
+        np.linalg.norm(b, axis=1), 1e-12
+    )
+    return pd.Series(num / den)
 
 
 pair_cosine = F.pandas_udf(_pair_cosine_batch, DoubleType())
@@ -799,10 +804,10 @@ def margin_report(
     draw is taken — the rows with the smallest Knuth multiplicative
     hash of ``id_col`` (uniform-ish, reproducible across runs and
     partitionings, one TakeOrderedAndProject pass — never a rand()
-    sample). The default draw requires an INTEGRAL ``id_col`` (the
-    hash casts to long; a string id nulls out and collapses the
-    draw's order) — pass an explicit ``probes`` relation for
-    non-integral ids.
+    sample). ``id_col`` must be INTEGRAL (``ValueError`` otherwise):
+    the default draw hashes it as an integer AND the shared knn
+    kernel's Arrow schema is ``qid long`` — encode string ids to a
+    long surrogate key before calling.
 
     Determinism shape (the wave31 discipline): bulk moments accumulate
     as EXACT integer sums of 1e6-scaled 6-dp-rounded scores, widened
@@ -825,6 +830,26 @@ def margin_report(
     per the SCALE.md sampling contract (z's standard error shrinks as
     1/sqrt(rows-per-probe); ~1e5 sampled rows pin z to two decimals).
     """
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    id_type = df.schema[id_col].dataType
+    if not isinstance(id_type, (ByteType, ShortType, IntegerType, LongType)):
+        # Fail LOUDLY (the repo convention — dsir_select's packing
+        # guard, wave29's token-UB pre-check): a non-integral id nulls
+        # out under the default draw's cast('long') — probe_key becomes
+        # NULL for every row and NULLS-FIRST ordering silently turns
+        # the "deterministic uniform draw" into first-n-by-null — and
+        # even with explicit probes the knn_join/score_all_probes
+        # kernel's 'qid long' Arrow schema rejects it mid-job with an
+        # opaque serializer error.
+        raise ValueError(
+            f"margin_report requires an integral id_col (the knn_join "
+            f"kernel emits 'qid long' and the default probe draw hashes "
+            f"the id as an integer), but id_col={id_col!r} has type "
+            f"{id_type.simpleString()}; encode the id to a long first "
+            "(e.g. a monotonically-increasing or hashed surrogate key), "
+            "then pass probes= if a custom draw is wanted"
+        )
     if probes is None:
         probe_key = F.pmod(
             F.pmod(F.col(id_col).cast("long"), F.lit(_PROBE_HASH_MOD))

@@ -185,3 +185,66 @@ def test_release_scope_unknown_scope_is_a_noop(spark):
     assert pinned() == baseline + 1, "unknown-scope release touched a pin"
     release_scope("test.noop_neighbor")
     assert pinned() == baseline
+
+
+def test_materialize_scoped_releases_lock_during_job(spark, monkeypatch):
+    """r14 ADVICE (low): the global _PINS_LOCK must NOT be held across
+    the materialize count job — an unrelated scope's pin would block
+    for the whole job. The sentinel protocol claims the slot under the
+    lock, runs the job outside it, then swaps token→relation."""
+    from etl_projects_spark.operators import exec_util
+
+    seen: dict[str, bool] = {}
+    real = exec_util.materialize
+
+    def probe(df):
+        seen["locked_during_job"] = exec_util._PINS_LOCK.locked()
+        return real(df)
+
+    monkeypatch.setattr(exec_util, "materialize", probe)
+    exec_util.materialize_scoped(spark.range(3), "test.lock_probe")
+    assert seen["locked_during_job"] is False, (
+        "_PINS_LOCK held across the materialize job — unrelated scopes "
+        "would block for its duration"
+    )
+    exec_util.release_scope("test.lock_probe")
+
+
+def test_materialize_scoped_race_loser_unpersists_itself(spark, monkeypatch):
+    """Sentinel-collision path: if a same-scope racer finishes while
+    our materialize is in flight (our claim token is gone from the
+    registry), OUR relation must be unpersisted — nothing pinned
+    outside the registry (the r14-review leak stays closed) — and the
+    racer's pin must be left untouched."""
+    from etl_projects_spark.operators import exec_util
+
+    def pinned() -> int:
+        return len(spark.sparkContext._jsc.getPersistentRDDs())
+
+    scope = "test.race_scope"
+    key = (id(spark), scope)
+    baseline = pinned()
+    real = exec_util.materialize
+    state: dict[str, object] = {}
+
+    def hijack(df):
+        out = real(df)
+        # Simulate the racer completing mid-flight: it popped our
+        # token and installed its own materialized relation.
+        winner = real(spark.range(99))
+        state["winner"] = winner
+        with exec_util._PINS_LOCK:
+            exec_util._SCOPED_PINS[key] = (spark, winner)
+        return out
+
+    monkeypatch.setattr(exec_util, "materialize", hijack)
+    got = exec_util.materialize_scoped(spark.range(7), scope)
+    assert got.count() == 7  # loser's relation still usable (recomputes)
+    assert exec_util._SCOPED_PINS[key][1] is state["winner"], (
+        "the loser overwrote the racer's registry pin"
+    )
+    assert pinned() == baseline + 1, (
+        "the losing relation stayed pinned outside the registry"
+    )
+    exec_util.release_scope(scope)
+    assert pinned() == baseline

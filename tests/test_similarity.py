@@ -342,3 +342,84 @@ def test_margin_report_survives_corpus_smaller_than_k(spark):
     assert len(got) == 2
     for r in got:
         assert r.n_scored == 2  # the other two rows
+
+
+def test_pair_cosine_batch_floors_each_norm_not_the_product():
+    """r14 ADVICE (medium): _pair_cosine_batch — the kernel behind
+    pair_cosine / pair_cosine_once, i.e. the engine side of
+    brute-force/LSH top-k and embedding_similarity_join — must floor
+    EACH norm at 1e-12, matching cosine()/cosine_sql(). For two
+    parallel vectors with norm 1e-8 the norm PRODUCT is 1e-16: a
+    product floor clamps the denominator to 1e-12 and returns 1e-4,
+    while the per-norm convention returns the true cosine 1.0."""
+    import numpy as np
+    import pandas as pd
+
+    from etl_projects_spark.operators.similarity import _pair_cosine_batch
+
+    tiny = [1e-8, 0.0, 0.0]
+    got = _pair_cosine_batch(
+        pd.Series([tiny, [0.0, 0.0, 0.0], [3.0, 4.0, 0.0]]),
+        pd.Series([tiny, [1.0, 0.0, 0.0], [3.0, 4.0, 0.0]]),
+    ).to_numpy()
+    assert abs(got[0] - 1.0) < 1e-9, (
+        "tiny-norm pair must score its true cosine (per-norm floor), "
+        f"got {got[0]} — the product floor is back"
+    )
+    assert abs(got[1]) < 1e-6  # zero-norm side still scores ~0, not NaN
+    assert abs(got[2] - 1.0) < 1e-12
+    assert not np.isnan(got).any()
+
+
+def test_pair_cosine_matches_column_expression_on_degenerate_norms(spark):
+    """Engine/oracle symmetry on the degenerate-norm class: the Arrow
+    kernel and the JVM column expression (which mirrors cosine_sql's
+    per-norm greatest()) must agree on vectors with norms in
+    (1e-12, 1e-6) — the exact class where the old product floor
+    diverged."""
+    from pyspark.sql import functions as F
+
+    from etl_projects_spark.operators import similarity
+
+    tiny = [0.0, 2e-8, 0.0]
+    df = spark.createDataFrame(
+        [(tiny, tiny), (tiny, [0.0, 1.0, 1.0]), ([1.0, 1.0, 0.0], tiny)],
+        "a array<float>, b array<float>",
+    )
+    got = df.select(
+        similarity.pair_cosine(F.col("a"), F.col("b")).alias("arrow"),
+        similarity.cosine(F.col("a"), F.col("b")).alias("jvm"),
+    ).collect()
+    for r in got:
+        assert abs(r.arrow - r.jvm) < 1e-9, (
+            f"Arrow kernel {r.arrow} vs column expression {r.jvm} — "
+            "the family's zero-norm convention split again"
+        )
+
+
+def test_margin_report_rejects_non_integral_id_loudly(spark):
+    """r14 ADVICE (low): a non-integral id_col nulls out under the
+    default probe draw's cast('long'), silently collapsing the
+    'deterministic uniform draw' into first-n-by-null. The repo
+    convention is to fail loudly — ValueError pointing at probes=."""
+    import pytest as _pytest
+
+    from etl_projects_spark.operators import similarity
+
+    df = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [0.0, 1.0])],
+        "doc_key string, embedding array<float>",
+    )
+    # Both paths must refuse: the default draw would corrupt ordering,
+    # and even explicit probes hit the kernel's 'qid long' Arrow
+    # schema mid-job with an opaque serializer error.
+    with _pytest.raises(ValueError, match="integral id_col"):
+        similarity.margin_report(df, id_col="doc_key", n_probes=2)
+    with _pytest.raises(ValueError, match="surrogate key"):
+        similarity.margin_report(df, id_col="doc_key", probes=df.limit(1))
+    # An encoded long surrogate key IS the supported path.
+    from pyspark.sql import functions as F
+
+    enc = df.withColumn("doc_id", F.xxhash64("doc_key"))
+    rep = similarity.margin_report(enc, id_col="doc_id", k=1, n_probes=2)
+    assert rep.count() == 2
