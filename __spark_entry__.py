@@ -30,6 +30,7 @@ import etl_projects_spark.queries_wave29  # noqa: F401
 import etl_projects_spark.queries_wave30  # noqa: F401
 import etl_projects_spark.queries_wave31  # noqa: F401
 import etl_projects_spark.queries_wave32  # noqa: F401
+import etl_projects_spark.queries_wave33  # noqa: F401
 from etl_projects_spark.queries import ORACLE, QUERIES
 from etl_projects_spark.queries import q1_pricing_summary
 
@@ -59,33 +60,41 @@ def entry(spark: SparkSession) -> DataFrame:
 # tests/test_window_guard.py fails if any query whose hash changed
 # since its recorded window is not in the current first 50.
 _ROUND_PRIORITY = [
-    # --- r14 window ------------------------------------------------
-    # 1-15: reworks / changed-module consumers / the r14 addition.
-    # The cosine_sql oracle generator moved from a floored-PRODUCT
-    # denominator to PER-NORM floors (r13 ADVICE: every numpy path
-    # floors each norm individually; norms in (1e-12, 1e-6) diverged
-    # between the conventions), which moves the oracle hash of every
-    # cosine-family query (values unchanged — no such degenerate
-    # vectors in any corpus): the three r13 audits, the five ann_*
-    # retrieval queries, the two embedding near-dup queries, and
-    # semdedup_prune.
-    # embedding_margin_report is now a THIN CALLER of the engine-level
-    # similarity.margin_report admission API (r13 VERDICT item 1) with
-    # the 0.0-clamped variance (r13 ADVICE medium) on both engines —
-    # readout values unchanged.
-    # dsir_importance_weights: products widened to DECIMAL(18,0) on
-    # both engines (r13 ADVICE overflow asymmetry), weights extracted
-    # into the shared relation/CTE pair, fold memory shape documented.
-    # dsir_select is the r14 ADDITION — the weights→selection stage
-    # (Gumbel-top-k ∝ exp(log_weight) to an exact-integer 1/4 token
-    # budget; r13 VERDICT item 2), riding the same shared weights
-    # relation.
-    # dedup_incremental_batch rides as the named consumer of the
-    # exec_util scoped-pin registry rework (session-keyed + swept,
-    # r13 ADVICE; loop-scale accounting proven in tests/test_dedup.py).
-    "embedding_margin_report",
+    # --- r15 window ------------------------------------------------
+    # 1: the r15 ADDITION — the composed curation funnel
+    # (quality → dedup keep-list → decontaminate → DSIR select → pack
+    # → gated DW shard promotion) chained through LakeEngine /
+    # PipelineRunner with catalog handoffs between stages (r14 VERDICT
+    # item 2); its oracle re-derives every stage from the raw corpus
+    # via the SAME CTE builders the standalone stage queries verify
+    # against.
+    "curation_pipeline_run",
+    # 2-4: the last three r8-vintage freshness rows (r14 VERDICT item
+    # 1 — completes the three-round rotation; after this round the
+    # durable record's oldest vintage is r9, and the standing rule is
+    # "nothing older than 6 rounds").
+    "vocab_top_terms",
+    "window_rank_metrics",
+    "window_user_value_delta",
+    # 5-6: consumers of the r15 DSIR refactor (dsir_weights_cte /
+    # dsir_weights_relation grew pool/target relation parameters with
+    # defaults preserving the standalone semantics; dsir_select's
+    # selection kernel factored into dsir_select_from_weights +
+    # dsir_select_ctes for the funnel to reuse — values unchanged).
     "dsir_importance_weights",
     "dsir_select",
+    # 7-8: named consumers of the exec_util scoped-pin rework (r14
+    # ADVICE: sentinel-claim protocol — the materialize job no longer
+    # runs under the global registry lock; race accounting proven in
+    # tests/test_exec_util.py).
+    "dedup_incremental_batch",
+    "decontaminate_eval_join",
+    # 9-20: the cosine family — consumers of the r14-ADVICE completion
+    # in similarity.py (_pair_cosine_batch now floors EACH norm like
+    # cosine()/cosine_sql, closing the last product-floor path; plus
+    # margin_report's loud integral-id guard). Values unchanged — no
+    # degenerate-norm vectors in any corpus; judge-style sweep 12/12.
+    "embedding_margin_report",
     "ann_recall_report",
     "ann_ivf_recall_report",
     "knn_label_purity",
@@ -97,47 +106,40 @@ _ROUND_PRIORITY = [
     "dedup_embedding_cosine",
     "embedding_similarity_join",
     "semdedup_prune",
-    "dedup_incremental_batch",
-    # 16-50: freshness rotation — the first 35 of the 38 remaining
-    # r8-vintage rows in tools/freshness_report.py order (r13 VERDICT
-    # item 4). The 15 mover/addition slots above cap the rotation at
-    # 35 this round; the 3 left for r15: vocab_top_terms,
-    # window_rank_metrics, window_user_value_delta.
-    "dedup_keep_best_quality",
-    "dedup_keep_list",
-    "dedup_minhash_components",
-    "doc_length_percentile_filter",
-    "embedding_centroids_by_label",
-    "embedding_quantize_int8",
-    "exact_distinct_users_daily",
-    "except_lost_customers",
-    "exists_big_lineitem_orders",
-    "funnel_user_conversion",
-    "grouping_sets_status_priority",
-    "histogram_order_totals",
-    "intersect_repeat_customers",
-    "join_right_outer",
-    "math_functions_balance",
-    "ntile_customer_quartiles",
-    "null_handling_functions",
-    "percentiles_order_value",
-    "q12_shipmode_priority",
-    "q13_order_count_distribution",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "q20_part_promotion_suppliers",
-    "q21_sole_returning_supplier",
-    "q22_dormant_customers",
-    "q2_min_acctbal_supplier",
-    "q8_market_share",
-    "q9_product_profit",
-    "rollup_revenue",
-    "scalar_subquery_pricey_parts",
-    "split_contamination_report",
-    "string_functions_customer",
-    "unpivot_part_measures",
+    # 21-50: freshness rotation — the oldest r9-vintage rows in
+    # tools/freshness_report.py order (engine_partitioned_incremental
+    # doubles as the named consumer of the additive
+    # LakeEngine.load_dataframe change).
+    "asof_forward_purchase_window",
+    "cdc_changelog_apply",
+    "chi_square_type_by_dow",
+    "chunk_dedup_rewrite",
+    "compact_small_files",
+    "correlation_matrix_lineitem",
+    "data_card_report",
+    "dedup_component_size_histogram",
+    "dedup_graph_triangles",
+    "dedup_prefix_containment",
+    "engine_partitioned_incremental",
+    "events_debounce",
+    "ewma_daily_value",
+    "fertility_by_source",
+    "filter_funnel_report",
+    "fixed_size_per_group_sample",
+    "higher_order_array_funcs",
+    "incremental_agg_maintenance",
+    "jsonl_gz_roundtrip",
+    "k_anonymity_audit",
+    "kmv_jaccard_event_types",
+    "layer_format_policy",
+    "lm_surprise_filter",
+    "map_functions_props",
+    "media_frame_energy",
+    "media_phash_neardup",
+    "merge_upsert_orders",
+    "mlm_token_masking",
+    "mode_priority_by_segment",
+    "neardup_rate_by_source",
 ]
 
 

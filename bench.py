@@ -296,6 +296,11 @@ SHINGLE_FAMILY = {
     "neardup_rate_by_source",
     "streaming_incremental_dedup",
     "text_dup_gram_fraction",
+    # r15: the composed funnel's build reaches the shingle/minhash
+    # shapes through _components_cached (dedup stage) and the
+    # contamination gram explode (decontam stage) — warm the family
+    # before its first timed read like every other member.
+    "curation_pipeline_run",
 }
 # NOTE: membership is no longer trust-me — tests/test_window_guard.py::
 # test_shingle_family_warmup_matches_call_sites derives the

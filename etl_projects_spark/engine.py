@@ -133,6 +133,27 @@ class LakeEngine:
         )
         return self._register_external(database, table, path, layer, partitions)
 
+    def load_dataframe(
+        self,
+        df: DataFrame,
+        database: str,
+        table: str,
+        layer: Layer | str = Layer.CLEAN,
+        partitions: Sequence[str] = (),
+    ) -> DataFrame:
+        """Write an ALREADY-COMPUTED DataFrame as a layer table and
+        register it — the DataFrame twin of :meth:`load_table`, for
+        pipeline stages whose logic lives in engine operators
+        (dedup keep-lists, DSIR selection, packing) rather than SQL
+        files. Same write policy (layer→format, partitioned overwrite)
+        and the same external-table registration; the curation funnel
+        (queries_wave33) chains its stages through this."""
+        path = self.writer.load_table(
+            df, database, table, layer=layer, partitions=partitions,
+            mode="overwrite",
+        )
+        return self._register_external(database, table, path, layer, partitions)
+
     def _register_external(
         self,
         database: str,

@@ -1054,6 +1054,9 @@ PAIR_GRAPH_CONSUMERS = frozenset(
         "neardup_rate_by_source",
         "dedup_component_size_histogram",
         "dedup_graph_triangles",
+        # r15: the composed funnel's dedup stage reads the component
+        # labels at build time (once per corpus vintage).
+        "curation_pipeline_run",
     }
 )
 

@@ -145,12 +145,25 @@ def embedding_margin_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def dsir_weights_cte() -> str:
+def dsir_weights_cte(
+    target_rel: str | None = None, pool_rel: str | None = None
+) -> str:
     """The DuckDB CTE chain computing the DSIR per-document weights —
-    shared verbatim by the ``dsir_importance_weights`` oracle and the
-    ``dsir_select`` oracle (queries_wave32) so the two stages of the
-    funnel verify against ONE model definition. Ends at ``weights``:
+    shared verbatim by the ``dsir_importance_weights`` oracle, the
+    ``dsir_select`` oracle (queries_wave32), and the composed
+    ``curation_pipeline_run`` oracle (queries_wave33) so every funnel
+    stage verifies against ONE model definition. Ends at ``weights``:
     (doc_id, source, n_tokens BIGINT, log_weight DOUBLE).
+
+    ``target_rel`` / ``pool_rel`` (r15): SQL relation expressions
+    (subquery or earlier CTE name) each exposing (doc_id, source,
+    text) — the trusted target slice the model is fit TOWARD and the
+    candidate pool it scores. Defaults reproduce the standalone
+    queries' convention: target = the '{DSIR_TARGET_SOURCE}' slice of
+    ``documents``, pool = everything else. The composed curation
+    funnel passes its SURVIVOR pool instead (the model's raw-side
+    counts then describe the distribution actually being selected
+    from) while keeping the raw trusted slice as target.
 
     The per-token ratio products are widened to DECIMAL(18,0) BEFORE
     the multiply (r13 ADVICE: Spark's bare BIGINT multiply wraps
@@ -161,10 +174,16 @@ def dsir_weights_cte() -> str:
     per side — and past it both engines fail loudly instead of one
     wrapping. The terminal DOUBLE cast of the same exact integer is
     engine-identical, so values are unchanged within the old bound."""
-    return f"""toks AS (
-      SELECT doc_id, source, string_split(text, ' ') AS t
-      FROM documents),
-    tgt AS (SELECT t FROM toks WHERE source = '{DSIR_TARGET_SOURCE}'),
+    tgt_src = target_rel or (
+        "(SELECT doc_id, source, text FROM documents "
+        f"WHERE source = '{DSIR_TARGET_SOURCE}')"
+    )
+    pool_src = pool_rel or (
+        "(SELECT doc_id, source, text FROM documents "
+        f"WHERE source <> '{DSIR_TARGET_SOURCE}')"
+    )
+    return f"""tgt AS (
+      SELECT string_split(text, ' ') AS t FROM {tgt_src} tgt_docs),
     ct AS (
       SELECT {dedup.hex60_sql('tok')} % {DSIR_BUCKETS} AS b,
              COUNT(*) AS ct
@@ -174,7 +193,8 @@ def dsir_weights_cte() -> str:
              {dedup.hex60_sql('t[i]')} % {DSIR_BUCKETS} AS b
       FROM (SELECT doc_id, source, t,
                    unnest(generate_series(1, len(t))) AS i
-            FROM toks WHERE source <> '{DSIR_TARGET_SOURCE}')),
+            FROM (SELECT doc_id, source, string_split(text, ' ') AS t
+                  FROM {pool_src} pool_docs) pool_toks)),
     cr AS (SELECT b, COUNT(*) AS cr FROM evb GROUP BY 1),
     model0 AS (
       SELECT COALESCE(ct.b, cr.b) AS b,
@@ -205,28 +225,43 @@ def dsir_weights_cte() -> str:
       FROM folded)"""
 
 
-def dsir_weights_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dsir_weights_relation(
+    spark: SparkSession,
+    sf_dir: str,
+    pool: DataFrame | None = None,
+    target: DataFrame | None = None,
+) -> DataFrame:
     """The Spark twin of :func:`dsir_weights_cte`'s ``weights``
     relation — (doc_id, source, n_tokens, log_weight), shared by
-    ``dsir_importance_weights`` and ``dsir_select`` (queries_wave32).
-    All design commentary lives on the catalog query's docstring."""
-    docs = load(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", "source", F.split("text", " ").alias("t")
-    )
+    ``dsir_importance_weights``, ``dsir_select`` (queries_wave32),
+    and the composed curation funnel (queries_wave33).
+    All design commentary lives on the catalog query's docstring.
+
+    ``pool`` / ``target`` mirror the CTE builder's relation
+    parameters: each is a (doc_id, source, text) relation; None
+    reproduces the standalone convention ('{DSIR_TARGET_SOURCE}'
+    slice vs the rest of ``documents``)."""
+    if pool is None or target is None:
+        docs = load(spark, sf_dir, "documents")
+        if target is None:
+            target = docs.filter(F.col("source") == DSIR_TARGET_SOURCE)
+        if pool is None:
+            pool = docs.filter(F.col("source") != DSIR_TARGET_SOURCE)
 
     def bucket(c):
         return F.pmod(dedup.hex60(c), F.lit(DSIR_BUCKETS))
 
-    tgt = toks.filter(F.col("source") == DSIR_TARGET_SOURCE)
+    tgt = target.select(F.split("text", " ").alias("t"))
     ct = (
         tgt.select(F.explode("t").alias("tok"))
         .select(bucket(F.col("tok")).alias("b"))
         .groupBy("b")
         .agg(F.count("*").cast("long").alias("ct"))
     )
-    pool = toks.filter(F.col("source") != DSIR_TARGET_SOURCE)
-    evb = pool.select(
+    pool_toks = pool.select(
+        "doc_id", "source", F.split("text", " ").alias("t")
+    )
+    evb = pool_toks.select(
         "doc_id",
         "source",
         F.explode(

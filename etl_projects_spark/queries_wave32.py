@@ -52,17 +52,19 @@ _KEY_WIDTH_E6 = 1 << 32
 _DOC_WIDTH = 1 << 30
 
 
-@_q(
-    "dsir_select",
-    f"""
-    WITH {dsir_weights_cte()},
-    keyed AS (
+def dsir_select_ctes(weights_rel: str = "weights") -> str:
+    """The DuckDB CTE chain for Gumbel-top-k budget selection over a
+    weights relation (doc_id, source, n_tokens, log_weight) — shared
+    by the ``dsir_select`` oracle and the composed
+    ``curation_pipeline_run`` oracle (queries_wave33). Ends at
+    ``selected``: (doc_id, source, n_tokens, sel_key, tokens_before)."""
+    return f"""keyed AS (
       SELECT doc_id, source, n_tokens,
              round(log_weight
                    - ln(-ln((CAST((doc_id * {_MIX_MULT}) % {_MIX_MOD}
                                   AS DOUBLE) + 0.5)
                             / {float(_MIX_MOD)})), 6) AS sel_key
-      FROM weights),
+      FROM {weights_rel}),
     ranked AS (
       SELECT doc_id, source, n_tokens, sel_key,
              CAST(COALESCE(SUM(n_tokens) OVER (
@@ -70,10 +72,86 @@ _DOC_WIDTH = 1 << 30
                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
                   0) AS BIGINT) AS tokens_before
       FROM keyed),
-    tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t FROM keyed)
+    tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t FROM keyed),
+    selected AS (
+      SELECT doc_id, source, n_tokens, sel_key, tokens_before
+      FROM ranked, tot
+      WHERE {DSIR_SELECT_DEN} * tokens_before < t)"""
+
+
+def dsir_select_from_weights(
+    w: DataFrame, scope: str = "dsir_select"
+) -> DataFrame:
+    """Gumbel-top-k budget selection over a weights relation — the
+    Spark twin of :func:`dsir_select_ctes`, factored out of
+    ``dsir_select`` (r15) so the composed curation funnel selects from
+    ITS pool's weights through the identical kernel. All semantics and
+    scale commentary live on the catalog query's docstring; ``scope``
+    names the :func:`materialize_scoped` pin (callers in loops get the
+    bounded-pin contract per scope)."""
+    from etl_projects_spark.operators.exec_util import (
+        materialize_scoped,
+        prefix_sum,
+    )
+
+    u = (
+        F.pmod(
+            F.col("doc_id") * F.lit(_MIX_MULT), F.lit(_MIX_MOD)
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(_MIX_MOD))
+    sel_key = F.round(F.col("log_weight") - F.log(-F.log(u)), 6)
+    keyed = w.select(
+        "doc_id", "source", "n_tokens", sel_key.alias("sel_key")
+    )
+    # Pin before fan-out: totals, the prefix-sum quantile probe, and
+    # the prefix sum's two branches all read this relation — unpinned,
+    # each would re-execute the full DSIR scoring pipeline.
+    keyed = materialize_scoped(keyed, scope)
+    # Composite long encoding of (sel_key DESC, doc_id ASC) for the
+    # single-column distributed prefix sum — exact because sel_key is
+    # already 6-dp-rounded, so its 1e6 scaling is integer. Width
+    # overflow corrupts the order silently, hence the loud guard
+    # (curriculum_schedule precedent).
+    key_e6 = F.round(F.col("sel_key") * 1000000, 0).cast("long")
+    ord_key = (F.lit(_KEY_WIDTH_E6) - key_e6) * F.lit(_DOC_WIDTH) + F.col(
+        "doc_id"
+    )
+    ord_key = F.when(
+        (F.abs(key_e6) < F.lit(_KEY_WIDTH_E6))
+        & (F.col("doc_id") >= 0)
+        & (F.col("doc_id") < F.lit(_DOC_WIDTH)),
+        ord_key,
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "dsir_select: sel_key exceeds the 2^32 1e6-scaled "
+                "packing width or doc_id exceeds 2^30; rebalance the "
+                "composite key fields"
+            )
+        )
+    )
+    ranked = prefix_sum(
+        keyed.withColumn("_ord", ord_key),
+        "_ord",
+        "n_tokens",
+        out_col="tokens_before",
+    )
+    tot = keyed.agg(F.sum("n_tokens").cast("long").alias("_t"))
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .filter(F.lit(DSIR_SELECT_DEN) * F.col("tokens_before") < F.col("_t"))
+        .select("doc_id", "source", "n_tokens", "sel_key", "tokens_before")
+    )
+
+
+@_q(
+    "dsir_select",
+    f"""
+    WITH {dsir_weights_cte()},
+    {dsir_select_ctes()}
     SELECT doc_id, source, n_tokens, sel_key, tokens_before
-    FROM ranked, tot
-    WHERE {DSIR_SELECT_DEN} * tokens_before < t
+    FROM selected
     """,
 )
 def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -116,58 +194,5 @@ def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     weights query's shape (model broadcast-joined, corpus never
     shuffled for the model).
     """
-    from etl_projects_spark.operators.exec_util import (
-        materialize_scoped,
-        prefix_sum,
-    )
-
     w = dsir_weights_relation(spark, sf_dir)
-    u = (
-        F.pmod(
-            F.col("doc_id") * F.lit(_MIX_MULT), F.lit(_MIX_MOD)
-        ).cast("double")
-        + F.lit(0.5)
-    ) / F.lit(float(_MIX_MOD))
-    sel_key = F.round(F.col("log_weight") - F.log(-F.log(u)), 6)
-    keyed = w.select(
-        "doc_id", "source", "n_tokens", sel_key.alias("sel_key")
-    )
-    # Pin before fan-out: totals, the prefix-sum quantile probe, and
-    # the prefix sum's two branches all read this relation — unpinned,
-    # each would re-execute the full DSIR scoring pipeline.
-    keyed = materialize_scoped(keyed, "dsir_select")
-    # Composite long encoding of (sel_key DESC, doc_id ASC) for the
-    # single-column distributed prefix sum — exact because sel_key is
-    # already 6-dp-rounded, so its 1e6 scaling is integer. Width
-    # overflow corrupts the order silently, hence the loud guard
-    # (curriculum_schedule precedent).
-    key_e6 = F.round(F.col("sel_key") * 1000000, 0).cast("long")
-    ord_key = (F.lit(_KEY_WIDTH_E6) - key_e6) * F.lit(_DOC_WIDTH) + F.col(
-        "doc_id"
-    )
-    ord_key = F.when(
-        (F.abs(key_e6) < F.lit(_KEY_WIDTH_E6))
-        & (F.col("doc_id") >= 0)
-        & (F.col("doc_id") < F.lit(_DOC_WIDTH)),
-        ord_key,
-    ).otherwise(
-        F.raise_error(
-            F.lit(
-                "dsir_select: sel_key exceeds the 2^32 1e6-scaled "
-                "packing width or doc_id exceeds 2^30; rebalance the "
-                "composite key fields"
-            )
-        )
-    )
-    ranked = prefix_sum(
-        keyed.withColumn("_ord", ord_key),
-        "_ord",
-        "n_tokens",
-        out_col="tokens_before",
-    )
-    tot = keyed.agg(F.sum("n_tokens").cast("long").alias("_t"))
-    return (
-        ranked.crossJoin(F.broadcast(tot))
-        .filter(F.lit(DSIR_SELECT_DEN) * F.col("tokens_before") < F.col("_t"))
-        .select("doc_id", "source", "n_tokens", "sel_key", "tokens_before")
-    )
+    return dsir_select_from_weights(w, scope="dsir_select")

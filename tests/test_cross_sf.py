@@ -52,6 +52,11 @@ REPRESENTATIVE = [
     # r14: the selection stage at the small vintage — the budget cut
     # lands after very few docs, exercising the boundary arithmetic
     "dsir_select",
+    # r15: the composed funnel at the small vintage — every stage's
+    # low-population edge (sparse dedup clusters, few contaminated
+    # docs, a handful of selected docs packing into ONE shard) flows
+    # through the catalog handoffs here
+    "curation_pipeline_run",
     "media_fingerprint",
     "quality_validate_events",
     "asof_click_before_purchase",
@@ -253,6 +258,9 @@ UPSCALE = [
     # r14: selection at 10× the pool — the Gumbel key order and the
     # distributed prefix-sum budget cumsum at real bucket counts
     "dsir_select",
+    # r15: the composed funnel at 10× — multi-shard packing, real
+    # dedup component populations, and the stage-chained DSIR moments
+    "curation_pipeline_run",
     "chi_square_type_by_dow",
     "bollinger_bands_daily",
     "percent_change_mom",

@@ -167,6 +167,9 @@ def test_cross_join_sites_are_broadcast_bounded_relations():
         # dsir_select: the 1-row pool-token total broadcast onto the
         # ranked relation for the exact-integer budget test.
         "queries_wave32.py": 1,
+        # curation_pipeline_run: the 1-row raw-corpus token total
+        # broadcast onto the 7-row stage report for token_keep_rate.
+        "queries_wave33.py": 1,
     }
     assert got == allowed, (
         f"crossJoin sites changed: {got} != {allowed} — a new site must "

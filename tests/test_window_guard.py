@@ -95,41 +95,36 @@ def test_catalog_and_plans_records_are_fresh():
     )
 
 
-def test_r14_rotation_heads_the_window():
-    # r14 window invariants: the movers lead — the cosine-family
-    # oracle hash movers (per-norm floor, r13 ADVICE), the margin
-    # query's thin-caller rework, the DSIR decimal widening, the r14
-    # addition (dsir_select), and the exec_util scoped-pin consumers —
-    # then the first 35 of the 38 remaining r8-vintage rows in
-    # freshness order (r13 VERDICT item 4; the 3 left for r15:
-    # vocab_top_terms, window_rank_metrics, window_user_value_delta).
+def test_r15_rotation_heads_the_window():
+    # r15 window invariants: the additions lead (the composed
+    # curation funnel and any later r15 additions), then the LAST
+    # three r8-vintage rows (r14 VERDICT item 1 — completes the
+    # three-round freshness campaign), then the changed-module
+    # consumers (DSIR refactor, exec_util sentinel protocol, the
+    # similarity per-norm completion), then the oldest r9-vintage
+    # freshness rows.
     window = wh.window_names()
-    movers = {
-        "embedding_margin_report", "dsir_importance_weights",
-        "dsir_select",
-        "ann_recall_report", "ann_ivf_recall_report",
-        "knn_label_purity", "ann_cosine_topk", "ann_lsh_topk",
-        "ann_lsh_multiprobe_topk", "ann_knn_join", "ann_ivf_topk",
-        "dedup_embedding_cosine", "embedding_similarity_join",
-        "semdedup_prune", "dedup_incremental_batch",
+    assert window[0] == "curation_pipeline_run"
+    assert set(window[1:4]) == {
+        "vocab_top_terms", "window_rank_metrics", "window_user_value_delta"
+    }, "the final r8 rotation must ride the r15 window"
+    consumers = {
+        "dsir_importance_weights", "dsir_select",
+        "dedup_incremental_batch", "decontaminate_eval_join",
+        "embedding_margin_report", "ann_recall_report",
+        "ann_ivf_recall_report", "knn_label_purity", "ann_cosine_topk",
+        "ann_lsh_topk", "ann_lsh_multiprobe_topk", "ann_knn_join",
+        "ann_ivf_topk", "dedup_embedding_cosine",
+        "embedding_similarity_join", "semdedup_prune",
     }
-    assert movers == set(window[:15])
-    r8_rotation_head = {
-        "dedup_keep_best_quality", "dedup_keep_list",
-        "dedup_minhash_components", "doc_length_percentile_filter",
-        "embedding_centroids_by_label", "embedding_quantize_int8",
-        "exact_distinct_users_daily",
+    assert consumers <= set(window[:25])
+    # Freshness: the oldest remaining vintage rows fill the tail.
+    r9_head = {
+        "asof_forward_purchase_window", "cdc_changelog_apply",
+        "chi_square_type_by_dow", "chunk_dedup_rewrite",
+        "compact_small_files",
     }
-    assert r8_rotation_head <= set(window[15:22])
-    r8_tail = {
-        "rollup_revenue", "scalar_subquery_pricey_parts",
-        "split_contamination_report", "string_functions_customer",
-        "unpivot_part_measures",
-    }
-    assert r8_tail <= set(window[:50])
-    # The 3 r8 rows that did NOT fit must be first in line for r15.
-    assert {"vocab_top_terms", "window_rank_metrics",
-            "window_user_value_delta"}.isdisjoint(set(window))
+    assert r9_head <= set(window[:50])
 
 
 def test_guard_fires_on_out_of_window_query_edit(monkeypatch):
