@@ -76,20 +76,25 @@ _ROUND_PRIORITY = [
     "vocab_top_terms",
     "window_rank_metrics",
     "window_user_value_delta",
-    # 5-6: consumers of the r15 DSIR refactor (dsir_weights_cte /
+    # 5: the second r15 ADDITION — IVF-PQ ANN through the materialized
+    # index (r14 VERDICT item 3): ADC shortlist via a codegen'd
+    # LUT-fold over the code column, exact re-rank of the shortlist;
+    # oracle inlines the numpy twin's bit-identical shortlist.
+    "ann_ivf_pq_topk",
+    # 6-7: consumers of the r15 DSIR refactor (dsir_weights_cte /
     # dsir_weights_relation grew pool/target relation parameters with
     # defaults preserving the standalone semantics; dsir_select's
     # selection kernel factored into dsir_select_from_weights +
     # dsir_select_ctes for the funnel to reuse — values unchanged).
     "dsir_importance_weights",
     "dsir_select",
-    # 7-8: named consumers of the exec_util scoped-pin rework (r14
+    # 8-9: named consumers of the exec_util scoped-pin rework (r14
     # ADVICE: sentinel-claim protocol — the materialize job no longer
     # runs under the global registry lock; race accounting proven in
     # tests/test_exec_util.py).
     "dedup_incremental_batch",
     "decontaminate_eval_join",
-    # 9-20: the cosine family — consumers of the r14-ADVICE completion
+    # 10-21: the cosine family — consumers of the r14-ADVICE completion
     # in similarity.py (_pair_cosine_batch now floors EACH norm like
     # cosine()/cosine_sql, closing the last product-floor path; plus
     # margin_report's loud integral-id guard). Values unchanged — no
@@ -106,7 +111,7 @@ _ROUND_PRIORITY = [
     "dedup_embedding_cosine",
     "embedding_similarity_join",
     "semdedup_prune",
-    # 21-50: freshness rotation — the oldest r9-vintage rows in
+    # 22-50: freshness rotation — the oldest r9-vintage rows in
     # tools/freshness_report.py order (engine_partitioned_incremental
     # doubles as the named consumer of the additive
     # LakeEngine.load_dataframe change).
@@ -139,7 +144,6 @@ _ROUND_PRIORITY = [
     "merge_upsert_orders",
     "mlm_token_masking",
     "mode_priority_by_segment",
-    "neardup_rate_by_source",
 ]
 
 

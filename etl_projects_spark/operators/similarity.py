@@ -335,6 +335,25 @@ def _centroids_from_sample(sample: np.ndarray, n_centroids: int) -> np.ndarray:
     return cents
 
 
+def _sample_matrix(
+    df: DataFrame, vec_col: str, id_col: str, sample_rows: int
+) -> np.ndarray:
+    """The family's ONE bounded codebook-sample fetch: the
+    ``sample_rows`` lowest-id vectors as a float64 matrix (driver-side
+    numpy — the sample is capped, so this stays O(sample·dim)
+    regardless of corpus size; at 100 TB the same recipe runs on a
+    ``limit``-ed sample exactly like here). Shared by
+    :func:`ivf_centroids` and :func:`pq_codebooks` so both codebooks
+    derive from the SAME floats in one pull."""
+    pdf = (
+        df.orderBy(id_col)
+        .limit(sample_rows)
+        .select(vec_col)
+        .toPandas()
+    )
+    return np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+
+
 def ivf_centroids(
     df: DataFrame,
     n_centroids: int = IVF_CENTROIDS,
@@ -343,19 +362,11 @@ def ivf_centroids(
     sample_rows: int = 2048,
 ) -> np.ndarray:
     """Deterministic IVF codebook: seed with the ``n_centroids``
-    lowest-id vectors, then one Lloyd refinement over a bounded
-    id-ordered sample (driver-side numpy — the sample is capped, so
-    this stays O(sample·dim) regardless of corpus size; at 100 TB the
-    same recipe runs on a ``limit``-ed sample exactly like here).
-    """
-    pdf = (
-        df.orderBy(id_col)
-        .limit(sample_rows)
-        .select(vec_col)
-        .toPandas()
+    lowest-id vectors, then one Lloyd refinement over the bounded
+    id-ordered sample (:func:`_sample_matrix`)."""
+    return _centroids_from_sample(
+        _sample_matrix(df, vec_col, id_col, sample_rows), n_centroids
     )
-    sample = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
-    return _centroids_from_sample(sample, n_centroids)
 
 
 # Memo for _twin_assignments, keyed by (path, mtime_ns, size, params):
@@ -620,6 +631,315 @@ def ivf_topk(
         .orderBy(F.desc("score"), F.col(id_col))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: product quantization on top of the IVF partitioning — the
+# composition an actual 100 TB vector corpus serves ANN from (the IVF
+# cell bounds the scan, the 8-byte PQ code bounds the bytes per
+# scanned row, and only the shortlist ever touches a full vector).
+# Reference parity: this is the public FAISS IndexIVFPQ recipe
+# (Jégou et al. 2011, "Product Quantization for Nearest Neighbor
+# Search") re-expressed as parquet partition pruning + a codegen'd
+# lookup-table fold — no library, no UDF in the ADC path.
+# ---------------------------------------------------------------------------
+
+PQ_M = 8  # subspaces: 64-dim embeddings -> 8 sub-vectors of 8 dims
+PQ_K = 16  # codes per subspace (4-bit codes; an 8-byte code per vector)
+PQ_SHORTLIST = 50  # ADC shortlist size handed to the exact re-rank
+
+
+def _pq_codebooks_from_sample(
+    sample: np.ndarray, m: int = PQ_M, k: int = PQ_K
+) -> np.ndarray:
+    """Pure-numpy PQ codebook core — shared verbatim by the Spark
+    index build and the oracle's parquet twin so both see bit-identical
+    codebooks (the :func:`_centroids_from_sample` discipline). Rows are
+    normalized first (PQ codes quantize the UNIT vector here — cosine
+    is the family metric, so the reconstruction target is the
+    normalized embedding, not the raw one), then each of the ``m``
+    sub-spaces independently seeds with its first ``k`` sub-vectors
+    and runs one Lloyd refinement under squared-L2."""
+    sn = sample / np.maximum(
+        np.linalg.norm(sample, axis=1, keepdims=True), 1e-12
+    )
+    d = sn.shape[1] // m
+    books = np.empty((m, k, d), dtype=np.float64)
+    for mi in range(m):
+        sub = sn[:, mi * d : (mi + 1) * d]
+        cb = sub[:k].copy()
+        code = _pq_nearest_code(sub, cb)
+        for c in range(k):
+            members = sub[code == c]
+            if len(members):
+                cb[c] = members.mean(axis=0)
+        books[mi] = cb
+    return books
+
+
+def _pq_nearest_code(sub: np.ndarray, cb: np.ndarray) -> np.ndarray:
+    """argmin squared-L2 code per sub-vector row. One kernel for the
+    codebook build, the Spark Arrow-batch encoder, and the oracle twin
+    — np.argmin's first-minimum tie rule is deterministic given
+    identical floats, and every caller feeds it identical floats."""
+    d2 = ((sub[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+    return np.argmin(d2, axis=1).astype(np.int32)
+
+
+def _pq_encode(vn: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, m) int32 code matrix for NORMALIZED vectors ``vn``."""
+    m, _, d = books.shape
+    codes = np.empty((len(vn), m), dtype=np.int32)
+    for mi in range(m):
+        codes[:, mi] = _pq_nearest_code(vn[:, mi * d : (mi + 1) * d], books[mi])
+    return codes
+
+
+def _pq_adc_lut(qn: np.ndarray, books: np.ndarray) -> list[float]:
+    """Flat (m·k) asymmetric-distance lookup table for a NORMALIZED
+    query: ``lut[mi*k + c]`` = the query sub-vector's dot product with
+    code ``c`` of subspace ``mi``, so sum over subspaces of the looked-
+    up entries ≈ cosine(query, vector). Python floats — the exact
+    doubles the Spark expression embeds as literals AND the twin folds."""
+    m, _, d = books.shape
+    return [
+        float(x)
+        for mi in range(m)
+        for x in books[mi] @ qn[mi * d : (mi + 1) * d]
+    ]
+
+
+def _pq_adc_fold(codes_row, lut: list[float], k: int = PQ_K) -> float:
+    """Left-to-right IEEE-double fold of the LUT entries — the exact
+    shape of the Spark ``aggregate`` expression (0.0 seed, sequential
+    adds), so the twin's ADC scores are bit-identical to the engine's."""
+    acc = 0.0
+    for mi, c in enumerate(codes_row):
+        acc += lut[mi * k + int(c)]
+    return acc
+
+
+def ivf_pq_write_index(
+    df: DataFrame,
+    path: str,
+    n_centroids: int = IVF_CENTROIDS,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_rows: int = 2048,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Materialize the IVF-PQ index: one cluster-partitioned parquet
+    table carrying BOTH the PQ code array and the raw vector, plus a
+    JSON sidecar with the IVF centroids and PQ codebooks (both trained
+    on the same bounded id-ordered driver sample in ONE pull).
+
+    Co-locating codes and vectors in one table is deliberate: parquet
+    is columnar, so the ADC pass reads ONLY (id, codes) — the compact
+    representation PQ exists for — while the exact re-rank reads
+    (id, vector) for shortlist ids under the same partition pruning.
+    Two pruned scans of one index, no second artifact to keep in sync.
+    Write shape is :func:`ivf_write_index`'s rebalance-then-partitionBy
+    (no sliver files, no hot-cell writer funnel)."""
+    import json
+    import os
+
+    import pandas as pd
+
+    sample = _sample_matrix(df, vec_col, id_col, sample_rows)
+    cents = _centroids_from_sample(sample, n_centroids)
+    books = _pq_codebooks_from_sample(sample, m, k)
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast((cents, books))
+
+    def assign(batches):
+        cts, bks = bc.value
+        for batch in batches:
+            v = np.vstack(batch[vec_col].to_numpy()).astype(np.float64)
+            vn = v / np.maximum(
+                np.linalg.norm(v, axis=1, keepdims=True), 1e-12
+            )
+            yield pd.DataFrame(
+                {
+                    id_col: batch[id_col],
+                    "cluster": np.argmax(vn @ cts.T, axis=1).astype(np.int32),
+                    "codes": list(_pq_encode(vn, bks)),
+                    vec_col: batch[vec_col],
+                }
+            )
+
+    encoded = df.select(id_col, vec_col).mapInPandas(
+        assign,
+        schema=(
+            f"{id_col} long, cluster int, codes array<int>, "
+            f"{vec_col} array<float>"
+        ),
+    )
+    (
+        encoded.hint("rebalance", "cluster")
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(path)
+    )
+    with open(os.path.join(path, "_ivf_pq_codebooks.json"), "w") as f:
+        json.dump(
+            {"centroids": cents.tolist(), "pq_codebooks": books.tolist()}, f
+        )
+    return cents, books
+
+
+def pq_adc_shortlist(
+    spark,
+    path: str,
+    qn: np.ndarray,
+    books: np.ndarray,
+    probes: list[int],
+    shortlist: int = PQ_SHORTLIST,
+    exclude_id: int | None = None,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Stage 2 of the IVF-PQ serve path as a standalone relation: the
+    ADC top-``shortlist`` over the probed cells. The LUT is a
+    (m·k)-double array LITERAL and the score is a codegen'd
+    ``aggregate`` fold over the stored code array — the scan reads
+    ONLY (id, codes) of the probed partitions (plan-pinned in
+    tests/test_plans.py: no embedding column, no shuffle,
+    TakeOrderedAndProject)."""
+    m = books.shape[0]
+    k = books.shape[1]
+    lut_col = F.array(*[F.lit(v) for v in _pq_adc_lut(qn, books)])
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda c, mi: F.element_at(lut_col, mi * k + c + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    idx = spark.read.parquet(path).filter(F.col("cluster").isin(probes))
+    if exclude_id is not None:
+        idx = idx.filter(F.col(id_col) != exclude_id)
+    return (
+        idx.select(F.col(id_col), adc.alias("adc_score"))
+        .orderBy(F.desc("adc_score"), F.col(id_col))
+        .limit(shortlist)
+    )
+
+
+def ivf_pq_topk_indexed(
+    spark,
+    path: str,
+    query_vec,
+    k: int = 10,
+    n_probe: int = IVF_PROBE,
+    shortlist: int = PQ_SHORTLIST,
+    exclude_id: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN top-k over a materialized IVF-PQ index, the three-stage
+    serve path of a production vector store:
+
+    1. **Probe** — rank IVF cells against the query on the driver
+       (codebook-sized argsort) and scan only those partitions.
+    2. **ADC** — approximate every scanned row's cosine as a sum of
+       ``PQ_M`` lookup-table entries. The LUT is a (m·k)-double array
+       LITERAL and the sum is a codegen'd ``aggregate`` fold over the
+       stored code array — JVM expression, no Python, and the scan
+       reads only the code column (column pruning does PQ's memory
+       job). Top-``shortlist`` by ADC via TakeOrderedAndProject.
+    3. **Re-rank** — fetch full vectors for the shortlist ids only
+       (pushed-down IN filter over the same probed partitions), exact
+       Arrow pair-cosine, TakeOrderedAndProject the final ``k``.
+
+    No shuffle anywhere; the only driver materialization is the
+    ``shortlist``-bounded id list between stages 2 and 3."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_ivf_pq_codebooks.json")) as f:
+        side = json.load(f)
+    cents = np.array(side["centroids"], dtype=np.float64)
+    books = np.array(side["pq_codebooks"], dtype=np.float64)
+    qn = np.asarray(query_vec, dtype=np.float64)
+    qn = qn / np.maximum(np.linalg.norm(qn), 1e-12)
+    probes = [int(c) for c in np.argsort(-(cents @ qn))[:n_probe]]
+    short = pq_adc_shortlist(
+        spark, path, qn, books, probes,
+        shortlist=shortlist, exclude_id=exclude_id, id_col=id_col,
+    )
+    # Bounded by construction: exactly `shortlist` rows cross the
+    # driver so the re-rank scan gets a PUSHED-DOWN id filter (a join
+    # would scan-and-probe instead of pruning row groups).
+    rows = short.collect()
+    by_id = {r[id_col]: r["adc_score"] for r in rows}
+    ids = sorted(by_id)
+    adc_rel = F.create_map(
+        *[F.lit(x) for i in ids for x in (i, by_id[i])]
+    )
+    rerank = (
+        spark.read.parquet(path)
+        .filter(F.col("cluster").isin(probes) & F.col(id_col).isin(ids))
+        .select(
+            F.col(id_col),
+            # Raw double (the twin's exact bits inline into the
+            # oracle; the comparator rounds) — the family's raw-
+            # quotient rule, engine round() differs per engine.
+            adc_rel[F.col(id_col)].alias("adc_score"),
+            F.round(
+                pair_cosine(
+                    F.col(vec_col),
+                    F.array(*[F.lit(float(x)) for x in query_vec]),
+                ),
+                6,
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(k)
+    )
+    return rerank
+
+
+def ivf_pq_shortlist(
+    parquet_path: str,
+    query_id: int,
+    n_probe: int = IVF_PROBE,
+    shortlist: int = PQ_SHORTLIST,
+    n_centroids: int = IVF_CENTROIDS,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_rows: int = 2048,
+) -> list[tuple[int, float]]:
+    """Numpy twin of the engine's ADC shortlist — (vec_id, adc_score)
+    pairs in shortlist order, replayed straight from the parquet file
+    (pyarrow, no Spark) through the SAME kernels the index build and
+    serve path use (:func:`_pq_codebooks_from_sample`,
+    :func:`_pq_encode`, :func:`_pq_adc_lut`, :func:`_pq_adc_fold`), so
+    oracle generators can inline the exact shortlist the engine's
+    literal-LUT fold produces. The cut orders by raw ADC double DESC
+    with the id tiebreak — both sides fold identical IEEE doubles in
+    the same order, so no rounding is needed for the cut to agree."""
+    ids, vecs, cents, assign = _twin_assignments(
+        parquet_path, n_centroids, vec_col, id_col, sample_rows
+    )
+    books = _pq_codebooks_from_sample(vecs[:sample_rows], m, k)
+    vn = vecs / np.maximum(
+        np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12
+    )
+    codes = _pq_encode(vn, books)
+    qn = vn[ids == query_id][0]
+    probes = np.argsort(-(cents @ qn))[:n_probe]
+    mask = np.isin(assign, probes) & (ids != query_id)
+    lut = _pq_adc_lut(qn, books)
+    scored = sorted(
+        ((int(i), _pq_adc_fold(c, lut, k)) for i, c in
+         zip(ids[mask], codes[mask])),
+        key=lambda t: (-t[1], t[0]),
+    )
+    return scored[:shortlist]
 
 
 def _probe_matrix_broadcast(corpus, queries, vec_col, id_col):

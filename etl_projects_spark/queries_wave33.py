@@ -73,7 +73,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_projects_spark import config
-from etl_projects_spark.operators import dedup, text
+from etl_projects_spark.operators import dedup, similarity, text
 from etl_projects_spark.queries import _q, load
 from etl_projects_spark.queries_curation import CONTAM_NGRAM, _contam_grams
 from etl_projects_spark.queries_mixing import PACK_BUDGET
@@ -198,6 +198,97 @@ def _funnel_oracle() -> str:
              AS token_keep_rate
     FROM rep, t0
     """
+
+
+def ivf_pq_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Materialized IVF-PQ index scratch path for ``sf_dir``'s
+    embeddings — built AT MOST ONCE per corpus vintage (``build_once``
+    keyed on the parquet's mtime+size, the ``ivf_index_dir``
+    lifecycle), amortizing the codebook train + encode across every
+    query exactly as a persisted index would on a cluster."""
+    from etl_projects_spark.operators.exec_util import build_once, scratch_path
+
+    idx_dir = scratch_path("ivf_pq", os.path.join(sf_dir, "embeddings.parquet"))
+    emb = load(spark, sf_dir, "embeddings")
+    build_once(
+        idx_dir,
+        lambda tmp: similarity.ivf_pq_write_index(emb, tmp),
+        marker="_ivf_pq_codebooks.json",
+    )
+    return idx_dir
+
+
+def _ivf_pq_oracle() -> str | None:
+    """Oracle for ann_ivf_pq_topk. The ADC shortlist — probed IVF
+    cells, PQ codes, literal-LUT fold, top-``PQ_SHORTLIST`` cut — is
+    reproducible from the codebook constants + data alone
+    (:func:`similarity.ivf_pq_shortlist`, the numpy twin running the
+    SAME kernels as the index build and serve path, no Spark), so the
+    oracle inlines the twin's (vec_id, adc_score) pairs as a VALUES
+    relation and verifies the exact re-rank in pure SQL: exact-cosine
+    top-k restricted to the shortlist ids, carrying the ADC score
+    through. The inlined adc doubles go through a VARCHAR→DOUBLE cast
+    (repr round-trips exactly; a bare decimal literal would land as
+    DECIMAL and re-round). Registered as a CALLABLE (resolved at gate
+    time against the oracle corpus then in effect); None if that
+    corpus is absent or empty (rows-only check in bench-only envs)."""
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    if not os.path.exists(path):
+        return None
+    import pyarrow.parquet as pq
+
+    if pq.ParquetFile(path).metadata.num_rows == 0:
+        return None
+    short = similarity.ivf_pq_shortlist(path, query_id=7)
+    if not short:
+        return None
+    vals = ", ".join(
+        f"({i}, CAST('{float(a)!r}' AS DOUBLE))" for i, a in short
+    )
+    return f"""
+    WITH short(vec_id, adc_score) AS (VALUES {vals}),
+    q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 7)
+    SELECT e.vec_id, s.adc_score,
+           round({similarity.cosine_sql('e.embedding', 'qvec')}, 6) AS score
+    FROM embeddings e JOIN short s ON e.vec_id = s.vec_id, q
+    ORDER BY score DESC, e.vec_id LIMIT 10
+    """
+
+
+@_q("ann_ivf_pq_topk", _ivf_pq_oracle)
+def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN top-k through the materialized index — the vector
+    family's 100 TB serve path (r14 VERDICT item 3): IVF cell probing
+    bounds the SCAN, the 8-byte product-quantization code bounds the
+    BYTES per scanned row, and only the ``PQ_SHORTLIST`` survivors
+    ever touch a full vector.
+
+    Spark shape (``similarity.ivf_pq_topk_indexed``): the probed-cell
+    scan reads ONLY (vec_id, codes) — column pruning over the
+    cluster-partitioned index does PQ's memory job; the asymmetric
+    distance is a codegen'd ``aggregate`` fold over a (M·K)-double
+    LUT literal (JVM expression, zero Python); the top-shortlist cut
+    is TakeOrderedAndProject; the exact re-rank reads full vectors
+    for the shortlist ids only (pushed-down IN + the same partition
+    pruning) and Arrow pair-cosines them. No shuffle end to end; the
+    one driver hop is the shortlist-bounded id list. Output: final
+    top-10 with both the ADC estimate and the exact score — the
+    readout that shows what the quantization cost at the top.
+    Codebooks: deterministic, trained on the bounded 2048-row
+    id-ordered sample (one pull serves IVF and PQ). Recall vs the
+    exact top-k is pinned in tests/test_ivf.py; plan pinned in
+    tests/test_plans.py."""
+    idx_dir = ivf_pq_index_dir(spark, sf_dir)
+    emb = load(spark, sf_dir, "embeddings")
+    qvec = (
+        emb.filter(F.col("vec_id") == 7).select("embedding").toPandas()
+    )["embedding"].iloc[0]
+    return similarity.ivf_pq_topk_indexed(
+        spark, idx_dir, qvec, k=10, exclude_id=7
+    )
 
 
 # The funnel's scoped-pin name (released at the end of every build —

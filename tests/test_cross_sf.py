@@ -57,6 +57,9 @@ REPRESENTATIVE = [
     # docs, a handful of selected docs packing into ONE shard) flows
     # through the catalog handoffs here
     "curation_pipeline_run",
+    # (ann_ivf_pq_topk excluded: like ann_ivf_recall_report its oracle
+    # inlines a gate-SF twin shortlist; its cross-SF rows are the
+    # dedicated re-derived-oracle test below)
     "media_fingerprint",
     "quality_validate_events",
     "asof_click_before_purchase",
@@ -261,6 +264,8 @@ UPSCALE = [
     # r15: the composed funnel at 10× — multi-shard packing, real
     # dedup component populations, and the stage-chained DSIR moments
     "curation_pipeline_run",
+    # (ann_ivf_pq_topk: dedicated re-derived-oracle test below covers
+    # sf0.1, where the ADC shortlist cut BINDS)
     "chi_square_type_by_dow",
     "bollinger_bands_daily",
     "percent_change_mom",
@@ -390,6 +395,8 @@ def test_new_catalog_additions_have_cross_sf_rows():
     twin_exempt = {
         # test_ann_ivf_recall_report_cross_sf_rederived_oracle below
         "ann_ivf_recall_report",
+        # test_ann_ivf_pq_topk_cross_sf_rederived_oracle below
+        "ann_ivf_pq_topk",
     }
     missing = [
         n for n in new if n in osql and n not in covered | twin_exempt
@@ -398,6 +405,26 @@ def test_new_catalog_additions_have_cross_sf_rows():
         f"new queries without cross-SF coverage: {missing} — add them "
         "to REPRESENTATIVE (sf0.001) and/or UPSCALE (sf0.1)"
     )
+
+
+@pytest.mark.parametrize(
+    "sfd", ["/root/testdata/sf0.001", "/root/testdata/sf0.1"]
+)
+def test_ann_ivf_pq_topk_cross_sf_rederived_oracle(spark, monkeypatch, sfd):
+    """Cross-SF rows for the IVF-PQ query: re-derive the twin
+    shortlist oracle FOR the swept corpus (the full-catalog sweeps'
+    SPARK_GRAFT_ORACLE_SF_DIR mechanism) and hash-compare. sf0.001 is
+    the degenerate-cut edge (probed cells hold fewer candidates than
+    PQ_SHORTLIST, so the shortlist is 'all of them'); sf0.1 is where
+    the ADC cut BINDS and the codebooks train on a true subsample."""
+    from etl_projects_spark import queries_wave33 as w33
+
+    monkeypatch.setenv("SPARK_GRAFT_ORACLE_SF_DIR", sfd)
+    sql = w33._ivf_pq_oracle()
+    assert sql is not None
+    sdf = entrymod.queries()["ann_ivf_pq_topk"](spark, sfd)
+    problems = compare(sdf, sql, sfd)
+    assert not problems, f"ann_ivf_pq_topk@{sfd}: " + "; ".join(problems)
 
 
 def test_ann_ivf_recall_report_cross_sf_rederived_oracle(spark, monkeypatch):

@@ -139,3 +139,72 @@ def test_ann_ivf_recall_report_invariants(spark, sf_dir):
     assert row.n_hit_ivf <= min(row.n_true_pairs, row.n_cand_ivf)
     lsh = qs["ann_recall_report"](spark, sf_dir).collect()[0]
     assert row.recall_ivf >= lsh.recall_bucket
+
+
+def test_ivf_pq_twin_matches_engine_shortlist(spark, tmp_path):
+    """The IVF-PQ oracle contract: the numpy twin's ADC shortlist
+    (ids AND raw double scores) is bit-identical to the engine's —
+    same codebooks from the same bounded sample, same encode kernel,
+    same left-fold LUT sum (JVM aggregate vs the twin's Python fold
+    are both sequential IEEE-double adds)."""
+    import json
+    import os
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    df = load(spark, sf, "embeddings")
+    path = str(tmp_path / "ivf_pq_index")
+    similarity.ivf_pq_write_index(df, path)
+    with open(os.path.join(path, "_ivf_pq_codebooks.json")) as f:
+        side = json.load(f)
+    cents = np.array(side["centroids"])
+    books = np.array(side["pq_codebooks"])
+    qvec = df.filter(F.col("vec_id") == QUERY_ID).collect()[0]["embedding"]
+    qn = np.asarray(qvec, dtype=np.float64)
+    qn /= np.maximum(np.linalg.norm(qn), 1e-12)
+    probes = [int(c) for c in np.argsort(-(cents @ qn))[: similarity.IVF_PROBE]]
+    engine = [
+        (r["vec_id"], r["adc_score"])
+        for r in similarity.pq_adc_shortlist(
+            spark, path, qn, books, probes, exclude_id=QUERY_ID
+        ).collect()
+    ]
+    twin = similarity.ivf_pq_shortlist(
+        os.path.join(sf, "embeddings.parquet"), query_id=QUERY_ID
+    )
+    assert engine == twin
+
+
+def test_ivf_pq_recall_and_determinism(spark, tmp_path):
+    """PQ re-rank recall@10 vs the exact brute-force top-10 — the
+    quantization-quality floor — plus run-to-run determinism and the
+    exactness of the re-ranked scores (the final `score` column must
+    be the same 6-dp cosine brute force emits for those ids)."""
+    from pyspark.sql import functions as F
+
+    df = load(spark, SF_DIR, "embeddings")
+    path = str(tmp_path / "ivf_pq_index")
+    similarity.ivf_pq_write_index(df, path)
+    qvec = df.filter(F.col("vec_id") == QUERY_ID).collect()[0]["embedding"]
+    got = similarity.ivf_pq_topk_indexed(
+        spark, path, qvec, k=10, exclude_id=QUERY_ID
+    )
+    rows = got.collect()
+    again = similarity.ivf_pq_topk_indexed(
+        spark, path, qvec, k=10, exclude_id=QUERY_ID
+    ).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+    exact = {
+        r["vec_id"]: r["score"]
+        for r in similarity.brute_force_topk(df, QUERY_ID, k=10).collect()
+    }
+    hit = [r for r in rows if r["vec_id"] in exact]
+    recall = len(hit) / 10
+    assert recall >= 0.5, f"IVF-PQ recall@10 too low: {recall}"
+    for r in hit:
+        assert r["score"] == exact[r["vec_id"]], "re-rank must be exact"
+    # The ADC estimate exists for every returned row and differs from
+    # the exact score (it is an estimate, not a copy).
+    assert all(r["adc_score"] is not None for r in rows)

@@ -138,6 +138,59 @@ def test_ivf_topk_scans_only_probed_clusters(spark, tmp_path):
     assert_plan(out, shuffles=0, top_k_pushdown=True)
 
 
+def test_ivf_pq_codes_scan_and_rerank_pruned(spark, tmp_path):
+    """The IVF-PQ serve path's two pruned scans: the ADC stage reads
+    ONLY (vec_id, codes) of the probed cluster partitions — never the
+    embedding column (column pruning is what makes PQ's compact
+    representation real in a columnar lake) — via a pure-JVM
+    expression fold with TakeOrderedAndProject; the exact re-rank
+    scan carries both the cluster partition filter and the pushed-down
+    shortlist-id filter. No shuffle in either stage."""
+    import json
+    import os
+    import re
+
+    import numpy as np
+
+    from etl_projects_spark.operators import similarity
+    from etl_projects_spark.plans.audit import plan_string
+    from etl_projects_spark.queries import load
+
+    df = load(spark, SF_DIR, "embeddings")
+    path = str(tmp_path / "ivf_pq_index")
+    similarity.ivf_pq_write_index(df, path)
+    with open(os.path.join(path, "_ivf_pq_codebooks.json")) as f:
+        side = json.load(f)
+    cents = np.array(side["centroids"])
+    books = np.array(side["pq_codebooks"])
+    qvec = df.filter("vec_id = 7").select("embedding").toPandas()[
+        "embedding"
+    ].iloc[0]
+    qn = np.asarray(qvec, dtype=np.float64)
+    qn /= np.maximum(np.linalg.norm(qn), 1e-12)
+    probes = [int(c) for c in np.argsort(-(cents @ qn))[: similarity.IVF_PROBE]]
+
+    short = similarity.pq_adc_shortlist(
+        spark, path, qn, books, probes, exclude_id=7
+    )
+    a = audit(short)
+    assert all("embedding" not in cols for cols in a["scan_columns"]), (
+        "ADC stage must not read the vector column"
+    )
+    assert_plan(short, shuffles=0, python_stages=0, top_k_pushdown=True)
+    plan = plan_string(short)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cluster" in m.group(1), "ADC scan must prune clusters"
+
+    out = similarity.ivf_pq_topk_indexed(spark, path, qvec, k=10, exclude_id=7)
+    a2 = audit(out)
+    assert a2["pushed_filters"], "re-rank scan must push the shortlist ids"
+    assert_plan(out, shuffles=0, top_k_pushdown=True)
+    plan2 = plan_string(out)
+    m2 = re.search(r"PartitionFilters: \[([^\]]*)\]", plan2)
+    assert m2 and "cluster" in m2.group(1), "re-rank scan must prune clusters"
+
+
 def test_funnel_single_shuffle_jvm_side(spark):
     # The ordered funnel pays ONE user-key shuffle (collect + array
     # HOFs), not a per-stage join cascade, and stays in codegen.

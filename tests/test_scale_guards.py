@@ -60,14 +60,17 @@ def test_driver_side_materialization_allowlist():
         # ships through the driver anyway; (b) distinct buckets of that
         # snapshot — ≤ GRAM_INDEX_BUCKETS rows by pigeonhole.
         "operators/dedup.py": 2,
-        # IVF codebook sample (bounded rows), single probe vectors,
-        # the SHARED bounded probe-matrix collect behind knn_join and
+        # IVF+PQ codebook sample (bounded rows, ONE pull via
+        # _sample_matrix since r15), single probe vectors, the SHARED
+        # bounded probe-matrix collect behind knn_join and
         # score_all_probes (_probe_matrix_broadcast — one site since
-        # the r13 kernel extraction), PCA basis sample, and
+        # the r13 kernel extraction), PCA basis sample,
         # margin_report's default probe draw (n_probes rows collected
         # ONCE so both kernel consumers reuse a local relation instead
-        # of re-running the TakeOrdered corpus scan — r14 review).
-        "operators/similarity.py": 5,
+        # of re-running the TakeOrdered corpus scan — r14 review), and
+        # the IVF-PQ ADC shortlist (exactly PQ_SHORTLIST rows, so the
+        # re-rank scan gets a pushed-down IN filter).
+        "operators/similarity.py": 6,
         # 1-row skew-stats aggregate.
         "operators/skew.py": 1,
         # S6 control-file roundtrip: a handful of control rows.
@@ -77,6 +80,8 @@ def test_driver_side_materialization_allowlist():
         "queries_curation.py": 1,
         # ann_ivf_topk's single probe vector.
         "queries_llm.py": 1,
+        # ann_ivf_pq_topk's single probe vector.
+        "queries_wave33.py": 1,
         # ann_ivf_recall_report's probe matrix — the SAME bounded
         # eval-set contract as knn_join's (vec_id % 100 probes).
         "queries_wave30.py": 1,
