@@ -2046,15 +2046,26 @@ def streaming_dedup_within_watermark(
     return spark.table("streaming_dedup_watermark_sink")
 
 
-@_q(
-    "lm_surprise_filter",
-    f"""
-    WITH toks AS (
-      SELECT doc_id, string_split(text, ' ') AS t,
-             {{mix}} AS mix
+def surprise_ctes() -> str:
+    """The DuckDB CTE chain for the bigram LM-surprise model — shared
+    verbatim by the ``lm_surprise_filter`` oracle and the DoReMi
+    domain-reweighting oracle (queries_wave33) so both verify against
+    ONE model definition (the ``dsir_weights_cte`` sharing pattern).
+    Ends at ``doc_surprise``: (doc_id, source, n_bigrams BIGINT,
+    s_total DOUBLE) where ``s_total`` is the document's TOTAL negative
+    log-likelihood (the position-ordered fold, NOT divided — the
+    per-doc mean is a consumer choice; dividing here would bake a
+    full-precision quotient into the shared relation)."""
+    mix = __import__(
+        "etl_projects_spark.queries_mixing", fromlist=["mix_unit_sql"]
+    ).mix_unit_sql("doc_id")
+    return f"""toks AS (
+      SELECT doc_id, source, string_split(text, ' ') AS t,
+             {mix} AS mix
       FROM documents),
     train AS (SELECT doc_id, t FROM toks WHERE mix < 0.8),
-    ev    AS (SELECT doc_id, t FROM toks WHERE mix >= 0.8 AND len(t) >= 2),
+    ev    AS (SELECT doc_id, source, t FROM toks
+              WHERE mix >= 0.8 AND len(t) >= 2),
     tb AS (
       SELECT t[i] AS w1, t[i + 1] AS w2
       FROM (SELECT t, unnest(range(1, len(t))) AS i
@@ -2064,26 +2075,33 @@ def streaming_dedup_within_watermark(
     v   AS (SELECT COUNT(DISTINCT tok) AS v
             FROM (SELECT unnest(t) AS tok FROM train)),
     evb AS (
-      SELECT doc_id, i AS pos, t[i] AS w1, t[i + 1] AS w2
-      FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM ev)),
+      SELECT doc_id, source, i AS pos, t[i] AS w1, t[i + 1] AS w2
+      FROM (SELECT doc_id, source, t,
+                   unnest(range(1, len(t))) AS i FROM ev)),
     scored AS (
-      SELECT e.doc_id, e.pos,
+      SELECT e.doc_id, e.source, e.pos,
              ln(CAST(COALESCE(c12.c, 0) + 1 AS DOUBLE)
                 / CAST(COALESCE(c1.c, 0) + v.v AS DOUBLE)) AS lnp
       FROM evb e
         LEFT JOIN c12 ON e.w1 = c12.w1 AND e.w2 = c12.w2
         LEFT JOIN c1 ON e.w1 = c1.w1
         CROSS JOIN v),
-    folded AS (
-      SELECT doc_id, COUNT(*) AS n_bigrams,
-             list(lnp ORDER BY pos) AS l
-      FROM scored GROUP BY doc_id)
+    doc_surprise AS (
+      SELECT doc_id, source, n_bigrams,
+             -list_reduce(l, (a, x) -> a + x) AS s_total
+      FROM (SELECT doc_id, source, COUNT(*) AS n_bigrams,
+                   list(lnp ORDER BY pos) AS l
+            FROM scored GROUP BY doc_id, source))"""
+
+
+@_q(
+    "lm_surprise_filter",
+    f"""
+    WITH {surprise_ctes()}
     SELECT doc_id, n_bigrams,
-           -list_reduce(l, (a, x) -> a + x) / CAST(n_bigrams AS DOUBLE)
-             AS surprise
-    FROM folded
-    """.format(mix=__import__("etl_projects_spark.queries_mixing",
-                              fromlist=["mix_unit_sql"]).mix_unit_sql("doc_id")),
+           s_total / CAST(n_bigrams AS DOUBLE) AS surprise
+    FROM doc_surprise
+    """,
 )
 def lm_surprise_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM-surprise scoring — the perplexity-filter stage of
@@ -2107,11 +2125,38 @@ def lm_surprise_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys (model-sized, shuffle-hash); the fold state per doc is one
     double. The model persists like any aggregate — training is
     incremental (counts are associative)."""
+    rel = surprise_relation(spark, sf_dir)
+    return rel.select(
+        "doc_id",
+        "n_bigrams",
+        (F.col("s_total") / F.col("n_bigrams").cast("double")).alias(
+            "surprise"
+        ),
+    )
+
+
+def surprise_relation(
+    spark: SparkSession, sf_dir: str, with_source: bool = False
+) -> DataFrame:
+    """The Spark twin of :func:`surprise_ctes`'s ``doc_surprise``
+    relation — (doc_id[, source], n_bigrams, s_total), shared by
+    ``lm_surprise_filter`` and the DoReMi domain reweighting
+    (queries_wave33). ``s_total`` is the per-doc TOTAL negative
+    log-likelihood: ``-fold`` then a consumer-side ``/n`` is
+    bit-identical to the original fused ``-fold/n`` (IEEE negation
+    commutes with division exactly), so the r8-proven
+    ``lm_surprise_filter`` values are unchanged by the extraction.
+    ``with_source`` adds the id→source equi-join after the per-doc
+    collapse (only DoReMi pays it; the filter's plan is unchanged).
+    All design commentary lives on the catalog query's docstring."""
     from etl_projects_spark.queries_mixing import mix_unit
 
     docs = load(spark, sf_dir, "documents")
     toks = docs.select(
-        "doc_id", F.split("text", " ").alias("t"), mix_unit("doc_id").alias("mix")
+        "doc_id",
+        "source",
+        F.split("text", " ").alias("t"),
+        mix_unit("doc_id").alias("mix"),
     )
     train = toks.filter(F.col("mix") < 0.8)
     ev = toks.filter((F.col("mix") >= 0.8) & (F.size("t") >= 2))
@@ -2163,11 +2208,13 @@ def lm_surprise_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold = F.aggregate(
         "l", F.lit(0.0), lambda acc, x: acc + x.getField("lnp")
     )
-    return folded.select(
-        "doc_id",
-        "n_bigrams",
-        (-fold / F.col("n_bigrams").cast("double")).alias("surprise"),
-    )
+    out = folded.select("doc_id", "n_bigrams", (-fold).alias("s_total"))
+    if not with_source:
+        return out
+    # Re-join source by doc_id (the eval projection above stays
+    # 2-column through the bigram explode; the id→source map is the
+    # documents scan itself, equi-joined after the per-doc collapse).
+    return out.join(ev.select("doc_id", "source"), "doc_id")
 
 
 @_q(

@@ -291,6 +291,209 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# DoReMi-style domain reweighting (Xie et al. 2023, "DoReMi:
+# Optimizing Data Mixtures Speeds Up Language Model Pretraining") —
+# completes the mixing family: temperature mixing reweights by SIZE,
+# DSIR selects by target-likeness, THIS reweights domains by excess
+# model loss (multiplicative-weights / Group-DRO update).
+# ---------------------------------------------------------------------------
+
+DOREMI_ITERS = 5  # fixed small iteration count (oracle-unrollable)
+DOREMI_ETA_DEN = 4  # step size η = 1/4 (exact binary)
+DOREMI_SMOOTH_DEN = 50  # uniform smoothing ε = 1/50 (DoReMi's mixer)
+_PPM = 1_000_000
+
+
+def _doremi_iter_ctes() -> str:
+    """The unrolled multiplicative-weights iteration as DuckDB CTEs —
+    generated by the same loop structure the Spark path runs, over a
+    ``stats`` relation (source, n_docs, n_bigrams, s_micro,
+    avg_micro). Every step is exact BIGINT arithmetic except ONE
+    ``exp`` per source per iteration, whose output is immediately
+    FLOOR-quantized to integer micro-units (floor operates on the
+    exact binary double in BOTH engines — never ``round()``, the
+    shortest-repr trap of DETERMINISM rule 4), so a 1-ulp libm
+    difference cannot survive except on a measure-zero boundary."""
+    # AS MATERIALIZED throughout: DuckDB inlines plain CTEs, and each
+    # iteration references its predecessor from TWO places (the
+    # scalar aggregate and the spine) — un-materialized, the corpus-
+    # sized stats pipeline re-inlines 4^T-fold and the oracle hangs
+    # (the same exponential re-reference the Spark side avoids with
+    # the single-row array-fold formulation).
+    out = f"""it0 AS MATERIALIZED (
+      SELECT source, n_docs, n_bigrams, s_micro, avg_micro, k,
+             {_PPM} // k AS w_micro
+      FROM stats CROSS JOIN (SELECT COUNT(*) AS k FROM stats))"""
+    prev = "it0"
+    for t in range(DOREMI_ITERS):
+        out += f""",
+    m{t} AS MATERIALIZED (
+      SELECT CAST(SUM(w_micro * avg_micro) AS BIGINT) // {_PPM}
+             AS m_micro FROM {prev}),
+    u{t} AS MATERIALIZED (
+      SELECT p.*,
+             CAST(FLOOR(CAST(w_micro AS DOUBLE)
+                  * exp(CAST(avg_micro - m_micro AS DOUBLE)
+                        / {DOREMI_ETA_DEN * _PPM}.0)) AS BIGINT) AS u_q
+      FROM {prev} p CROSS JOIN m{t}),
+    z{t} AS MATERIALIZED (
+      SELECT CAST(SUM(u_q) AS BIGINT) AS z FROM u{t}),
+    it{t + 1} AS MATERIALIZED (
+      SELECT source, n_docs, n_bigrams, s_micro, avg_micro, k,
+             ({DOREMI_SMOOTH_DEN - 1} * {_PPM} * u_q)
+               // ({DOREMI_SMOOTH_DEN} * z)
+               + {_PPM} // ({DOREMI_SMOOTH_DEN} * k) AS w_micro
+      FROM u{t} CROSS JOIN z{t})"""
+        prev = f"it{t + 1}"
+    return out
+
+
+def _doremi_oracle() -> str:
+    from etl_projects_spark.queries_llm import surprise_ctes
+
+    return f"""
+    WITH {surprise_ctes()},
+    stats0 AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(n_bigrams) AS BIGINT) AS nb,
+             CAST(SUM(CAST(FLOOR(s_total * {_PPM}) AS BIGINT))
+                  AS BIGINT) AS sm
+      FROM doc_surprise GROUP BY source),
+    stats AS (
+      SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+             nb AS n_bigrams, sm AS s_micro, sm // nb AS avg_micro
+      FROM stats0),
+    {_doremi_iter_ctes()}
+    SELECT source, n_docs, n_bigrams,
+           CAST(avg_micro AS DOUBLE) / {_PPM}.0 AS avg_surprise,
+           w_micro AS weight_ppm,
+           CAST(w_micro AS DOUBLE) / {_PPM}.0 AS weight
+    FROM it{DOREMI_ITERS}
+    """
+
+
+@_q("doremi_domain_reweight", _doremi_oracle())
+def doremi_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style domain reweighting: iterate a multiplicative-
+    weights (Group-DRO) update over per-source excess loss, using the
+    engine's bigram LM-surprise as the proxy loss (the shared
+    ``surprise_relation`` / ``surprise_ctes`` model — ONE definition
+    for this query, ``lm_surprise_filter``, and both oracles). A
+    domain whose per-bigram surprise sits above the current MIXTURE
+    mean gains weight each round — the hard-domain up-weighting DoReMi
+    trains its proxy for — then the weights are smoothed toward
+    uniform (ε = 1/{DOREMI_SMOOTH_DEN}) so no domain starves.
+
+    Update (t = 1..{DOREMI_ITERS}, η = 1/{DOREMI_ETA_DEN}):
+      m_t   = Σ_i w_i · avg_i          (current mixture mean loss)
+      u_i   = w_i · exp(η · (avg_i − m_t))
+      w_i'  = (1−ε) · u_i / Z + ε / k
+
+    Cross-engine float discipline: every quantity is an exact BIGINT
+    in micro-units — per-doc total-surprise floors to micro-nats at
+    the stage boundary, per-source sums/divisions are integer, the
+    mixture mean is an exact integer dot product (order-independent,
+    no float fold needed) — except ONE exp per source per iteration,
+    FLOOR-quantized back to integers immediately (never round(): the
+    engine-side round on full-precision values is the shortest-repr
+    trap, DETERMINISM rule 4; floor of the identical double is exact
+    in both engines). The emitted ``weight_ppm`` is an exact integer;
+    the two DOUBLE readouts are single divisions of exact integers.
+
+    Scale shape: the corpus-sized work is the shared surprise model
+    (one bigram-count shuffle + model-keyed scoring joins — the
+    lm_surprise plan); everything after collapses to ONE row holding
+    the source-sorted stats array (collect_list — bounded by the
+    sources contract, the ``funnel_user_conversion`` collect+HOF
+    pattern), and the {DOREMI_ITERS} iterations are a linear chain of
+    array expressions over that row (each scalar — the mixture dot
+    product, the normalizer — is an exact-BIGINT ``aggregate`` fold;
+    a crossJoin-per-aggregate formulation re-references the corpus
+    subtree exponentially and OOMs the planner at T=5). At 100 TB the
+    iteration cost is k array elements × {DOREMI_ITERS} steps —
+    nothing — and the corpus pipeline is planned exactly once."""
+    from etl_projects_spark.queries_llm import surprise_relation
+
+    rel = surprise_relation(spark, sf_dir, with_source=True)
+    stats = (
+        rel.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_bigrams").cast("long").alias("n_bigrams"),
+            F.sum(F.floor(F.col("s_total") * _PPM)).cast("long").alias(
+                "s_micro"
+            ),
+        )
+        .withColumn("avg_micro", F.expr("s_micro DIV n_bigrams"))
+    )
+    one = (
+        stats.agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        "source", "n_docs", "n_bigrams", "s_micro",
+                        "avg_micro",
+                    )
+                )
+            ).alias("arr")
+        )
+        .withColumn("k", F.size("arr").cast("long"))
+        .withColumn("avgs", F.expr("transform(arr, x -> x.avg_micro)"))
+        .withColumn(
+            "w", F.expr(f"transform(arr, x -> {_PPM} DIV k)")
+        )
+    )
+    for _ in range(DOREMI_ITERS):
+        one = (
+            one.withColumn(
+                "wa",
+                F.expr(
+                    "aggregate(zip_with(w, avgs, (a, b) -> a * b), "
+                    "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+                ),
+            )
+            .withColumn("m", F.expr(f"wa DIV {_PPM}"))
+            .withColumn(
+                "u",
+                F.expr(
+                    "zip_with(w, avgs, (wi, ai) -> "
+                    "CAST(FLOOR(CAST(wi AS DOUBLE) "
+                    f"* EXP(CAST(ai - m AS DOUBLE) "
+                    f"/ {DOREMI_ETA_DEN * _PPM}.0)) AS BIGINT))"
+                ),
+            )
+            .withColumn(
+                "z",
+                F.expr(
+                    "aggregate(u, CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+                ),
+            )
+            .withColumn(
+                "w",
+                F.expr(
+                    f"transform(u, uq -> "
+                    f"({DOREMI_SMOOTH_DEN - 1} * {_PPM} * uq)"
+                    f" DIV ({DOREMI_SMOOTH_DEN} * z)"
+                    f" + {_PPM} DIV ({DOREMI_SMOOTH_DEN} * k))"
+                ),
+            )
+        )
+    out = one.select(
+        "w", F.posexplode("arr").alias("pos", "x")
+    )
+    return out.select(
+        F.col("x.source").alias("source"),
+        F.col("x.n_docs").alias("n_docs"),
+        F.col("x.n_bigrams").alias("n_bigrams"),
+        (F.col("x.avg_micro").cast("double") / _PPM).alias("avg_surprise"),
+        F.element_at("w", F.col("pos") + 1).alias("weight_ppm"),
+        (
+            F.element_at("w", F.col("pos") + 1).cast("double") / _PPM
+        ).alias("weight"),
+    )
+
+
 # The funnel's scoped-pin name (released at the end of every build —
 # the cross-stage pin-lifetime contract the r14 verdict asked to see
 # exercised inside one session).

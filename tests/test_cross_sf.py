@@ -60,6 +60,9 @@ REPRESENTATIVE = [
     # (ann_ivf_pq_topk excluded: like ann_ivf_recall_report its oracle
     # inlines a gate-SF twin shortlist; its cross-SF rows are the
     # dedicated re-derived-oracle test below)
+    # r15: DoReMi at the small vintage — few eval docs per source, so
+    # the integer-micro stats are tiny and the smoothing floor binds
+    "doremi_domain_reweight",
     "media_fingerprint",
     "quality_validate_events",
     "asof_click_before_purchase",
@@ -266,6 +269,9 @@ UPSCALE = [
     "curation_pipeline_run",
     # (ann_ivf_pq_topk: dedicated re-derived-oracle test below covers
     # sf0.1, where the ADC shortlist cut BINDS)
+    # r15: DoReMi at 10× — the per-source integer sums carry real
+    # populations and the excess-loss gaps are data-scale, not noise
+    "doremi_domain_reweight",
     "chi_square_type_by_dow",
     "bollinger_bands_daily",
     "percent_change_mom",

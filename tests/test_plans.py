@@ -191,6 +191,17 @@ def test_ivf_pq_codes_scan_and_rerank_pruned(spark, tmp_path):
     assert m2 and "cluster" in m2.group(1), "re-rank scan must prune clusters"
 
 
+def test_doremi_stays_jvm_side_bounded_shuffles(spark):
+    # Corpus-sized work is the shared bigram-surprise model (its
+    # counting/scoring shuffles); everything after collapses to ONE
+    # row and the multiplicative-weights iteration is a linear chain
+    # of array expressions — no Python, no cartesian, no per-iteration
+    # exchange (a crossJoin-per-scalar formulation re-references the
+    # corpus subtree exponentially; this pin keeps it out).
+    assert_plan(QS["doremi_domain_reweight"](spark, SF_DIR),
+                python_stages=0, cartesian=False, shuffles=("<=", 6))
+
+
 def test_funnel_single_shuffle_jvm_side(spark):
     # The ordered funnel pays ONE user-key shuffle (collect + array
     # HOFs), not a per-stage join cascade, and stays in codegen.
