@@ -212,6 +212,20 @@ def _calib_class(name: str) -> str:
     return "py_st_s"
 
 
+# DETERMINISM-documented per-query normalized bands: a query listed
+# here never lands in `drifted` while its normalized time stays under
+# the documented ceiling. Every entry must cite the DETERMINISM.md /
+# SCALE.md note that establishes the band — this dict is an encoding
+# of the written record, not a mute button.
+_DRIFT_BANDS = {
+    # DETERMINISM.md r13/r14 band: 3.5-4.5 s raw with ~15% py_st
+    # scaling == up to ~10.5 py_st multiples (r14 read 9.85 norm on a
+    # degraded box). The spread is snapshot-batch composition, not
+    # code.
+    "substring_span_incremental": 10.5,
+}
+
+
 def normalized_summary(
     timings: dict[str, float],
     calib: dict[str, float],
@@ -230,6 +244,13 @@ def normalized_summary(
       (this box's stamp / the record's stamp) and compared with this
       run: delta_pct ≈ 0 ⇒ the swing is box state; delta_pct large
       with calib ratios ≈ 1 ⇒ a code change.
+    - ``drifted`` (r15, VERDICT item 5): per-query alarms — queries
+      whose NORMALIZED time exceeds 1.5× their prior-record normalized
+      time, raw time ≥ 1 s (the variance logs: sub-second single-shots
+      carry up to 1.8× pure run-order/JIT noise), and not inside a
+      DETERMINISM-documented band (_DRIFT_BANDS). Box-level
+      attribution can no longer hide a single query's regression:
+      a clean round reads ``drifted: []`` in the record.
     """
     total = sum(timings.values())
     out: dict = {
@@ -260,6 +281,30 @@ def normalized_summary(
             "calib_ratio_py_st": round(ratios["py_st_s"], 3),
             "calib_ratio_blas_mt": round(ratios["blas_mt_s"], 3),
         }
+        drifted = []
+        for n in shared:
+            cls = _calib_class(n)
+            if not pc.get(cls):
+                continue
+            prior_norm = pq[n] / pc[cls]
+            this_norm = timings[n] / calib[cls]
+            if (
+                timings[n] >= 1.0
+                and prior_norm > 0
+                and this_norm > 1.5 * prior_norm
+                and this_norm > _DRIFT_BANDS.get(n, 0.0)
+            ):
+                drifted.append(
+                    {
+                        "name": n,
+                        "norm": round(this_norm, 2),
+                        "prior_norm": round(prior_norm, 2),
+                        "ratio": round(this_norm / prior_norm, 2),
+                    }
+                )
+        out["drifted"] = sorted(
+            drifted, key=lambda d: d["ratio"], reverse=True
+        )
     return out
 
 N_CHUNKS = int(os.environ.get("SPARK_GRAFT_BENCH_CHUNKS", "6"))

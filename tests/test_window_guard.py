@@ -523,7 +523,42 @@ def test_bench_normalized_summary_attributes_box_state():
     assert lfl["n_shared"] == 2
     assert lfl["delta_pct"] == 0.0
     assert lfl["calib_ratio_py_st"] == 1.25
+    # Calib-explained moves are NOT drift (r15, VERDICT item 5).
+    assert out["drifted"] == []
     # No prior record (first run / sf change): block simply absent.
     assert "prior_like_for_like" not in bench.normalized_summary(
         timings, calib, None
     )
+
+
+def test_bench_drift_alarm_fires_on_normalized_regression():
+    """r15 (r14 VERDICT item 5): a query whose NORMALIZED time rose
+    >1.5x vs the prior record must land in `drifted` — box-level
+    attribution can't hide it — while sub-second queries (run-order
+    JIT noise band) and DETERMINISM-banded queries stay quiet."""
+    import bench
+
+    calib = {"py_st_s": 0.5, "blas_mt_s": 0.25}
+    prior = {
+        "calib": dict(calib),
+        "queries": {
+            "q1_pricing_summary": 1.5,  # norm 3.0
+            "tfidf_top_terms": 0.3,  # norm 0.6 — sub-second this run
+            "substring_span_incremental": 1.75,  # norm 3.5 (banded)
+        },
+    }
+    timings = {
+        "q1_pricing_summary": 3.0,  # norm 6.0 = 2.0x prior -> DRIFT
+        "tfidf_top_terms": 0.9,  # 3x prior but raw < 1 s -> quiet
+        "substring_span_incremental": 4.0,  # norm 8.0 < band 10.5
+    }
+    out = bench.normalized_summary(timings, calib, prior)
+    assert [d["name"] for d in out["drifted"]] == ["q1_pricing_summary"]
+    d = out["drifted"][0]
+    assert d["ratio"] == 2.0 and d["norm"] == 6.0 and d["prior_norm"] == 3.0
+    # Past its documented ceiling even a banded query must alarm.
+    timings["substring_span_incremental"] = 5.5  # norm 11.0 > 10.5
+    out2 = bench.normalized_summary(timings, calib, prior)
+    assert {d["name"] for d in out2["drifted"]} == {
+        "q1_pricing_summary", "substring_span_incremental",
+    }
