@@ -72,6 +72,72 @@ def incremental_ingest(
     writer.start().awaitTermination()
 
 
+def quarantined_ingest(
+    spark: SparkSession,
+    src_path: str,
+    schema: str,
+    dest_path: str,
+    quarantine_path: str,
+    checkpoint: str,
+) -> None:
+    """Streaming JSONL ingest with per-record fault isolation — the
+    streaming twin of :func:`sources.ingest.read_jsonl_quarantine`
+    (r14 VERDICT item 7: the batch path split malformed lines into a
+    quarantine; the streaming path assumed well-formed input, so ONE
+    broken line in a 100 TB feed would kill the long-running job).
+
+    Shape: the feed is read as a TEXT stream and parsed with
+    ``from_json`` in PERMISSIVE mode carrying a corrupt-record column
+    — the text-source hop exists because Spark disallows filtering a
+    raw streaming JSON source on only its internal corrupt column,
+    and the batch path's cache workaround has no streaming
+    equivalent. One ``foreachBatch`` writes BOTH sides from a single
+    parse per micro-batch (two writeStream queries would re-read and
+    re-parse the feed twice): good rows land at ``dest_path``, raw
+    malformed lines at ``quarantine_path`` (replay/debug + the
+    zero-errors monitor feed, same contract as the batch split).
+    Exactly-once rides the checkpoint exactly like
+    :func:`incremental_ingest`; ``availableNow`` drains the backlog.
+    """
+    full = f"{schema}, _corrupt_record STRING"
+    lines = spark.readStream.format("text").load(src_path)
+    parsed = lines.select(
+        F.col("value"),
+        F.from_json(
+            "value",
+            full,
+            {
+                "mode": "PERMISSIVE",
+                "columnNameOfCorruptRecord": "_corrupt_record",
+            },
+        ).alias("r"),
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            good = (
+                batch_df.filter(F.col("r._corrupt_record").isNull())
+                .select("r.*")
+                .drop("_corrupt_record")
+            )
+            good.write.mode("append").parquet(dest_path)
+            bad = batch_df.filter(
+                F.col("r._corrupt_record").isNotNull()
+            ).select(F.col("value").alias("raw_line"))
+            bad.write.mode("append").parquet(quarantine_path)
+        finally:
+            batch_df.unpersist()
+
+    (
+        parsed.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
 def tumbling_counts(
     events: DataFrame,
     window: str = "1 hour",

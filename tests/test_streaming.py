@@ -595,3 +595,51 @@ def test_interval_join_plan_is_watermarked_symmetric_hash(spark, events_dir):
     # retained forever even though the inputs are watermarked.
     assert "left value predicate: (l_ts" in plan, plan[:800]
     assert "right value predicate: (r_ts" in plan, plan[:800]
+
+
+def test_quarantined_ingest_routes_malformed_lines(spark, tmp_path):
+    """r15 (r14 VERDICT item 7): malformed JSONL through the STREAMING
+    path must land in the quarantine sink, never kill the job, and
+    exactly-once must hold across availableNow re-triggers — closing
+    the batch/streaming ingest asymmetry (the batch half is
+    read_jsonl_quarantine)."""
+    src = tmp_path / "src"
+    src.mkdir()
+    good = [
+        {"event_id": 1, "ts": "2024-01-01 00:00:00", "user_id": 1,
+         "event_type": "click", "value": 1.0, "props": "{}"},
+        {"event_id": 2, "ts": "2024-01-01 00:00:01", "user_id": 2,
+         "event_type": "view", "value": 2.0, "props": "{}"},
+    ]
+    with open(src / "batch_0.jsonl", "w") as f:
+        f.write(json.dumps(good[0]) + "\n")
+        f.write('{"event_id": 3, "ts": TRUNCATED\n')  # malformed
+        f.write(json.dumps(good[1]) + "\n")
+        f.write("not json at all\n")  # malformed
+    dest = str(tmp_path / "dest")
+    quar = str(tmp_path / "quarantine")
+    ckpt = str(tmp_path / "ckpt")
+    jobs.quarantined_ingest(
+        spark, str(src), jobs.EVENTS_SCHEMA_DDL, dest, quar, ckpt
+    )
+    out = spark.read.parquet(dest)
+    assert sorted(r.event_id for r in out.collect()) == [1, 2]
+    assert "_corrupt_record" not in out.columns
+    bad = spark.read.parquet(quar)
+    assert sorted(r.raw_line for r in bad.collect()) == sorted(
+        ['{"event_id": 3, "ts": TRUNCATED', "not json at all"]
+    )
+    # Re-trigger with no new files: neither sink grows (exactly-once).
+    jobs.quarantined_ingest(
+        spark, str(src), jobs.EVENTS_SCHEMA_DDL, dest, quar, ckpt
+    )
+    assert spark.read.parquet(dest).count() == 2
+    assert spark.read.parquet(quar).count() == 2
+    # A late file with one more broken line routes incrementally.
+    with open(src / "batch_late.jsonl", "w") as f:
+        f.write("}}} garbage\n")
+    jobs.quarantined_ingest(
+        spark, str(src), jobs.EVENTS_SCHEMA_DDL, dest, quar, ckpt
+    )
+    assert spark.read.parquet(dest).count() == 2
+    assert spark.read.parquet(quar).count() == 3
