@@ -81,26 +81,29 @@ _ROUND_PRIORITY = [
     # LUT-fold over the code column, exact re-rank of the shortlist;
     # oracle inlines the numpy twin's bit-identical shortlist.
     "ann_ivf_pq_topk",
-    # 6: the third r15 ADDITION — DoReMi-style domain reweighting
+    # 6: the recall readout of the PQ candidate stage (same r14 item
+    # — what the quantization costs before the exact re-rank).
+    "ann_ivf_pq_recall_report",
+    # 7: the fourth r15 ADDITION — DoReMi-style domain reweighting
     # (r14 VERDICT item 4): multiplicative-weights over per-source
     # excess LM-surprise, exact-integer iteration with floor-quantized
     # exp. lm_surprise_filter (below, freshness block) doubles as the
     # named consumer of the shared surprise_relation extraction.
     "doremi_domain_reweight",
-    # 7-8: consumers of the r15 DSIR refactor (dsir_weights_cte /
+    # 8-9: consumers of the r15 DSIR refactor (dsir_weights_cte /
     # dsir_weights_relation grew pool/target relation parameters with
     # defaults preserving the standalone semantics; dsir_select's
     # selection kernel factored into dsir_select_from_weights +
     # dsir_select_ctes for the funnel to reuse — values unchanged).
     "dsir_importance_weights",
     "dsir_select",
-    # 9-10: named consumers of the exec_util scoped-pin rework (r14
+    # 10-11: named consumers of the exec_util scoped-pin rework (r14
     # ADVICE: sentinel-claim protocol — the materialize job no longer
     # runs under the global registry lock; race accounting proven in
     # tests/test_exec_util.py).
     "dedup_incremental_batch",
     "decontaminate_eval_join",
-    # 11-22: the cosine family — consumers of the r14-ADVICE completion
+    # 12-23: the cosine family — consumers of the r14-ADVICE completion
     # in similarity.py (_pair_cosine_batch now floors EACH norm like
     # cosine()/cosine_sql, closing the last product-floor path; plus
     # margin_report's loud integral-id guard). Values unchanged — no
@@ -117,7 +120,7 @@ _ROUND_PRIORITY = [
     "dedup_embedding_cosine",
     "embedding_similarity_join",
     "semdedup_prune",
-    # 23-50: freshness rotation — the oldest r9-vintage rows in
+    # 24-50: freshness rotation — the oldest r9-vintage rows in
     # tools/freshness_report.py order (engine_partitioned_incremental
     # doubles as the named consumer of the additive
     # LakeEngine.load_dataframe change).
@@ -148,7 +151,6 @@ _ROUND_PRIORITY = [
     "media_frame_energy",
     "media_phash_neardup",
     "merge_upsert_orders",
-    "mlm_token_masking",
 ]
 
 

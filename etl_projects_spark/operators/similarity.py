@@ -901,6 +901,112 @@ def ivf_pq_topk_indexed(
     return rerank
 
 
+def _pq_reconstruct(codes: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """Decode an (n, m) code matrix back to (n, dim) approximate unit
+    vectors — one codebook gather per subspace. ADC(candidate, query)
+    is exactly ``reconstruct(codes) · qn``, so one reconstruction
+    serves EVERY query at once (the multi-probe audit's batch path)."""
+    m = books.shape[0]
+    return np.concatenate(
+        [books[mi][codes[:, mi]] for mi in range(m)], axis=1
+    )
+
+
+def _pq_pair_adc_batch(
+    codes: np.ndarray, qn_rows: np.ndarray, books: np.ndarray
+) -> np.ndarray:
+    """Row-wise ADC for (candidate, query) PAIRS: reconstruct each
+    row's code and dot it with its own (already-normalized) query row.
+    THE single float kernel of the PQ audit path — the Spark Arrow
+    stage and the oracle's numpy twin both call THIS, so their raw
+    doubles are bit-identical (the ``_batch_scores`` discipline)."""
+    rec = _pq_reconstruct(codes, books)
+    return np.einsum("ij,ij->i", rec, qn_rows)
+
+
+def ivf_pq_probe_pairs(
+    parquet_path: str,
+    probe_mod: int = 100,
+    n_probe: int = IVF_PROBE,
+    shortlist: int = PQ_SHORTLIST,
+    n_centroids: int = IVF_CENTROIDS,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_rows: int = 2048,
+) -> list[tuple[int, int]]:
+    """Numpy twin of the PQ-ADC candidate stage over the standard
+    probe set (``id % probe_mod == 0``): for each probe, its probed
+    IVF cells' members scored by :func:`_pq_pair_adc_batch` and cut to
+    the per-probe top-``shortlist`` — one (qid, nbr) row per surviving
+    candidate, replayed straight from the parquet file through the
+    SAME kernels the engine's Arrow stage runs (oracle generation for
+    ``ann_ivf_pq_recall_report``)."""
+    ids, vecs, cents, assign = _twin_assignments(
+        parquet_path, n_centroids, vec_col, id_col, sample_rows
+    )
+    books = _pq_codebooks_from_sample(vecs[:sample_rows], m, k)
+    vn = vecs / np.maximum(
+        np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12
+    )
+    codes = _pq_encode(vn, books)
+    out: list[tuple[int, int]] = []
+    for qid, v in zip(ids, vecs):
+        if qid % probe_mod:
+            continue
+        qn = v / np.maximum(np.linalg.norm(v), 1e-12)
+        cells = np.argsort(-(cents @ qn))[:n_probe]
+        mask = np.isin(assign, cells) & (ids != qid)
+        cand_ids = ids[mask]
+        qn_rows = np.repeat(qn[None, :], len(cand_ids), axis=0)
+        adc = _pq_pair_adc_batch(codes[mask], qn_rows, books)
+        order = sorted(
+            zip(cand_ids, adc), key=lambda t: (-t[1], t[0])
+        )[:shortlist]
+        out.extend((int(qid), int(i)) for i, _ in order)
+    return out
+
+
+def pq_adc_pairs(
+    joined: DataFrame,
+    books: np.ndarray,
+    probe_bc,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(qid, nbr, adc) for (candidate, probe) PAIR rows — one Arrow
+    batch per partition gathers each row's probe vector from the
+    broadcast probe matrix (the shared ``_probe_matrix_broadcast``
+    eval-set contract) and scores through
+    :func:`_pq_pair_adc_batch`. Input rows: (qid, ``id_col``, codes)
+    — the probed-cell equi-join output."""
+    import pandas as pd
+
+    bcb = joined.sparkSession.sparkContext.broadcast(books)
+
+    def score(batches):
+        qids, qnt = probe_bc.value
+        qn_all = qnt.T
+        pos = {int(q): i for i, q in enumerate(qids)}
+        bks = bcb.value
+        for b in batches:
+            if not len(b):
+                continue
+            codes = np.vstack(b["codes"].to_numpy()).astype(np.int32)
+            qn_rows = qn_all[[pos[int(q)] for q in b["qid"]]]
+            yield pd.DataFrame(
+                {
+                    "qid": b["qid"],
+                    "nbr": b[id_col],
+                    "adc": _pq_pair_adc_batch(codes, qn_rows, bks),
+                }
+            )
+
+    return joined.select("qid", id_col, "codes").mapInPandas(
+        score, schema="qid long, nbr long, adc double"
+    )
+
+
 def ivf_pq_shortlist(
     parquet_path: str,
     query_id: int,

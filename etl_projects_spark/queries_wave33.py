@@ -1,10 +1,20 @@
-"""Wave-33 catalog entries (round 15): the COMPOSED curation funnel —
-every individually-oracled stage of the LLM-data pipeline chained
-end-to-end through ``LakeEngine`` / ``PipelineRunner`` as ONE
-driver-checked query (r14 VERDICT item 2: the stages exist and are
-individually green; what was unproven is their composition — schema
-and contract handoffs between stages, catalog round-trips, and scoped
-pin lifetimes across stages in one session).
+"""Wave-33 catalog entries (round 15): the COMPOSED curation funnel,
+IVF-PQ ANN serving, and DoReMi domain reweighting.
+
+1. ``curation_pipeline_run`` — every individually-oracled stage of
+   the LLM-data pipeline chained end-to-end through ``LakeEngine`` /
+   ``PipelineRunner`` as ONE driver-checked query (r14 VERDICT item
+   2: the stages exist and are individually green; what was unproven
+   is their composition — schema and contract handoffs between
+   stages, catalog round-trips, scoped pin lifetimes in one session).
+2. ``ann_ivf_pq_topk`` — product quantization on top of the IVF
+   partitioning (r14 VERDICT item 3); operator kernels live in
+   ``operators/similarity.py``.
+3. ``doremi_domain_reweight`` — multiplicative-weights domain
+   reweighting over per-source excess LM-surprise (r14 VERDICT item
+   4); shares the bigram model with ``lm_surprise_filter``.
+
+The funnel design (its stage semantics and contracts):
 
 Funnel (each stage lands a REGISTERED lake table; the next stage reads
 the previous stage's table back through the Spark catalog, exactly how
@@ -71,6 +81,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from etl_projects_spark import config
 from etl_projects_spark.operators import dedup, similarity, text
@@ -288,6 +299,170 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )["embedding"].iloc[0]
     return similarity.ivf_pq_topk_indexed(
         spark, idx_dir, qvec, k=10, exclude_id=7
+    )
+
+
+def _ivf_pq_recall_oracle() -> str | None:
+    """Oracle for ann_ivf_pq_recall_report — the ``_ivf_recall_oracle``
+    derivation class: the PQ candidate stage (probed cells → pair ADC
+    → per-probe top-``PQ_SHORTLIST`` cut) is reproducible from the
+    codebook constants + data (:func:`similarity.ivf_pq_probe_pairs`,
+    same kernels as the engine's Arrow stage, no Spark), so the
+    candidate relation inlines as VALUES and the exact side is
+    brute-force top-k in SQL. None (rows-only) without a corpus."""
+    from etl_projects_spark.queries_wave30 import ANN_RECALL_K
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    if not os.path.exists(path):
+        return None
+    import pyarrow.parquet as pq
+
+    if pq.ParquetFile(path).metadata.num_rows == 0:
+        return None
+    pairs = similarity.ivf_pq_probe_pairs(path)
+    if not pairs:
+        return None
+    cand_vals = ", ".join(f"({q}, {n})" for q, n in pairs)
+    return f"""
+    WITH cand(qid, nbr) AS (VALUES {cand_vals}),
+    q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+          WHERE vec_id % 100 = 0),
+    scored AS (
+      SELECT q.qid, c.vec_id AS nbr,
+             round({similarity.cosine_sql('c.embedding', 'q.qv')}, 6) AS score
+      FROM embeddings c, q WHERE c.vec_id != q.qid),
+    ranked AS (
+      SELECT qid, nbr,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY score DESC, nbr) AS rnk
+      FROM scored),
+    exact AS (SELECT qid, nbr FROM ranked WHERE rnk <= {ANN_RECALL_K}),
+    tagged AS (
+      SELECT qid, nbr, 1 AS is_true, 0 AS in_pq FROM exact
+      UNION ALL
+      SELECT qid, nbr, 0, 1 FROM cand),
+    per_pair AS (
+      SELECT qid, nbr, max(is_true) AS is_true, max(in_pq) AS in_pq
+      FROM tagged GROUP BY 1, 2)
+    SELECT CAST(count(DISTINCT qid) AS BIGINT) AS n_probes,
+           CAST(coalesce(sum(is_true), 0) AS BIGINT) AS n_true_pairs,
+           CAST(coalesce(sum(in_pq), 0) AS BIGINT) AS n_cand_pq,
+           CAST(coalesce(sum(is_true * in_pq), 0) AS BIGINT) AS n_hit_pq,
+           CASE WHEN coalesce(sum(is_true), 0) > 0
+                THEN CAST(coalesce(sum(is_true * in_pq), 0) AS DOUBLE)
+                     / CAST(sum(is_true) AS DOUBLE)
+                ELSE 1.0 END AS recall_pq,
+           CASE WHEN coalesce(sum(in_pq), 0) > 0
+                THEN CAST(coalesce(sum(is_true * in_pq), 0) AS DOUBLE)
+                     / CAST(sum(in_pq) AS DOUBLE)
+                ELSE 0.0 END AS efficiency_pq
+    FROM per_pair
+    """
+
+
+@_q("ann_ivf_pq_recall_report", _ivf_pq_recall_oracle)
+def ann_ivf_pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall audit of the IVF-PQ candidate stage — what the
+    quantization costs BEFORE the exact re-rank can repair it (the
+    re-rank only reorders candidates; a true neighbor the ADC
+    shortlist dropped is gone). Completes the nprobe-audit family:
+    ``ann_recall_report`` audits hyperplane-LSH probing,
+    ``ann_ivf_recall_report`` audits the raw IVF cell probe, THIS
+    audits the cell probe + the per-probe top-PQ_SHORTLIST ADC cut.
+    recall_pq below recall_ivf at the same knobs = the quantization's
+    own loss; efficiency_pq above efficiency_ivf = what the code cut
+    buys in verify work.
+
+    Spark shape: exact side is the bounded ``knn_join``; the per-probe
+    cell selection is the driver-side codebook argsort over the index
+    sidecar (bounded by the eval-set contract); the candidate relation
+    scans ONLY the probed cluster partitions of the materialized PQ
+    index reading (vec_id, codes, cluster) — never the vector column —
+    broadcast-joins the (qid, cluster) probe map, and scores each
+    (candidate, probe) pair in ONE Arrow stage via reconstructed
+    codes (`similarity.pq_adc_pairs`; the probe matrix rides the same
+    shared broadcast knn_join uses). The per-probe shortlist cut is a
+    window over the PAIR relation (probes × cell population — eval-
+    sized, never corpus-sized). Aggregation mirrors the IVF audit
+    row-for-row."""
+    import json
+
+    import numpy as np
+
+    from etl_projects_spark.queries_wave30 import ANN_RECALL_K
+
+    emb = load(spark, sf_dir, "embeddings")
+    probes_df = emb.filter(F.col("vec_id") % 100 == 0)
+    exact = similarity.knn_join(emb, probes_df, k=ANN_RECALL_K).select(
+        "qid", "nbr"
+    )
+    idx_dir = ivf_pq_index_dir(spark, sf_dir)
+    with open(os.path.join(idx_dir, "_ivf_pq_codebooks.json")) as f:
+        side = json.load(f)
+    cents = np.array(side["centroids"], dtype=np.float64)
+    books = np.array(side["pq_codebooks"], dtype=np.float64)
+    probe_bc = similarity._probe_matrix_broadcast(
+        emb, probes_df, "embedding", "vec_id"
+    )
+    if probe_bc is None:
+        return exact.select(
+            F.lit(0).cast("long").alias("n_probes"),
+            F.lit(0).cast("long").alias("n_true_pairs"),
+            F.lit(0).cast("long").alias("n_cand_pq"),
+            F.lit(0).cast("long").alias("n_hit_pq"),
+            F.lit(1.0).alias("recall_pq"),
+            F.lit(0.0).alias("efficiency_pq"),
+        ).limit(1)
+    qids, qnt = probe_bc.value
+    pairs = []
+    for qid, qn in zip(qids, qnt.T):
+        for c in np.argsort(-(cents @ qn))[: similarity.IVF_PROBE]:
+            pairs.append((int(qid), int(c)))
+    probe_map = spark.createDataFrame(pairs, "qid long, cluster int")
+    probed_set = sorted({c for _, c in pairs})
+    idx = spark.read.parquet(idx_dir).filter(
+        F.col("cluster").isin(probed_set)
+    )
+    joined = (
+        idx.select("vec_id", "cluster", "codes")
+        .join(F.broadcast(probe_map), "cluster")
+        .filter(F.col("vec_id") != F.col("qid"))
+    )
+    adc = similarity.pq_adc_pairs(joined, books, probe_bc)
+    w = Window.partitionBy("qid").orderBy(F.desc("adc"), F.col("nbr"))
+    cand = (
+        adc.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= similarity.PQ_SHORTLIST)
+        .select("qid", "nbr")
+    )
+    tagged = exact.select(
+        "qid", "nbr", F.lit(1).alias("is_true"), F.lit(0).alias("in_pq")
+    ).unionByName(
+        cand.select(
+            "qid", "nbr", F.lit(0).alias("is_true"),
+            F.lit(1).alias("in_pq"),
+        )
+    )
+    per_pair = tagged.groupBy("qid", "nbr").agg(
+        F.max("is_true").alias("is_true"), F.max("in_pq").alias("in_pq")
+    )
+    n_true = F.coalesce(F.sum("is_true"), F.lit(0))
+    n_pq = F.coalesce(F.sum("in_pq"), F.lit(0))
+    n_hit = F.coalesce(F.sum(F.col("is_true") * F.col("in_pq")), F.lit(0))
+    return per_pair.agg(
+        F.count_distinct("qid").cast("long").alias("n_probes"),
+        n_true.cast("long").alias("n_true_pairs"),
+        n_pq.cast("long").alias("n_cand_pq"),
+        n_hit.cast("long").alias("n_hit_pq"),
+        F.when(n_true > 0, n_hit.cast("double") / n_true.cast("double"))
+        .otherwise(F.lit(1.0))
+        .alias("recall_pq"),
+        F.when(n_pq > 0, n_hit.cast("double") / n_pq.cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("efficiency_pq"),
     )
 
 

@@ -403,6 +403,8 @@ def test_new_catalog_additions_have_cross_sf_rows():
         "ann_ivf_recall_report",
         # test_ann_ivf_pq_topk_cross_sf_rederived_oracle below
         "ann_ivf_pq_topk",
+        # test_ann_ivf_pq_recall_report_cross_sf_rederived_oracle
+        "ann_ivf_pq_recall_report",
     }
     missing = [
         n for n in new if n in osql and n not in covered | twin_exempt
@@ -431,6 +433,28 @@ def test_ann_ivf_pq_topk_cross_sf_rederived_oracle(spark, monkeypatch, sfd):
     sdf = entrymod.queries()["ann_ivf_pq_topk"](spark, sfd)
     problems = compare(sdf, sql, sfd)
     assert not problems, f"ann_ivf_pq_topk@{sfd}: " + "; ".join(problems)
+
+
+@pytest.mark.parametrize(
+    "sfd", ["/root/testdata/sf0.001", "/root/testdata/sf0.1"]
+)
+def test_ann_ivf_pq_recall_report_cross_sf_rederived_oracle(
+    spark, monkeypatch, sfd
+):
+    """Cross-SF rows for the PQ recall audit, oracle re-derived for
+    the swept corpus: sf0.001 has a single probe whose cells hold
+    fewer candidates than the shortlist (cut degenerate); sf0.1 has
+    ~50 probes with binding cuts."""
+    from etl_projects_spark import queries_wave33 as w33
+
+    monkeypatch.setenv("SPARK_GRAFT_ORACLE_SF_DIR", sfd)
+    sql = w33._ivf_pq_recall_oracle()
+    assert sql is not None
+    sdf = entrymod.queries()["ann_ivf_pq_recall_report"](spark, sfd)
+    problems = compare(sdf, sql, sfd)
+    assert not problems, f"ann_ivf_pq_recall_report@{sfd}: " + "; ".join(
+        problems
+    )
 
 
 def test_ann_ivf_recall_report_cross_sf_rederived_oracle(spark, monkeypatch):

@@ -208,3 +208,26 @@ def test_ivf_pq_recall_and_determinism(spark, tmp_path):
     # The ADC estimate exists for every returned row and differs from
     # the exact score (it is an estimate, not a copy).
     assert all(r["adc_score"] is not None for r in rows)
+
+
+def test_ann_ivf_pq_recall_report_invariants(spark, sf_dir):
+    """PQ candidate-stage audit consistency: the PQ candidate set is
+    the IVF candidate set CUT to per-probe top-PQ_SHORTLIST by ADC, so
+    its counts are bounded by the IVF audit's on the same corpus and
+    its recall can only be lower — the readout exists to price exactly
+    that gap."""
+    import __spark_entry__ as entrymod
+
+    from etl_projects_spark.queries_wave30 import ANN_RECALL_K
+
+    qs = entrymod.queries()
+    row = qs["ann_ivf_pq_recall_report"](spark, sf_dir).collect()[0]
+    ivf = qs["ann_ivf_recall_report"](spark, sf_dir).collect()[0]
+    assert row.n_probes == ivf.n_probes
+    assert row.n_true_pairs == row.n_probes * ANN_RECALL_K
+    assert 0.0 <= row.recall_pq <= 1.0
+    assert 0.0 <= row.efficiency_pq <= 1.0
+    assert row.n_cand_pq <= ivf.n_cand_ivf
+    assert row.n_cand_pq <= row.n_probes * similarity.PQ_SHORTLIST
+    assert row.n_hit_pq <= min(row.n_true_pairs, row.n_cand_pq)
+    assert row.recall_pq <= ivf.recall_ivf

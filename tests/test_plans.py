@@ -191,6 +191,16 @@ def test_ivf_pq_codes_scan_and_rerank_pruned(spark, tmp_path):
     assert m2 and "cluster" in m2.group(1), "re-rank scan must prune clusters"
 
 
+def test_ivf_pq_recall_report_plan(spark):
+    # Two Arrow stages (the bounded knn_join probe scorer + the PQ
+    # pair-ADC scorer), the per-probe shortlist cut as
+    # WindowGroupLimit (partial top-R BEFORE the pair shuffle), the
+    # probe map broadcast — and never a corpus-sized exchange chain.
+    assert_plan(QS["ann_ivf_pq_recall_report"](spark, SF_DIR),
+                python_stages=2, shuffles=("<=", 2), cartesian=False,
+                window_group_limit=True, broadcast_joins=(">=", 1))
+
+
 def test_doremi_stays_jvm_side_bounded_shuffles(spark):
     # Corpus-sized work is the shared bigram-surprise model (its
     # counting/scoring shuffles); everything after collapses to ONE
