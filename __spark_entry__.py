@@ -60,14 +60,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # tests/test_window_guard.py fails if any query whose hash changed
 # since its recorded window is not in the current first 50.
 _ROUND_PRIORITY = [
-    # --- r15 window ------------------------------------------------
-    # 1: the r15 ADDITION — the composed curation funnel
-    # (quality → dedup keep-list → decontaminate → DSIR select → pack
-    # → gated DW shard promotion) chained through LakeEngine /
-    # PipelineRunner with catalog handoffs between stages (r14 VERDICT
-    # item 2); its oracle re-derives every stage from the raw corpus
-    # via the SAME CTE builders the standalone stage queries verify
-    # against.
+    # --- r15 window (OPTIMIZATION round) ---------------------------
+    # The build wave's four additions and the three r8-vintage
+    # freshness rows keep their slots; the remainder fronts the
+    # queries whose ENGINE MODULES this optimization round touched
+    # (generator-filter fix in dedup.py/_contam_grams/DSIR evb — see
+    # OPTIMIZATION_r15.md), so every reshaped plan gets a fresh
+    # driver row. The r14-proven cosine family rotates out (green
+    # r14 rows, sources untouched).
+    # 1: the r15 ADDITION — the composed curation funnel (also the
+    # transitive consumer of every optimized stage: quality → dedup
+    # keep-list → decontaminate → DSIR select → pack → promotion).
     "curation_pipeline_run",
     # 2-4: the last three r8-vintage freshness rows (r14 VERDICT item
     # 1 — completes the three-round rotation; after this round the
@@ -90,36 +93,35 @@ _ROUND_PRIORITY = [
     # exp. lm_surprise_filter (below, freshness block) doubles as the
     # named consumer of the shared surprise_relation extraction.
     "doremi_domain_reweight",
-    # 8-9: consumers of the r15 DSIR refactor (dsir_weights_cte /
-    # dsir_weights_relation grew pool/target relation parameters with
-    # defaults preserving the standalone semantics; dsir_select's
-    # selection kernel factored into dsir_select_from_weights +
-    # dsir_select_ctes for the funnel to reuse — values unchanged).
+    # 8-13: the span family — consumers of the r15 optimization's
+    # dedup.py changes (word_shingles explode_outer+filter,
+    # positional_shingle_hashes explode_outer+filter: the
+    # InferFiltersFromGenerate fix; values byte-identical, plans
+    # reshaped).
+    "substring_span_report",
+    "substring_span_pairs",
+    "substring_span_prune",
+    "substring_span_trim",
+    "substring_span_rewrite",
+    "substring_span_incremental",
+    # 14-15: consumers of the r15 DSIR evb rework (posexplode instead
+    # of explode(transform(sequence→struct)) — same pos values, same
+    # fold order, same bytes).
     "dsir_importance_weights",
     "dsir_select",
-    # 10-11: named consumers of the exec_util scoped-pin rework (r14
-    # ADVICE: sentinel-claim protocol — the materialize job no longer
-    # runs under the global registry lock; race accounting proven in
-    # tests/test_exec_util.py).
-    "dedup_incremental_batch",
+    # 16-18: consumers of the _contam_grams explode_outer fix
+    # (queries_curation.py).
     "decontaminate_eval_join",
-    # 12-23: the cosine family — consumers of the r14-ADVICE completion
-    # in similarity.py (_pair_cosine_batch now floors EACH norm like
-    # cosine()/cosine_sql, closing the last product-floor path; plus
-    # margin_report's loud integral-id guard). Values unchanged — no
-    # degenerate-norm vectors in any corpus; judge-style sweep 12/12.
-    "embedding_margin_report",
-    "ann_recall_report",
-    "ann_ivf_recall_report",
-    "knn_label_purity",
-    "ann_cosine_topk",
-    "ann_lsh_topk",
-    "ann_lsh_multiprobe_topk",
-    "ann_knn_join",
-    "ann_ivf_topk",
-    "dedup_embedding_cosine",
-    "embedding_similarity_join",
-    "semdedup_prune",
+    "decontaminate_train_prune",
+    "split_contamination_report",
+    # 19-23: dedup-family consumers of the word_shingles /
+    # positional_shingle_hashes reshape (sets artifact builder,
+    # minhash chain, LSH audits, winnowing).
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_incremental_batch",
+    "lsh_recall_report",
+    "winnow_fingerprints",
     # 24-50: freshness rotation — the oldest r9-vintage rows in
     # tools/freshness_report.py order (engine_partitioned_incremental
     # doubles as the named consumer of the additive

@@ -1551,18 +1551,29 @@ def _contam_split_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _contam_grams(rel: DataFrame) -> DataFrame:
     """(doc_id, gram): each document's DISTINCT md5'd word
-    CONTAM_NGRAM-grams — scan-side array math, exploded once."""
-    return rel.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.expr(
-                    f"transform(sequence(1, n - {CONTAM_NGRAM} + 1),"
-                    f" i -> md5(concat_ws(' ', slice(toks, i,"
-                    f" {CONTAM_NGRAM}))))"
+    CONTAM_NGRAM-grams — scan-side array math, exploded once.
+
+    explode_outer + null-filter (r15 optimization, the word_shingles
+    fix): plain explode let InferFiltersFromGenerate clone the whole
+    md5 gram transform into a size(...)>0 filter at the scan — every
+    decontamination probe paid the gram chain twice more. md5 over
+    non-null slices is never null, so the null-filter removes exactly
+    the empty-array rows plain explode dropped (none: callers filter
+    n >= CONTAM_NGRAM first)."""
+    return (
+        rel.select(
+            "doc_id",
+            F.explode_outer(
+                F.array_distinct(
+                    F.expr(
+                        f"transform(sequence(1, n - {CONTAM_NGRAM} + 1),"
+                        f" i -> md5(concat_ws(' ', slice(toks, i,"
+                        f" {CONTAM_NGRAM}))))"
+                    )
                 )
-            )
-        ).alias("gram"),
+            ).alias("gram"),
+        )
+        .filter(F.col("gram").isNotNull())
     )
 
 

@@ -261,22 +261,25 @@ def dsir_weights_relation(
     pool_toks = pool.select(
         "doc_id", "source", F.split("text", " ").alias("t")
     )
+    # posexplode instead of explode(transform(sequence→struct)) (r15
+    # optimization): the struct-array build copied every token into a
+    # fresh array before the generator, and the non-outer explode let
+    # InferFiltersFromGenerate push a size(...)>0 twin of that whole
+    # expression into the scan stage — three evaluations of an
+    # O(tokens) copy per pass. posexplode reads the split array in
+    # place, infers only a cheap size(t)>0, and 1-based pos is
+    # restored arithmetically; pos only orders the per-doc fold, so
+    # the fold's operand order — and every emitted value — is
+    # unchanged (oracle untouched).
     evb = pool_toks.select(
         "doc_id",
         "source",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("t")),
-                lambda i: F.struct(
-                    i.alias("pos"), F.element_at("t", i).alias("w")
-                ),
-            )
-        ).alias("u"),
+        F.posexplode("t").alias("pos0", "w"),
     ).select(
         "doc_id",
         "source",
-        F.col("u.pos").alias("pos"),
-        bucket(F.col("u.w")).alias("b"),
+        (F.col("pos0") + 1).alias("pos"),
+        bucket(F.col("w")).alias("b"),
     )
     cr = evb.groupBy("b").agg(F.count("*").cast("long").alias("cr"))
     model0 = (

@@ -66,6 +66,29 @@ def build_session(
         # this engine writes makes splits uniform to begin with).
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.files.openCostInBytes", "4194304")
+        # r15 optimization (guide §2.4/§7.2): InferFiltersFromGenerate
+        # synthesizes `size(x)>0 AND isnotnull(x)` below every non-outer
+        # explode/posexplode, substituting the generator child's FULL
+        # expression tree — for this engine's generators over computed
+        # arrays (md5 shingle transforms, token splits, gram chains)
+        # that re-evaluates the expensive chain 1-2 extra times, and
+        # the pushed copy lands BELOW the fan_out Exchange in the
+        # single-task scan stage (measured at sf0.1: the bare span
+        # shingle relation dropped 2.1 s → 0.64 s with the rule
+        # excluded; catalog-wide the explode-over-computed-array shape
+        # is the dedup/text/DSIR hot path). The rule's benefit —
+        # pruning empty-input rows before the Generate — is preserved
+        # where it matters by the operators' own explicit filters; the
+        # hottest sites additionally use explode_outer + null-filter in
+        # code so the fix holds under ANY session (e.g. the driver's
+        # vanilla correctness session). Cost/benefit is the same at
+        # every scale: the duplicated expression is per-row CPU, not a
+        # partitioning concern.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer."
+            "InferFiltersFromGenerate",
+        )
     )
     if extra_conf:
         for k, v in extra_conf.items():

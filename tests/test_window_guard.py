@@ -96,26 +96,34 @@ def test_catalog_and_plans_records_are_fresh():
 
 
 def test_r15_rotation_heads_the_window():
-    # r15 window invariants: the additions lead (the composed
-    # curation funnel and any later r15 additions), then the LAST
-    # three r8-vintage rows (r14 VERDICT item 1 — completes the
-    # three-round freshness campaign), then the changed-module
-    # consumers (DSIR refactor, exec_util sentinel protocol, the
-    # similarity per-norm completion), then the oldest r9-vintage
-    # freshness rows.
+    # r15 window invariants (OPTIMIZATION round): the additions lead
+    # (the composed curation funnel and the later r15 additions), then
+    # the LAST three r8-vintage rows (r14 VERDICT item 1 — completes
+    # the three-round freshness campaign), then the consumers of the
+    # engine modules the optimization touched (dedup.py shingle
+    # generators, _contam_grams, the DSIR evb posexplode rework) so
+    # every reshaped plan gets a fresh driver row. The cosine family
+    # rotated out: its r14 rows are green and its sources are
+    # untouched this round.
     window = wh.window_names()
     assert window[0] == "curation_pipeline_run"
     assert set(window[1:4]) == {
         "vocab_top_terms", "window_rank_metrics", "window_user_value_delta"
     }, "the final r8 rotation must ride the r15 window"
     consumers = {
+        # span family — word_shingles / positional_shingle_hashes
+        "substring_span_report", "substring_span_pairs",
+        "substring_span_prune", "substring_span_trim",
+        "substring_span_rewrite", "substring_span_incremental",
+        # DSIR evb rework
         "dsir_importance_weights", "dsir_select",
-        "dedup_incremental_batch", "decontaminate_eval_join",
-        "embedding_margin_report", "ann_recall_report",
-        "ann_ivf_recall_report", "knn_label_purity", "ann_cosine_topk",
-        "ann_lsh_topk", "ann_lsh_multiprobe_topk", "ann_knn_join",
-        "ann_ivf_topk", "dedup_embedding_cosine",
-        "embedding_similarity_join", "semdedup_prune",
+        # _contam_grams
+        "decontaminate_eval_join", "decontaminate_train_prune",
+        "split_contamination_report",
+        # dedup-family shingle consumers
+        "dedup_ngram_jaccard", "dedup_minhash_lsh",
+        "dedup_incremental_batch", "lsh_recall_report",
+        "winnow_fingerprints",
     }
     assert consumers <= set(window[:25])
     # Freshness: the oldest remaining vintage rows fill the tail.
