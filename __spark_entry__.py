@@ -122,7 +122,20 @@ _ROUND_PRIORITY = [
     "dedup_incremental_batch",
     "lsh_recall_report",
     "winnow_fingerprints",
-    # 24-50: freshness rotation — the oldest r9-vintage rows in
+    # 24-30: this optimization round's per-query rewrites — the
+    # exchange-sharing q21 (repartition on l_orderkey feeds both agg
+    # levels and both joins), the one-pass referential-integrity
+    # audit (fact scanned once, stack-pivoted report rows), and the
+    # fan_out family (single-row-group scans parallelized ahead of
+    # per-row compute; values byte-identical, plans reshaped).
+    "q21_sole_returning_supplier",
+    "referential_integrity_report",
+    "text_repetition_ratio",
+    "gopher_repetition_filter",
+    "text_token_entropy",
+    "try_scalar_functions",
+    "pipeline_training_corpus",
+    # 31-50: freshness rotation — the oldest r9-vintage rows in
     # tools/freshness_report.py order (engine_partitioned_incremental
     # doubles as the named consumer of the additive
     # LakeEngine.load_dataframe change).
@@ -146,13 +159,6 @@ _ROUND_PRIORITY = [
     "incremental_agg_maintenance",
     "jsonl_gz_roundtrip",
     "k_anonymity_audit",
-    "kmv_jaccard_event_types",
-    "layer_format_policy",
-    "lm_surprise_filter",
-    "map_functions_props",
-    "media_frame_energy",
-    "media_phash_neardup",
-    "merge_upsert_orders",
 ]
 
 

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from etl_projects_spark.operators import dedup, similarity, text
+from etl_projects_spark.operators.exec_util import fan_out
 from etl_projects_spark.queries import D, _q, dec, load
 
 
@@ -851,10 +852,17 @@ def gopher_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     the filter streams with the corpus scan at any size. The oracle
     derives the same integers per doc (max run == count of the mode);
     the two fraction divisions are the only floats, computed by the
-    identical expression in both engines."""
+    identical expression in both engines.
+
+    fan_out ahead of the gram statistics (r15 optimization, same
+    single-row-group-scan fix as text_repetition_ratio): "ZERO
+    shuffles" above priced the whole corpus onto one core at bench
+    scale; the tiny round-robin exchange of (id, toks) parallelizes
+    the array HOFs and is a no-op once the scan itself carries ≥
+    cores partitions."""
     docs = load(spark, sf_dir, "documents")
     t = (
-        docs.select("doc_id", F.split("text", " ").alias("toks"))
+        fan_out(docs.select("doc_id", F.split("text", " ").alias("toks")))
         .withColumn("n", F.size("toks"))
         .filter(F.col("n") >= 3)
     )
@@ -1340,10 +1348,19 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     codegen'd scan, no explode, no shuffle. The gram array is staged
     through an intermediate projection so it's built once per row —
     inlining it into every use re-evaluates the transform per
-    reference (measured 4× slower)."""
+    reference (measured 4× slower).
+
+    fan_out before the gram stage (r15 optimization, guide §2.5
+    input-skew case): the corpus arrives as ONE single-row-group
+    parquet file, so this zero-shuffle scan ran the whole gram
+    pipeline on one core; fanning the raw (id, text) rows first costs
+    a tiny round-robin exchange and parallelizes the per-row compute
+    (measured at sf0.1: 1.57 s → 0.59 s, identical rows). No-op at
+    scale (fan_out only fires when the scan has fewer partitions than
+    cores)."""
     docs = load(spark, sf_dir, "documents")
     toks = F.split("text", " ")
-    staged = docs.select(
+    staged = fan_out(docs.select("doc_id", "text")).select(
         "doc_id", F.size(toks).alias("nt"), word_grams(toks, 3).alias("g")
     )
     ratio = F.round(
@@ -1446,12 +1463,17 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     would need log2 to be rational, which it is only for powers of two
     where the product is already integral).
 
-    Scale: pure per-row array expressions — codegen'd scan, no explode,
-    no shuffle; O(distinct·len) per row stays in-core.
+    Scale: pure per-row array expressions — codegen'd; the
+    O(distinct·len) per-row work stays in-core. fan_out first (r15
+    optimization): the single-row-group corpus file otherwise runs
+    the quadratic token-count fold on one core at bench scale; no-op
+    when the scan already fans wider than the core count.
     """
     docs = load(spark, sf_dir, "documents")
     toks = F.split("text", " ")
-    staged = docs.select("doc_id", toks.alias("t"))
+    staged = fan_out(docs.select("doc_id", "text")).select(
+        "doc_id", toks.alias("t")
+    )
     cnts = F.array_sort(
         F.transform(
             F.array_distinct("t"),

@@ -101,8 +101,14 @@ def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composite training-data pipeline in ONE Spark job:
     quality-gate (length) → language-ID filter → exact-dedup keeping
     the lowest doc_id per content group. Filters run before the dedup
-    shuffle (prune early), the group relation joins back broadcast."""
-    docs = load(spark, sf_dir, "documents")
+    shuffle (prune early), the group relation joins back broadcast.
+    fan_out ahead of the scoring stage (r15 optimization): the
+    single-row-group corpus file priced token-count + lang-ID onto
+    one core at bench scale (1.37 s → 1.18 s at sf0.1, identical
+    rows); no-op at scan widths ≥ the core count."""
+    from etl_projects_spark.operators.exec_util import fan_out
+
+    docs = fan_out(load(spark, sf_dir, "documents").select("doc_id", "text"))
     scored = docs.select(
         "doc_id",
         "text",
