@@ -162,7 +162,9 @@ def test_cross_join_sites_are_broadcast_bounded_relations():
         "queries_curation.py": 2,
         "queries_llm.py": 7,
         "queries_mixing.py": 1,
-        "queries_quality.py": 1,
+        # queries_quality.py dropped to 0 in r15: the referential-
+        # integrity report's count-crossJoin-orphans shape became a
+        # one-pass left-join + stack audit (no cartesian at all).
         "queries_sql.py": 2,
         "queries_timeseries.py": 2,
         # dsir_importance_weights: the 1-row (nt, nr) totals aggregate
