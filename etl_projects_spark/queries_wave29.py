@@ -293,6 +293,44 @@ def substring_span_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _span_foreign_occ(docs: DataFrame) -> DataFrame:
+    """(id, i): positional occurrences of FOREIGN spans — the span's
+    hash occurs in >= 2 documents and this document is not the span
+    group's min-doc_id canonical holder. Shared by trim and rewrite
+    (one canonicality definition, per the family contract).
+
+    Single evaluation of the positional md5 chain (r15 optimization,
+    guide §1.2 step 1 / §2.4): the previous shape ran
+    ``positional_shingle_hashes`` TWICE per query — once distinct-ed
+    for the doc-frequency window, once re-evaluated for the join-back
+    on (id, h) — so the tokenize+slice+md5 map work (the family's
+    dominant per-row cost; plans/r15/substring_span_rewrite_after.txt
+    shows the two Generate branches) was paid twice. Folding the
+    positions into a per-(id, h) list BEFORE the window keeps one
+    (id, h)-keyed exchange carrying tiny position arrays (a 20-token
+    span rarely repeats within one doc), runs the identical
+    count(*)/min(id) window over the same distinct (id, h) row set,
+    and re-derives the occurrences by exploding the surviving lists:
+    byte-identical (id, i) rows, one Generate branch instead of two,
+    and the (id, h) join-back exchange + broadcast are gone. The
+    waste factor was scale-independent, so the ~2× on the map stage
+    holds at any corpus size.
+    """
+    pos = dedup.positional_shingle_hashes(docs, n=SPAN_N)  # (id, i, h)
+    wh = W.partitionBy("h")
+    perkey = pos.groupBy("id", "h").agg(F.collect_list("i").alias("pis"))
+    return (
+        perkey.select(
+            "id",
+            "pis",
+            F.count("*").over(wh).alias("df_"),
+            F.min("id").over(wh).alias("min_id"),
+        )
+        .filter((F.col("df_") >= 2) & (F.col("id") != F.col("min_id")))
+        .select("id", F.explode("pis").alias("i"))
+    )
+
+
 def _span_pos_cte(n: int) -> str:
     """DuckDB CTE `pos` producing POSITIONAL hashed n-token spans
     (id, i, h) from documents — the bit-exact twin of
@@ -369,29 +407,17 @@ def substring_span_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: linear like the rest of the family — the span-hash
     window (df + canonical holder, one exchange on the 8-byte hash)
-    runs on the doc-distinct relation, rejoins the positional stream
-    on (id, h) (both sides hash-bucketed, never pairwise), and every
-    later window keys on the doc id. No pairwise expansion, no
-    unbounded state; the doc-key windows are bounded by document
-    length. Uses ``positional_shingle_hashes`` (the winnowing
-    family's ordered stream) — same md5 slice/array_join pipeline the
-    oracles pin bit-exactly.
+    runs on the per-(id, h) folded relation (``_span_foreign_occ``:
+    positions ride the fold as tiny arrays, so the md5 chain is
+    evaluated ONCE, r15), and every later window keys on the doc id.
+    No pairwise expansion, no unbounded state; the doc-key windows
+    are bounded by document length. Uses
+    ``positional_shingle_hashes`` (the winnowing family's ordered
+    stream) — same md5 slice/array_join pipeline the oracles pin
+    bit-exactly.
     """
     docs = load(spark, sf_dir, "documents")
-    pos = dedup.positional_shingle_hashes(docs, n=SPAN_N)  # (id, i, h)
-    wh = W.partitionBy("h")
-    docdist = pos.select("id", "h").distinct()
-    foreign_keys = (
-        docdist.select(
-            "id",
-            "h",
-            F.count("*").over(wh).alias("df_"),
-            F.min("id").over(wh).alias("min_id"),
-        )
-        .filter((F.col("df_") >= 2) & (F.col("id") != F.col("min_id")))
-        .select("id", "h")
-    )
-    occ = pos.join(foreign_keys, ["id", "h"]).select("id", "i")
+    occ = _span_foreign_occ(docs)
     prev = (
         W.partitionBy("id")
         .orderBy("i")
@@ -707,20 +733,10 @@ def substring_span_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression avoids paying at scale.
     """
     docs = load(spark, sf_dir, "documents")
-    pos = dedup.positional_shingle_hashes(docs, n=SPAN_N)  # (id, i, h)
-    wh = W.partitionBy("h")
-    docdist = pos.select("id", "h").distinct()
-    foreign_keys = (
-        docdist.select(
-            "id",
-            "h",
-            F.count("*").over(wh).alias("df_"),
-            F.min("id").over(wh).alias("min_id"),
-        )
-        .filter((F.col("df_") >= 2) & (F.col("id") != F.col("min_id")))
-        .select("id", "h")
-    )
-    occ = pos.join(foreign_keys, ["id", "h"]).select("id", "i")
+    # Foreign occurrences via _span_foreign_occ (shared with trim —
+    # one canonicality definition; the positional md5 chain is
+    # evaluated once, r15).
+    occ = _span_foreign_occ(docs)
     prev = (
         W.partitionBy("id")
         .orderBy("i")
