@@ -60,105 +60,83 @@ def entry(spark: SparkSession) -> DataFrame:
 # tests/test_window_guard.py fails if any query whose hash changed
 # since its recorded window is not in the current first 50.
 _ROUND_PRIORITY = [
-    # --- r15 window (OPTIMIZATION round) ---------------------------
-    # The build wave's four additions and the three r8-vintage
-    # freshness rows keep their slots; the remainder fronts the
-    # queries whose ENGINE MODULES this optimization round touched
-    # (generator-filter fix in dedup.py/_contam_grams/DSIR evb — see
-    # OPTIMIZATION_r15.md), so every reshaped plan gets a fresh
-    # driver row. The r14-proven cosine family rotates out (green
-    # r14 rows, sources untouched).
-    # 1: the r15 ADDITION — the composed curation funnel (also the
-    # transitive consumer of every optimized stage: quality → dedup
-    # keep-list → decontaminate → DSIR select → pack → promotion).
-    "curation_pipeline_run",
-    # 2-4: the last three r8-vintage freshness rows (r14 VERDICT item
-    # 1 — completes the three-round rotation; after this round the
-    # durable record's oldest vintage is r9, and the standing rule is
-    # "nothing older than 6 rounds").
-    "vocab_top_terms",
-    "window_rank_metrics",
-    "window_user_value_delta",
-    # 5: the second r15 ADDITION — IVF-PQ ANN through the materialized
-    # index (r14 VERDICT item 3): ADC shortlist via a codegen'd
-    # LUT-fold over the code column, exact re-rank of the shortlist;
-    # oracle inlines the numpy twin's bit-identical shortlist.
-    "ann_ivf_pq_topk",
-    # 6: the recall readout of the PQ candidate stage (same r14 item
-    # — what the quantization costs before the exact re-rank).
-    "ann_ivf_pq_recall_report",
-    # 7: the fourth r15 ADDITION — DoReMi-style domain reweighting
-    # (r14 VERDICT item 4): multiplicative-weights over per-source
-    # excess LM-surprise, exact-integer iteration with floor-quantized
-    # exp. lm_surprise_filter (below, freshness block) doubles as the
-    # named consumer of the shared surprise_relation extraction.
-    "doremi_domain_reweight",
-    # 8-13: the span family — consumers of the r15 optimization's
-    # dedup.py changes (word_shingles explode_outer+filter,
-    # positional_shingle_hashes explode_outer+filter: the
-    # InferFiltersFromGenerate fix; values byte-identical, plans
-    # reshaped).
-    "substring_span_report",
-    "substring_span_pairs",
-    "substring_span_prune",
-    "substring_span_trim",
-    "substring_span_rewrite",
-    "substring_span_incremental",
-    # 14-15: consumers of the r15 DSIR evb rework (posexplode instead
-    # of explode(transform(sequence→struct)) — same pos values, same
-    # fold order, same bytes).
-    "dsir_importance_weights",
+    # --- r16 window (OPTIMIZATION round 2) --------------------------
+    # Fronts every query whose PLAN this round's optimizations
+    # reshaped (values byte-identical, proven per change in
+    # OPTIMIZATION_r16.md), then retires the oldest freshness rows
+    # (r9 vintage — the "nothing older than 6 rounds" rule).
+    # 1-3: the DSIR family — the weights relation now scores per
+    # document row against a one-row broadcast dense bucket->lnr
+    # array (the corpus-keyed fold exchange, the per-token broadcast
+    # join and the ct/cr full-outer merge are gone), and the select
+    # kernel folds the approxQuantile probe into the pin''s
+    # materializing action + takes the budget total from the prefix
+    # sum''s own offsets relation.
     "dsir_select",
-    # 16-18: consumers of the _contam_grams explode_outer fix
-    # (queries_curation.py).
-    "decontaminate_eval_join",
-    "decontaminate_train_prune",
-    "split_contamination_report",
-    # 19-23: dedup-family consumers of the word_shingles /
-    # positional_shingle_hashes reshape (sets artifact builder,
-    # minhash chain, LSH audits, winnowing).
+    "dsir_importance_weights",
+    "curation_pipeline_run",
+    # 4-8: consumers of the jaccard_pairs grouped-path rework (per-doc
+    # set sizes carried through the pair expansion; the two per-id
+    # size joins are gone) and the lsh_recall_report candidate-side
+    # distinct drop (the terminal per-pair groupBy already dedups).
+    # minhash/incremental/df_capped ride the same module (candidates/
+    # cap paths unchanged — re-proven here).
     "dedup_ngram_jaccard",
+    "dedup_jaccard_df_capped",
+    "lsh_recall_report",
     "dedup_minhash_lsh",
     "dedup_incremental_batch",
-    "lsh_recall_report",
-    "winnow_fingerprints",
-    # 24-30: this optimization round's per-query rewrites — the
-    # exchange-sharing q21 (repartition on l_orderkey feeds both agg
-    # levels and both joins), the one-pass referential-integrity
-    # audit (fact scanned once, stack-pivoted report rows), and the
-    # fan_out family (single-row-group scans parallelized ahead of
-    # per-row compute; values byte-identical, plans reshaped).
-    "q21_sole_returning_supplier",
-    "referential_integrity_report",
-    "text_repetition_ratio",
-    "gopher_repetition_filter",
-    "text_token_entropy",
-    "try_scalar_functions",
-    "pipeline_training_corpus",
-    # 31-50: freshness rotation — the oldest r9-vintage rows in
-    # tools/freshness_report.py order (engine_partitioned_incremental
-    # doubles as the named consumer of the additive
-    # LakeEngine.load_dataframe change).
-    "asof_forward_purchase_window",
-    "cdc_changelog_apply",
-    "chi_square_type_by_dow",
-    "chunk_dedup_rewrite",
-    "compact_small_files",
-    "correlation_matrix_lineitem",
-    "data_card_report",
-    "dedup_component_size_histogram",
-    "dedup_graph_triangles",
-    "dedup_prefix_containment",
-    "engine_partitioned_incremental",
-    "events_debounce",
-    "ewma_daily_value",
-    "fertility_by_source",
-    "filter_funnel_report",
-    "fixed_size_per_group_sample",
-    "higher_order_array_funcs",
-    "incremental_agg_maintenance",
-    "jsonl_gz_roundtrip",
-    "k_anonymity_audit",
+    # 9-13: the streaming family — state-store counts derived from
+    # input bytes instead of the fixed 8 (clamped to the session
+    # default at scale), and the interval join''s inner-join drain
+    # drops the trailing no-data micro-batch (state eviction for a
+    # terminating query; results byte-identical).
+    "streaming_interval_join",
+    "streaming_incremental_dedup",
+    "streaming_tumbling_counts",
+    "streaming_dedup_within_watermark",
+    "streaming_stateful_running_totals",
+    # 14-26: freshness rotation — the oldest (r9-vintage) green rows,
+    # tools/freshness_report.py order.
+    "kmv_jaccard_event_types",
+    "layer_format_policy",
+    "lm_surprise_filter",
+    "map_functions_props",
+    "media_frame_energy",
+    "media_phash_neardup",
+    "merge_upsert_orders",
+    "mlm_token_masking",
+    "mode_priority_by_segment",
+    "neardup_rate_by_source",
+    "ngram_bigram_topk",
+    "ohlc_hourly_events",
+    "partition_checksums",
+    # 27-37: rest of the r9 vintage.
+    "phrase_search_positions",
+    "posexplode_doc_tokens",
+    "profile_orders",
+    "quality_violation_counts",
+    "retention_cohorts",
+    "struct_to_string",
+    "tfidf_top_terms",
+    "union_distinct_keys",
+    "window_first_last_order",
+    "window_percent_rank",
+    "zorder_cluster_events",
+    # 38-50: oldest r10-vintage rows (freshness_report order).
+    "approx_distinct_users_daily",
+    "approx_percentile_tolerance",
+    "asof_nearest_click",
+    "attribution_first_touch",
+    "bag_setops_lineitem",
+    "bitmap_user_event_mask",
+    "bollinger_bands_daily",
+    "bpe_merge_step",
+    "cohort_ltv_curve",
+    "cusum_changepoint_daily",
+    "decile_lift_table",
+    "embedding_norm_topk",
+    "equi_depth_histogram_stats",
 ]
 
 

@@ -432,32 +432,78 @@ def jaccard_pairs(
             )
         )
     if shingle_sets is not None and max_doc_freq is None:
-        # per-row size of the set column — no groupBy-count shuffle
-        sizes = shingle_sets.select("id", F.size("sh_set").alias("n_sh"))
+        # Per-row size of the set column, carried THROUGH the pair
+        # expansion (r16, guide §2.4): each exploded (id, shingle) row
+        # rides with its doc's n_sh, the per-shingle groups collect
+        # (id, n_sh) structs, and the emitted pairs already hold both
+        # sizes — the two per-id size joins below (at 100 TB: two
+        # corpus-row-count relations shuffled onto the pair stream)
+        # are gone from the plan outright. Payload cost is one extra
+        # int per exploded row. Equivalence: id is unique per doc, so
+        # sort_array over (id, n_sh) structs orders exactly like the
+        # old sorted id array (struct ordering compares the first
+        # field first; ties impossible), the emitted ordered pairs are
+        # the same, and max(n_a) per pair group reads the constant
+        # n_sh each pair row carries.
+        sized = shingle_sets.select(
+            "id",
+            F.size("sh_set").alias("n_sh"),
+            F.explode_outer("sh_set").alias("shingle"),
+        ).filter(F.col("shingle").isNotNull())
+        grouped = (
+            sized.groupBy("shingle")
+            .agg(
+                F.sort_array(
+                    F.collect_list(F.struct("id", "n_sh"))
+                ).alias("ids")
+            )
+            .filter(F.size("ids") > 1)
+        )
+        pairs = grouped.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids)), "
+                    "y -> struct(x.id AS id_a, y.id AS id_b, "
+                    "x.n_sh AS n_a, y.n_sh AS n_b))))"
+                )
+            ).alias("p")
+        ).select("p.*")
+        joined = pairs.groupBy("id_a", "id_b").agg(
+            F.count("*").alias("common"),
+            F.max("n_a").alias("n_a"),
+            F.max("n_b").alias("n_b"),
+        )
     else:
         sizes = shingles.groupBy("id").agg(F.count("*").alias("n_sh"))
-    grouped = (
-        shingles.groupBy("shingle")
-        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
-        .filter(F.size("ids") > 1)
-    )
-    pairs = grouped.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(ids, (x, i) -> "
-                "transform(slice(ids, i + 2, size(ids)), "
-                "y -> struct(x AS id_a, y AS id_b))))"
-            )
-        ).alias("p")
-    ).select("p.*")
-    common_df = pairs.groupBy("id_a", "id_b").agg(F.count("*").alias("common"))
-    na = sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a")
-    nb = sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b")
-    # NO broadcast hint here: ``sizes`` is one row PER DOCUMENT — at
-    # 100 TB that is a driver-killing broadcast. Left unhinted, AQE
-    # broadcasts it when (and only when) the runtime stats say it fits;
-    # at scale both sides shuffle on the pair ids instead.
-    joined = common_df.join(na, "id_a").join(nb, "id_b")
+        grouped = (
+            shingles.groupBy("shingle")
+            .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+            .filter(F.size("ids") > 1)
+        )
+        pairs = grouped.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids)), "
+                    "y -> struct(x AS id_a, y AS id_b))))"
+                )
+            ).alias("p")
+        ).select("p.*")
+        common_df = pairs.groupBy("id_a", "id_b").agg(
+            F.count("*").alias("common")
+        )
+        na = sizes.withColumnRenamed("id", "id_a").withColumnRenamed(
+            "n_sh", "n_a"
+        )
+        nb = sizes.withColumnRenamed("id", "id_b").withColumnRenamed(
+            "n_sh", "n_b"
+        )
+        # NO broadcast hint here: ``sizes`` is one row PER DOCUMENT —
+        # at 100 TB that is a driver-killing broadcast. Left unhinted,
+        # AQE broadcasts it when (and only when) the runtime stats say
+        # it fits; at scale both sides shuffle on the pair ids instead.
+        joined = common_df.join(na, "id_a").join(nb, "id_b")
     union_sz = F.col("n_a") + F.col("n_b") - F.col("common")
     return (
         joined.filter(

@@ -27,19 +27,32 @@ def fan_out(df: DataFrame) -> DataFrame:
     return df
 
 
-def materialize(df: DataFrame) -> DataFrame:
-    """persist + eager count: a deterministic cache barrier.
+def materialize(df: DataFrame, action=None) -> DataFrame:
+    """persist + eager action (default ``count``): a deterministic
+    cache barrier.
 
     A lazily persisted relation that feeds MULTIPLE branches of one
     job is raced by those branches — each computes the full upstream
     before the cache is populated, duplicating the work
     nondeterministically (measured up to 5× swings on the dedup
-    queries). An eager count materializes the cache exactly once,
+    queries). An eager action materializes the cache exactly once,
     while — unlike localCheckpoint — keeping the full lineage visible
     to the plan audit (InMemoryTableScan retains the cached subtree).
+
+    ``action`` (r16, guide §1.2 "don't compute things you throw
+    away"): a caller who needs a FULL-SCAN driver statistic of the
+    pinned relation anyway (e.g. ``prefix_sum``'s approxQuantile
+    boundary probe) passes it here and that statistic's job doubles as
+    the materializing pass — one job instead of a count job plus the
+    probe job. The callable receives the persisted DataFrame; it must
+    scan every row (approxQuantile/count-style), or the cache is only
+    partially populated and downstream branches recompute the rest.
     """
     df = df.persist()
-    df.count()
+    if action is None:
+        df.count()
+    else:
+        action(df)
     return df
 
 
@@ -93,7 +106,7 @@ def _sweep_dead_sessions() -> None:
             _SCOPED_PINS.pop(key, None)
 
 
-def materialize_scoped(df: DataFrame, scope: str) -> DataFrame:
+def materialize_scoped(df: DataFrame, scope: str, action=None) -> DataFrame:
     """:func:`materialize` with a RELEASE PATH — the bounded-pin
     contract for operators invoked in loops (r12 review / r13 VERDICT
     item 4: a bare ``materialize`` inside an operator pins one cached
@@ -145,7 +158,7 @@ def materialize_scoped(df: DataFrame, scope: str) -> DataFrame:
             # A dying session can't unpersist its blocks — and has
             # already dropped them; never fail the NEW batch for it.
             pass
-    df = materialize(df)
+    df = materialize(df, action=action)
     with _PINS_LOCK:
         cur = _SCOPED_PINS.get(key)
         if cur is not None and cur[1] is token:
@@ -193,9 +206,19 @@ def prefix_sum(
     out_col: str = "cumsum_excl",
     n_parts: int | None = None,
     bounds: list[float] | None = None,
+    total_col: str | None = None,
 ) -> DataFrame:
     """EXCLUSIVE prefix sum of ``val_col`` over the global ``order_col``
     ordering — without the single-task global window.
+
+    ``total_col`` (r16, guide §2.4): additionally attach the GRAND
+    total of ``val_col`` as a column of that name. The per-bucket
+    totals relation below already holds every addend, so the grand
+    total is one more window over the same ``n_parts``-row relation
+    and rides the same broadcast join — callers that need "cumsum vs
+    total" (budget cuts) no longer pay a separate full-relation
+    aggregate job + broadcast for the total. Exact: the same BIGINT
+    addends in either shape.
 
     ``Window.orderBy(x)`` with no partitionBy collapses the whole
     relation into ONE task; this is the classic two-phase scan
@@ -257,8 +280,17 @@ def prefix_sum(
         d.groupBy("_pid")
         .agg(F.sum(val_col).alias("_tot"))
         .withColumn("_off", F.coalesce(F.sum("_tot").over(wpart), F.lit(0)))
-        .select("_pid", "_off")
     )
+    keep = ["_pid", "_off"]
+    if total_col is not None:
+        wall = W.orderBy("_pid").rowsBetween(
+            W.unboundedPreceding, W.unboundedFollowing
+        )
+        offs = offs.withColumn(
+            total_col, F.sum("_tot").over(wall).cast("long")
+        )
+        keep.append(total_col)
+    offs = offs.select(*keep)
     return (
         local.join(F.broadcast(offs), "_pid")
         .withColumn(out_col, (F.col("_loc") + F.col("_off")).cast("long"))

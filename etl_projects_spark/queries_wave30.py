@@ -89,7 +89,13 @@ def lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         sh, threshold_num=1, threshold_den=2, max_doc_freq=_AUDIT_MAX_DF
     ).select("id_a", "id_b")
     sigs = dedup.minhash_signatures_from_sets(sets)
-    cand = dedup.lsh_candidate_pairs(sigs)
+    # dedupe=False (r16, guide §2.4): the terminal per-pair groupBy
+    # below collapses a pair that agrees on several bands to one row
+    # anyway (max(is_cand) and the distinct-pair counts are identical
+    # with or without the upstream distinct), so the candidate list's
+    # own distinct — a full Exchange pair of the pair stream — is
+    # dropped from the plan and the same rows are exchanged once.
+    cand = dedup.lsh_candidate_pairs(sigs, dedupe=False)
     # Tag each side, union, and aggregate once: n_true counts exact
     # rows, n_cand counts candidate rows, n_hit counts pair keys seen
     # from BOTH sides — one shuffle on the pair key, no scalar

@@ -251,44 +251,56 @@ def dsir_weights_relation(
     def bucket(c):
         return F.pmod(dedup.hex60(c), F.lit(DSIR_BUCKETS))
 
-    tgt = target.select(F.split("text", " ").alias("t"))
-    ct = (
-        tgt.select(F.explode("t").alias("tok"))
-        .select(bucket(F.col("tok")).alias("b"))
-        .groupBy("b")
-        .agg(F.count("*").cast("long").alias("ct"))
+    # r16 optimization (guide §2.4 "remove shuffles outright" / §2.3):
+    # the weights relation previously exploded the pool tokens, hash-
+    # joined them against the broadcast model, and re-aggregated them
+    # back per document (collect_list(struct(pos,lnr)) + array_sort +
+    # ordered fold) — a corpus-sized Exchange of every token row, the
+    # ONLY corpus-keyed shuffle in the whole DSIR pipeline. The model
+    # is bounded at DSIR_BUCKETS rows by construction, so it fits in
+    # ONE broadcast row as a dense bucket→lnr array: scoring then
+    # happens per DOCUMENT row (transform over the split array, O(1)
+    # dense-array lookup per token, fold in array order), and the
+    # per-document fold never leaves its row. Plan effect: the fold
+    # Exchange, the per-token BroadcastHashJoin, and both Generate
+    # fan-outs of the scoring side are gone; the only remaining
+    # corpus-sized shuffle in the weights relation is the map-side-
+    # combinable bucket-count aggregate (≤DSIR_BUCKETS rows out).
+    #
+    # Bit-exactness vs the unchanged DuckDB CTE: array order IS
+    # position order, so the fold adds the same doubles in the same
+    # sequence as the old pos-sorted fold (seed 0.0 exact, one ln per
+    # token over the same exact-integer products); n_tokens =
+    # size(t) = the old per-doc count(*); documents whose token array
+    # is empty/null are dropped by the explicit size(t)>0 filter,
+    # exactly the rows the old explode never emitted.
+    #
+    # ct and cr also now come from ONE union-tagged aggregate instead
+    # of two aggregates + a full-outer join on b (guide §2.4): each
+    # token contributes (is_tgt, is_pool) flags and one groupBy(b)
+    # sums both — identical to the old FULL JOIN + coalesce(0) because
+    # a bucket row exists iff either side saw the bucket.
+    tgt_toks = target.select(F.split("text", " ").alias("t")).select(
+        F.explode("t").alias("tok")
     )
-    pool_toks = pool.select(
+    pool_docs = pool.select(
         "doc_id", "source", F.split("text", " ").alias("t")
-    )
-    # posexplode instead of explode(transform(sequence→struct)) (r15
-    # optimization): the struct-array build copied every token into a
-    # fresh array before the generator, and the non-outer explode let
-    # InferFiltersFromGenerate push a size(...)>0 twin of that whole
-    # expression into the scan stage — three evaluations of an
-    # O(tokens) copy per pass. posexplode reads the split array in
-    # place, infers only a cheap size(t)>0, and 1-based pos is
-    # restored arithmetically; pos only orders the per-doc fold, so
-    # the fold's operand order — and every emitted value — is
-    # unchanged (oracle untouched).
-    evb = pool_toks.select(
-        "doc_id",
-        "source",
-        F.posexplode("t").alias("pos0", "w"),
-    ).select(
-        "doc_id",
-        "source",
-        (F.col("pos0") + 1).alias("pos"),
-        bucket(F.col("w")).alias("b"),
-    )
-    cr = evb.groupBy("b").agg(F.count("*").cast("long").alias("cr"))
-    model0 = (
-        ct.join(cr, "b", "full")
-        .select(
-            "b",
-            F.coalesce("ct", F.lit(0)).cast("long").alias("ct"),
-            F.coalesce("cr", F.lit(0)).cast("long").alias("cr"),
+    ).filter(F.size("t") > 0)
+    pool_toks = pool_docs.select(F.explode("t").alias("tok"))
+    tagged = tgt_toks.select(
+        bucket(F.col("tok")).alias("b"),
+        F.lit(1).alias("is_tgt"),
+        F.lit(0).alias("is_pool"),
+    ).unionByName(
+        pool_toks.select(
+            bucket(F.col("tok")).alias("b"),
+            F.lit(0).alias("is_tgt"),
+            F.lit(1).alias("is_pool"),
         )
+    )
+    model0 = tagged.groupBy("b").agg(
+        F.sum("is_tgt").cast("long").alias("ct"),
+        F.sum("is_pool").cast("long").alias("cr"),
     )
     totals = model0.agg(
         F.sum("ct").cast("long").alias("nt"),
@@ -305,24 +317,43 @@ def dsir_weights_relation(
     def dec18(c):
         return c.cast("decimal(18,0)")
 
-    scored = evb.join(F.broadcast(model), "b").select(
-        "doc_id",
-        "source",
-        "pos",
-        F.log(
-            (dec18(F.col("ct") + 1) * dec18(F.col("nr") + b)).cast("double")
-            / (dec18(F.col("cr") + 1) * dec18(F.col("nt") + b)).cast("double")
-        ).alias("lnr"),
+    lnr = F.log(
+        (dec18(F.col("ct") + 1) * dec18(F.col("nr") + b)).cast("double")
+        / (dec18(F.col("cr") + 1) * dec18(F.col("nt") + b)).cast("double")
     )
-    folded = scored.groupBy("doc_id", "source").agg(
-        F.count("*").cast("long").alias("n_tokens"),
-        F.array_sort(F.collect_list(F.struct("pos", "lnr"))).alias("l"),
+    # One row: the dense bucket→lnr array (index = bucket + 1). Buckets
+    # no token hashed into hold null via try_element_at — they can
+    # never be probed, because every scored token's bucket was counted
+    # into cr by construction (the model is built from the SAME pool
+    # relation being scored). The dense array keeps the per-token
+    # lookup O(1); a map column would linear-scan its keys per token.
+    # DSIR_BUCKETS bounds the broadcast at any corpus size (the
+    # documented scale knob: raise B with corpus scale; even B = 10^6
+    # is an 8 MB row).
+    mrow = (
+        model.agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("b"), lnr.alias("lnr")))
+            ).alias("m")
+        )
+        .select(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(DSIR_BUCKETS - 1)),
+                lambda i: F.try_element_at("m", i.cast("long")),
+            ).alias("lnr_arr")
+        )
+    )
+    tok_lnr = lambda tok: F.element_at(  # noqa: E731
+        F.col("lnr_arr"), (bucket(tok) + 1).cast("int")
     )
     fold = F.aggregate(
-        "l", F.lit(0.0), lambda acc, x: acc + x.getField("lnr")
+        F.transform("t", tok_lnr), F.lit(0.0), lambda acc, x: acc + x
     )
-    return folded.select(
-        "doc_id", "source", "n_tokens", fold.alias("log_weight")
+    return pool_docs.crossJoin(F.broadcast(mrow)).select(
+        "doc_id",
+        "source",
+        F.size("t").cast("long").alias("n_tokens"),
+        fold.alias("log_weight"),
     )
 
 

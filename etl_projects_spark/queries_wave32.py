@@ -101,13 +101,6 @@ def dsir_select_from_weights(
         + F.lit(0.5)
     ) / F.lit(float(_MIX_MOD))
     sel_key = F.round(F.col("log_weight") - F.log(-F.log(u)), 6)
-    keyed = w.select(
-        "doc_id", "source", "n_tokens", sel_key.alias("sel_key")
-    )
-    # Pin before fan-out: totals, the prefix-sum quantile probe, and
-    # the prefix sum's two branches all read this relation — unpinned,
-    # each would re-execute the full DSIR scoring pipeline.
-    keyed = materialize_scoped(keyed, scope)
     # Composite long encoding of (sel_key DESC, doc_id ASC) for the
     # single-column distributed prefix sum — exact because sel_key is
     # already 6-dp-rounded, so its 1e6 scaling is integer. Width
@@ -131,16 +124,40 @@ def dsir_select_from_weights(
             )
         )
     )
+    keyed = w.select(
+        "doc_id", "source", "n_tokens", sel_key.alias("sel_key")
+    ).withColumn("_ord", ord_key)
+    # Pin before fan-out (the prefix sum's two branches both read this
+    # relation — unpinned, each would re-execute the full DSIR scoring
+    # pipeline), and make the prefix sum's approxQuantile boundary
+    # probe BE the materializing action (r16, guide §1.2): the probe
+    # is a full deterministic sketch pass over the relation anyway, so
+    # it doubles as the cache barrier — one job where the r15 shape
+    # paid a count job, then a probe job, then a separate full-cache
+    # totals aggregate + broadcast for the budget denominator (now a
+    # window over prefix_sum's own per-bucket totals via total_col).
+    n_parts = w.sparkSession.sparkContext.defaultParallelism
+    probs = [i / n_parts for i in range(1, n_parts)]
+    bounds_out: list[list[float]] = []
+    keyed = materialize_scoped(
+        keyed,
+        scope,
+        action=lambda d: bounds_out.append(
+            d.stat.approxQuantile("_ord", probs, 0.001)
+        ),
+    )
     ranked = prefix_sum(
-        keyed.withColumn("_ord", ord_key),
+        keyed,
         "_ord",
         "n_tokens",
         out_col="tokens_before",
+        bounds=bounds_out[0],
+        total_col="_t",
     )
-    tot = keyed.agg(F.sum("n_tokens").cast("long").alias("_t"))
     return (
-        ranked.crossJoin(F.broadcast(tot))
-        .filter(F.lit(DSIR_SELECT_DEN) * F.col("tokens_before") < F.col("_t"))
+        ranked.filter(
+            F.lit(DSIR_SELECT_DEN) * F.col("tokens_before") < F.col("_t")
+        )
         .select("doc_id", "source", "n_tokens", "sel_key", "tokens_before")
     )
 

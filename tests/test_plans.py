@@ -1016,44 +1016,51 @@ def test_embedding_margin_report_plan(spark):
 
 
 def test_dsir_importance_weights_plan(spark):
-    # r13 selection query: the corpus never shuffles for the model —
-    # the ≤256-row bucket model broadcasts into the scoring join (the
-    # only corpus-keyed exchanges are the hashed-token count and the
-    # terminal per-document fold). The 1-row totals crossJoin rides a
-    # broadcast nested-loop by construction (the lm_surprise class);
-    # no cartesian product, no Python stages.
-    # broadcast_joins >= 1: the scoring join (exploded pool tokens vs
-    # the model) — the full-outer ct/cr merge is a tiny 256-row
-    # shuffle join by necessity (full outer cannot broadcast).
+    # r13 selection query, r16 shape: the corpus never shuffles AT ALL
+    # — the ≤DSIR_BUCKETS-row model folds to ONE broadcast row (dense
+    # bucket→lnr array) and scoring + the per-document fold happen
+    # per row (transform/aggregate over the token array). The only
+    # corpus-sized exchange left is the map-side-combinable
+    # union-tagged bucket count (≤DSIR_BUCKETS rows out); the two
+    # crossJoins (totals onto model, 1-row model array onto the pool)
+    # ride broadcast nested-loops by construction (the lm_surprise
+    # class). The r15 shape additionally paid a per-token broadcast
+    # hash join, a full-outer ct/cr merge, and a corpus-keyed
+    # collect_list fold exchange — all gone, so no BHJ remains.
     assert_plan(QS["dsir_importance_weights"](spark, SF_DIR),
                 python_stages=0, cartesian=False,
-                broadcast_joins=(">=", 1), shuffles=("<=", 6))
+                shuffles=("<=", 4))
 
 
 def test_dsir_select_plan(spark):
-    # r14 funnel completion: the heavy weights relation is pinned ONCE
-    # (materialize_scoped) and all three downstream consumers — the
-    # prefix sum's local-window branch, its offsets branch, and the
-    # totals aggregate — must read that ONE cache (3 InMemoryTableScan
-    # sites; unpinned, each would re-execute the full DSIR scoring
-    # pipeline). No Python stages, no cartesian, no range exchange;
-    # the raw audit counts (shuffles/SMJ) TRIPLICATE because audit()
-    # walks the cached subtree once per scan site — the executed work
-    # is one weights build (own pin: test_dsir_importance_weights_plan)
-    # plus the prefix-sum exchanges. Every single-partition exchange in
-    # the plan is a bounded relation (the 1-row totals, the n_parts-row
+    # r14 funnel completion, r16 shape: the keyed weights relation is
+    # pinned ONCE (materialize_scoped; the approxQuantile boundary
+    # probe doubles as the materializing action) and both remaining
+    # downstream consumers — the prefix sum's local-window branch and
+    # its offsets branch — must read that ONE cache (2
+    # InMemoryTableScan sites; the r15 shape had a third consumer, the
+    # separate totals aggregate, now a window over the prefix sum's
+    # own per-bucket totals). No Python stages, no cartesian, no range
+    # exchange; the raw audit counts DUPLICATE because audit() walks
+    # the cached subtree once per scan site. Every single-partition
+    # exchange in the plan is a bounded relation (the n_parts-row
     # offset table) — the corpus itself never collapses into one task.
     from etl_projects_spark.operators.exec_util import release_scope
     from etl_projects_spark.plans.audit import plan_string
 
     df = QS["dsir_select"](spark, SF_DIR)
     try:
+        # single_exchanges <= 10: 4 bounded singleton aggregates per
+        # cached-subtree copy (the ≤DSIR_BUCKETS-row totals and 1-row
+        # model-array folds, printed once per InMemoryTableScan site)
+        # plus the n_parts-row offsets window — every one a bounded
+        # relation; the corpus never collapses into one task.
         assert_plan(df, python_stages=0, cartesian=False,
-                    range_exchanges=0, single_exchanges=("<=", 8))
+                    range_exchanges=0, single_exchanges=("<=", 10))
         p = plan_string(df)
-        assert p.count("InMemoryTableScan") == 3, (
-            "all three consumers of the weights relation must read the "
-            "single scoped pin"
+        assert p.count("InMemoryTableScan") == 2, (
+            "both consumers of the keyed weights relation must read "
+            "the single scoped pin"
         )
     finally:
         release_scope("dsir_select")

@@ -167,13 +167,13 @@ def test_cross_join_sites_are_broadcast_bounded_relations():
         # one-pass left-join + stack audit (no cartesian at all).
         "queries_sql.py": 2,
         "queries_timeseries.py": 2,
-        # dsir_importance_weights: the 1-row (nt, nr) totals aggregate
-        # broadcast onto the ≤DSIR_BUCKETS-row model relation — the
-        # token_budget_allocator class.
-        "queries_wave31.py": 1,
-        # dsir_select: the 1-row pool-token total broadcast onto the
-        # ranked relation for the exact-integer budget test.
-        "queries_wave32.py": 1,
+        # dsir weights (r16 shape): the 1-row (nt, nr) totals
+        # aggregate broadcast onto the ≤DSIR_BUCKETS-row model
+        # relation, and the 1-row dense bucket→lnr model array
+        # broadcast onto the pool for per-row scoring — both the
+        # token_budget_allocator class. (dsir_select's former 1-row
+        # total crossJoin moved into prefix_sum's offsets broadcast.)
+        "queries_wave31.py": 2,
         # curation_pipeline_run: the 1-row raw-corpus token total
         # broadcast onto the 7-row stage report for token_keep_rate.
         "queries_wave33.py": 1,

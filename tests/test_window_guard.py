@@ -95,42 +95,35 @@ def test_catalog_and_plans_records_are_fresh():
     )
 
 
-def test_r15_rotation_heads_the_window():
-    # r15 window invariants (OPTIMIZATION round): the additions lead
-    # (the composed curation funnel and the later r15 additions), then
-    # the LAST three r8-vintage rows (r14 VERDICT item 1 — completes
-    # the three-round freshness campaign), then the consumers of the
-    # engine modules the optimization touched (dedup.py shingle
-    # generators, _contam_grams, the DSIR evb posexplode rework) so
-    # every reshaped plan gets a fresh driver row. The cosine family
-    # rotated out: its r14 rows are green and its sources are
-    # untouched this round.
+def test_r16_rotation_heads_the_window():
+    # r16 window invariants (OPTIMIZATION round 2): the consumers of
+    # every engine module this round's optimizations touched lead (the
+    # DSIR per-row scoring rework, the jaccard_pairs size-carrying
+    # pair expansion, the lsh candidate-distinct drop, the streaming
+    # state-store derivation), so every reshaped plan gets a fresh
+    # driver row; then the oldest freshness rows (r9 vintage, closing
+    # the "nothing older than 6 rounds" rule) fill the tail.
     window = wh.window_names()
-    assert window[0] == "curation_pipeline_run"
-    assert set(window[1:4]) == {
-        "vocab_top_terms", "window_rank_metrics", "window_user_value_delta"
-    }, "the final r8 rotation must ride the r15 window"
     consumers = {
-        # span family — word_shingles / positional_shingle_hashes
-        "substring_span_report", "substring_span_pairs",
-        "substring_span_prune", "substring_span_trim",
-        "substring_span_rewrite", "substring_span_incremental",
-        # DSIR evb rework
-        "dsir_importance_weights", "dsir_select",
-        # _contam_grams
-        "decontaminate_eval_join", "decontaminate_train_prune",
-        "split_contamination_report",
-        # dedup-family shingle consumers
-        "dedup_ngram_jaccard", "dedup_minhash_lsh",
-        "dedup_incremental_batch", "lsh_recall_report",
-        "winnow_fingerprints",
+        # DSIR family — per-row scoring against the broadcast dense
+        # model array; select-kernel probe/total folding.
+        "dsir_select", "dsir_importance_weights", "curation_pipeline_run",
+        # jaccard_pairs grouped-path rework + same-module re-proofs.
+        "dedup_ngram_jaccard", "dedup_jaccard_df_capped",
+        "lsh_recall_report", "dedup_minhash_lsh",
+        "dedup_incremental_batch",
+        # streaming family — input-derived state stores, no-data-batch
+        # drop on the inner-join drain.
+        "streaming_interval_join", "streaming_incremental_dedup",
+        "streaming_tumbling_counts", "streaming_dedup_within_watermark",
+        "streaming_stateful_running_totals",
     }
-    assert consumers <= set(window[:25])
-    # Freshness: the oldest remaining vintage rows fill the tail.
+    assert consumers <= set(window[:15])
+    # Freshness: the oldest (r9-vintage) rows fill the tail.
     r9_head = {
-        "asof_forward_purchase_window", "cdc_changelog_apply",
-        "chi_square_type_by_dow", "chunk_dedup_rewrite",
-        "compact_small_files",
+        "kmv_jaccard_event_types", "layer_format_policy",
+        "lm_surprise_filter", "map_functions_props",
+        "zorder_cluster_events",
     }
     assert r9_head <= set(window[:50])
 

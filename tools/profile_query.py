@@ -34,7 +34,12 @@ def main() -> int:
     ap.add_argument(
         "--save-plans",
         default="",
-        help="tag (e.g. 'before'/'after'): write plans/r15/<q>_<tag>.txt",
+        help="tag (e.g. 'before'/'after'): write plans/<round>/<q>_<tag>.txt",
+    )
+    ap.add_argument(
+        "--plans-round",
+        default="r16",
+        help="plans/<round>/ subdirectory for --save-plans output",
     )
     ap.add_argument(
         "--no-warm",
@@ -98,7 +103,7 @@ def main() -> int:
             + plan_txt.count("FlatMapGroupsInPandas")
         )
         if args.save_plans:
-            dest_dir = os.path.join(ROOT, "plans", "r15")
+            dest_dir = os.path.join(ROOT, "plans", args.plans_round)
             os.makedirs(dest_dir, exist_ok=True)
             with open(
                 os.path.join(dest_dir, f"{name}_{args.save_plans}.txt"), "w"
