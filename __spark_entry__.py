@@ -86,7 +86,16 @@ _ROUND_PRIORITY = [
     "lsh_recall_report",
     "dedup_minhash_lsh",
     "dedup_incremental_batch",
-    # 9-13: the streaming family — state-store counts derived from
+    # 9-10: the decontaminate probe's stable-input fast path (the
+    # operator's defensive pre-count + re-snapshot jobs are skipped
+    # when the caller hands it a driver-local or persisted relation —
+    # both these callers do; grams, joins and emitted rows unchanged)
+    # and the jaccard grouped-path carrier packed into one long (the
+    # struct carrier's interpreted sort comparator measurably
+    # regressed the 3x-corpus probe; packed == r15 sort bytes).
+    "decontaminate_eval_join",
+    "substring_span_incremental",
+    # 11-15: the streaming family — state-store counts derived from
     # input bytes instead of the fixed 8 (clamped to the session
     # default at scale), and the interval join''s inner-join drain
     # drops the trailing no-data micro-batch (state eviction for a
@@ -123,7 +132,9 @@ _ROUND_PRIORITY = [
     "window_first_last_order",
     "window_percent_rank",
     "zorder_cluster_events",
-    # 38-50: oldest r10-vintage rows (freshness_report order).
+    # 40-50: oldest r10-vintage rows (freshness_report order; the two
+    # tail rows rotated out to make room for the batch-2 queries stay
+    # r10-vintage and lead the r17 freshness queue).
     "approx_distinct_users_daily",
     "approx_percentile_tolerance",
     "asof_nearest_click",
@@ -135,8 +146,6 @@ _ROUND_PRIORITY = [
     "cohort_ltv_curve",
     "cusum_changepoint_daily",
     "decile_lift_table",
-    "embedding_norm_topk",
-    "equi_depth_histogram_stats",
 ]
 
 

@@ -309,6 +309,15 @@ def lsh_candidate_pairs(sigs: DataFrame, dedupe: bool = True) -> DataFrame:
     return pairs.distinct() if dedupe else pairs
 
 
+# Packed (id, n_sh) carrier for jaccard_pairs' sized path: doc id in
+# the high 43 bits, the doc's distinct-shingle count in the low 20
+# (≤ 1,048,575 — a guard fails loudly past either width). Packing keeps
+# the per-shingle sort a primitive long sort and the pair shuffle at
+# the r15 byte width while still eliminating both per-id size joins.
+_NSH_BITS = 20
+_NSH_MASK = (1 << _NSH_BITS) - 1
+
+
 def jaccard_pairs(
     shingles: DataFrame | None,
     threshold_num: int = 1,
@@ -434,29 +443,51 @@ def jaccard_pairs(
     if shingle_sets is not None and max_doc_freq is None:
         # Per-row size of the set column, carried THROUGH the pair
         # expansion (r16, guide §2.4): each exploded (id, shingle) row
-        # rides with its doc's n_sh, the per-shingle groups collect
-        # (id, n_sh) structs, and the emitted pairs already hold both
-        # sizes — the two per-id size joins below (at 100 TB: two
-        # corpus-row-count relations shuffled onto the pair stream)
-        # are gone from the plan outright. Payload cost is one extra
-        # int per exploded row. Equivalence: id is unique per doc, so
-        # sort_array over (id, n_sh) structs orders exactly like the
-        # old sorted id array (struct ordering compares the first
-        # field first; ties impossible), the emitted ordered pairs are
-        # the same, and max(n_a) per pair group reads the constant
-        # n_sh each pair row carries.
-        sized = shingle_sets.select(
-            "id",
-            F.size("sh_set").alias("n_sh"),
-            F.explode_outer("sh_set").alias("shingle"),
-        ).filter(F.col("shingle").isNotNull())
+        # rides with its doc's n_sh, so the two per-id size joins
+        # below (at 100 TB: two corpus-row-count relations shuffled
+        # onto the pair stream) are gone from the plan outright.
+        # The carrier is ONE packed long — id in the high 43 bits,
+        # n_sh in the low 20 — NOT a (id, n_sh) struct: the first cut
+        # of this change collected struct elements, and the
+        # interpreted two-field comparator inside sort_array plus the
+        # wider shuffle rows measurably regressed the 3×-corpus probe
+        # (3.63 → 4.27 s min-of-4) even as sf0.1 improved. Packed,
+        # the per-shingle sort is the SAME primitive long sort as the
+        # r15 shape, every exchanged row is the same 8/16 bytes, and
+        # the sizes unpack once per SURVIVING pair group after the
+        # aggregate. Ordering equivalence: id is unique within a
+        # shingle group (caller contract: distinct (id, shingle)) and
+        # occupies the high bits, so packed order == id order — the
+        # emitted ordered pairs are exactly the r15 set. The loud
+        # width guard is the curriculum_schedule/dsir precedent:
+        # overflow would corrupt pair ordering silently.
+        packed = F.shiftleft(F.col("id"), _NSH_BITS) + F.col("n_sh")
+        packed = F.when(
+            (F.col("id") >= 0)
+            & (F.col("id") < F.lit(1 << (63 - _NSH_BITS)))
+            & (F.col("n_sh") <= F.lit(_NSH_MASK)),
+            packed,
+        ).otherwise(
+            F.raise_error(
+                F.lit(
+                    "jaccard_pairs: doc id exceeds the 2^43 packing "
+                    "width or a document has more than 2^20 distinct "
+                    "shingles; rebalance the packed (id, n_sh) key"
+                )
+            )
+        )
+        sized = (
+            shingle_sets.select(
+                "id",
+                F.size("sh_set").alias("n_sh"),
+                F.explode_outer("sh_set").alias("shingle"),
+            )
+            .filter(F.col("shingle").isNotNull())
+            .select(packed.alias("pid"), "shingle")
+        )
         grouped = (
             sized.groupBy("shingle")
-            .agg(
-                F.sort_array(
-                    F.collect_list(F.struct("id", "n_sh"))
-                ).alias("ids")
-            )
+            .agg(F.sort_array(F.collect_list("pid")).alias("ids"))
             .filter(F.size("ids") > 1)
         )
         pairs = grouped.select(
@@ -464,15 +495,20 @@ def jaccard_pairs(
                 F.expr(
                     "flatten(transform(ids, (x, i) -> "
                     "transform(slice(ids, i + 2, size(ids)), "
-                    "y -> struct(x.id AS id_a, y.id AS id_b, "
-                    "x.n_sh AS n_a, y.n_sh AS n_b))))"
+                    "y -> struct(x AS pa, y AS pb))))"
                 )
             ).alias("p")
         ).select("p.*")
-        joined = pairs.groupBy("id_a", "id_b").agg(
-            F.count("*").alias("common"),
-            F.max("n_a").alias("n_a"),
-            F.max("n_b").alias("n_b"),
+        joined = (
+            pairs.groupBy("pa", "pb")
+            .agg(F.count("*").alias("common"))
+            .select(
+                F.shiftright("pa", _NSH_BITS).alias("id_a"),
+                F.shiftright("pb", _NSH_BITS).alias("id_b"),
+                F.col("pa").bitwiseAND(F.lit(_NSH_MASK)).alias("n_a"),
+                F.col("pb").bitwiseAND(F.lit(_NSH_MASK)).alias("n_b"),
+                "common",
+            )
         )
     else:
         sizes = shingles.groupBy("id").agg(F.count("*").alias("n_sh"))
@@ -620,7 +656,10 @@ def gram_bucket(col: str | Column) -> Column:
 
 
 def decontaminate_against_index(
-    eval_grams: DataFrame, gram_index: DataFrame
+    eval_grams: DataFrame,
+    gram_index: DataFrame,
+    stable_input: bool = False,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Per-eval-document contamination hit counts against a persisted
     train-gram index — the cross-corpus analog of
@@ -655,8 +694,48 @@ def decontaminate_against_index(
     streams its pruned scan); only eval-sized matched rows reach the
     aggregation. Probe cost is one pruned index scan + an eval-sized
     shuffle, independent of how the train corpus grows.
+
+    ``stable_input`` (r16, guide §1.2 "don't compute things you throw
+    away"): the defensive snapshot exists to make the bucket collect
+    and the broadcast probe read byte-identical grams when the input
+    could be LAZY over a recomputed upstream. Both engine callers
+    already hand this function an ACTION-STABLE relation — a
+    driver-local createDataFrame snapshot (substring_span_incremental)
+    or a materialize_scoped persist+count barrier
+    (decontaminate_eval_join) — so for them the internal pre-count,
+    toArrow and re-createDataFrame were three redundant driver jobs
+    per probe re-proving a property the caller established. With
+    ``stable_input=True`` the function skips them and enforces the
+    driver-size contract against ``n_rows``, which the caller MUST
+    supply from its own barrier (the Arrow snapshot's ``num_rows`` /
+    the materializing count) — the bound stays loud, the two actions
+    still read identical grams by the caller's stability guarantee,
+    and the emitted rows are unchanged (same grams, same joins).
     """
-    if "gbucket" in gram_index.columns:
+    if "gbucket" in gram_index.columns and stable_input:
+        if n_rows is None:
+            raise ValueError(
+                "decontaminate_against_index: stable_input=True requires "
+                "n_rows from the caller's own materializing action — the "
+                "driver-size bound must stay enforced."
+            )
+        if n_rows > EVAL_SNAPSHOT_MAX_ROWS:
+            raise ValueError(
+                f"decontaminate_against_index: eval_grams has "
+                f"{n_rows} rows (> {EVAL_SNAPSHOT_MAX_ROWS}); the "
+                "eval side must be small (it is collected AND "
+                "broadcast). Index the big side."
+            )
+        buckets = [
+            r[0]
+            for r in eval_grams.select(gram_bucket("gram"))
+            .distinct()
+            .collect()
+        ]
+        gram_index = gram_index.filter(
+            F.col("gbucket").isin(buckets) if buckets else F.lit(False)
+        )
+    elif "gbucket" in gram_index.columns:
         # Snapshot eval_grams to a driver-local relation BEFORE the
         # bucket collect (r8 ADVICE lineage): the collect and the
         # broadcast probe below are two separate actions over the same

@@ -1787,10 +1787,20 @@ def decontaminate_eval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Two consumers (total-gram counts + the broadcast probe): left
     # lazy, each branch re-runs the gram explode and the broadcast
     # exchange races the cache. Eval-sized, so the barrier is cheap.
+    n_ev: list[int] = []
     ev = dedup.materialize_scoped(
-        _contam_grams(ev_docs), scope="decontaminate_eval_join.ev"
+        _contam_grams(ev_docs),
+        scope="decontaminate_eval_join.ev",
+        action=lambda d: n_ev.append(d.count()),
     )
-    hits = dedup.decontaminate_against_index(ev, tr)
+    # stable_input (r16): ``ev`` is persisted + eagerly counted by the
+    # barrier above, so the probe's internal pre-count + toArrow +
+    # createDataFrame round trip (two extra driver jobs over an
+    # already-pinned relation) is skipped; the count the barrier needs
+    # anyway doubles as the driver-size bound check.
+    hits = dedup.decontaminate_against_index(
+        ev, tr, stable_input=True, n_rows=n_ev[0]
+    )
     ng = ev.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
     return (
         ev_docs.select("doc_id", "source")

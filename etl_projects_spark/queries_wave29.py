@@ -638,10 +638,17 @@ def substring_span_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch_lazy = spans.filter(is_new).select(
         F.col("id").alias("doc_id"), F.col("shingle").alias("gram")
     )
-    batch = spark.createDataFrame(
-        batch_lazy.toArrow(), schema=batch_lazy.schema
+    snap = batch_lazy.toArrow()
+    batch = spark.createDataFrame(snap, schema=batch_lazy.schema)
+    # stable_input (r16): ``batch`` is the driver-local snapshot built
+    # two lines up, so the probe's own defensive count + re-snapshot
+    # (three driver jobs per invocation on this, the catalog's highest
+    # job-count query) re-proved what this function just established;
+    # the driver-size bound is enforced against the snapshot's actual
+    # row count.
+    hits = dedup.decontaminate_against_index(
+        batch, index, stable_input=True, n_rows=snap.num_rows
     )
-    hits = dedup.decontaminate_against_index(batch, index)
     per_doc = batch.groupBy("doc_id").agg(F.count("*").alias("n_spans"))
     n_spans = F.coalesce(F.col("n_spans"), F.lit(0))
     n_hit = F.coalesce(F.col("n_hit"), F.lit(0))
