@@ -217,13 +217,18 @@ def _calib_class(name: str) -> str:
 # the documented ceiling. Every entry must cite the DETERMINISM.md /
 # SCALE.md note that establishes the band — this dict is an encoding
 # of the written record, not a mute button.
-_DRIFT_BANDS = {
-    # DETERMINISM.md r13/r14 band: 3.5-4.5 s raw with ~15% py_st
-    # scaling == up to ~10.5 py_st multiples (r14 read 9.85 norm on a
-    # degraded box). The spread is snapshot-batch composition, not
-    # code.
-    "substring_span_incremental": 10.5,
-}
+# r16 (r15 VERDICT item 8): the substring_span_incremental mute
+# (10.5 py_st-multiples, the r13/r14 3.5-4.5 s band) is RETIRED — the
+# band's measured causes are gone, not papered over: the r15 single
+# snapshot removed the 3x re-computation whose scheduling spread drove
+# the variance, and the r16 stable-input probe path cut the query's
+# driver-job count 21 → 18 (each job boundary is a scheduling-jitter
+# draw on a noisy box). The retirement proof is the three consecutive
+# closing benches recorded in OPTIMIZATION_r16.md, each inside the
+# 1.5x normalized alarm with an empty band table. The dict stays so a
+# future DETERMINISM-documented band has somewhere to live; an entry
+# requires a DETERMINISM.md recipe with a measured cause.
+_DRIFT_BANDS: dict[str, float] = {}
 
 
 def normalized_summary(
