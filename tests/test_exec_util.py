@@ -197,9 +197,9 @@ def test_materialize_scoped_releases_lock_during_job(spark, monkeypatch):
     seen: dict[str, bool] = {}
     real = exec_util.materialize
 
-    def probe(df):
+    def probe(df, action=None):
         seen["locked_during_job"] = exec_util._PINS_LOCK.locked()
-        return real(df)
+        return real(df, action=action)
 
     monkeypatch.setattr(exec_util, "materialize", probe)
     exec_util.materialize_scoped(spark.range(3), "test.lock_probe")
@@ -227,8 +227,8 @@ def test_materialize_scoped_race_loser_unpersists_itself(spark, monkeypatch):
     real = exec_util.materialize
     state: dict[str, object] = {}
 
-    def hijack(df):
-        out = real(df)
+    def hijack(df, action=None):
+        out = real(df, action=action)
         # Simulate the racer completing mid-flight: it popped our
         # token and installed its own materialized relation.
         winner = real(spark.range(99))

@@ -57,9 +57,13 @@ def test_driver_side_materialization_allowlist():
         # gbucket pruning: (a) the eval-gram snapshot (toArrow since
         # r12 — exact int64 + nulls, no pandas hop) — small by the
         # decontamination contract, and the same bytes the F.broadcast
-        # ships through the driver anyway; (b) distinct buckets of that
-        # snapshot — ≤ GRAM_INDEX_BUCKETS rows by pigeonhole.
-        "operators/dedup.py": 2,
+        # ships through the driver anyway; (b)+(c) distinct buckets of
+        # the eval grams — ≤ GRAM_INDEX_BUCKETS rows by pigeonhole —
+        # one collect per branch of the r16 stable_input split (the
+        # stable path collects the same bounded bucket set from the
+        # caller's already-stable relation instead of a fresh
+        # snapshot).
+        "operators/dedup.py": 3,
         # IVF+PQ codebook sample (bounded rows, ONE pull via
         # _sample_matrix since r15), single probe vectors, the SHARED
         # bounded probe-matrix collect behind knn_join and

@@ -532,34 +532,49 @@ def test_bench_normalized_summary_attributes_box_state():
     )
 
 
-def test_bench_drift_alarm_fires_on_normalized_regression():
+def test_bench_drift_alarm_fires_on_normalized_regression(monkeypatch):
     """r15 (r14 VERDICT item 5): a query whose NORMALIZED time rose
     >1.5x vs the prior record must land in `drifted` — box-level
     attribution can't hide it — while sub-second queries (run-order
-    JIT noise band) and DETERMINISM-banded queries stay quiet."""
+    JIT noise band) stay quiet. r16 (r15 VERDICT item 8): the
+    substring_span_incremental band is RETIRED — with the shipped
+    EMPTY band table it alarms like any other query; the band
+    mechanism itself is exercised via a synthetic entry."""
     import bench
 
+    assert bench._DRIFT_BANDS == {}, (
+        "the band table must ship empty (r16 retirement) — a new entry "
+        "needs a DETERMINISM.md recipe with a measured cause"
+    )
     calib = {"py_st_s": 0.5, "blas_mt_s": 0.25}
     prior = {
         "calib": dict(calib),
         "queries": {
             "q1_pricing_summary": 1.5,  # norm 3.0
             "tfidf_top_terms": 0.3,  # norm 0.6 — sub-second this run
-            "substring_span_incremental": 1.75,  # norm 3.5 (banded)
+            "substring_span_incremental": 1.75,  # norm 3.5
         },
     }
     timings = {
         "q1_pricing_summary": 3.0,  # norm 6.0 = 2.0x prior -> DRIFT
         "tfidf_top_terms": 0.9,  # 3x prior but raw < 1 s -> quiet
-        "substring_span_incremental": 4.0,  # norm 8.0 < band 10.5
+        "substring_span_incremental": 4.0,  # norm 8.0 = 2.3x -> DRIFT
     }
     out = bench.normalized_summary(timings, calib, prior)
-    assert [d["name"] for d in out["drifted"]] == ["q1_pricing_summary"]
-    d = out["drifted"][0]
+    assert {d["name"] for d in out["drifted"]} == {
+        "q1_pricing_summary", "substring_span_incremental",
+    }
+    d = [x for x in out["drifted"] if x["name"] == "q1_pricing_summary"][0]
     assert d["ratio"] == 2.0 and d["norm"] == 6.0 and d["prior_norm"] == 3.0
-    # Past its documented ceiling even a banded query must alarm.
-    timings["substring_span_incremental"] = 5.5  # norm 11.0 > 10.5
+    # The band mechanism still works for a future documented entry:
+    # inside the ceiling it mutes, past the ceiling it alarms.
+    monkeypatch.setitem(
+        bench._DRIFT_BANDS, "substring_span_incremental", 10.5
+    )
     out2 = bench.normalized_summary(timings, calib, prior)
-    assert {d["name"] for d in out2["drifted"]} == {
+    assert [d["name"] for d in out2["drifted"]] == ["q1_pricing_summary"]
+    timings["substring_span_incremental"] = 5.5  # norm 11.0 > 10.5
+    out3 = bench.normalized_summary(timings, calib, prior)
+    assert {d["name"] for d in out3["drifted"]} == {
         "q1_pricing_summary", "substring_span_incremental",
     }
